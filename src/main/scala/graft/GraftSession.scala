@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration. One place for
+  * the settings that matter at scale, so Verify/Bench/tests all agree. */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // AQE: runtime coalescing of small shuffle partitions + skew-join
+      // splitting — the production stance for 100 TB plans.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+      // rejects; read as raw nanos longs (Tables.events converts back).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def create(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

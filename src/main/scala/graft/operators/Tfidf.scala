@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-wide TF-IDF scoring — the reference's entire query capability
+  * (`/root/reference/src/TfidfMapReduce.java:36-100`, a chain of 4 MapReduce
+  * jobs with 4 HDFS materializations) re-expressed as ONE lazy Catalyst plan.
+  *
+  * Dataflow (SURVEY.md §3.4):
+  * {{{
+  * docs → tokenize → termCounts → ⨝ docTotals ⨝ docFreq → score → rank
+  * }}}
+  *
+  * Scale design (100 TB stance, SURVEY.md §7.1 M3):
+  *  - `docTotals`/`docFreq` are `groupBy().agg()` + equi-join back, NOT
+  *    `Window.partitionBy` — a window over `partitionBy(term)` puts every
+  *    occurrence of a stop-word into a single partition (unbounded skew);
+  *    shuffled hash aggregation partial-aggregates map-side and AQE's skew
+  *    handling covers the join. (The reference's job-2/job-3 reducers buffer
+  *    whole groups in ArrayLists/HashMaps — `CountTF.java:92-99`,
+  *    `CalcTFIDF.java:111-119` — an OOM at scale; Spark's agg/join spill.)
+  *  - All three aggregates consume the SAME shuffle of `termCounts`
+  *    (`groupBy(term, doc_id)`), so Catalyst reuses the exchange instead of
+  *    re-tokenizing (visible as `ReusedExchange` in `.explain`).
+  *  - The only driver-side scalar is `docs.count()` (= the reference's
+  *    `fs.listStatus(input).length`, `TfidfMapReduce.java:47-52`): N counts
+  *    ALL documents, including ones whose tokens are all filtered out.
+  *  - No combiner in the reference's job 1 (`WordCount.java:149-159`) meant
+  *    every raw 1 crossed the shuffle; `HashAggregateExec` partial
+  *    aggregation fixes that for free.
+  */
+object Tfidf {
+
+  /** Tokenize with the EXACT reference normalizer chain
+    * (`WordCount.java:61-100`): whitespace-split, normalize each token
+    * (digit-drop → entity decode → tag strip → edge trim → lower), re-split
+    * (entity decode can introduce spaces), drop empties.
+    * Output: `(doc_id, term)` — one row per token occurrence.
+    */
+  def tokenize(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\\s+")).as("raw"))
+      .select(col("doc_id"),
+        explode(split(TextFunctions.standardizeToken(col("raw")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+
+  /** Oracle-portable tokenizer (FIXTURES.md §4): whitespace-split, drop
+    * tokens containing a digit, lowercase, trim non-`[a-z]` from both ends,
+    * drop empties. Spelled identically in DuckDB (RE2) by every
+    * oracle-checked query. */
+  def tokenizePortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\\s+")).as("raw"))
+      .where(!col("raw").rlike("[0-9]"))
+      .select(col("doc_id"), TextFunctions.portableNormalize(col("raw")).as("term"))
+      .where(col("term") =!= "")
+
+  /** O11: count per (term, doc) — `WordCount.java:125-138`.
+    * Partial-aggregates map-side (the shuffle carries pre-combined counts). */
+  def termCounts(tokens: DataFrame): DataFrame =
+    tokens.groupBy("term", "doc_id").agg(count(lit(1)).as("cnt"))
+
+  /** O14: per-document token total — the reference's job 2 regroup-re-emit
+    * (`CountTF.java:87-110`), as a plain aggregation to be joined back. */
+  def docTotals(termCounts: DataFrame): DataFrame =
+    termCounts.groupBy("doc_id").agg(sum("cnt").as("doc_total"))
+
+  /** O15: per-term document frequency — the reference's job 3 HashSet
+    * counting (`CalcTFIDF.java:109-123`). (term, doc_id) is unique after
+    * [[termCounts]], so a plain count IS the distinct document count. */
+  def docFreq(termCounts: DataFrame): DataFrame =
+    termCounts.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** O16–O18: tf = cnt/doc_total, idf = ln(N/df), tfidf = tf·idf
+    * (`CalcTFIDF.java:123-132`; Spark's `log` is natural log like
+    * `Math.log`). N must count ALL docs (O2 semantics). */
+  def score(termCounts: DataFrame, totals: DataFrame, dfreq: DataFrame, totalDocs: Long): DataFrame =
+    termCounts
+      .join(totals, "doc_id")
+      .join(dfreq, "term")
+      .withColumn("tf", col("cnt").cast("double") / col("doc_total"))
+      .withColumn("idf", log(lit(totalDocs.toDouble) / col("df")))
+      .withColumn("tfidf", col("tf") * col("idf"))
+
+  /** Full pipeline: docs(doc_id, text) → scored (term, doc_id, cnt,
+    * doc_total, df, tf, idf, tfidf), unordered (rank separately — most
+    * consumers want top-k, not a total order). */
+  def pipeline(docs: DataFrame, portable: Boolean = false): DataFrame = {
+    val n = docs.count()
+    val toks = if (portable) tokenizePortable(docs) else tokenize(docs)
+    val tc = termCounts(toks)
+    score(tc, docTotals(tc), docFreq(tc), n)
+      .select("term", "doc_id", "cnt", "doc_total", "df", "tf", "idf", "tfidf")
+  }
+
+  /** O19 generalized: `SortByValue` as a reusable operator
+    * (`SortByValue.java:17-22` documents it as a generic desc-by-value
+    * sorter). Deterministic tiebreakers added (the reference's tie order is
+    * arbitrary, `SortByValue.java:90-95`). Range-partitioned parallel sort —
+    * not the reference's single reducer. */
+  def rankByValue(df: DataFrame, valueCol: String, tiebreak: Seq[String]): DataFrame =
+    df.orderBy(col(valueCol).desc +: tiebreak.map(col(_).asc): _*)
+
+  /** Top-k by value: plans as `TakeOrderedAndProject` (per-partition heaps +
+    * driver merge of k rows) instead of a full global sort — the scale-sane
+    * form of the reference's job 4 for ranking queries. */
+  def topKByValue(df: DataFrame, valueCol: String, k: Int, tiebreak: Seq[String]): DataFrame =
+    rankByValue(df, valueCol, tiebreak).limit(k)
+}
