@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one forked test JVM). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+  def sql = spark.sqlContext
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = GraftSession.builder("4").appName("graft-test").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

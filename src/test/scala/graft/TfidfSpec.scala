@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Tfidf
+
+/** FIXTURES.md §2 micro-corpus golden values + SURVEY.md §5.2 invariants. */
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple cherry cherry cherry"),
+  ).toDF("doc_id", "text")
+
+  private lazy val scored =
+    Tfidf.rankByValue(Tfidf.pipeline(corpus), "tfidf", Seq("term", "doc_id"))
+      .select("term", "doc_id", "cnt", "doc_total", "df", "tfidf")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+
+  test("micro-corpus golden rows, in rank order") {
+    val expected = Seq(
+      ("cherry", 3L, 3L, 4L, 2L, 0.3040988310811233),
+      ("apple",  1L, 2L, 3L, 2L, 0.2703100720721096),
+      ("banana", 2L, 1L, 2L, 2L, 0.2027325540540822),
+      ("cherry", 2L, 1L, 2L, 2L, 0.2027325540540822),
+      ("banana", 1L, 1L, 3L, 2L, 0.1351550360360548),
+      ("apple",  3L, 1L, 4L, 2L, 0.1013662770270411),
+    )
+    assert(scored.size == expected.size)
+    scored.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4, g._5) == ((e._1, e._2, e._3, e._4, e._5)))
+      // FIXTURES.md golden doubles are printed to 16 sig figs; allow 1 ulp
+      assert(math.abs(g._6 - e._6) <= math.ulp(e._6), s"$g vs $e")
+    }
+  }
+
+  test("invariant: sum of tf per doc = 1") {
+    val sums = Tfidf.pipeline(corpus).groupBy("doc_id")
+      .agg(sum("tf").as("s")).select("s").as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("invariant: 1 <= df <= N; tfidf = 0 iff df = N") {
+    // add a 4th doc so 'apple' appears in 3 of 4 docs and 'everywhere' in all
+    val c4 = corpus.union(Seq((4L, "apple everywhere")).toDF("doc_id", "text"))
+      .union(Seq((5L, "everywhere")).toDF("doc_id", "text"))
+    val everywhere = Seq(
+      (1L, "apple everywhere"), (2L, "everywhere"), (3L, "everywhere x"),
+    ).toDF("doc_id", "text")
+    val r = Tfidf.pipeline(everywhere)
+      .select("term", "df", "tfidf").as[(String, Long, Double)].collect()
+    r.foreach { case (_, df, _) => assert(df >= 1 && df <= 3) }
+    r.foreach { case (term, df, tfidf) =>
+      assert((math.abs(tfidf) < 1e-15) == (df == 3), s"$term df=$df tfidf=$tfidf")
+    }
+  }
+
+  test("N counts ALL docs, including ones with zero surviving tokens") {
+    // doc 4 tokenizes to nothing ('123' is digit-dropped) but still inflates N
+    val c = corpus.union(Seq((4L, "123")).toDF("doc_id", "text"))
+    val df1 = Tfidf.pipeline(c).where($"term" === "apple" && $"doc_id" === 1)
+      .select("idf").as[Double].head()
+    assert(math.abs(df1 - math.log(4.0 / 2.0)) < 1e-15)
+  }
+
+  test("output cardinality = |distinct (term, doc)|") {
+    assert(scored.size == 6)
+  }
+
+  test("topKByValue returns the k highest with deterministic ties") {
+    val top2 = Tfidf.topKByValue(Tfidf.pipeline(corpus), "tfidf", 2, Seq("term", "doc_id"))
+      .select("term", "doc_id").as[(String, Long)].collect().toSeq
+    assert(top2 == Seq(("cherry", 3L), ("apple", 1L)))
+  }
+}
