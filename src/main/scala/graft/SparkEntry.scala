@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Tfidf
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, Tfidf}
 import graft.sources.Tables
 
 /** Driver contract — flagship entry, declared queries, and their DuckDB
@@ -71,7 +71,38 @@ object SparkEntry {
         Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
         "value", Seq("event_id"))
     }),
-    // --- Relational surface: TPC-H-ish pricing summary (agg + decimal-exact sums) ---
+    // --- Relational surface: joins, windows, set ops, semi/anti, top-k ---
+    "q3_top_revenue" -> ((s, dir) => Relational.q3TopRevenue(s, dir)),
+    "q5_region_revenue" -> ((s, dir) => Relational.q5RegionRevenue(s, dir)),
+    "top_orders_per_customer" -> ((s, dir) =>
+      Relational.topOrdersPerCustomer(s, dir)
+        .withColumn("rank_in_cust", col("rank_in_cust").cast("long"))),
+    "customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
+    "order_priority_counts" -> ((s, dir) => Relational.orderPriorityCounts(s, dir)),
+    "event_user_set_ops" -> ((s, dir) => Relational.eventUserSetOps(s, dir)),
+    "sessionize_events" -> ((s, dir) => Relational.sessionize(s, dir)),
+    // --- Text analysis ---
+    "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
+    "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // --- Dedup ---
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.5)),
+    // sketch-based near-dup: not ANSI-SQL-expressible → rows-only checks
+    "minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5)),
+    "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    // --- Similarity search ---
+    "knn_cosine_top10" -> ((s, dir) =>
+      Similarity.knnBruteForce(Tables.embeddings(s, dir), 0L to 9L, 10)
+        .withColumnRenamed("rank", "rnk")
+        .withColumn("rnk", col("rnk").cast("long"))
+        .select("q_id", "rnk", "vec_id", "cos")),
+    "ann_cosine_lsh" -> ((s, dir) =>
+      Similarity.annCosineLsh(Tables.embeddings(s, dir), 0L to 9L, 10)),
+    // --- TPC-H-ish pricing summary (agg + decimal-exact sums) ---
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -103,7 +134,162 @@ object SparkEntry {
       |), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
       |tc AS (SELECT term, doc_id, count(*) AS cnt FROM toks2 GROUP BY 1, 2)""".stripMargin
 
+  private val stopList =
+    graft.functions.TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+  private val stopRegex =
+    "\\b(" + graft.functions.TextFunctions.EnglishStopwords.mkString("|") + ")\\b"
+
+  /** Portable token-array CTE (positions preserved) for the n-gram oracle —
+    * DuckDB list-lambda spelling of Dedup.tokenArray. */
+  private val toksArrCte =
+    """toksarr AS (
+      |  SELECT doc_id, list_filter(list_transform(
+      |    list_filter(regexp_split_to_array(text, '\s+'), t -> NOT regexp_matches(t, '[0-9]')),
+      |    t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '', 'g')), t -> t <> '') AS a
+      |  FROM documents
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "top_orders_per_customer" ->
+      """SELECT o_custkey, rank_in_cust, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+        |  FROM orders) t
+        |WHERE rank_in_cust <= 3
+        |ORDER BY o_custkey, rank_in_cust""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "order_priority_counts" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "event_user_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'purchase_minus_error' AS set_op, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e) a
+        |UNION ALL
+        |SELECT 'purchase_and_error' AS set_op, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e) b
+        |ORDER BY set_op, user_id""".stripMargin,
+    "sessionize_events" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, value, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, value, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |  min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "token_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
+         |  round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 9) AS ttr,
+         |  round(CAST(sum(length(term)) AS DOUBLE) / count(*), 9) AS avg_token_len
+         |FROM toks2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""SELECT doc_id,
+         |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 9) AS alpha_ratio,
+         |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 9) AS digit_ratio,
+         |  round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text), 9) AS punct_ratio,
+         |  round(CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE) / length(text), 9) AS ws_ratio,
+         |  round(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+         |        / len(regexp_split_to_array(text, '\\s+')), 9) AS stopword_density,
+         |  round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+         |    + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+         |    + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.1
+         |    + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+         |            / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+         |  round(CAST(sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9) AS en_density,
+         |  CASE WHEN CAST(sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.05
+         |       THEN 'en' ELSE 'unknown' END AS lang_pred
+         |FROM toks2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_fingerprints" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "ngram_jaccard_pairs" ->
+      s"""WITH $toksArrCte,
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+         |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+         |  FROM toksarr WHERE len(a) >= 3
+         |), sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+         |shared AS (
+         |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+         |  round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) AS jaccard
+         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "knn_cosine_top10" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS d
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |  GROUP BY 1, 2
+        |), cosd AS (
+        |  SELECT q_id, dots.vec_id AS vec_id, round(d / (na.nrm * nb.nrm), 6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = dots.vec_id
+        |), ranked AS (
+        |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk,
+        |    vec_id, cos
+        |  FROM cosd
+        |)
+        |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
     "tfidf_full" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashAgg, SimHashAgg, TextFunctions}
+
+/** Deduplication operators for a training-data pipeline, each designed
+  * around one shuffle pattern that survives 100 TB:
+  *
+  *  - [[exact]]: hash-groupBy on a 128-bit content fingerprint — one
+  *    shuffle keyed by digest, partial agg map-side. No full-text shuffle.
+  *  - [[minhashSignatures]] / [[minhashPairs]]: char-shingle → k-permutation
+  *    MinHash (custom [[graft.functions.MinHashAgg]]) → banded LSH → bucket
+  *    self-join. Only docs agreeing on a whole band meet in a bucket, so the
+  *    join is |bucket|² on near-dup clusters instead of |corpus|². Hot
+  *    buckets (boilerplate at corpus scale) are capped deterministically.
+  *  - [[simhashSignatures]] / [[simhashPairs]]: 64-bit SimHash (custom
+  *    [[graft.functions.SimHashAgg]]) with 16-bit-chunk LSH — by pigeonhole
+  *    any pair within Hamming distance 3 agrees exactly on ≥1 of 4 chunks;
+  *    verify with `bit_count(a XOR b)`.
+  *  - [[ngramJaccardExact]]: exact token-3-gram Jaccard via shared-gram
+  *    join — the exact verifier behind the sketches, output-bound (only
+  *    overlapping pairs materialize).
+  */
+object Dedup {
+
+  /** Exact dedup: group documents by content fingerprint; `keeper` is the
+    * smallest doc_id (deterministic survivor policy). */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .orderBy("fingerprint")
+
+  /** Distinct 64-bit-hashed character `n`-shingles of the canonicalized
+    * text: one row per (doc_id, shingle_hash). The shingle expansion is a
+    * per-row generator (no shuffle); `distinct` is the first exchange. */
+  def shingles(docs: DataFrame, n: Int = 5): DataFrame =
+    docs
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("canon"))
+      .where(length(col("canon")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, length(canon) - ${n - 1}), p -> substring(canon, p, $n))"))
+          .as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shingle_hash"))
+      .distinct()
+
+  /** MinHash signatures: one `array<bigint>` of length `k` per document. */
+  def minhashSignatures(docs: DataFrame, k: Int = 128, shingleLen: Int = 5): DataFrame = {
+    val agg = udaf(new MinHashAgg(k))
+    shingles(docs, shingleLen)
+      .groupBy("doc_id")
+      .agg(agg(col("shingle_hash")).as("sig"))
+  }
+
+  /** Banded LSH over MinHash signatures → candidate pairs with estimated
+    * Jaccard ≥ `threshold`. `bands` must divide `k`; with k=128, b=16
+    * (r=8) the LSH S-curve crosses ~0.5 at J≈(1/16)^(1/8)≈0.71. */
+  def minhashPairs(
+      docs: DataFrame,
+      k: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      shingleLen: Int = 5,
+      maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, k, shingleLen)
+
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band", "band_hash")))
+
+    // cap pathological buckets so the self-join stays bounded at scale
+    val capped = banded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "band_hash").orderBy("doc_id")))
+      .where(col("rn") <= maxBucket)
+      .drop("rn", "sig")
+
+    val withSig = capped.join(sigs, "doc_id")
+    val a = withSig.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = withSig.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("jaccard_est", expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
+      .where(col("jaccard_est") >= threshold)
+      .select("doc_a", "doc_b", "jaccard_est")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document over term-frequency-weighted token hashes. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val agg = udaf(new SimHashAgg)
+    Tfidf.tokenizePortable(docs)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("w"))
+      .select(col("doc_id"), xxhash64(col("term")).as("h"), col("w"))
+      .groupBy("doc_id")
+      .agg(agg(col("h"), col("w")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤3 for the 4×16-bit chunk
+    * LSH to be lossless by pigeonhole). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk LSH is only complete for distance <= 3")
+    val sigs = simhashSignatures(docs)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Portable tokenized-text array (position-preserving), shared by the
+    * n-gram operators and spelled identically in the DuckDB oracle. */
+  private def tokenArray = expr(
+    "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
+      "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
+
+  /** Exact token 3-gram Jaccard for every pair sharing ≥1 gram, at
+    * `minJaccard` or above. ANSI-SQL-expressible (oracle-checked). */
+  def ngramJaccardExact(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokenArray.as("a"))
+      .where(size(col("a")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a) - 2), i -> " +
+          "concat_ws(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2)))"))
+        .as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("ga")
+      .join(grams.as("gb"), col("ga.gram") === col("gb.gram"))
+      .where(col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "grams_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "grams_b"), "doc_b")
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("grams_a") + col("grams_b") - col("n_shared")), 9))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_shared", "grams_a", "grams_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+}

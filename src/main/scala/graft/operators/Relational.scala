@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational surface over the TPC-H-ish fixture tables: joins (broadcast +
+  * shuffle, semi/anti), grouped aggregation, ranking windows, set operations,
+  * top-k. The reference has NO joins (SURVEY.md §2.1) — these demonstrate the
+  * engine's general query capability beyond reference parity.
+  *
+  * Scale notes:
+  *  - Dimension tables (`region`, `nation`, `supplier`, `customer` at
+  *    fixture scale) are explicitly `broadcast()` — no shuffle of the fact
+  *    side. At 100 TB, `customer` would exceed the broadcast threshold; AQE
+  *    then picks a shuffled hash join and its skew-split handles hot keys.
+  *  - Fact-fact joins (`orders` ⨝ `lineitem`) shuffle on the join key; both
+  *    sides partial-aggregate before the shuffle where possible.
+  *  - Money sums go through fixed-scale DECIMAL so results are exact and
+  *    order-independent (parallel double summation is neither).
+  */
+object Relational {
+
+  private def decSum(c: org.apache.spark.sql.Column, scale: Int = 6) =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** TPC-H Q3-style: top-10 unshipped-revenue orders for one market segment.
+    * Broadcast customer → orders, shuffle join to lineitem, agg, top-k
+    * (plans as TakeOrderedAndProject, not a full sort). */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation where customer and supplier share the
+    * nation. Star-join with all dimensions broadcast. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Ranking window: top-3 orders per customer by total price.
+    * `row_number` with a deterministic tiebreak on orderkey. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rank_in_cust", row_number().over(w))
+      .where(col("rank_in_cust") <= k)
+      .select("o_custkey", "rank_in_cust", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rank_in_cust")
+  }
+
+  /** Anti join: customers that never placed an order. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Semi join + agg: order-priority counts for orders with at least one
+    * line shipped after the order date (TPC-H Q4 shape: EXISTS → semi). */
+  def orderPriorityCounts(spark: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(spark, dir)
+    Tables.orders(spark, dir)
+      .join(late,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Set operations: purchase-users vs error-users (EXCEPT / INTERSECT),
+    * tagged and unioned into one result. */
+  def eventUserSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) = ev.where(col("event_type") === t).select("user_id").distinct()
+    val p = users("purchase")
+    val e = users("error")
+    p.except(e).withColumn("set_op", lit("purchase_minus_error"))
+      .union(p.intersect(e).withColumn("set_op", lit("purchase_and_error")))
+      .select("set_op", "user_id")
+      .orderBy("set_op", "user_id")
+  }
+
+  /** Gap-based sessionization of the event stream (batch form): a session
+    * breaks after `gapMinutes` of inactivity per user. Windows: `lag` for
+    * boundary flags, running sum for session ids — then one aggregate per
+    * session. The streaming twin lives in
+    * [[graft.streaming.StreamingSessionize]]. Timestamps compared on exact
+    * nanos (`ts_ns`), value sums through DECIMAL (exact). */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    // micros, not nanos: DuckDB truncates parquet nano-timestamps to micro
+    // precision on read, so the oracle can only agree at micros.
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("is_new").over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("t_start_us"),
+        max("ts_us").as("t_end_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHash
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[knnBruteForce]]: exact cosine top-k — broadcast the (small) query
+  *    set against the full corpus; one pass, no shuffle of the corpus side,
+  *    per-query top-k via ranking window on the query partition. This is
+  *    the correctness baseline and is already the right plan when
+  *    |queries| ≪ |corpus| (the common "probe" shape).
+  *  - [[annCosineLsh]]: the scale path — sign-random-projection LSH
+  *    (deterministic hyperplanes), banded buckets, candidates = bucket
+  *    collisions only, exact cosine re-rank of candidates. Recall is
+  *    tunable via planes/bands; the candidate join is output-bound instead
+  *    of |Q|×|corpus|.
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate` fold — deterministic left-to-right, same in every run).
+  */
+object Similarity {
+
+  private val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
+
+  /** Add `v` (double vector) and `norm` columns. */
+  private def prepared(embeddings: DataFrame, vecCol: String): DataFrame =
+    embeddings
+      .withColumn("v", col(vecCol).cast("array<double>"))
+      .withColumn("norm", expr("sqrt(" + dot.format("v", "v") + ")"))
+
+  /** Exact cosine top-k of every corpus vector for each query id.
+    * Output: (q_id, rank, vec_id, cos) — cos rounded to 6 so ranking is
+    * reproducible bit-for-bit across engines. */
+  def knnBruteForce(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val e = prepared(embeddings, "embedding").select("vec_id", "v", "norm")
+    val q = e.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    broadcast(q)
+      .join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        round(expr(dot.format("qv", "v") + " / (qnorm * norm)"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeLit(planes: Int, dims: Int) = {
+    val arr = Array.tabulate(planes, dims) { (j, i) =>
+      MinHash.mix64(j.toLong * 131071L + i * 524287L + 17L).toDouble / Long.MaxValue.toDouble
+    }
+    typedlit(arr.map(_.toSeq).toSeq)
+  }
+
+  /** Approximate top-k cosine via sign-random-projection LSH.
+    * `planes` sign bits per vector, split into `bands`; two vectors are
+    * candidates iff they agree on all bits of at least one band. Exact
+    * cosine re-ranks candidates, so precision is 1 — only recall is
+    * approximate. */
+  def annCosineLsh(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      planes: Int = 16,
+      bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    require(planes % bands == 0)
+    val r = planes / bands
+    val sigExpr =
+      s"transform(planes, p -> CASE WHEN ${dot.format("p", "v")} > 0 THEN 1 ELSE 0 END)"
+    val e = prepared(embeddings, "embedding")
+      .withColumn("planes", planeLit(planes, dims))
+      .withColumn("bits", expr(sigExpr))
+      .drop("planes")
+    val banded = e.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(bits, b * $r + 1, $r)))"))
+        .as(Seq("band", "band_hash")))
+    val q = banded.where(col("vec_id").isInCollection(queryIds))
+      .select(col("band"), col("band_hash"),
+        col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val cands = broadcast(q)
+      .join(banded, Seq("band", "band_hash"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select("q_id", "qv", "qnorm", "vec_id", "v", "norm")
+      .dropDuplicates("q_id", "vec_id")
+    cands
+      .withColumn("cos",
+        round(expr(dot.format("qv", "v") + " / (qnorm * norm)"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+}
