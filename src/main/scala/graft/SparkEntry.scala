@@ -94,6 +94,27 @@ object SparkEntry {
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5)),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    // --- Streaming operators, batch-executed (same plan, micro-batch or
+    // batch — withWatermark is a no-op in batch mode) ---
+    "streams_sessionize_batch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      graft.streaming.Streams.sessionize(ev, gapMinutes = 30)
+        .select(col("user_id"),
+          unix_micros(col("t_start")).as("t_start_us"),
+          unix_micros(col("t_end")).as("t_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "t_start_us")
+    }),
+    // --- Multimodal plumbing (no relational oracle: mapPartitions over
+    // binary payloads; rows-only check) ---
+    "multimodal_decode" -> ((s, _) =>
+      graft.multimodal.Multimodal.decodeMeta(
+        graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
+        .orderBy("asset_id")),
+    "multimodal_features" -> ((s, _) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
+        .orderBy("asset_id")),
     // --- Similarity search ---
     "knn_cosine_top10" -> ((s, dir) =>
       Similarity.knnBruteForce(Tables.embeddings(s, dir), 0L to 9L, 10)
@@ -217,6 +238,24 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "streams_sessionize_batch" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, value, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, value, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts_us) AS t_start_us, max(ts_us) + 1800000000 AS t_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, t_start_us""".stripMargin,
     "token_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,

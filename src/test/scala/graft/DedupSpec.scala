@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
+
+  private val corpus = Seq(
+    (1L, base),
+    (2L, base + " extra"),                        // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer rules and physical planning"),
+    (4L, "The  Quick  Brown fox jumps over the lazy dog and runs far away into the hills tonight"), // exact dup of 1 modulo case/ws
+    (5L, "unrelated corpus entry mentioning embeddings vectors and similarity search at scale"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-insensitive duplicates") {
+    val groups = Dedup.exact(corpus)
+      .select("n_docs", "keeper").as[(Long, Long)].collect().toSet
+    assert(groups.contains((2L, 1L)))       // docs 1+4 collapse, keeper = 1
+    assert(groups.count(_._1 == 1L) == 3)   // 2, 3, 5 singletons
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated pairs") {
+    val pairs = Dedup.minhashPairs(corpus, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))        // exact dup → jaccard est 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash estimate is exactly 1.0 for identical canonical text") {
+    val est = Dedup.minhashPairs(corpus, threshold = 0.5)
+      .where($"doc_a" === 1L && $"doc_b" === 4L)
+      .select("jaccard_est").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash pairs near-dups within hamming distance") {
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 4L)))
+    pairs.filter(p => (p._1, p._2) == ((1L, 4L))).foreach(p => assert(p._3 == 0))
+    assert(!pairSet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: hand-computed overlap") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams: "a b c", "b c d"
+      (2L, "a b c e"),   // grams: "a b c", "b c e"  → shared 1, union 3
+      (3L, "x y z w"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardExact(docs, minJaccard = 0.0)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, math.rint(1.0 / 3.0 * 1e9) / 1e9)))
+  }
+
+  test("shingles are distinct per doc and length-bounded") {
+    val sh = Dedup.shingles(Seq((1L, "abcdefg")).toDF("doc_id", "text"), n = 5)
+    assert(sh.count() == 3) // abcde, bcdef, cdefg
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val assets = Multimodal.syntheticAssets(spark, 30)
+
+  test("decodeMeta emits one typed row per asset with plausible dims") {
+    val metas = Multimodal.decodeMeta(assets).collect()
+    assert(metas.length == 30)
+    metas.filter(_.kind == "image").foreach { m =>
+      assert(m.width >= 16 && m.width < 80 && m.n_frames == 1)
+    }
+    assert(metas.map(_.asset_id).distinct.length == 30)
+    // deterministic: same input → same decode
+    assert(Multimodal.decodeMeta(assets).collect().sortBy(_.asset_id)
+      .sameElements(metas.sortBy(_.asset_id)))
+  }
+
+  test("extractFeatures yields fixed-width L1-normalized histograms") {
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == 30)
+    feats.foreach { f =>
+      assert(f.feature.length == 16)
+      assert(math.abs(f.feature.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("sampleFrames: only video assets, every 2nd frame") {
+    val frames = Multimodal.sampleFrames(assets, everyK = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val videoIds = assets.where(org.apache.spark.sql.functions.col("kind") === "video")
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(frames.map(_.asset_id).toSet.subsetOf(videoIds))
+  }
+}

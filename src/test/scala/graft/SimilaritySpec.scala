@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy corpus; query 0 = e1. cos(0,1)=1 (same dir), cos(0,2)≈0.707,
+  // cos(0,3)=0.
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (1L, Array(2f, 0f, 0f, 0f), 0),
+    (2L, Array(1f, 1f, 0f, 0f), 0),
+    (3L, Array(0f, 0f, 3f, 0f), 1),
+    (4L, Array(-1f, 0f, 0f, 0f), 1),
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force knn ranks by exact cosine") {
+    val got = Similarity.knnBruteForce(vecs, Seq(0L), k = 4)
+      .select("rank", "vec_id", "cos").as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 2L, 3L, 4L))
+    assert(got.head._3 == 1.0)
+    assert(math.abs(got(1)._3 - 0.707107) < 1e-9)
+    assert(got(2)._3 == 0.0)
+    assert(got(3)._3 == -1.0)
+  }
+
+  test("ann lsh finds the collinear vector (same-bucket guarantee)") {
+    // identical-direction vectors share all sign bits → always candidates
+    val got = Similarity.annCosineLsh(vecs, Seq(0L), k = 4, planes = 16, bands = 4, dims = 4)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    assert(got.contains(1L) && got(1L) == 1.0)
+    // opposite vector flips every bit → never a candidate
+    assert(!got.contains(4L))
+  }
+
+  test("ann results are a subset of brute-force results with equal scores") {
+    val bf = Similarity.knnBruteForce(vecs, Seq(0L), k = 4)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    val ann = Similarity.annCosineLsh(vecs, Seq(0L), k = 4, planes = 16, bands = 4, dims = 4)
+      .select("vec_id", "cos").as[(Long, Double)].collect()
+    ann.foreach { case (id, c) => assert(bf(id) == c) }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming sessionize: gap splits sessions, watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = in.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = Streams.sessionize(events, gapMinutes = 10, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 5 min apart (one session), then a 30-min gap
+      in.addData((1L, ts(0), 7L, "click", 1.0), (2L, ts(5), 7L, "click", 2.0))
+      q.processAllAvailable()
+      in.addData((3L, ts(35), 7L, "click", 4.0))
+      q.processAllAvailable()
+      // push watermark far forward so the second session also closes
+      in.addData((4L, Timestamp.valueOf("2024-01-01 12:00:00"), 8L, "click", 0.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions_out")
+        .where($"user_id" === 7L)
+        .select("n_events", "sum_value").as[(Long, Double)].collect().toSet
+      assert(sessions == Set((2L, 3.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("windowed type counts aggregate per tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = in.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.windowedTypeCounts(events, windowLen = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wins_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(1), 1L, "click", 1.0), (2L, ts(2), 2L, "click", 2.0),
+        (3L, ts(40), 1L, "view", 5.0))
+      q.processAllAvailable()
+      in.addData((4L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      val wins = spark.table("wins_out")
+        .select("event_type", "n", "sum_value").as[(String, Long, Double)].collect().toSet
+      assert(wins.contains(("click", 2L, 3.0)))
+      assert(wins.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running stats (batch mode)") {
+    val events = Seq(
+      Streams.UserEvent(1L, 1L, "click", 1.0),
+      Streams.UserEvent(2L, 1L, "purchase", 10.0),
+      Streams.UserEvent(3L, 2L, "view", 0.5),
+    ).toDS()
+    val out = Streams.runningUserStats(events).collect()
+      .map(r => r.user_id -> r).toMap
+    assert(out(1L).n_events == 2 && out(1L).n_purchases == 1 && out(1L).total_value == 11.0)
+    assert(out(2L).n_events == 1 && out(2L).n_purchases == 0)
+  }
+}
