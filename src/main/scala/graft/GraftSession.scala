@@ -19,6 +19,10 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read as raw nanos longs (Tables.events converts back).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed Aggregators (MinHash/SimHash signatures) keep object buffers
+      // in ObjectHashAggregate; the default 128-key fallback would push
+      // every realistic cardinality to slow sort-based aggregation.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
 
   def create(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -39,7 +39,7 @@ object Dedup {
     * text: one row per (doc_id, shingle_hash). The shingle expansion is a
     * per-row generator (no shuffle); `distinct` is the first exchange. */
   def shingles(docs: DataFrame, n: Int = 5): DataFrame =
-    docs
+    Scaling.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("canon"))
       .where(length(col("canon")) >= n)
@@ -77,26 +77,31 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
         .as(Seq("band", "band_hash")))
 
-    // cap pathological buckets so the self-join stays bounded at scale
+    // cap pathological buckets so the self-join stays bounded at scale;
+    // persist: the signature table feeds both sides of the self-join — at
+    // cluster scale this is "materialize signatures, then join", the
+    // standard LSH shape (recomputing shingle+minhash twice is the naive
+    // plan Catalyst would otherwise produce for a self-join).
     val capped = banded
       .withColumn("rn", row_number().over(
         Window.partitionBy("band", "band_hash").orderBy("doc_id")))
       .where(col("rn") <= maxBucket)
-      .drop("rn", "sig")
+      .drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val withSig = capped.join(sigs, "doc_id")
-    val a = withSig.select(col("band"), col("band_hash"),
+    val a = capped.select(col("band"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = withSig.select(col("band"), col("band_hash"),
+    val b = capped.select(col("band"), col("band_hash"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .distinct()
+      // estimate + threshold BEFORE the pair-dedup: the filter is per-row
+      // map work, so the dedup exchange only carries surviving near-dups
       .withColumn("jaccard_est", expr(
         s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
       .where(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -119,17 +124,17 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "chunk_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("chunk", "chunk_val"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -41,8 +41,8 @@ object Tfidf {
     * Output: `(doc_id, term)` — one row per token occurrence.
     */
   def tokenize(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\\s+")).as("raw"))
+    Scaling.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(split(col(textCol), "\\s+")).as("raw"))
       .select(col("doc_id"),
         explode(split(TextFunctions.standardizeToken(col("raw")), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
@@ -52,8 +52,8 @@ object Tfidf {
     * drop empties. Spelled identically in DuckDB (RE2) by every
     * oracle-checked query. */
   def tokenizePortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\\s+")).as("raw"))
+    Scaling.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(split(col(textCol), "\\s+")).as("raw"))
       .where(!col("raw").rlike("[0-9]"))
       .select(col("doc_id"), TextFunctions.portableNormalize(col("raw")).as("term"))
       .where(col("term") =!= "")
