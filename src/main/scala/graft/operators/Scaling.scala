@@ -12,8 +12,10 @@ object Scaling {
     * compact pre-expansion rows — is equally valid on a cluster whenever
     * scan splits ≪ cores (tiny-file corpora, coalesced AQE output). When
     * the scan is already parallel enough this is a no-op (no shuffle). */
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame, byCol: String = "doc_id"): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // hash-partition on the id column: round-robin would force Spark's
+    // retry-safe sort-before-repartition over the full text payload
+    if (df.rdd.getNumPartitions < target) df.repartition(target, df.col(byCol)) else df
   }
 }

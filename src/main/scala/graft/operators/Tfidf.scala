@@ -91,7 +91,15 @@ object Tfidf {
   def pipeline(docs: DataFrame, portable: Boolean = false): DataFrame = {
     val n = docs.count()
     val toks = if (portable) tokenizePortable(docs) else tokenize(docs)
+    // termCounts feeds three consumers (score, docTotals, docFreq); column
+    // pruning specializes each branch's subplan, defeating exchange reuse,
+    // so without a persist Catalyst would scan + tokenize the corpus three
+    // times. Persisting the post-aggregation counts (≪ raw tokens: one row
+    // per distinct (term, doc)) trades one spillable cache write for two
+    // full tokenize passes — the same call a 100 TB pipeline makes by
+    // materializing term_counts as an intermediate table.
     val tc = termCounts(toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     score(tc, docTotals(tc), docFreq(tc), n)
       .select("term", "doc_id", "cnt", "doc_total", "df", "tf", "idf", "tfidf")
   }
