@@ -81,6 +81,15 @@ object SparkEntry {
     "order_priority_counts" -> ((s, dir) => Relational.orderPriorityCounts(s, dir)),
     "event_user_set_ops" -> ((s, dir) => Relational.eventUserSetOps(s, dir)),
     "sessionize_events" -> ((s, dir) => Relational.sessionize(s, dir)),
+    // --- JSON / hierarchical agg / percentiles / subquery / frames ---
+    "json_props_rollup" -> ((s, dir) => Relational.jsonPropsRollup(s, dir)),
+    "orders_rollup" -> ((s, dir) => Relational.ordersRollup(s, dir)),
+    "value_percentiles" -> ((s, dir) => Relational.valuePercentiles(s, dir)),
+    "customers_above_segment_avg" -> ((s, dir) => Relational.customersAboveSegmentAvg(s, dir)),
+    "events_moving_sum" -> ((s, dir) => Relational.eventsMovingSum(s, dir)),
+    // --- embedding near-dup (LSH bucket logic → rows-only check) ---
+    "embedding_near_dups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.5)),
     // --- Text analysis ---
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -238,6 +247,43 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "json_props_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "orders_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.50), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "customers_above_segment_avg" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS seg_avg
+        |  FROM customer GROUP BY c_mktsegment
+        |)
+        |SELECT c_custkey, c_mktsegment, c_acctbal, round(seg_avg, 6) AS seg_avg
+        |FROM customer JOIN seg ON c_mktsegment = seg
+        |WHERE c_acctbal > seg_avg
+        |ORDER BY c_custkey""".stripMargin,
+    "events_moving_sum" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+        |)
+        |SELECT user_id, event_id, ts_us, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+        |FROM ev ORDER BY user_id, ts_us, event_id""".stripMargin,
     "streams_sessionize_batch" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events

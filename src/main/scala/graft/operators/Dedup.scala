@@ -138,6 +138,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Embedding-cosine near-dup pairs: sign-random-projection LSH buckets →
+    * exact cosine on candidates ≥ `threshold`. All-pairs variant of
+    * [[Similarity.annCosineLsh]] — the bucket self-join bounds the pair
+    * space the same way [[minhashPairs]] does for text. */
+  def embeddingNearDups(
+      embeddings: DataFrame,
+      threshold: Double = 0.9,
+      planes: Int = 16,
+      bands: Int = 4,
+      dims: Int = 64): DataFrame =
+    Similarity.cosinePairsLsh(embeddings, threshold, planes, bands, dims)
+
   /** Portable tokenized-text array (position-preserving), shared by the
     * n-gram operators and spelled identically in the DuckDB oracle. */
   private def tokenArray = expr(

@@ -106,6 +106,70 @@ object Relational {
       .orderBy("set_op", "user_id")
   }
 
+  /** JSON column surface: extract a typed field from the `props` JSON
+    * string and aggregate on it. `get_json_object` is a codegen'd path
+    * expression — no UDF, no full JSON parse into a tree per row. */
+  def jsonPropsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        sum("k").as("sum_k"))
+      .orderBy("event_type")
+
+  /** Hierarchical aggregation: ROLLUP over (priority, status) — grouping
+    * sets in one pass over the fact table (Expand + single aggregate, not
+    * one job per level). */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  /** Exact percentiles of event value per type (Spark `percentile` and
+    * DuckDB `quantile_cont` share linear interpolation). At 100 TB the
+    * engine swaps in `approx_percentile` (t-digest) — exact percentile
+    * needs the group's values collected per partition. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p75"))
+      .orderBy("event_type")
+
+  /** Correlated-subquery shape: customers with above-segment-average
+    * account balance. Decorrelated as agg + broadcast join — what Catalyst
+    * does to the subquery form anyway, written explicitly. */
+  def customersAboveSegmentAvg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val segAvg = cust.groupBy(col("c_mktsegment").as("seg"))
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("seg_avg"))
+    cust.join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
+      .where(col("c_acctbal") > col("seg_avg"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(col("seg_avg"), 6).as("seg_avg"))
+      .orderBy("c_custkey")
+  }
+
+  /** Row-frame window: per-user moving sum of the last 3 events (decimal
+    * addends → exact, order fixed by (ts, event_id)). */
+  def eventsMovingSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("moving_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("user_id", "event_id", "ts_us", "value", "moving_sum")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** Gap-based sessionization of the event stream (batch form): a session
     * breaks after `gapMinutes` of inactivity per user. Windows: `lag` for
     * boundary flags, running sum for session ids — then one aggregate per

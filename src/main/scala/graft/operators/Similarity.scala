@@ -50,6 +50,41 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** All-pairs near-dup by cosine: LSH-bucket self-join (two vectors are
+    * candidates iff they share a full band of sign bits), exact cosine on
+    * candidates, threshold filter before the pair dedup. */
+  def cosinePairsLsh(
+      embeddings: DataFrame,
+      threshold: Double,
+      planes: Int = 16,
+      bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    require(planes % bands == 0)
+    val r = planes / bands
+    val sigExpr =
+      s"transform(planes, p -> CASE WHEN ${dot.format("p", "v")} > 0 THEN 1 ELSE 0 END)"
+    val banded = prepared(embeddings, "embedding")
+      .withColumn("planes", planeLit(planes, dims))
+      .withColumn("bits", expr(sigExpr))
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(bits, b * $r + 1, $r)))"))
+          .as(Seq("band", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.select(col("band"), col("band_hash"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("norm_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("norm_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        round(expr(dot.format("va", "vb") + " / (norm_a * norm_b)"), 6))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .dropDuplicates("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1). */
   private def planeLit(planes: Int, dims: Int) = {
     val arr = Array.tabulate(planes, dims) { (j, i) =>
