@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.TrimNonAlpha
+
+/** Engine extensions installed via `SparkSession.builder.withExtensions`
+  * (or `spark.sql.extensions=graft.GraftExtensions`): registers the
+  * engine's native expressions with the function registry so they are
+  * callable from SQL and `call_function`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[TrimNonAlpha].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_normalize takes exactly one argument")
+        TrimNonAlpha.normalized(children.head)
+      }))
+  }
+}

@@ -52,8 +52,16 @@ object TextFunctions {
     * non-`[a-z]` runs from both ends. The digit-token drop happens before
     * this (on the raw token), and empty results are filtered after.
     * DuckDB spelling: `regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '', 'g')`.
-    */
-  def portableNormalize(t: Column): Column =
+    * Implemented by the native codegen'd [[PortableNormalize]] expression
+    * (single byte-scan pass instead of a regex engine pass per token). */
+  def portableNormalize(t: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(TrimNonAlpha.normalized(GraftColumnBridge.expression(t)))
+  }
+
+  /** Regex reference implementation of [[portableNormalize]] — the
+    * specification the native expression is property-tested against. */
+  def portableNormalizeRegex(t: Column): Column =
     regexp_replace(lower(t), "^[^a-z]+|[^a-z]+$", "")
 
   /** Stable content fingerprint: md5 over whitespace-collapsed, trimmed,
