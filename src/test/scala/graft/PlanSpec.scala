@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Relational, Tfidf}
+import graft.sources.Tables
+
+/** Physical-plan quality gates: the properties that keep these operators
+  * viable at 100 TB must hold in the planned query, not just in intent. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("top-k ranking plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Tfidf.topKByValue(
+      Tables.orders(spark, dir), "o_totalprice", 10, Seq("o_orderkey")))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q1 pushes the shipdate filter and prunes columns at the parquet scan") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), scan.take(2000))
+    assert(!scan.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q3 star join broadcasts the dimension side") {
+    val p = plan(Relational.q3TopRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("tfidf pipeline reads the corpus once (cached term counts)") {
+    val df = Tfidf.pipeline(Tables.documents(spark, dir))
+    df.count()
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+  }
+
+  test("native normalizer stays inside WholeStageCodegen") {
+    val toks = Tfidf.tokenizePortable(Tables.documents(spark, dir))
+    toks.collect() // finalize THIS dataset's adaptive plan (count() would plan separately)
+    val p = plan(toks)
+    assert(p.contains("trim_non_alpha"), p.take(2000))
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      "expected codegen'd project stage:\n" + p.take(2000))
+  }
+}
