@@ -90,6 +90,55 @@ object SparkEntry {
     // --- embedding near-dup (LSH bucket logic → rows-only check) ---
     "embedding_near_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.5)),
+    // --- scalar-function surface: dates, strings, nulls, distinct, having ---
+    "orders_by_month" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("month_us", unix_micros(date_trunc("month", col("o_orderdate"))))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy("o_year", "month_us")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("month_us")
+    }),
+    "customer_string_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .where(col("c_name").like("%1%"))
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 10).as("name_prefix"),
+          concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"))
+        .orderBy("c_custkey")
+    }),
+    "customer_order_totals_nulls" -> ((s, dir) => {
+      val totals = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          count(lit(1)).as("n_orders"))
+      Tables.customer(s, dir)
+        .join(totals, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("total"), lit(0.0)).as("total_spend"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          when(col("total").isNull, lit("never_ordered")).otherwise(lit("active")).as("status"))
+        .orderBy("c_custkey")
+    }),
+    "lineitem_multi_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+    "popular_parts_having" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .where(col("n_lines") >= 30)
+        .orderBy("l_partkey")
+    }),
     // --- Text analysis ---
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -247,6 +296,40 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "orders_by_month" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY month_us""".stripMargin,
+    "customer_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  substr(c_name, 1, 10) AS name_prefix,
+        |  c_mktsegment || '/' || c_name AS seg_name
+        |FROM customer WHERE c_name LIKE '%1%'
+        |ORDER BY c_custkey""".stripMargin,
+    "customer_order_totals_nulls" ->
+      """WITH totals AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c_custkey, coalesce(total, 0.0) AS total_spend,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  CASE WHEN total IS NULL THEN 'never_ordered' ELSE 'active' END AS status
+        |FROM customer LEFT JOIN totals ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "lineitem_multi_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "popular_parts_having" ->
+      """SELECT l_partkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 30
+        |ORDER BY l_partkey""".stripMargin,
     "json_props_rollup" ->
       """SELECT event_type, count(*) AS n,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
