@@ -12,6 +12,7 @@ import graft.functions.TrimNonAlpha
   * callable from SQL and `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.CollapseNormalize)
     ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[TrimNonAlpha].getName, "graft_normalize"),
