@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, Tfidf}
+import graft.sources.Tables
+
+/** Dev stress runner: document/embedding operators on a replicated corpus
+  * (default /tmp/stress, ~20× sf0.1) to observe scaling behavior beyond the
+  * fixture sizes. */
+object DevStress {
+  def time[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  -> $r")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/stress")
+    val spark = GraftSession.create()
+    val docs = Tables.documents(spark, dir)
+    val embs = Tables.embeddings(spark, dir)
+    println(s"[stress] docs=${docs.count()} vecs=${embs.count()}")
+
+    time("tfidf_full")(Tfidf.pipeline(docs, portable = true).count())
+    time("tfidf_top100")(
+      Tfidf.topKByValue(Tfidf.pipeline(docs, portable = true), "tfidf", 100,
+        Seq("term", "doc_id")).count())
+    time("dedup_exact")(Dedup.exact(docs).count())
+    time("minhash_pairs")(Dedup.minhashPairs(docs, threshold = 0.5).count())
+    time("simhash_pairs")(Dedup.simhashPairs(docs).count())
+    time("knn_top10")(Similarity.knnBruteForce(embs, 0L to 9L, 10).count())
+    time("ann_top10")(Similarity.annCosineLsh(embs, 0L to 9L, 10).count())
+    time("embedding_near_dups")(Similarity.cosinePairsLsh(embs, 0.95).count())
+    spark.stop()
+  }
+}

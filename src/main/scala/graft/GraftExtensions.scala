@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.TrimNonAlpha
+import graft.functions.{DotProduct, TrimNonAlpha}
 
 /** Engine extensions installed via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): registers the
@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_normalize takes exactly one argument")
         TrimNonAlpha.normalized(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly two arguments")
+        DotProduct(children.head, children(1))
       }))
   }
 }

@@ -24,7 +24,10 @@ import graft.functions.MinHash
   */
 object Similarity {
 
-  private val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
+  // codegen'd native dot product (graft.functions.DotProduct, registered by
+  // GraftExtensions); index-ordered summation, bit-identical to the
+  // aggregate(zip_with(...)) fold it replaced but ~1 static call per row
+  private val dot = "graft_dot(%s, %s)"
 
   /** Add `v` (double vector) and `norm` columns. */
   private def prepared(embeddings: DataFrame, vecCol: String): DataFrame =
@@ -58,7 +61,8 @@ object Similarity {
       threshold: Double,
       planes: Int = 16,
       bands: Int = 4,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      maxBucket: Int = 256): DataFrame = {
     require(planes % bands == 0)
     val r = planes / bands
     val sigExpr =
@@ -70,6 +74,13 @@ object Similarity {
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(bits, b * $r + 1, $r)))"))
           .as(Seq("band", "band_hash")))
+      // cap pathological buckets (mass-duplicated vectors put whole clusters
+      // in one bucket → |bucket|² self-join); deterministic keep-lowest-ids.
+      // Run exact dedup first if full duplicate clusters must be recovered.
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "band_hash").orderBy("vec_id")))
+      .where(col("rn") <= maxBucket)
+      .drop("rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("band_hash"),
       col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("norm_a"))
@@ -117,6 +128,9 @@ object Similarity {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(bits, b * $r + 1, $r)))"))
         .as(Seq("band", "band_hash")))
+      // both the query side and the corpus side consume the banded
+      // signatures; persist once instead of recomputing the plane dots
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = banded.where(col("vec_id").isInCollection(queryIds))
       .select(col("band"), col("band_hash"),
         col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
