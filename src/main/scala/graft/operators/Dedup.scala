@@ -36,19 +36,19 @@ object Dedup {
       .orderBy("fingerprint")
 
   /** Distinct 64-bit-hashed character `n`-shingles of the canonicalized
-    * text: one row per (doc_id, shingle_hash). The shingle expansion is a
-    * per-row generator (no shuffle); `distinct` is the first exchange. */
+    * text: one row per (doc_id, shingle_hash). Set semantics come from
+    * `array_distinct` WITHIN the document row before exploding — per-row
+    * map work — so no corpus-wide distinct shuffle ever happens; the only
+    * exchange downstream is the k-long signature per doc (partial agg). */
   def shingles(docs: DataFrame, n: Int = 5): DataFrame =
     Scaling.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("canon"))
       .where(length(col("canon")) >= n)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, length(canon) - ${n - 1}), p -> substring(canon, p, $n))"))
-          .as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("shingle_hash"))
-      .distinct()
+        explode(array_distinct(expr(
+          s"transform(sequence(1, length(canon) - ${n - 1}), p -> xxhash64(substring(canon, p, $n)))")))
+          .as("shingle_hash"))
 
   /** MinHash signatures: one `array<bigint>` of length `k` per document. */
   def minhashSignatures(docs: DataFrame, k: Int = 128, shingleLen: Int = 5): DataFrame = {
@@ -70,38 +70,38 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // materialize signatures once (3 consumers: banding + both join sides)
+    // — at cluster scale this is "write the signature table, then join",
+    // the standard LSH shape.
     val sigs = minhashSignatures(docs, k, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // banding, bucket cap, self-join, and pair-dedup all operate on NARROW
+    // (id, band, hash) rows — the 1 KB signature arrays only rejoin after
+    // the candidate set is deduplicated, so no wide payload ever passes
+    // through the window or the dedup exchange.
+    val banded = sigs.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
         .as(Seq("band", "band_hash")))
-
-    // cap pathological buckets so the self-join stays bounded at scale;
-    // persist: the signature table feeds both sides of the self-join — at
-    // cluster scale this is "materialize signatures, then join", the
-    // standard LSH shape (recomputing shingle+minhash twice is the naive
-    // plan Catalyst would otherwise produce for a self-join).
     val capped = banded
       .withColumn("rn", row_number().over(
         Window.partitionBy("band", "band_hash").orderBy("doc_id")))
       .where(col("rn") <= maxBucket)
       .drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val a = capped.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val cand = capped.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      // estimate + threshold BEFORE the pair-dedup: the filter is per-row
-      // map work, so the dedup exchange only carries surviving near-dups
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("jaccard_est", expr(
         s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
       .where(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
-      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
