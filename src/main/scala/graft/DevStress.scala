@@ -30,6 +30,7 @@ object DevStress {
     time("simhash_pairs")(Dedup.simhashPairs(docs).count())
     time("knn_top10")(Similarity.knnBruteForce(embs, 0L to 9L, 10).count())
     time("ann_top10")(Similarity.annCosineLsh(embs, 0L to 9L, 10).count())
+    time("ivf_top10")(Similarity.ivfSearch(embs, 0L to 9L, 10).count())
     time("embedding_near_dups")(Similarity.cosinePairsLsh(embs, 0.95).count())
     spark.stop()
   }

@@ -181,6 +181,8 @@ object SparkEntry {
         .select("q_id", "rnk", "vec_id", "cos")),
     "ann_cosine_lsh" -> ((s, dir) =>
       Similarity.annCosineLsh(Tables.embeddings(s, dir), 0L to 9L, 10)),
+    "ivf_cosine_top10" -> ((s, dir) =>
+      Similarity.ivfSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
     // --- TPC-H-ish pricing summary (agg + decimal-exact sums) ---
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)

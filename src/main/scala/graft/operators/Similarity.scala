@@ -96,6 +96,58 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-style ANN: partition the corpus into inverted lists by nearest
+    * centroid, search only the `nprobe` lists closest to each query.
+    *
+    * Centroids are a deterministic sample (lowest `xxhash64(vec_id)` —
+    * uniform, reproducible; a production index would k-means-refine them,
+    * which only changes the seeding below). The assignment cross-join is
+    * |corpus| × C with the codegen'd `graft_dot`, done ONCE to build the
+    * index — queries then touch |corpus| × nprobe / C of the data, the
+    * property that matters when the corpus no longer fits a broadcast.
+    * Precision is exact over probed lists; recall is governed by nprobe/C.
+    */
+  def ivfSearch(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val e = prepared(embeddings, "embedding").select("vec_id", "v", "norm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic centroid sample
+    val cents = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    // inverted lists: every vector → nearest centroid (one broadcast pass)
+    val assigned = e.join(broadcast(cents))
+      .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("c_sim"), asc("c_id"))))
+      .where(col("c_rank") === 1)
+      .select(col("c_id").as("list_id"), col("vec_id"), col("v"), col("norm"))
+    // queries probe their nprobe nearest lists
+    val probes = e.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .join(broadcast(cents))
+      .withColumn("c_sim", expr(dot.format("qv", "cv") + " / (qnorm * cnorm)"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("c_sim"), asc("c_id"))))
+      .where(col("c_rank") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("c_id").as("list_id"))
+    broadcast(probes)
+      .join(assigned, "list_id")
+      .where(col("q_id") =!= col("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos",
+        round(expr(dot.format("qv", "v") + " / (qnorm * norm)"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1). */
   private def planeLit(planes: Int, dims: Int) = {
     val arr = Array.tabulate(planes, dims) { (j, i) =>

@@ -34,6 +34,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("ivf search finds the collinear vector and scores match brute force") {
+    val got = Similarity.ivfSearch(vecs, Seq(0L), k = 4, nCentroids = 2, nprobe = 2)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    assert(got.contains(1L) && got(1L) == 1.0)
+    val bf = Similarity.knnBruteForce(vecs, Seq(0L), k = 4)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    got.foreach { case (id, c) => assert(bf(id) == c) }
+  }
+
+  test("ivf with nprobe = nCentroids recalls everything brute force finds") {
+    val got = Similarity.ivfSearch(vecs, Seq(0L), k = 4, nCentroids = 2, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val bf = Similarity.knnBruteForce(vecs, Seq(0L), k = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf)
+  }
+
   test("ann results are a subset of brute-force results with equal scores") {
     val bf = Similarity.knnBruteForce(vecs, Seq(0L), k = 4)
       .select("vec_id", "cos").as[(Long, Double)].collect().toMap
