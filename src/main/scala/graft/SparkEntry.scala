@@ -77,6 +77,7 @@ object SparkEntry {
     "top_orders_per_customer" -> ((s, dir) =>
       Relational.topOrdersPerCustomer(s, dir)
         .withColumn("rank_in_cust", col("rank_in_cust").cast("long"))),
+    "top_orders_per_customer_agg" -> ((s, dir) => Relational.topOrdersPerCustomerAgg(s, dir)),
     "customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "order_priority_counts" -> ((s, dir) => Relational.orderPriorityCounts(s, dir)),
     "event_user_set_ops" -> ((s, dir) => Relational.eventUserSetOps(s, dir)),
@@ -257,6 +258,13 @@ object SparkEntry {
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
     "top_orders_per_customer" ->
+      """SELECT o_custkey, rank_in_cust, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+        |  FROM orders) t
+        |WHERE rank_in_cust <= 3
+        |ORDER BY o_custkey, rank_in_cust""".stripMargin,
+    "top_orders_per_customer_agg" ->
       """SELECT o_custkey, rank_in_cust, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust

@@ -73,6 +73,24 @@ object Relational {
       .orderBy("o_custkey", "rank_in_cust")
   }
 
+  /** Heap-aggregate twin of [[topOrdersPerCustomer]]: same result, no
+    * ranking window — a bounded top-k buffer per group
+    * ([[graft.functions.TopKAgg]]) partial-merges map-side, so the shuffle
+    * carries ≤ k rows per (customer, partition) instead of every order.
+    * The formulation to prefer when groups are large and k is small. */
+  def topOrdersPerCustomerAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "kv")))
+      .select(col("o_custkey"),
+        (col("i") + 1).cast("long").as("rank_in_cust"),
+        col("kv._2").as("o_orderkey"),
+        col("kv._1").as("o_totalprice"))
+      .orderBy("o_custkey", "rank_in_cust")
+  }
+
   /** Anti join: customers that never placed an order. */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
