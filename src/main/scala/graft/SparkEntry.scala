@@ -65,6 +65,25 @@ object SparkEntry {
       Tfidf.docFreq(Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir))))
         .orderBy("term")
     }),
+    // --- approximate variants: the 100 TB opt-ins (sketch-based, engine-
+    // specific values → rows-only checks) ---
+    "doc_freq_approx" -> ((s, dir) => {
+      Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir)))
+        .groupBy("term")
+        .agg(approx_count_distinct(col("doc_id"), 0.01).as("df_approx"))
+        .orderBy("term")
+    }),
+    "value_percentiles_approx" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as("ps"))
+        .select(col("event_type"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p75"))
+        .orderBy("event_type")
+    }),
     // --- O19 as a generic operator: rank any table by a numeric value desc ---
     "rank_events_by_value" -> ((s, dir) => {
       Tfidf.rankByValue(
