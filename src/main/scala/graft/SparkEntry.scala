@@ -65,6 +65,22 @@ object SparkEntry {
       Tfidf.docFreq(Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir))))
         .orderBy("term")
     }),
+    // --- pivot + array aggregation ---
+    "events_pivot_by_type" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+    "user_event_type_arrays" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")
+    }),
     // --- approximate variants: the 100 TB opt-ins (sketch-based, engine-
     // specific values → rows-only checks) ---
     "doc_freq_approx" -> ((s, dir) => {
@@ -325,6 +341,18 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "events_pivot_by_type" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "user_event_type_arrays" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "orders_by_month" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  epoch_us(date_trunc('month', o_orderdate)) AS month_us,
