@@ -430,7 +430,7 @@ object SparkEntry {
         |), flagged AS (
         |  SELECT user_id, event_id, value, ts_us,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |              OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |), sess AS (
         |  SELECT user_id, event_id, value, ts_us,
