@@ -37,6 +37,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p.take(2000))
   }
 
+  test("hive-partitioned writes prune partitions at the scan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_part").toString
+    import org.apache.spark.sql.functions._
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(s"$wh/orders_p")
+    val pruned = spark.read.parquet(s"$wh/orders_p").where(col("o_year") === 1996)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters: [isnotnull(o_year"), scan.take(1500))
+    assert(pruned.count() > 0)
+  }
+
   test("native normalizer stays inside WholeStageCodegen") {
     val toks = Tfidf.tokenizePortable(Tables.documents(spark, dir))
     toks.collect() // finalize THIS dataset's adaptive plan (count() would plan separately)

@@ -68,6 +68,13 @@ class TfidfSpec extends SparkSpec {
     assert(scored.size == 6)
   }
 
+  test("result is invariant under input row permutation") {
+    val shuffled = corpus.orderBy(rand(seed = 7))
+    val a = Tfidf.rankByValue(Tfidf.pipeline(corpus), "tfidf", Seq("term", "doc_id")).collect().toSeq
+    val b = Tfidf.rankByValue(Tfidf.pipeline(shuffled), "tfidf", Seq("term", "doc_id")).collect().toSeq
+    assert(a == b)
+  }
+
   test("topKByValue returns the k highest with deterministic ties") {
     val top2 = Tfidf.topKByValue(Tfidf.pipeline(corpus), "tfidf", 2, Seq("term", "doc_id"))
       .select("term", "doc_id").as[(String, Long)].collect().toSeq
