@@ -117,6 +117,7 @@ object SparkEntry {
     "order_priority_counts" -> ((s, dir) => Relational.orderPriorityCounts(s, dir)),
     "event_user_set_ops" -> ((s, dir) => Relational.eventUserSetOps(s, dir)),
     "sessionize_events" -> ((s, dir) => Relational.sessionize(s, dir)),
+    "events_asof_orders" -> ((s, dir) => Relational.eventsAsofOrders(s, dir)),
     // --- JSON / hierarchical agg / percentiles / subquery / frames ---
     "json_props_rollup" -> ((s, dir) => Relational.jsonPropsRollup(s, dir)),
     "orders_rollup" -> ((s, dir) => Relational.ordersRollup(s, dir)),
@@ -341,6 +342,18 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "events_asof_orders" ->
+      """WITH rdedup AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  r.o_orderkey AS m_orderkey, r.o_totalprice AS m_totalprice,
+        |  epoch_us(r.o_orderdate) AS order_ts_us
+        |FROM events e ASOF JOIN rdedup r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "events_pivot_by_type" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -124,6 +124,67 @@ object Relational {
       .orderBy("set_op", "user_id")
   }
 
+  /** As-of join: for each left row, the latest right row with
+    * `rightTime <= leftTime` for the same key (inclusive, like DuckDB's
+    * `ASOF JOIN ... ON l.t >= r.t`). Spark has no native as-of join; the
+    * composition is union-tag-window: one shuffle by key, one sort, a
+    * running `last(payload, ignoreNulls)` — no range-join explosion and no
+    * per-key buffering beyond the window frame, so it scales like any
+    * window over a bounded key. Ties: right rows sort before left rows at
+    * equal time (inclusive match); equal-time right rows resolve by
+    * greatest payload struct, so make the FIRST payload column a unique
+    * tiebreaker (e.g. a key column). Inner semantics: unmatched left rows
+    * are dropped.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val payloadType = org.apache.spark.sql.functions.struct(
+      payloadCols.map(right(_)): _*)
+    val l = left
+      .withColumn("_k", col(leftKey))
+      .withColumn("_t", col(leftTime).cast("timestamp"))
+      .withColumn("_tag", lit(1))
+      .withColumn("_p", lit(null).cast(
+        right.select(payloadType.as("_p")).schema("_p").dataType))
+    val r0 = right.select(
+      col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+      lit(0).as("_tag"), payloadType.as("_p"))
+    val rAligned = l.columns.foldLeft(r0) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"), col("_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rAligned.unionByName(l)
+      .withColumn("_m", last(when(col("_tag") === 0, col("_p")), ignoreNulls = true).over(w))
+      .where(col("_tag") === 1 && col("_m").isNotNull)
+      .drop("_k", "_t", "_tag", "_p")
+  }
+
+  /** Events as-of joined to the user's most recent order (order placed at
+    * or before the event). Oracle: DuckDB native `ASOF JOIN`. */
+  def eventsAsofOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    // dedupe equal-time right rows FIRST (greatest orderkey wins): with
+    // duplicates, as-of tie-picking is engine-arbitrary — fix the rule on
+    // both sides instead of relying on it
+    val ord = Tables.orders(spark, dir)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("o"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o.o_orderkey").as("o_orderkey"), col("o.o_totalprice").as("o_totalprice"))
+    asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("_m.o_orderkey").as("m_orderkey"),
+        col("_m.o_totalprice").as("m_totalprice"),
+        unix_micros(col("_m.o_orderdate").cast("timestamp")).as("order_ts_us"))
+      .orderBy("event_id")
+  }
+
   /** JSON column surface: extract a typed field from the `props` JSON
     * string and aggregate on it. `get_json_object` is a codegen'd path
     * expression — no UDF, no full JSON parse into a tree per row. */
