@@ -81,6 +81,23 @@ object SparkEntry {
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id")
     }),
+    "value_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("bucket",
+          least(greatest(floor(col("value") / 20.0) + 1, lit(0)), lit(11)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("bucket")
+    }),
+    "customer_key_extract" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("digits_num"))
+        .where(col("digits") =!= "")
+        .orderBy("c_custkey")
+    }),
     // --- approximate variants: the 100 TB opt-ins (sketch-based, engine-
     // specific values → rows-only checks) ---
     "doc_freq_approx" -> ((s, dir) => {
@@ -342,6 +359,16 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(least(greatest(floor(value / 20.0) + 1, 0), 11) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "customer_key_extract" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS digits_num
+        |FROM customer WHERE regexp_extract(c_name, '([0-9]+)', 1) <> ''
+        |ORDER BY c_custkey""".stripMargin,
     "events_asof_orders" ->
       """WITH rdedup AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,

@@ -1,0 +1,22 @@
+package graft
+
+/** Results must not depend on physical parallelism: the decimal-sum /
+  * rounded-double / total-order strategy exists precisely so a different
+  * shuffle layout (different cluster, AQE decision, partition count)
+  * produces byte-identical results. */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def runWith(partitions: Int, q: String): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    try SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+  }
+
+  for (q <- Seq("q1_pricing_summary", "tfidf_full", "sessionize_events", "knn_cosine_top10")) {
+    test(s"$q is identical under 3 vs 13 shuffle partitions") {
+      assert(runWith(3, q) == runWith(13, q))
+    }
+  }
+}
