@@ -198,6 +198,9 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    "sequence_packing" -> ((s, dir) => TextAnalysis.sequencePacking(Tables.documents(s, dir))),
+    "dataset_split" -> ((s, dir) => TextAnalysis.datasetSplit(Tables.documents(s, dir))),
+    "pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(Tables.documents(s, dir))),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
@@ -513,6 +516,35 @@ object SparkEntry {
     "doc_fingerprints" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sequence_packing" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, count(*) AS n_tokens FROM toks2 GROUP BY 1),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  CAST(floor((cum_tokens - n_tokens) / 256.0) AS BIGINT) AS bin_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "dataset_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 32, 1) AS hx
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN hx <= '9' OR (hx >= 'a' AND hx <= 'b') THEN 'train'
+        |       WHEN hx = 'c' OR hx = 'd' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |                   'https?://[^ ]+', '<URL>', 'g') AS red
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(trim(regexp_replace(lower(red), '\s+', ' ', 'g'))) AS redacted_fp,
+        |  CAST(length(text) - length(red) AS BIGINT) AS chars_removed
+        |FROM r ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  count(*) AS n_docs, min(doc_id) AS keeper

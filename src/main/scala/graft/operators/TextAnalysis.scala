@@ -76,6 +76,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: assign documents (ordered by doc_id) to training
+    * bins of `targetTokens` by running token count — the "concat then
+    * chunk" boundary bookkeeping of an LLM data pipeline. A document
+    * starting before a boundary belongs to the bin its first token falls
+    * in. One window cumsum, no shuffle beyond it. */
+  def sequencePacking(docs: DataFrame, targetTokens: Int = 256): DataFrame = {
+    val counts = Tfidf.tokenizePortable(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("bin_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(targetTokens.toDouble)).cast("long"))
+      .select("doc_id", "n_tokens", "cum_tokens", "bin_id")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split on the content fingerprint's last
+    * hex digit (content-stable: dedup-safe, engine-portable, no RNG):
+    * 0-b → train (75%), c-d → val, e-f → test. */
+  def datasetSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      substring(TextFunctions.contentFingerprint(col("text")), 32, 1).as("h"))
+      .select(col("doc_id"),
+        when(col("h") <= "9" || (col("h") >= "a" && col("h") <= "b"), "train")
+          .when(col("h") === "c" || col("h") === "d", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** PII scrubbing: redact emails and URLs with RE2-safe patterns (no
+    * lookbehind — the oracle engine's regex dialect must agree). Emits the
+    * fingerprint of the redacted text so parity is verifiable without
+    * shipping full text. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+      "https?://[^ ]+", "<URL>")
+    docs.select(col("doc_id"),
+      TextFunctions.contentFingerprint(redacted).as("redacted_fp"),
+      (length(col("text")) - length(redacted)).cast("long").as("chars_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint per document (md5 over collapsed-whitespace
     * lowercased text) — the dedup key for [[Dedup.exact]] and a stable
     * doc identity for incremental pipelines. */
