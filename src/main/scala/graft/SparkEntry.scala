@@ -81,6 +81,12 @@ object SparkEntry {
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id")
     }),
+    "orders_page_3" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .offset(100).limit(50)
+    }),
     "value_histogram" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("bucket",
@@ -362,6 +368,10 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "orders_page_3" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 50 OFFSET 100""".stripMargin,
     "value_histogram" ->
       """SELECT CAST(least(greatest(floor(value / 20.0) + 1, 0), 11) AS BIGINT) AS bucket,
         |  count(*) AS n,

@@ -41,6 +41,19 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: keep the first occurrence of each content
+    * fingerprint. With a watermark the dedup state evicts fingerprints
+    * older than the horizon — bounded state on an unbounded stream (the
+    * batch twin is [[graft.operators.Dedup.exact]]; an unbounded-state
+    * variant would OOM exactly like the reference's reducer buffers).
+    * Input schema: (doc_id, ts timestamp, text). */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        graft.functions.TextFunctions.contentFingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   case class UserEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
 

@@ -58,6 +58,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    val q = Streams.streamingDedup(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "same content here"),
+        (2L, ts(1), "SAME   content here"),   // dup modulo case/whitespace
+        (3L, ts(2), "different content entirely"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept.size == 2 && kept.contains(3L))
+      assert(kept.intersect(Set(1L, 2L)).size == 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running stats (batch mode)") {
     val events = Seq(
       Streams.UserEvent(1L, 1L, "click", 1.0),
