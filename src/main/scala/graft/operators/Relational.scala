@@ -154,7 +154,7 @@ object Relational {
       lit(0).as("_tag"), payloadType.as("_p"))
     val rAligned = l.columns.foldLeft(r0) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rAligned.unionByName(l)

@@ -88,8 +88,16 @@ object Tfidf {
   /** Full pipeline: docs(doc_id, text) → scored (term, doc_id, cnt,
     * doc_total, df, tf, idf, tfidf), unordered (rank separately — most
     * consumers want top-k, not a total order). */
-  def pipeline(docs: DataFrame, portable: Boolean = false): DataFrame = {
-    val n = docs.count()
+  def pipeline(docs: DataFrame, portable: Boolean = false): DataFrame =
+    pipeline(docs, docs.count(), portable)
+
+  /** Pipeline with the corpus cardinality supplied by the caller — needed
+    * when `docs` rows are not 1:1 with documents (e.g. the raw text-dir
+    * source is line-based and empty FILES still count toward N, matching
+    * the reference's `fs.listStatus(input).length`,
+    * `TfidfMapReduce.java:47-52`). */
+  def pipeline(docs: DataFrame, totalDocs: Long, portable: Boolean): DataFrame = {
+    val n = totalDocs
     val toks = if (portable) tokenizePortable(docs) else tokenize(docs)
     // termCounts feeds three consumers (score, docTotals, docFreq); column
     // pruning specializes each branch's subplan, defeating exchange reuse,
