@@ -81,6 +81,18 @@ object SparkEntry {
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id")
     }),
+    "events_trailing_10min" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-600000000L, 0L) // trailing 10 minutes in micros
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("n_last_10min", count(lit(1)).over(w))
+        .withColumn("sum_last_10min",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("user_id", "event_id", "ts_us", "n_last_10min", "sum_last_10min")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
     "orders_page_3" -> ((s, dir) => {
       Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -368,6 +380,15 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "events_trailing_10min" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  count(*) OVER w AS n_last_10min,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_10min
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "orders_page_3" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
