@@ -32,6 +32,14 @@ object DevStress {
     time("ann_top10")(Similarity.annCosineLsh(embs, 0L to 9L, 10).count())
     time("ivf_top10")(Similarity.ivfSearch(embs, 0L to 9L, 10).count())
     time("embedding_near_dups")(Similarity.cosinePairsLsh(embs, 0.95).count())
+    if (new java.io.File(s"$dir/lineitem.parquet").exists()) {
+      time("q1_pricing")(SparkEntry.queries("q1_pricing_summary")(spark, dir).count())
+      time("q3_top_revenue")(SparkEntry.queries("q3_top_revenue")(spark, dir).count())
+      time("q5_region_revenue")(SparkEntry.queries("q5_region_revenue")(spark, dir).count())
+      time("top_orders_window")(SparkEntry.queries("top_orders_per_customer")(spark, dir).count())
+      time("top_orders_heapagg")(SparkEntry.queries("top_orders_per_customer_agg")(spark, dir).count())
+      time("events_asof_orders")(SparkEntry.queries("events_asof_orders")(spark, dir).count())
+    }
     spark.stop()
   }
 }
