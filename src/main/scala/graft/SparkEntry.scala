@@ -217,6 +217,13 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "sequence_packing" -> ((s, dir) => TextAnalysis.sequencePacking(Tables.documents(s, dir))),
+    "token_counts_bpeish" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "rolling_fingerprints" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprints(Tables.documents(s, dir))),
+    "multimodal_resize" -> ((s, _) =>
+      graft.multimodal.Multimodal.resizeImages(
+        graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
+        .orderBy("asset_id")),
     "dataset_split" -> ((s, dir) => TextAnalysis.datasetSplit(Tables.documents(s, dir))),
     "pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(Tables.documents(s, dir))),
     // --- Dedup ---
@@ -556,6 +563,11 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, cum_tokens,
          |  CAST(floor((cum_tokens - n_tokens) / 256.0) AS BIGINT) AS bin_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    "token_counts_bpeish" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dataset_split" ->
       """WITH h AS (
         |  SELECT doc_id, substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 32, 1) AS hx

@@ -83,6 +83,40 @@ object Multimodal {
       }
   }
 
+  case class ResizedAsset(asset_id: Long, width: Int, height: Int, pixels: Array[Byte])
+
+  /** Resize image assets to `targetW`×`targetH` (stub codec: nearest-
+    * neighbor over the payload bytes treated as a w×h byte raster). The
+    * plumbing — decode dims, per-partition batch transform, fixed-size
+    * typed output — is the real deliverable; swap the sampler for a real
+    * scaler and nothing else changes. */
+  def resizeImages(assets: DataFrame, targetW: Int = 8, targetH: Int = 8): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.where(col("kind") === "image")
+      .select("asset_id", "kind", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        val codec = StubCodecs
+        batch.map { case (id, kind, bytes) =>
+          val (w, h, _) = codec.decodeHeader(kind, bytes)
+          val out = new Array[Byte](targetW * targetH)
+          var y = 0
+          while (y < targetH) {
+            var x = 0
+            while (x < targetW) {
+              val sx = x * w / targetW
+              val sy = y * h / targetH
+              val idx = sy * w + sx
+              out(y * targetW + x) =
+                if (bytes.nonEmpty) bytes(math.abs(idx) % bytes.length) else 0
+              x += 1
+            }
+            y += 1
+          }
+          ResizedAsset(id, targetW, targetH, out)
+        }
+      }
+  }
+
   /** Sample every `everyK`-th frame of video assets (stub: fixed-size byte
     * chunks as "frames"). One output row per sampled frame. */
   def sampleFrames(assets: DataFrame, everyK: Int = 2, frameBytes: Int = 32): Dataset[Frame] = {

@@ -76,6 +76,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * segmentation (word runs / digit runs / punctuation runs, each with an
+    * optional leading space — the RE2-safe core of GPT-style pre-
+    * tokenizers, minus the lookahead clauses). Both are single codegen'd
+    * map expressions; counts drive packing and cost estimation. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val bpeIsh = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeIsh), lit(0))).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling content fingerprint: fold `acc = xxhash64(acc, hash(token))`
+    * over the token sequence — order-sensitive unlike the md5 canonical
+    * fingerprint, so reordered content fingerprints differently. (A
+    * chained hash rather than the classic `acc·B + h` polynomial: ANSI
+    * mode rejects wrapping 64-bit multiplication.) Engine-specific hash →
+    * rows-only check. */
+  def rollingFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      "aggregate(" +
+        "  filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
+        "         t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> ''), " +
+        "  cast(1469598103934665603 as bigint), " +
+        "  (acc, t) -> xxhash64(acc, xxhash64(t)))").as("rolling_fp"))
+      .orderBy("doc_id")
+
   /** Sequence packing: assign documents (ordered by doc_id) to training
     * bins of `targetTokens` by running token count — the "concat then
     * chunk" boundary bookkeeping of an LLM data pipeline. A document
