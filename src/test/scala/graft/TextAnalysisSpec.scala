@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sequencePacking: bins are contiguous and boundaries respect the budget") {
+    val docs = (1L to 40L).map(i => (i, ("tok " * 100).trim)).toDF("doc_id", "text")
+    val packed = TextAnalysis.sequencePacking(docs, targetTokens = 256)
+      .select("doc_id", "n_tokens", "cum_tokens", "bin_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(packed.map(_._2).forall(_ == 100))
+    // bin of each doc = floor(tokens-before-it / 256)
+    packed.foreach { case (_, n, cum, bin) => assert(bin == (cum - n) / 256) }
+    // bins are non-decreasing in doc order and contiguous from 0
+    val bins = packed.sortBy(_._1).map(_._4)
+    assert(bins == bins.sorted)
+    assert(bins.distinct == (0L to bins.max).toSeq)
+  }
+
+  test("datasetSplit: deterministic, complete, roughly 75/12.5/12.5") {
+    val docs = Tables("documents")
+    val split = TextAnalysis.datasetSplit(docs)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = split.values.sum
+    assert(total == docs.count())
+    assert(split("train").toDouble / total > 0.6)
+    assert(split.keySet == Set("train", "val", "test"))
+    // stable across runs
+    val again = TextAnalysis.datasetSplit(docs)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == split)
+  }
+
+  private def Tables(name: String) =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", name)
+
+  test("piiRedact removes emails and urls") {
+    val docs = Seq(
+      (1L, "contact me at alice.smith+spam@example.org today"),
+      (2L, "see https://example.com/a/b?q=1 for details"),
+      (3L, "nothing sensitive here"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs)
+      .select("doc_id", "chars_removed").as[(Long, Long)].collect().toMap
+    assert(out(1L) > 0)   // email longer than <EMAIL>
+    assert(out(2L) > 0)
+    assert(out(3L) == 0)
+    // redacted fingerprint of doc 3 equals the plain fingerprint (no change)
+    val fp = TextAnalysis.fingerprints(docs.where($"doc_id" === 3))
+      .select("fingerprint").as[String].head()
+    val rfp = TextAnalysis.piiRedact(docs.where($"doc_id" === 3))
+      .select("redacted_fp").as[String].head()
+    assert(fp == rfp)
+  }
+
+  test("tokenCounts: BPE-ish segmentation counts sub-word units") {
+    val docs = Seq((1L, "hello world42 x-y")).toDF("doc_id", "text")
+    val (ws, bpe) = TextAnalysis.tokenCounts(docs)
+      .select("n_ws_tokens", "n_bpe_tokens").as[(Long, Long)].head()
+    assert(ws == 3)
+    // hello | world | 42 | x | - | y  → 6 BPE-ish pieces
+    assert(bpe == 6)
+  }
+
+  test("rollingFingerprints: order-sensitive, content-stable") {
+    val a = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val b = Seq((1L, "gamma beta alpha")).toDF("doc_id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.rollingFingerprints(df).select("rolling_fp").as[Long].head()
+    assert(fp(a) != fp(b))      // order matters
+    assert(fp(a) == fp(a))      // deterministic
+  }
+}
