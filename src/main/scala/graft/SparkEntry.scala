@@ -81,6 +81,16 @@ object SparkEntry {
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id")
     }),
+    "value_stats_by_type" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .groupBy("event_type")
+        .agg(
+          round(stddev_samp(col("value")), 6).as("sd_value"),
+          round(var_samp(col("value")), 6).as("var_value"),
+          round(corr(col("value"), col("k")), 6).as("corr_value_k"))
+        .orderBy("event_type")
+    }),
     "events_trailing_10min" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts_us")
@@ -387,6 +397,12 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "value_stats_by_type" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 6) AS sd_value,
+        |  round(var_samp(value), 6) AS var_value,
+        |  round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_value_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_trailing_10min" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
         |SELECT user_id, event_id, ts_us,
