@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, TrimNonAlpha}
+import graft.functions.{DotProduct, SigAgreement, TrimNonAlpha}
 
 /** Engine extensions installed via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): registers the
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot takes exactly two arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sig_match"),
+      new ExpressionInfo(classOf[SigAgreement].getName, "graft_sig_match"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_sig_match takes exactly two arguments")
+        SigAgreement(children.head, children(1))
       }))
   }
 }

@@ -21,6 +21,51 @@ object VectorUtil {
   }
 }
 
+/** Fraction of component-wise equal elements between two equal-length
+  * bigint arrays — the MinHash signature-agreement Jaccard estimator,
+  * as one codegen'd loop instead of an interpreted
+  * `size(filter(zip_with(...)))` chain per candidate pair. */
+object SigMatchUtil {
+  def agreement(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+}
+
+/** Catalyst expression for [[SigMatchUtil.agreement]]; SQL function
+  * `graft_sig_match`, registered by [[graft.GraftExtensions]]. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sig_match expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sig_match"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigMatchUtil.agreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigMatchUtil.agreement($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Catalyst expression for [[VectorUtil.dot]]; SQL function `graft_dot`
   * (usable inside SQL lambdas, e.g. the LSH plane-signature transform),
   * registered by [[graft.GraftExtensions]]. */

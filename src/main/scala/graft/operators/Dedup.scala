@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHashAgg, SimHashAgg, TextFunctions}
+import graft.functions.{MinHashAgg, OnePermMinHashAgg, SimHashAgg, TextFunctions}
 
 /** Deduplication operators for a training-data pipeline, each designed
   * around one shuffle pattern that survives 100 TB:
@@ -50,9 +50,14 @@ object Dedup {
           s"transform(sequence(1, length(canon) - ${n - 1}), p -> xxhash64(substring(canon, p, $n)))")))
           .as("shingle_hash"))
 
-  /** MinHash signatures: one `array<bigint>` of length `k` per document. */
-  def minhashSignatures(docs: DataFrame, k: Int = 128, shingleLen: Int = 5): DataFrame = {
-    val agg = udaf(new MinHashAgg(k))
+  /** MinHash signatures: one `array<bigint>` of length `k` per document.
+    * Default is one-permutation hashing (one mix per shingle, ~k× cheaper
+    * than k independent permutations at equal signature length); pass
+    * `onePerm = false` for the classic k-permutation aggregator when
+    * minimum estimator variance on very short documents matters. */
+  def minhashSignatures(docs: DataFrame, k: Int = 128, shingleLen: Int = 5,
+      onePerm: Boolean = true): DataFrame = {
+    val agg = if (onePerm) udaf(new OnePermMinHashAgg(k)) else udaf(new MinHashAgg(k))
     shingles(docs, shingleLen)
       .groupBy("doc_id")
       .agg(agg(col("shingle_hash")).as("sig"))
@@ -98,8 +103,7 @@ object Dedup {
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("jaccard_est", expr(
-        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
+      .withColumn("jaccard_est", expr("graft_sig_match(sig_a, sig_b)"))
       .where(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
       .orderBy("doc_a", "doc_b")
