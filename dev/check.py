@@ -43,6 +43,17 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: schema {sorted(gcols)} != {sorted(wcols)}")
         fail += 1
         continue
+    # column types must agree too (e.g. BIGINT vs HUGEINT sums, INT vs
+    # BIGINT row_number) — value compare alone can mask these
+    gtypes = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()
+    wtypes = con.execute(f"DESCRIBE {sql}").fetchall()
+    gt = {r[0]: r[1] for r in gtypes}
+    wt = {r[0]: r[1] for r in wtypes}
+    mismatched = {c for c in gt if gt[c] != wt.get(c)}
+    if mismatched:
+        print(f"WARN {name}: column type mismatch "
+              f"{[(c, gt[c], wt.get(c)) for c in sorted(mismatched)]}")
     g = [tuple(r[i] for i in gperm) for r in got]
     w = [tuple(r[i] for i in wperm) for r in want]
 
