@@ -51,6 +51,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got == bf)
   }
 
+  test("cosinePairsLsh finds collinear pairs above threshold, skips opposites") {
+    val pairs = Similarity.cosinePairsLsh(vecs, threshold = 0.9, planes = 16, bands = 4, dims = 4)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    // vec 0 and 1 are collinear → cos 1.0, always bucketed together
+    assert(pairs.get((0L, 1L)).contains(1.0))
+    // vec 4 is opposite to 0/1 → never a candidate, and cos < threshold anyway
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("ann results are a subset of brute-force results with equal scores") {
     val bf = Similarity.knnBruteForce(vecs, Seq(0L), k = 4)
       .select("vec_id", "cos").as[(Long, Double)].collect().toMap
