@@ -53,6 +53,27 @@ object SparkEntry {
           .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf")),
         "tfidf", 100, Seq("term", "doc_id"))
     }),
+    // same computation through the pure-SQL surface (temp view + the
+    // extension-registered graft_normalize native expression)
+    "tfidf_sql_top100" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""
+        WITH toks AS (
+          SELECT doc_id, graft_normalize(raw) AS term
+          FROM (SELECT doc_id, explode(split(text, '\\s+')) AS raw FROM documents_v)
+          WHERE NOT raw RLIKE '[0-9]'
+        ), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        tc AS (SELECT term, doc_id, count(*) AS cnt FROM toks2 GROUP BY 1, 2),
+        dt AS (SELECT doc_id, sum(cnt) AS doc_total FROM tc GROUP BY 1),
+        dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents_v)
+        SELECT tc.term, tc.doc_id,
+          round((CAST(tc.cnt AS DOUBLE) / dt.doc_total)
+                * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
+        FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+        ORDER BY tfidf DESC, term ASC, doc_id ASC
+        LIMIT 100""")
+    }),
     "term_counts" -> ((s, dir) => {
       Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir)))
         .orderBy("term", "doc_id")
@@ -657,6 +678,16 @@ object SparkEntry {
          |  round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
          |FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
          |ORDER BY tfidf DESC, term ASC, doc_id ASC""".stripMargin,
+    "tfidf_sql_top100" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tc.term, tc.doc_id,
+         |  round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
+         |FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+         |ORDER BY tfidf DESC, term ASC, doc_id ASC
+         |LIMIT 100""".stripMargin,
     "tfidf_top100" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
