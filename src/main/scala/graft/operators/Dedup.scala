@@ -36,19 +36,22 @@ object Dedup {
       .orderBy("fingerprint")
 
   /** Distinct 64-bit-hashed character `n`-shingles of the canonicalized
-    * text: one row per (doc_id, shingle_hash). Set semantics come from
-    * `array_distinct` WITHIN the document row before exploding — per-row
-    * map work — so no corpus-wide distinct shuffle ever happens; the only
-    * exchange downstream is the k-long signature per doc (partial agg). */
-  def shingles(docs: DataFrame, n: Int = 5): DataFrame =
+    * text: one row per (doc_id, shingle_hash). Set semantics come from the
+    * custom [[graft.functions.ShingleHashes]] generator, which hashes each
+    * shingle window in place and dedups through a primitive hash set —
+    * per-row map work, no substring array materialization, and no
+    * corpus-wide distinct shuffle; the only exchange downstream is the
+    * k-long signature per doc (partial agg). */
+  def shingles(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val canon = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     Scaling.fanOut(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("canon"))
+      .select(col("doc_id"), canon.as("canon"))
       .where(length(col("canon")) >= n)
       .select(col("doc_id"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, length(canon) - ${n - 1}), p -> xxhash64(substring(canon, p, $n)))")))
-          .as("shingle_hash"))
+        GraftColumnBridge.column(graft.functions.ShingleHashes(
+          GraftColumnBridge.expression(col("canon")), n)).as("shingle_hash"))
+  }
 
   /** MinHash signatures: one `array<bigint>` of length `k` per document.
     * Default is one-permutation hashing (one mix per shingle, ~k× cheaper

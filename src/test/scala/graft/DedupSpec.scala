@@ -63,4 +63,15 @@ class DedupSpec extends SparkSpec {
     val sh = Dedup.shingles(Seq((1L, "abcdefg")).toDF("doc_id", "text"), n = 5)
     assert(sh.count() == 3) // abcde, bcdef, cdefg
   }
+
+  test("shingle generator: dedups repeats, empty below window size") {
+    assert(Dedup.shingles(Seq((1L, "aaaaaaaa")).toDF("doc_id", "text"), n = 5).count() == 1)
+    assert(Dedup.shingles(Seq((1L, "abc")).toDF("doc_id", "text"), n = 5).count() == 0)
+    // identical canonical text → identical shingle-hash sets
+    val a = Dedup.shingles(Seq((1L, "The Quick  Brown")).toDF("doc_id", "text"))
+      .select("shingle_hash").as[Long].collect().toSet
+    val b = Dedup.shingles(Seq((2L, "the quick brown")).toDF("doc_id", "text"))
+      .select("shingle_hash").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
