@@ -95,6 +95,23 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")
     }),
+    "purchase_minus_error_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "purchase").select("user_id")
+        .exceptAll(ev.where(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "events_unpivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "n")
+        .orderBy("user_id", "event_type")
+    }),
     "user_event_type_arrays" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("user_id")
@@ -467,6 +484,29 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "purchase_minus_error_all" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |) t ORDER BY user_id""".stripMargin,
+    "events_unpivot" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE event_type = 'click') AS click,
+        |    count(*) FILTER (WHERE event_type = 'error') AS error,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |    count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |    count(*) FILTER (WHERE event_type = 'view') AS view
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n FROM p
+        |  UNION ALL SELECT user_id, 'error', error FROM p
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM p
+        |  UNION ALL SELECT user_id, 'signup', signup FROM p
+        |  UNION ALL SELECT user_id, 'view', view FROM p
+        |) u ORDER BY user_id, event_type""".stripMargin,
     "user_event_type_arrays" ->
       """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
         |  count(DISTINCT event_type) AS n_types
