@@ -21,6 +21,36 @@ class ScalingSpec extends SparkSpec {
     assert(salted.count(_._1 == 7L) == 5001) // 5000 hot rows + "cold7"
   }
 
+  test("AQE splits a skewed join partition when thresholds are met") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one monster key (~95% of rows, non-constant payload so bytes
+      // actually cross the shuffle) vs uniform rest
+      val left = spark.range(200000).selectExpr(
+        "CASE WHEN id % 20 != 0 THEN 7 ELSE id END AS k",
+        "repeat(cast(id AS string), 8) AS pad")
+      val right = spark.range(200).selectExpr("id AS k", "id * 2 AS v")
+      val joined = left.join(right, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("fanOut is a no-op when the scan is already parallel enough") {
     val wide = spark.range(1000).repartition(8).toDF("doc_id")
     assert(Scaling.fanOut(wide, "doc_id").rdd.getNumPartitions == 8)
