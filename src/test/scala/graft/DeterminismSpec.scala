@@ -19,4 +19,13 @@ class DeterminismSpec extends SparkSpec {
       assert(runWith(3, q) == runWith(13, q))
     }
   }
+
+  test("tfidf_full is identical with AQE disabled") {
+    val withAqe = SparkEntry.queries("tfidf_full")(spark, dir).collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val without = SparkEntry.queries("tfidf_full")(spark, dir).collect().map(_.toString).toSeq
+      assert(withAqe == without)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
