@@ -108,12 +108,24 @@ object TextAnalysis {
     * bins of `targetTokens` by running token count — the "concat then
     * chunk" boundary bookkeeping of an LLM data pipeline. A document
     * starting before a boundary belongs to the bin its first token falls
-    * in. One window cumsum, no shuffle beyond it. */
-  def sequencePacking(docs: DataFrame, targetTokens: Int = 256): DataFrame = {
-    val counts = Tfidf.tokenizePortable(docs)
+    * in.
+    *
+    * SCALE NOTE: a global cumulative sum is inherently sequential, so the
+    * un-partitioned window funnels all rows through ONE partition — fine
+    * for a corpus shard, wrong for 100 TB. Pass `shardCol` (e.g.
+    * `"source"`) to pack independently per shard, which is how packing is
+    * actually run at scale (bins never span shards anyway). */
+  def sequencePacking(docs: DataFrame, targetTokens: Int = 256,
+      shardCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts0 = Tfidf.tokenizePortable(docs)
       .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val counts = shardCol match {
+      case Some(c) => counts0.join(docs.select(col("doc_id"), col(c).as("_shard")), "doc_id")
+      case None    => counts0.withColumn("_shard", lit(0))
+    }
+    val w = Window.partitionBy("_shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
     counts
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("bin_id",
