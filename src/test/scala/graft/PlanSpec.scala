@@ -37,6 +37,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p.take(2000))
   }
 
+  test("tokenize reads only (doc_id, text) from the documents scan") {
+    val scan = Tfidf.tokenizePortable(Tables.documents(spark, dir))
+      .queryExecution.sparkPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), scan.take(1200))
+  }
+
   test("hive-partitioned writes prune partitions at the scan") {
     val wh = java.nio.file.Files.createTempDirectory("graft_part").toString
     import org.apache.spark.sql.functions._

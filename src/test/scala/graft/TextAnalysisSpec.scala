@@ -21,6 +21,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bins.distinct == (0L to bins.max).toSeq)
   }
 
+  test("sequencePacking with shardCol packs each shard independently") {
+    val docs = Seq(
+      (1L, ("t " * 100).trim, "a"), (2L, ("t " * 100).trim, "a"),
+      (3L, ("t " * 100).trim, "b"), (4L, ("t " * 100).trim, "b"),
+    ).toDF("doc_id", "text", "source")
+    val bins = TextAnalysis.sequencePacking(docs, targetTokens = 150, shardCol = Some("source"))
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    // each shard restarts at bin 0: docs 1 and 3 both open bin 0
+    assert(bins(1L) == 0 && bins(3L) == 0)
+    assert(bins(2L) == 0 && bins(4L) == 0) // second doc starts at token 100 < 150
+  }
+
   test("datasetSplit: deterministic, complete, roughly 75/12.5/12.5") {
     val docs = Tables("documents")
     val split = TextAnalysis.datasetSplit(docs)
