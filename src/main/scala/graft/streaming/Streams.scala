@@ -41,6 +41,14 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static join: enrich a stream with a batch dimension table.
+    * The static side is planned per micro-batch (broadcast when small);
+    * no state store involved — the scale-friendly way to attach
+    * dimensions to an unbounded stream. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(streamKey) === col(dimKey), "left")
+
   /** Streaming exact dedup: keep the first occurrence of each content
     * fingerprint. With a watermark the dedup state evicts fingerprints
     * older than the horizon — bounded state on an unbounded stream (the

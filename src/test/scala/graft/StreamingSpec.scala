@@ -58,6 +58,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val events = in.toDF.toDF("event_id", "cust_id")
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("c_id", "tier")
+    val q = Streams.enrichWithDim(events, dim, "cust_id", "c_id")
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, 1L), (11L, 2L), (12L, 99L))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out")
+        .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+      assert(rows(10L).contains("GOLD"))
+      assert(rows(11L).contains("SILVER"))
+      assert(rows(12L).isEmpty) // unmatched key survives the left join
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink writes each micro-batch to parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF.toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out").count() == 3)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
