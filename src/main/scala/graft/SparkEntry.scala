@@ -95,6 +95,24 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")
     }),
+    "user_first_last_event" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val asc_ = Window.partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+      val desc_ = Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val first = ev.withColumn("rn", row_number().over(asc_)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_type"), col("ts_us").as("first_ts_us"))
+      val last = ev.withColumn("rn", row_number().over(desc_)).where(col("rn") === 1)
+        .select(col("user_id").as("u2"), col("event_type").as("last_type"), col("ts_us").as("last_ts_us"))
+      first.join(last, col("user_id") === col("u2")).drop("u2")
+        .orderBy("user_id")
+    }),
+    "orders_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
     "purchase_minus_error_all" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       ev.where(col("event_type") === "purchase").select("user_id")
@@ -484,6 +502,21 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "user_first_last_event" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, event_type AS first_type, ts_us AS first_ts_us,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS rn FROM ev),
+        |l AS (SELECT user_id, event_type AS last_type, ts_us AS last_ts_us,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev)
+        |SELECT f.user_id, f.first_type, f.first_ts_us, l.last_type, l.last_ts_us
+        |FROM f JOIN l ON f.user_id = l.user_id AND f.rn = 1 AND l.rn = 1
+        |WHERE f.rn = 1 AND l.rn = 1
+        |ORDER BY f.user_id""".stripMargin,
+    "orders_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "purchase_minus_error_all" ->
       """SELECT user_id FROM (
         |  SELECT user_id FROM events WHERE event_type = 'purchase'
