@@ -95,6 +95,17 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")
     }),
+    "order_rank_functions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 9).as("prnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderstatus", "rnk", "o_orderkey")
+    }),
     "user_first_last_event" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val asc_ = Window.partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
@@ -502,6 +513,15 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "order_rank_functions" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 9) AS prnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin,
     "user_first_last_event" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |f AS (SELECT user_id, event_type AS first_type, ts_us AS first_ts_us,
