@@ -95,6 +95,17 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")
     }),
+    "orders_date_arithmetic" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("age_days"),
+          unix_micros(date_add(col("o_orderdate").cast("date"), 30)
+            .cast("timestamp")).as("due_us"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .orderBy("o_orderkey")
+    }),
     "order_rank_functions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"), asc("o_orderkey"))
@@ -513,6 +524,13 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "orders_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS age_days,
+        |  epoch_us(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)) AS due_us,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "order_rank_functions" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,
