@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** MinHash signature aggregator: folds a document's shingle hashes into a
-  * k-permutation MinHash signature (SURVEY.md §7.2 — the one genuinely
-  * custom aggregate this engine needs).
+  * k-permutation MinHash signature (SURVEY.md §7.2; see
+  * [[OnePermMinHashAgg]] for the cheaper default variant).
   *
   * Each "permutation" i is the 64-bit finalizer-mix of `shingleHash ^ seed_i`
   * (splitmix64 constants) — a standard stand-in for true random permutations.
