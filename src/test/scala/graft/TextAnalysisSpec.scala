@@ -69,6 +69,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp == rfp)
   }
 
+  test("langId: stopword-dense text classifies en, stopword-free does not") {
+    val docs = Seq(
+      (1L, "the cat and the dog sat on a mat in the sun"),
+      (2L, "zorro quixote fandango bravado crescendo"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "unknown")
+  }
+
+  test("qualityScore: ratios bounded and ordered by obvious quality") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "!!! ??? ;;; ,,, 12345 67890 !!! ??? ;;;"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "alpha_ratio", "quality").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.values.foreach { case (a, q) => assert(a >= 0 && a <= 1 && q >= 0 && q <= 1.5) }
+    assert(out(1L)._2 > out(2L)._2, "clean prose must outscore punctuation soup")
+  }
+
   test("tokenCounts: BPE-ish segmentation counts sub-word units") {
     val docs = Seq((1L, "hello world42 x-y")).toDF("doc_id", "text")
     val (ws, bpe) = TextAnalysis.tokenCounts(docs)
