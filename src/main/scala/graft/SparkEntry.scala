@@ -314,6 +314,10 @@ object SparkEntry {
         .orderBy("asset_id")),
     "dataset_split" -> ((s, dir) => TextAnalysis.datasetSplit(Tables.documents(s, dir))),
     "pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(Tables.documents(s, dir))),
+    "documents_stable_sample" -> ((s, dir) =>
+      TextAnalysis.stableSample(Tables.documents(s, dir), "doc_id", 0.1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
@@ -726,6 +730,10 @@ object SparkEntry {
         |       WHEN hx = 'c' OR hx = 'd' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+    "documents_stable_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 429496730
+        |ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       """WITH r AS (
         |  SELECT doc_id, text,

@@ -146,6 +146,18 @@ object TextAnalysis {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Deterministic stable sample: keep a row iff the md5 of its key's
+    * first 8 hex digits falls under `fraction` of the 32-bit space —
+    * content-stable (same rows survive on every engine and every run,
+    * unlike seeded `sample()`), portable to the SQL oracle, and the
+    * standard way to cut a reproducible eval slice from a training corpus. */
+  def stableSample(docs: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    val threshold = (fraction * 4294967296L).toLong
+    docs.where(
+      conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") < threshold)
+  }
+
   /** PII scrubbing: redact emails and URLs with RE2-safe patterns (no
     * lookbehind — the oracle engine's regex dialect must agree). Emits the
     * fingerprint of the redacted text so parity is verifiable without
