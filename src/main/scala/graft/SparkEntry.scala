@@ -95,6 +95,17 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")
     }),
+    "lineitem_math_funcs" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_linenumber") === 1)
+        .select(col("l_orderkey"),
+          round(sqrt(col("l_quantity")), 9).as("sqrt_qty"),
+          abs(col("l_quantity") - lit(25.0)).as("abs_dev"),
+          signum(col("l_quantity") - lit(25.0)).as("sign_dev"),
+          round(pow(col("l_discount") + lit(1.0), 2), 9).as("disc_sq"),
+          round(exp(col("l_tax")), 9).as("exp_tax"))
+        .orderBy("l_orderkey")
+    }),
     "orders_date_arithmetic" -> ((s, dir) => {
       Tables.orders(s, dir)
         .select(col("o_orderkey"),
@@ -528,6 +539,15 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "lineitem_math_funcs" ->
+      """SELECT l_orderkey,
+        |  round(sqrt(l_quantity), 9) AS sqrt_qty,
+        |  abs(l_quantity - 25.0) AS abs_dev,
+        |  CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sign_dev,
+        |  round(pow(l_discount + 1.0, 2), 9) AS disc_sq,
+        |  round(exp(l_tax), 9) AS exp_tax
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin,
     "orders_date_arithmetic" ->
       """SELECT o_orderkey,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS age_days,
