@@ -163,6 +163,24 @@ object SparkEntry {
           "event_type", "n")
         .orderBy("user_id", "event_type")
     }),
+    "purchase_and_error_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "purchase").select("user_id")
+        .intersectAll(ev.where(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "user_type_string_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types_csv"))
+        .orderBy("user_id")
+    }),
+    "customer_name_regex_swap" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "([A-Za-z]+)#([0-9]+)", "$2-$1").as("swapped"))
+        .orderBy("c_custkey")
+    }),
     "user_event_type_arrays" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("user_id")
@@ -602,6 +620,18 @@ object SparkEntry {
         |  UNION ALL SELECT user_id, 'signup', signup FROM p
         |  UNION ALL SELECT user_id, 'view', view FROM p
         |) u ORDER BY user_id, event_type""".stripMargin,
+    "purchase_and_error_all" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |) t ORDER BY user_id""".stripMargin,
+    "user_type_string_agg" ->
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "customer_name_regex_swap" ->
+      """SELECT c_custkey, regexp_replace(c_name, '([A-Za-z]+)#([0-9]+)', '\2-\1', 'g') AS swapped
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "user_event_type_arrays" ->
       """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
         |  count(DISTINCT event_type) AS n_types
