@@ -39,7 +39,14 @@ object DevStress {
       time("top_orders_window")(SparkEntry.queries("top_orders_per_customer")(spark, dir).count())
       time("top_orders_heapagg")(SparkEntry.queries("top_orders_per_customer_agg")(spark, dir).count())
       time("events_asof_orders")(SparkEntry.queries("events_asof_orders")(spark, dir).count())
+      time("sessionize_2m")(SparkEntry.queries("sessionize_events")(spark, dir).count())
+      time("trailing_10min_2m")(SparkEntry.queries("events_trailing_10min")(spark, dir).count())
+      time("pivot_2m")(SparkEntry.queries("events_pivot_by_type")(spark, dir).count())
     }
+    time("quality_score_100k")(graft.operators.TextAnalysis.qualityScore(docs).count())
+    time("lang_id_100k")(graft.operators.TextAnalysis.langId(docs).count())
+    time("packing_100k")(graft.operators.TextAnalysis.sequencePacking(docs).count())
+    time("dataset_split_100k")(graft.operators.TextAnalysis.datasetSplit(docs).count())
     spark.stop()
   }
 }

@@ -17,16 +17,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set by
-    * [[graft.GraftSession]]) it arrives as a nanos long. Expose both the raw
-    * `ts_ns` (exact, what oracle SQL compares via DuckDB `epoch_ns`) and a
-    * micros-truncated proper `ts` timestamp. */
+  /** The fixture `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS),
+    * which Spark's reader rejects; with
+    * `spark.sql.legacy.parquet.nanosAsLong` (set by [[graft.GraftSession]])
+    * it arrives as a nanos long. Other writers produce ordinary micro
+    * timestamps. Normalize both encodings to the same surface: `ts_ns`
+    * (exact nanos long) and a proper micros `ts` timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
