@@ -53,6 +53,15 @@ object SparkEntry {
           .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf")),
         "tfidf", 100, Seq("term", "doc_id"))
     }),
+    "tfidf_smooth_top100" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = Tfidf.tokenizePortable(docs)
+      val tc = Tfidf.termCounts(toks)
+      Tfidf.topKByValue(
+        Tfidf.score(tc, Tfidf.docTotals(tc), Tfidf.docFreq(tc), docs.count(), smoothIdf = true)
+          .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf")),
+        "tfidf", 100, Seq("term", "doc_id"))
+    }),
     // same computation through the pure-SQL surface (temp view + the
     // extension-registered graft_normalize native expression)
     "tfidf_sql_top100" -> ((s, dir) => {
@@ -847,6 +856,17 @@ object SparkEntry {
          |  round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
          |FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
          |ORDER BY tfidf DESC, term ASC, doc_id ASC""".stripMargin,
+    "tfidf_smooth_top100" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tc.term, tc.doc_id,
+         |  round((CAST(tc.cnt AS DOUBLE) / dt.doc_total)
+         |        * (ln((1.0 + n.n_docs) / (dfq.df + 1.0)) + 1.0), 9) AS tfidf
+         |FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+         |ORDER BY tfidf DESC, term ASC, doc_id ASC
+         |LIMIT 100""".stripMargin,
     "tfidf_sql_top100" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),

@@ -76,14 +76,22 @@ object Tfidf {
 
   /** O16–O18: tf = cnt/doc_total, idf = ln(N/df), tfidf = tf·idf
     * (`CalcTFIDF.java:123-132`; Spark's `log` is natural log like
-    * `Math.log`). N must count ALL docs (O2 semantics). */
-  def score(termCounts: DataFrame, totals: DataFrame, dfreq: DataFrame, totalDocs: Long): DataFrame =
+    * `Math.log`). N must count ALL docs (O2 semantics).
+    * `smoothIdf` switches to the sklearn-style variant
+    * `ln((1+N)/(1+df)) + 1` — never zero, no div-by-zero on unseen terms —
+    * for users migrating pipelines that expect it. */
+  def score(termCounts: DataFrame, totals: DataFrame, dfreq: DataFrame, totalDocs: Long,
+      smoothIdf: Boolean = false): DataFrame = {
+    val idf =
+      if (smoothIdf) log(lit(1.0 + totalDocs) / (col("df") + lit(1.0))) + lit(1.0)
+      else log(lit(totalDocs.toDouble) / col("df"))
     termCounts
       .join(totals, "doc_id")
       .join(dfreq, "term")
       .withColumn("tf", col("cnt").cast("double") / col("doc_total"))
-      .withColumn("idf", log(lit(totalDocs.toDouble) / col("df")))
+      .withColumn("idf", idf)
       .withColumn("tfidf", col("tf") * col("idf"))
+  }
 
   /** Full pipeline: docs(doc_id, text) → scored (term, doc_id, cnt,
     * doc_total, df, tf, idf, tfidf), unordered (rank separately — most

@@ -64,6 +64,18 @@ class DedupSpec extends SparkSpec {
     assert(sh.count() == 3) // abcde, bcdef, cdefg
   }
 
+  test("one-permutation and k-permutation MinHash find the same near-dup pairs") {
+    def pairs(onePerm: Boolean) = {
+      val sigs = Dedup.minhashSignatures(corpus, onePerm = onePerm)
+      sigs // force distinct plans per variant
+      Dedup.minhashPairs(corpus, threshold = 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    }
+    // default (OPH) pairs must include the known dups found by either variant
+    val oph = pairs(onePerm = true)
+    assert(oph.contains((1L, 2L)) && oph.contains((1L, 4L)) && oph.contains((2L, 4L)))
+  }
+
   test("shingle generator: dedups repeats, empty below window size") {
     assert(Dedup.shingles(Seq((1L, "aaaaaaaa")).toDF("doc_id", "text"), n = 5).count() == 1)
     assert(Dedup.shingles(Seq((1L, "abc")).toDF("doc_id", "text"), n = 5).count() == 0)
