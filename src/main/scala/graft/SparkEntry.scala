@@ -53,6 +53,20 @@ object SparkEntry {
           .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf")),
         "tfidf", 100, Seq("term", "doc_id"))
     }),
+    "tfidf_l2_normalized" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // round tfidf FIRST so both engines square/sum identical doubles;
+      // the per-doc sum of squares goes through DECIMAL (exact, order-free)
+      val scored = Tfidf.pipeline(docs, portable = true)
+        .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf_r"))
+      val norms = scored.groupBy("doc_id")
+        .agg(sqrt(sum((col("tfidf_r") * col("tfidf_r")).cast("decimal(28,14)"))
+          .cast("double")).as("l2"))
+      scored.join(norms, "doc_id")
+        .select(col("term"), col("doc_id"), col("tfidf_r"),
+          round(col("tfidf_r") / col("l2"), 9).as("unit_weight"))
+        .orderBy("doc_id", "term")
+    }),
     "tfidf_smooth_top100" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val toks = Tfidf.tokenizePortable(docs)
@@ -856,6 +870,23 @@ object SparkEntry {
          |  round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
          |FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
          |ORDER BY tfidf DESC, term ASC, doc_id ASC""".stripMargin,
+    "tfidf_l2_normalized" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tc.term, tc.doc_id,
+         |    round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf_r
+         |  FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+         |),
+         |norms AS (
+         |  SELECT doc_id, sqrt(CAST(sum(CAST(tfidf_r * tfidf_r AS DECIMAL(28,14))) AS DOUBLE)) AS l2
+         |  FROM scored GROUP BY doc_id
+         |)
+         |SELECT s.term, s.doc_id, s.tfidf_r, round(s.tfidf_r / nm.l2, 9) AS unit_weight
+         |FROM scored s JOIN norms nm USING (doc_id)
+         |ORDER BY s.doc_id, s.term""".stripMargin,
     "tfidf_smooth_top100" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
