@@ -16,12 +16,23 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query persisted intermediates are single-plan caches; drop them
+      // so the run's memory profile stays flat across 70+ queries
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt prints its own "[success]" line after the forked JVM exits, so the
+    // JSON above can never be the final stdout line; persist it to a file for
+    // machine consumption.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

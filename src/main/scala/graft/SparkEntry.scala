@@ -204,10 +204,13 @@ object SparkEntry {
           regexp_replace(col("c_name"), "([A-Za-z]+)#([0-9]+)", "$2-$1").as("swapped"))
         .orderBy("c_custkey")
     }),
+    // Array payload serialized with to_json: the driver's pandas compare
+    // cannot sort raw array cells, and the JSON text forms are identical
+    // between Spark and DuckDB (`["a","b"]`, no spaces).
     "user_event_type_arrays" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("user_id")
-        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+        .agg(to_json(sort_array(collect_set(col("event_type")))).as("types_json"),
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id")
     }),
@@ -356,7 +359,10 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
-    "sequence_packing" -> ((s, dir) => TextAnalysis.sequencePacking(Tables.documents(s, dir))),
+    // Per-shard packing (shardCol = source): the global-cumsum variant
+    // funnels the corpus through one partition; sharded is the 100 TB path.
+    "sequence_packing" -> ((s, dir) =>
+      TextAnalysis.sequencePacking(Tables.documents(s, dir), shardCol = Some("source"))),
     "token_counts_bpeish" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "rolling_fingerprints" -> ((s, dir) =>
       TextAnalysis.rollingFingerprints(Tables.documents(s, dir))),
@@ -395,10 +401,15 @@ object SparkEntry {
       graft.multimodal.Multimodal.decodeMeta(
         graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
         .orderBy("asset_id")),
+    // Exploded to scalar (asset_id, bin, weight) rows: the driver's pandas
+    // compare cannot sort array cells.
     "multimodal_features" -> ((s, _) =>
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
-        .orderBy("asset_id")),
+        .select(col("asset_id"), posexplode(col("feature")))
+        .select(col("asset_id"), col("pos").cast("long").as("bin"),
+          round(col("col"), 9).as("weight"))
+        .orderBy("asset_id", "bin")),
     // --- Similarity search ---
     "knn_cosine_top10" -> ((s, dir) =>
       Similarity.knnBruteForce(Tables.embeddings(s, dir), 0L to 9L, 10)
@@ -409,6 +420,12 @@ object SparkEntry {
       Similarity.annCosineLsh(Tables.embeddings(s, dir), 0L to 9L, 10)),
     "ivf_cosine_top10" -> ((s, dir) =>
       Similarity.ivfSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
+    // Recall gates: THROW (→ driver `err`) if ANN recall vs brute force
+    // drops under 0.9; rows-only output (q_id, n_matched, k_exact).
+    "ann_recall" -> ((s, dir) =>
+      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "lsh")),
+    "ivf_recall" -> ((s, dir) =>
+      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "ivf")),
     // --- TPC-H-ish pricing summary (agg + decimal-exact sums) ---
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -656,7 +673,7 @@ object SparkEntry {
       """SELECT c_custkey, regexp_replace(c_name, '([A-Za-z]+)#([0-9]+)', '\2-\1', 'g') AS swapped
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "user_event_type_arrays" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      """SELECT user_id, CAST(to_json(list_sort(list(DISTINCT event_type))) AS VARCHAR) AS types_json,
         |  count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "orders_by_month" ->
@@ -782,12 +799,13 @@ object SparkEntry {
     "sequence_packing" ->
       s"""WITH $toksCte,
          |t AS (SELECT doc_id, count(*) AS n_tokens FROM toks2 GROUP BY 1),
-         |c AS (SELECT doc_id, n_tokens,
-         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-         |  FROM t)
-         |SELECT doc_id, n_tokens, cum_tokens,
+         |c AS (SELECT d.source, t.doc_id, t.n_tokens,
+         |  CAST(sum(t.n_tokens) OVER (PARTITION BY d.source ORDER BY t.doc_id
+         |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t JOIN documents d ON d.doc_id = t.doc_id)
+         |SELECT source, doc_id, n_tokens, cum_tokens,
          |  CAST(floor((cum_tokens - n_tokens) / 256.0) AS BIGINT) AS bin_id
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |FROM c ORDER BY source, doc_id""".stripMargin,
     "token_counts_bpeish" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
@@ -843,9 +861,11 @@ object SparkEntry {
         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
         |  FROM embeddings, range(1, 65) t(i)
         |), norms AS (
-        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1
+        |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+        |  FROM ex GROUP BY 1
         |), dots AS (
-        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS d
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS d
         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
         |  WHERE a.vec_id IN (0,1,2,3,4,5,6,7,8,9)
         |  GROUP BY 1, 2

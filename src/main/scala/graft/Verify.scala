@@ -17,6 +17,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators persist intermediates (LSH signatures, tf counts) that are
+      // only useful within one query's plan — drop them so a long session
+      // doesn't accumulate storage
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -40,6 +40,12 @@ case class ShingleHashes(child: Expression, n: Int)
     val bytes = s.getBytes
     val total = bytes.length - n + 1
     if (total <= 0) return Nil
+    // guard the Int capacity arithmetic below: past 2^29 windows (a >512 MiB
+    // document) total*2 would overflow, collapse the table to minimum size,
+    // and the probe loop would spin forever — fail loud instead
+    require(total <= (1 << 29),
+      s"shingle_hashes: document with $total shingle windows exceeds the " +
+        s"${1 << 29} limit; split oversized documents upstream")
 
     // open-addressing set of longs (power-of-two capacity, linear probe)
     var cap = Integer.highestOneBit(math.max(4, total * 2) - 1) << 1

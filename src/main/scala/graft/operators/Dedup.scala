@@ -174,9 +174,15 @@ object Dedup {
           "concat_ws(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2)))"))
         .as("gram"))
       .distinct()
+      // join key = 64-bit gram hash FIRST, exact gram equality second: the
+      // sort-merge compares/sorts resolve on the long almost always and only
+      // fall through to the string on hash-equal rows, while the retained
+      // gram equality keeps the count collision-proof (exact verifier).
+      .withColumn("gh", xxhash64(col("gram")))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val shared = grams.as("ga")
-      .join(grams.as("gb"), col("ga.gram") === col("gb.gram"))
+      .join(grams.as("gb"),
+        col("ga.gh") === col("gb.gh") && col("ga.gram") === col("gb.gram"))
       .where(col("ga.doc_id") < col("gb.doc_id"))
       .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))

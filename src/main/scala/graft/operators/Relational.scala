@@ -143,18 +143,17 @@ object Relational {
       payloadCols: Seq[String]): DataFrame = {
     val payloadType = org.apache.spark.sql.functions.struct(
       payloadCols.map(right(_)): _*)
-    val l = left
-      .withColumn("_k", col(leftKey))
-      .withColumn("_t", col(leftTime).cast("timestamp"))
-      .withColumn("_tag", lit(1))
-      .withColumn("_p", lit(null).cast(
-        right.select(payloadType.as("_p")).schema("_p").dataType))
-    val r0 = right.select(
-      col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
-      lit(0).as("_tag"), payloadType.as("_p"))
-    val rAligned = l.columns.foldLeft(r0) { (df, c) =>
-      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
-    }.select(l.columns.toIndexedSeq.map(col): _*)
+    val pType = right.select(payloadType.as("_p")).schema("_p").dataType
+    // schema alignment in ONE select per side (a withColumn chain re-runs
+    // the analyzer per column and plans the query once per fold step)
+    val lCols = left.columns.toIndexedSeq
+    val l = left.select(lCols.map(col) ++ Seq(
+      col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+      lit(1).as("_tag"), lit(null).cast(pType).as("_p")): _*)
+    val rAligned = right.select(
+      lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+        lit(0).as("_tag"), payloadType.as("_p")): _*)
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rAligned.unionByName(l)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.functions._
 
 /** Parallelism helpers shared by expansion-heavy operators. */
@@ -16,8 +17,12 @@ object Scaling {
     * can't be split without salting). Cost: `salts`× the build side — keep
     * the build side the smaller input. */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
+    // salt = hash of the WHOLE probe row (not monotonically_increasing_id,
+    // which is retry-unstable: a recomputed map task could re-salt a row
+    // differently and a reducer would see it twice or not at all). Fully
+    // duplicate rows share a salt — correct, just less spread for them.
     val probeSalted = probe.withColumn("_salt",
-      pmod(xxhash64(keys.map(probe.col): _*) + monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(xxhash64(probe.columns.toIndexedSeq.map(probe.col): _*), lit(salts.toLong)))
     val buildReplicated = build.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     probeSalted.join(buildReplicated, keys :+ "_salt").drop("_salt")
@@ -31,9 +36,33 @@ object Scaling {
     * scan splits ≪ cores (tiny-file corpora, coalesced AQE output). When
     * the scan is already parallel enough this is a no-op (no shuffle). */
   def fanOut(df: DataFrame, byCol: String = "doc_id"): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // estimate scan parallelism from file-size metadata on the ANALYZED plan
+    // (df.rdd would force full physical planning — and file listing — per
+    // call, planning every downstream query twice and hiding the stage from
+    // AQE). Unknown leaf types estimate 0 → repartition, the safe default.
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val analyzed = df.queryExecution.analyzed
+    // an explicit repartition upstream already fixed the parallelism
+    val repartitioned = analyzed.collect {
+      case r: logical.Repartition => r.numPartitions.toLong
+      case r: logical.RepartitionByExpression =>
+        r.optNumPartitions.map(_.toLong)
+          .getOrElse(spark.sessionState.conf.numShufflePartitions.toLong)
+    }
+    val estSplits =
+      if (repartitioned.nonEmpty) repartitioned.max
+      else analyzed.collectLeaves().map {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          math.max(1L, (l.relation.sizeInBytes.toDouble / maxBytes).ceil.toLong)
+        case r: logical.Range => r.numSlices.map(_.toLong).getOrElse(target.toLong)
+        case rdd: org.apache.spark.sql.execution.LogicalRDD =>
+          rdd.rdd.getNumPartitions.toLong // already-materialized RDD: no planning
+        case _ => 0L // unknown leaf: assume narrow → repartition (safe default)
+      }.sum
     // hash-partition on the id column: round-robin would force Spark's
     // retry-safe sort-before-repartition over the full text payload
-    if (df.rdd.getNumPartitions < target) df.repartition(target, df.col(byCol)) else df
+    if (estSplits < target) df.repartition(target, df.col(byCol)) else df
   }
 }

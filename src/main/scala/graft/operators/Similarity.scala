@@ -112,29 +112,57 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int = 10,
       nCentroids: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
     val e = prepared(embeddings, "embedding").select("vec_id", "v", "norm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic centroid sample
-    val cents = e.withColumn("h", xxhash64(col("vec_id")))
+    // deterministic centroid sample, then `lloydIters` k-means refinements.
+    // Each iteration is map-side assignment (broadcast centroids, partial
+    // max_by before the exchange) + a (c_id, dim) mean whose partial agg
+    // collapses to C×dims rows per partition — index-build cost, linear in
+    // the corpus, no corpus×C shuffle.
+    var cents = e.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
-    // inverted lists: every vector → nearest centroid (one broadcast pass)
+    for (_ <- 1 to lloydIters) {
+      val assigned0 = e.join(broadcast(cents))
+        .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("c_id"), col("v")),
+          struct(col("c_sim"), -col("c_id"))).as("best"))
+        .select(col("best.c_id").as("c_id"), col("best.v").as("v"))
+      // per-dimension means, rounded to 9 so merge-order ulps can't leak
+      // into assignments; rebuilt as ordered arrays (C×dims rows — tiny)
+      cents = assigned0
+        .select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("c_id", "i").agg(round(avg("x"), 9).as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+        .select(col("c_id"), expr("transform(pairs, p -> p.m)").as("cv"))
+        .withColumn("cnorm", expr("sqrt(" + dot.format("cv", "cv") + ")"))
+    }
+    // inverted lists: every vector → nearest centroid. argmax via map-side
+    // max_by partial aggregation — no corpus×C shuffle, no per-key sort
+    // (the row_number window this replaced shuffled corpus×C rows).
     val assigned = e.join(broadcast(cents))
       .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("c_sim"), asc("c_id"))))
-      .where(col("c_rank") === 1)
-      .select(col("c_id").as("list_id"), col("vec_id"), col("v"), col("norm"))
-    // queries probe their nprobe nearest lists
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("c_id"), col("v"), col("norm")),
+        struct(col("c_sim"), -col("c_id"))).as("best"))
+      .select(col("best.c_id").as("list_id"), col("vec_id"),
+        col("best.v").as("v"), col("best.norm").as("norm"))
+    // queries probe their nprobe nearest lists: top-nprobe via a sorted
+    // C-element collect_list per query (C is small by construction)
     val probes = e.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
       .join(broadcast(cents))
       .withColumn("c_sim", expr(dot.format("qv", "cv") + " / (qnorm * cnorm)"))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("c_sim"), asc("c_id"))))
-      .where(col("c_rank") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qnorm"), col("c_id").as("list_id"))
+      .groupBy("q_id")
+      .agg(any_value(col("qv")).as("qv"), any_value(col("qnorm")).as("qnorm"),
+        slice(array_sort(collect_list(
+          struct((-col("c_sim")).as("neg_sim"), col("c_id")))), 1, nprobe).as("top"))
+      .select(col("q_id"), col("qv"), col("qnorm"),
+        explode(col("top.c_id")).as("list_id"))
     broadcast(probes)
       .join(assigned, "list_id")
       .where(col("q_id") =!= col("vec_id"))
@@ -146,6 +174,49 @@ object Similarity {
       .where(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
       .orderBy("q_id", "rank")
+  }
+
+  /** Driver-visible recall gate: per-query overlap of an ANN result
+    * (`"lsh"` or `"ivf"`) with the exact [[knnBruteForce]] top-k, THROWING
+    * if aggregate recall falls under `minRecall` — so an ANN recall
+    * regression surfaces as a hard `err` in the correctness gate instead of
+    * passing a rows-only check silently. */
+  def annRecallGate(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      minRecall: Double = 0.9,
+      mode: String = "lsh",
+      lshBands: Int = 8,
+      ivfNprobe: Int = 12,
+      ivfCentroids: Int = 16,
+      dims: Int = 64): DataFrame = {
+    // Gate parameters are tuned to the synthetic corpus' cosine regime
+    // (near-random vectors, top-10 neighbors at cos≈0.3): 16 planes in 8
+    // bands puts the LSH S-curve crossing low enough to recall them, and
+    // nprobe=12/16 meets the 0.9 bar without data clustering to help. The
+    // gate exercises the identical code paths as the production configs —
+    // an assignment/banding/probe code regression craters recall at ANY
+    // parameter point, which is what this guards.
+    val exact = knnBruteForce(embeddings, queryIds, k).select("q_id", "vec_id")
+    val approx = (mode match {
+      case "lsh" => annCosineLsh(embeddings, queryIds, k, bands = lshBands, dims = dims)
+      case "ivf" =>
+        ivfSearch(embeddings, queryIds, k, nCentroids = ivfCentroids, nprobe = ivfNprobe)
+      case other => throw new IllegalArgumentException(s"unknown ANN mode: $other")
+    }).select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val perQuery = exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_matched"),
+        count(lit(1)).as("k_exact"))
+      .orderBy("q_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perQuery.agg(
+      sum("n_matched").cast("double"), sum("k_exact").cast("double")).head()
+    val recall = totals.getDouble(0) / totals.getDouble(1)
+    require(recall >= minRecall,
+      f"ANN($mode) recall $recall%.3f below gate $minRecall%.2f")
+    perQuery
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1). */

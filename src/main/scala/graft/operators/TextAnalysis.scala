@@ -126,12 +126,17 @@ object TextAnalysis {
     }
     val w = Window.partitionBy("_shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    counts
+    val packed = counts
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("bin_id",
         floor((col("cum_tokens") - col("n_tokens")) / lit(targetTokens.toDouble)).cast("long"))
-      .select("doc_id", "n_tokens", "cum_tokens", "bin_id")
-      .orderBy("doc_id")
+    shardCol match {
+      case Some(c) =>
+        packed.select(col("_shard").as(c), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"), col("bin_id")).orderBy(c, "doc_id")
+      case None =>
+        packed.select("doc_id", "n_tokens", "cum_tokens", "bin_id").orderBy("doc_id")
+    }
   }
 
   /** Deterministic train/val/test split on the content fingerprint's last
@@ -152,7 +157,9 @@ object TextAnalysis {
     * unlike seeded `sample()`), portable to the SQL oracle, and the
     * standard way to cut a reproducible eval slice from a training corpus. */
   def stableSample(docs: DataFrame, keyCol: String, fraction: Double): DataFrame = {
-    val threshold = (fraction * 4294967296L).toLong
+    // math.round, matching the oracle's hard-coded threshold derivation —
+    // truncation here would keep/drop differently on the 1-in-2^32 boundary key.
+    val threshold = math.round(fraction * 4294967296.0)
     docs.where(
       conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("long") < threshold)

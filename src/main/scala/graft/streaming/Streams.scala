@@ -66,24 +66,37 @@ object Streams {
   case class UserRunning(user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
 
   /** Custom keyed state via `flatMapGroupsWithState`: running per-user
-    * counters emitted on every update — the escape hatch for stateful logic
-    * `session_window`/windowed aggs can't express. State per key is O(1). */
-  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    * counters emitted on every update (Update output — this is an
+    * upsert-style aggregate, not an append of immutable rows) — the escape
+    * hatch for stateful logic `session_window`/windowed aggs can't express.
+    * State per key is O(1), and keys idle past `idleTimeout` are EVICTED via
+    * processing-time timeout, so total state tracks recently-active users,
+    * not all users ever seen. Trade-off (documented, deliberate): a user
+    * returning after eviction restarts from zero; keep lifetime totals in a
+    * compacted external sink if they matter. */
+  def runningUserStats(events: Dataset[UserEvent],
+      idleTimeout: String = "30 minutes"): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) => {
-          var cur = state.getOption.getOrElse(UserRunning(userId, 0L, 0L, 0.0))
-          batch.foreach { e =>
-            cur = UserRunning(
-              userId,
-              cur.n_events + 1,
-              cur.n_purchases + (if (e.event_type == "purchase") 1 else 0),
-              cur.total_value + e.value)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(UserRunning(userId, 0L, 0L, 0.0))
+            batch.foreach { e =>
+              cur = UserRunning(
+                userId,
+                cur.n_events + 1,
+                cur.n_purchases + (if (e.event_type == "purchase") 1 else 0),
+                cur.total_value + e.value)
+            }
+            state.update(cur)
+            state.setTimeoutDuration(idleTimeout)
+            Iterator.single(cur)
           }
-          state.update(cur)
-          Iterator.single(cur)
         })
   }
 }

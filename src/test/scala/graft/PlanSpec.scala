@@ -56,6 +56,20 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("as-of join core plans exactly one hash exchange (union-tag-window, no range explosion)") {
+    val df = Relational.eventsAsofOrders(spark, dir)
+    df.collect() // finalize the adaptive plan
+    // AQE's toString prints the plan twice (final + initial) — gate on the
+    // final section only
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // exactly 2: the orders equal-time pre-dedup agg + the ONE as-of key
+    // exchange feeding the window; schema alignment must not add any
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not plan a join explosion:\n" + p.take(2000))
+  }
+
   test("native normalizer stays inside WholeStageCodegen") {
     val toks = Tfidf.tokenizePortable(Tables.documents(spark, dir))
     toks.collect() // finalize THIS dataset's adaptive plan (count() would plan separately)

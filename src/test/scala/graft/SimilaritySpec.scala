@@ -68,4 +68,21 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "cos").as[(Long, Double)].collect()
     ann.foreach { case (id, c) => assert(bf(id) == c) }
   }
+
+  test("recall gate passes at an attainable bar and reports per-query overlap") {
+    // ivf with nprobe = nCentroids is exhaustive → recall 1.0 by construction
+    val perQ = Similarity.annRecallGate(vecs, Seq(0L), k = 4, minRecall = 1.0,
+      mode = "ivf", ivfNprobe = 2, ivfCentroids = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(perQ.toSeq == Seq((0L, 4L, 4L)))
+  }
+
+  test("recall gate throws when aggregate recall misses the bar") {
+    // lsh can never return vec 4 (opposite signs) → recall ≤ 3/4 < 0.99
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annRecallGate(vecs, Seq(0L), k = 4, minRecall = 0.99,
+        mode = "lsh", lshBands = 4, dims = 4).collect()
+    }
+    assert(ex.getMessage.contains("recall"))
+  }
 }
