@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, Tfidf}
+import graft.operators.{Curation, Dedup, Relational, Similarity, TextAnalysis, Tfidf}
 import graft.sources.Tables
 
 /** Driver contract — flagship entry, declared queries, and their DuckDB
@@ -376,6 +376,14 @@ object SparkEntry {
       TextAnalysis.stableSample(Tables.documents(s, dir), "doc_id", 0.1)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // --- Corpus curation ---
+    "decontaminate_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(
+        docs.where(col("doc_id") % 53 =!= 0), docs.where(col("doc_id") % 53 === 0))
+    }),
+    "repetition_stats" -> ((s, dir) => Curation.repetitionStats(Tables.documents(s, dir))),
+    "boilerplate_grams" -> ((s, dir) => Curation.boilerplateGrams(Tables.documents(s, dir))),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
@@ -835,6 +843,58 @@ object SparkEntry {
         |SELECT doc_id, md5(trim(regexp_replace(lower(red), '\s+', ' ', 'g'))) AS redacted_fp,
         |  CAST(length(text) - length(red) AS BIGINT) AS chars_removed
         |FROM r ORDER BY doc_id""".stripMargin,
+    "decontaminate_overlap" ->
+      s"""WITH $toksArrCte,
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+         |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+         |  FROM toksarr WHERE len(a) >= 3
+         |), bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0),
+         |tr AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_overlap
+         |  FROM grams WHERE doc_id % 53 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_overlap, n_grams,
+         |  round(CAST(n_overlap AS DOUBLE) / n_grams, 9) AS contamination,
+         |  CASE WHEN round(CAST(n_overlap AS DOUBLE) / n_grams, 9) >= 0.05 THEN 1 ELSE 0 END
+         |    AS contaminated
+         |FROM tr ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      s"""WITH $toksCte,
+         |$toksArrCte,
+         |tf AS (SELECT doc_id, term, count(*) AS c FROM toks2 GROUP BY 1, 2),
+         |bydoc AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    round(CAST(max(c) AS DOUBLE) / sum(c), 9) AS top_word_ratio
+         |  FROM tf GROUP BY 1),
+         |arrstats AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(range(2, len(a) + 1), i -> a[i] = a[i-1])) AS BIGINT)
+         |      AS adj_dup_pairs,
+         |    greatest(len(a) - 2, 0) AS grams_total,
+         |    CASE WHEN len(a) >= 3 THEN len(list_distinct(
+         |      list_transform(range(1, greatest(len(a) - 1, 1)),
+         |                     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) ELSE 0 END
+         |      AS grams_distinct
+         |  FROM toksarr WHERE len(a) >= 1)
+         |SELECT b.doc_id, b.n_tokens, b.top_word_ratio, s.adj_dup_pairs,
+         |  CASE WHEN s.grams_total > 0
+         |       THEN round(1.0 - CAST(s.grams_distinct AS DOUBLE) / s.grams_total, 9)
+         |       ELSE 0.0 END AS rep_3gram_frac
+         |FROM bydoc b JOIN arrstats s ON s.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    "boilerplate_grams" ->
+      s"""WITH $toksArrCte,
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+         |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+         |  FROM toksarr WHERE len(a) >= 3)
+         |SELECT gram, count(*) AS n_docs FROM grams GROUP BY 1
+         |HAVING count(*) >= 5
+         |ORDER BY n_docs DESC, gram LIMIT 100""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  count(*) AS n_docs, min(doc_id) AS keeper

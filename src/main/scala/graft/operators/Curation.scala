@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: benchmark
+  * decontamination, repetition-based quality rules, and corpus-wide
+  * boilerplate detection. All three are oracle-checkable (pure relational +
+  * higher-order-function plans) and shuffle only narrow derived rows —
+  * never full text.
+  *
+  * Reference scope note: the reference engine (NZJ-Jimmy/TF-IDF_MapReduce)
+  * stops at TF-IDF; these extend the same tokenize→aggregate machinery to
+  * the curation steps an LLM data pipeline runs beside it.
+  */
+object Curation {
+
+  /** Position-preserving portable token array (same chain as
+    * [[Dedup.ngramJaccardExact]], spelled identically in the DuckDB
+    * oracle). */
+  private[operators] def tokenArray = expr(
+    "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
+      "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
+
+  /** Distinct token `n`-grams per document: (doc_id, gram). */
+  private def gramRows(docs: DataFrame, n: Int): DataFrame = {
+    val mk = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(col("doc_id"), tokenArray.as("a"))
+      .where(size(col("a")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(a) - ${n - 1}), i -> $mk)")).as("gram"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination: per training document, the count and
+    * fraction of its distinct `n`-grams that also appear in ANY benchmark
+    * document — the standard "eval-set leakage" gate run before training.
+    *
+    * Scale shape: the benchmark side is small by nature (an eval set), so
+    * its distinct grams BROADCAST; the training side then counts hits
+    * map-side (partial agg before the one per-doc exchange). The corpus is
+    * never shuffled by gram.
+    *
+    * `n` = 3 here because the synthetic corpus' vocabulary is tiny; real
+    * pipelines use 8-13-gram windows — only the constant changes. */
+  def decontaminate(
+      training: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      flagRatio: Double = 0.05): DataFrame = {
+    val trainGrams = gramRows(training, n)
+    val benchGrams = gramRows(benchmark, n).select("gram").distinct()
+    trainGrams
+      .join(broadcast(benchGrams.withColumn("_hit", lit(1L))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_grams"), 9))
+      .withColumn("contaminated",
+        (col("contamination") >= flagRatio).cast("int"))
+      .select("doc_id", "n_overlap", "n_grams", "contamination", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  /** Repetition quality stats (Gopher-style filter inputs), one row per
+    * document with ≥1 token:
+    *  - `top_word_ratio`: occurrences of the most frequent token / tokens
+    *  - `adj_dup_pairs`: adjacent equal-token pairs (stutter runs)
+    *  - `rep_3gram_frac`: fraction of 3-gram OCCURRENCES that are repeats
+    *    of an earlier 3-gram in the same document
+    *
+    * All per-doc map work off one tokenized pass + one narrow (doc, term)
+    * aggregation — no cross-document shuffle at all, so it runs at corpus
+    * scan speed regardless of corpus size. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val tf = Tfidf.tokenizePortable(docs)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val byDoc = tf.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), max("c").as("max_c"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("max_c").cast("double") / col("n_tokens"), 9).as("top_word_ratio"))
+    val arrStats = docs.select(col("doc_id"), tokenArray.as("a"))
+      .where(size(col("a")) >= 1)
+      .select(col("doc_id"),
+        expr("size(filter(zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
+          "(x, y) -> x = y), b -> b))").cast("long").as("adj_dup_pairs"),
+        expr("greatest(size(a) - 2, 0)").cast("long").as("grams_total"),
+        expr("CASE WHEN size(a) >= 3 THEN size(array_distinct(" +
+          "transform(sequence(1, size(a) - 2), i -> concat_ws(' ', element_at(a, i), " +
+          "element_at(a, i + 1), element_at(a, i + 2))))) ELSE 0 END")
+          .cast("long").as("grams_distinct"))
+      .select(col("doc_id"), col("adj_dup_pairs"),
+        when(col("grams_total") > 0,
+          round(lit(1.0) - col("grams_distinct").cast("double") / col("grams_total"), 9))
+          .otherwise(0.0).as("rep_3gram_frac"))
+    byDoc.join(arrStats, "doc_id")
+      .select("doc_id", "n_tokens", "top_word_ratio", "adj_dup_pairs", "rep_3gram_frac")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide boilerplate detection: the top-`topK` distinct `n`-grams
+    * by document frequency among those appearing in at least `minDocs`
+    * documents — headers/footers/licenses at corpus scale. One narrow
+    * (gram → count) aggregation with map-side partials, then a
+    * TakeOrderedAndProject top-k (no global sort). */
+  def boilerplateGrams(docs: DataFrame, n: Int = 3, minDocs: Int = 5,
+      topK: Int = 100): DataFrame =
+    gramRows(docs, n)
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(desc("n_docs"), asc("gram"))
+      .limit(topK)
+}

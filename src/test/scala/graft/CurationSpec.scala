@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("decontaminate counts benchmark 3-gram overlap per training doc") {
+    val bench = docs(100L -> "alpha beta gamma delta")
+    val train = docs(
+      1L -> "alpha beta gamma something else entirely here",  // shares 'alpha beta gamma'
+      2L -> "zeta eta theta iota kappa")                      // shares nothing
+    val got = Curation.decontaminate(train, bench, flagRatio = 0.15)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    // doc 1: grams = 5, one overlapping ('alpha beta gamma') → 0.2 ≥ 0.15
+    assert(got.contains((1L, 1L, 5L, 0.2, 1)))
+    assert(got.contains((2L, 0L, 3L, 0.0, 0)))
+  }
+
+  test("decontaminate overlap counts DISTINCT grams once") {
+    val bench = docs(100L -> "a b c")
+    val train = docs(1L -> "a b c x a b c")  // 'a b c' occurs twice, counts once
+    val row = Curation.decontaminate(train, bench)
+      .as[(Long, Long, Long, Double, Int)].collect().head
+    assert(row._2 == 1L) // n_overlap
+    assert(row._3 == 4L) // distinct grams: 'a b c','b c x','c x a','x a b' (dup collapsed)
+  }
+
+  test("repetitionStats flags stutter and repeated grams") {
+    val got = Curation.repetitionStats(docs(
+      1L -> "word word word word",          // one token repeated: adj pairs = 3
+      2L -> "one two three four five"))     // no repetition
+    .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val d1 = got(1L)
+    assert(d1._2 == 4L && d1._3 == 1.0 && d1._4 == 3L)
+    // grams_total=2, distinct=1 ('word word word') → rep frac 0.5
+    assert(d1._5 == 0.5)
+    val d2 = got(2L)
+    assert(d2._3 == 0.2 && d2._4 == 0L && d2._5 == 0.0)
+  }
+
+  test("repetitionStats handles short docs (no grams, no pairs)") {
+    val got = Curation.repetitionStats(docs(1L -> "solo"))
+      .as[(Long, Long, Double, Long, Double)].collect().head
+    assert(got == ((1L, 1L, 1.0, 0L, 0.0)))
+  }
+
+  test("boilerplateGrams ranks shared grams by document frequency") {
+    val corpus = docs(
+      1L -> "common header line unique one",
+      2L -> "common header line unique two",
+      3L -> "common header line unique three",
+      4L -> "totally different content here")
+    val got = Curation.boilerplateGrams(corpus, minDocs = 3, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got.head == (("common header line", 3L)))
+    // only grams in ≥3 docs survive
+    assert(got.forall(_._2 >= 3L))
+  }
+
+  test("boilerplate top-k plans as TakeOrderedAndProject (no global sort)") {
+    val corpus = docs(1L -> "a b c d", 2L -> "a b c e")
+    val p = Curation.boilerplateGrams(corpus, minDocs = 1, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+}
