@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SigAgreement, TrimNonAlpha}
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SigAgreement, TrimNonAlpha}
 
 /** Engine extensions installed via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): registers the
@@ -34,5 +34,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_sig_match takes exactly two arguments")
         SigAgreement(children.head, children(1))
       }))
+    // table-valued surface: LATERAL VIEW graft_shingle_hashes(text, n)
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_shingle_hashes takes (text, n)")
+        ShingleHashes(children.head, foldableInt(children(1), "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_minhash takes (text, n, k)")
+        MinHashSignature(children.head,
+          foldableInt(children(1), "n"), foldableInt(children(2), "k"))
+      }))
+  }
+
+  /** Evaluate a foldable argument to an Int at resolution time (the shingle
+    * and signature lengths are plan constants, not per-row data). */
+  private def foldableInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"graft function argument '$name' must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
   }
 }

@@ -418,6 +418,38 @@ object SparkEntry {
         .select(col("asset_id"), col("pos").cast("long").as("bin"),
           round(col("col"), 9).as("weight"))
         .orderBy("asset_id", "bin")),
+    "multimodal_audio_energy" -> ((s, _) =>
+      graft.multimodal.Multimodal.audioFrameEnergy(
+        graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+          round(col("rms"), 9).as("rms"), round(col("peak"), 9).as("peak"))
+        .orderBy("asset_id", "frame_idx")),
+    // Pure-SQL surface over the custom ShingleHashes GENERATOR (TVF shape:
+    // LATERAL VIEW graft_shingle_hashes(...)): distinct 5-byte shingles per
+    // doc — oracle = distinct 5-char substrings (ASCII corpus: byte==char;
+    // the generator emits per-row distinct hashes, so count(*) suffices).
+    "shingle_distinct_counts" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("graft_documents_sql")
+      s.sql("""
+        SELECT doc_id, count(*) AS n_shingles
+        FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ')) AS canon
+              FROM graft_documents_sql)
+        LATERAL VIEW graft_shingle_hashes(canon, 5) t AS shingle_hash
+        WHERE length(canon) >= 5
+        GROUP BY doc_id ORDER BY doc_id
+      """)
+    }),
+    // Streaming near-dup operator executed in batch mode (identical plan;
+    // per-row graft_minhash signatures + stateful band store). Rows-only:
+    // engine-specific sketch.
+    "streams_near_dups_batch" -> ((s, dir) =>
+      graft.streaming.Streams.streamingNearDups(
+        Tables.documents(s, dir).select("doc_id", "text"), threshold = 0.5).toDF()
+        // the estimate is band-independent (full-signature agreement);
+        // collapse multi-band collisions deterministically
+        .groupBy("doc_id", "dup_of")
+        .agg(min("band").as("first_band"), round(max("jaccard_est"), 9).as("jaccard_est"))
+        .orderBy("doc_id", "dup_of")),
     // --- Similarity search ---
     "knn_cosine_top10" -> ((s, dir) =>
       Similarity.knnBruteForce(Tables.embeddings(s, dir), 0L to 9L, 10)
@@ -916,6 +948,16 @@ object SparkEntry {
          |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "shingle_distinct_counts" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS canon
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(list_distinct(
+        |  list_transform(range(1, greatest(len(canon) - 3, 1)),
+        |                 i -> substr(canon, CAST(i AS INTEGER), 5)))) AS BIGINT) AS n_shingles
+        |FROM c WHERE len(canon) >= 5
+        |ORDER BY doc_id""".stripMargin,
     "knn_cosine_top10" ->
       """WITH ex AS (
         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

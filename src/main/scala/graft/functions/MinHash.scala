@@ -55,7 +55,7 @@ class OnePermMinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long
   override def reduce(buf: Array[Long], shingleHash: Long): Array[Long] = {
     val v = MinHash.mix64(shingleHash)
     val bin = java.lang.Long.remainderUnsigned(v, k.toLong).toInt
-    val mixed = MinHash.mix64(v ^ 0x6A09E667F3BCC909L)
+    val mixed = MinHash.mix64(v ^ MinHash.OphSalt)
     if (mixed < buf(bin)) buf(bin) = mixed
     buf
   }
@@ -66,24 +66,7 @@ class OnePermMinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long
     a
   }
 
-  override def finish(buf: Array[Long]): Array[Long] = {
-    // densify: fill each empty bin from the next non-empty bin (rotating),
-    // salted by the bin index so borrowed values differ across bins
-    val out = new Array[Long](k)
-    var i = 0
-    while (i < k) {
-      if (buf(i) != Long.MaxValue) out(i) = buf(i)
-      else {
-        var j = (i + 1) % k
-        var hops = 0
-        while (buf(j) == Long.MaxValue && hops < k) { j = (j + 1) % k; hops += 1 }
-        out(i) = if (hops >= k) Long.MaxValue // all-empty (no shingles)
-          else MinHash.mix64(buf(j) ^ MinHash.seed(i))
-      }
-      i += 1
-    }
-    out
-  }
+  override def finish(buf: Array[Long]): Array[Long] = MinHash.densify(buf, k)
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -137,6 +120,30 @@ object MinHash {
 
   /** Deterministic per-permutation seed. */
   def seed(i: Int): Long = mix64(0x5DEECE66DL * (i + 1))
+
+  /** OPH bin update constant (shared by [[OnePermMinHashAgg]] and the
+    * per-row [[MinHashSignature]] expression — both must agree bit-for-bit). */
+  val OphSalt = 0x6A09E667F3BCC909L
+
+  /** OPH densification: fill each empty bin from the next non-empty bin
+    * (rotating), salted by the bin index so borrowed values differ across
+    * bins. Shared by the aggregator finish and the per-row expression. */
+  def densify(buf: Array[Long], k: Int): Array[Long] = {
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      if (buf(i) != Long.MaxValue) out(i) = buf(i)
+      else {
+        var j = (i + 1) % k
+        var hops = 0
+        while (buf(j) == Long.MaxValue && hops < k) { j = (j + 1) % k; hops += 1 }
+        out(i) = if (hops >= k) Long.MaxValue // all-empty (no shingles)
+          else mix64(buf(j) ^ seed(i))
+      }
+      i += 1
+    }
+    out
+  }
 
   /** Jaccard estimate from two equal-length signatures: fraction of agreeing
     * components. */

@@ -78,16 +78,24 @@ case class ShingleHashes(child: Expression, n: Int)
     out.asScala
   }
 
+  private def hashRange(bytes: Array[Byte], off: Int, len: Int): Long =
+    ShingleHashing.hashRange(bytes, off, len)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Shared byte-window hashing — the shingle hash function used by the
+  * [[ShingleHashes]] generator and the per-row [[MinHashSignature]]
+  * expression (both must agree bit-for-bit for batch/stream parity). */
+object ShingleHashing {
   /** 64-bit hash of bytes[off, off+len): two murmur32 passes with distinct
     * seeds combined — deterministic, allocation-free. */
-  private def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
+  def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
     val lo = Murmur3_x86_32.hashUnsafeBytes(
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, len, 42)
     val hi = Murmur3_x86_32.hashUnsafeBytes(
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, len, 0x9747b28c)
     MinHash.mix64((hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
 }

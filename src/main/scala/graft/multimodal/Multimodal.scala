@@ -117,6 +117,45 @@ object Multimodal {
       }
   }
 
+  case class AudioFrame(asset_id: Long, frame_idx: Int, rms: Double, peak: Double)
+
+  /** Per-frame audio energy: treat the payload as signed 8-bit PCM (stub —
+    * a real pipeline decodes via a codec first), frame it into `frameBytes`
+    * windows, and emit RMS + peak per frame — the feature extraction that
+    * feeds VAD/silence trimming in an audio training pipeline.
+    *
+    * Batching shape: rows are processed in groups of `rowBatch` via a
+    * chunked iterator — the JVM analog of Arrow record-batch processing
+    * (`mapInPandas` batch semantics): peak memory is bounded by the chunk,
+    * not the partition, and a real vectorized DSP kernel would run once per
+    * chunk. The grouping is lazy (Iterator.grouped), so the partition
+    * never materializes. */
+  def audioFrameEnergy(assets: DataFrame, frameBytes: Int = 32,
+      rowBatch: Int = 64): Dataset[AudioFrame] = {
+    import assets.sparkSession.implicits._
+    assets.where(col("kind") === "audio")
+      .select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(rowBatch).flatMap { chunk =>
+          // per-chunk "kernel" invocation over a bounded batch
+          chunk.iterator.flatMap { case (id, bytes) =>
+            bytes.grouped(frameBytes).zipWithIndex.map { case (frame, idx) =>
+              var sumSq = 0.0
+              var peak = 0.0
+              var i = 0
+              while (i < frame.length) {
+                val s = frame(i).toDouble / 128.0 // signed PCM8 → [-1, 1)
+                sumSq += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                i += 1
+              }
+              AudioFrame(id, idx, math.sqrt(sumSq / math.max(1, frame.length)), peak)
+            }
+          }
+        }
+      }
+  }
+
   /** Sample every `everyK`-th frame of video assets (stub: fixed-size byte
     * chunks as "frames"). One output row per sampled frame. */
   def sampleFrames(assets: DataFrame, everyK: Int = 2, frameBytes: Int = 32): Dataset[Frame] = {

@@ -62,6 +62,86 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Exactly-once-shaped parquet sink: `foreachBatch` writing each
+    * micro-batch to a `batch_id=<id>`-keyed directory with overwrite. A
+    * replayed batch (failure between write and commit) overwrites its own
+    * directory — idempotent, so the sink is effectively exactly-once while
+    * staying a plain partitioned parquet layout any batch reader can scan. */
+  def parquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  case class DocBandSig(doc_id: Long, sig: Array[Long], band: Int, band_hash: Long)
+  case class NearDupHit(doc_id: Long, dup_of: Long, band: Int, jaccard_est: Double)
+
+  /** Streaming MinHash near-dup detection: per-row OPH signatures (the
+    * `graft_minhash` scalar — no shuffle, no state to BUILD a signature),
+    * banded, then a stateful signature store keyed by (band, band_hash).
+    * Each arriving document is compared against the signatures already in
+    * its bucket; estimated Jaccard ≥ `threshold` emits a hit against the
+    * earlier document.
+    *
+    * State bounds (the 100 TB-stream properties): per-bucket store is
+    * capped at `maxBucket` signatures (deterministic keep-earliest, same
+    * policy as the batch LSH cap), and buckets idle past `idleTimeout`
+    * are evicted — state tracks recently-active buckets only. A pair
+    * colliding in several bands emits once per band; dedup downstream if
+    * exact-once pairs matter. Batch twin: [[graft.operators.Dedup.minhashPairs]]. */
+  def streamingNearDups(
+      docs: DataFrame,
+      k: Int = 64,
+      shingleLen: Int = 5,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64,
+      idleTimeout: String = "1 hour"): Dataset[NearDupHit] = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    import docs.sparkSession.implicits._
+    val sigs = docs
+      .selectExpr("doc_id",
+        s"graft_minhash(trim(regexp_replace(lower(text), '\\\\s+', ' ')), $shingleLen, $k) AS sig")
+      .select(col("doc_id"), col("sig"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band", "band_hash")))
+      .as[DocBandSig]
+    sigs
+      .groupByKey(s => (s.band, s.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (key: (Int, Long), batch: Iterator[DocBandSig],
+            state: GroupState[List[(Long, Array[Long])]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var stored = state.getOption.getOrElse(Nil)
+            val hits = List.newBuilder[NearDupHit]
+            // deterministic order within the micro-batch
+            batch.toSeq.sortBy(_.doc_id).foreach { d =>
+              if (!stored.exists(_._1 == d.doc_id)) {
+                stored.foreach { case (earlierId, earlierSig) =>
+                  val est = graft.functions.MinHash.estimate(
+                    earlierSig.toSeq, d.sig.toSeq)
+                  if (est >= threshold)
+                    hits += NearDupHit(d.doc_id, earlierId, key._1, est)
+                }
+                if (stored.size < maxBucket) stored = stored :+ (d.doc_id -> d.sig)
+              }
+            }
+            state.update(stored)
+            state.setTimeoutDuration(idleTimeout)
+            hits.result().iterator
+          }
+        })
+  }
+
   case class UserEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
 

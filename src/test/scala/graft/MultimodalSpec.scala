@@ -27,6 +27,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFrameEnergy: bounded rms/peak per frame, audio assets only, batch-size invariant") {
+    val frames = Multimodal.audioFrameEnergy(assets, frameBytes = 32).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.rms >= 0.0 && f.rms <= 1.0 && f.peak >= f.rms)
+    }
+    val audioIds = assets.where(org.apache.spark.sql.functions.col("kind") === "audio")
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(frames.map(_.asset_id).toSet == audioIds)
+    // chunked iteration must not change results (rowBatch is a memory knob)
+    val single = Multimodal.audioFrameEnergy(assets, frameBytes = 32, rowBatch = 1)
+      .collect().sortBy(f => (f.asset_id, f.frame_idx))
+    assert(single.sameElements(frames.sortBy(f => (f.asset_id, f.frame_idx))))
+  }
+
   test("sampleFrames: only video assets, every 2nd frame") {
     val frames = Multimodal.sampleFrames(assets, everyK = 2).collect()
     assert(frames.nonEmpty)

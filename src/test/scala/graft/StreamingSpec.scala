@@ -115,6 +115,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink writes idempotent batch_id partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.parquetSink(in.toDF.toDF("id", "payload"), out, ckpt)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 3)
+      // batch_id surfaces as a partition column readable by any batch job
+      assert(back.columns.contains("batch_id"))
+      assert(back.select("batch_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
+  test("near-dup store flags later docs against earlier ones (batch-executed)") {
+    // batch execution of the SAME stateful plan (the registered
+    // streams_near_dups_batch query); a live-stream run adds only the state
+    // store + timeout eviction driven by the micro-batch engine. Kept in
+    // batch mode here: ProcessingTimeTimeout makes the engine schedule
+    // continuous no-data batches, which turns a MemoryStream test into a
+    // busy-loop (observed: state-store maintenance pegging the CPU).
+    val boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = Seq(
+      (1L, boiler),
+      (2L, "totally unrelated payload with different words throughout"),
+      (3L, boiler + " tail")).toDF("doc_id", "text")
+    val hits = Streams.streamingNearDups(docs, threshold = 0.5)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(hits.contains((3L, 1L)), s"expected (3,1) hit, got $hits")
+    assert(!hits.exists(h => h._1 == 2L || h._2 == 2L))
+  }
+
+  test("per-row graft_minhash matches the batch generator+aggregator signature") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val viaAgg = graft.operators.Dedup.minhashSignatures(docs, k = 32)
+      .as[(Long, Array[Long])].collect().toMap
+    val viaExpr = docs.selectExpr("doc_id",
+      "graft_minhash(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 5, 32) AS sig")
+      .as[(Long, Array[Long])].collect().toMap
+    viaAgg.foreach { case (id, sig) =>
+      assert(viaExpr(id).toSeq == sig.toSeq, s"signature mismatch for doc $id")
+    }
+  }
+
   test("flatMapGroupsWithState running stats (batch mode)") {
     val events = Seq(
       Streams.UserEvent(1L, 1L, "click", 1.0),
