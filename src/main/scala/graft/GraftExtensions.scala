@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SigAgreement, TrimNonAlpha}
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SigAgreement, SignBits, TrimNonAlpha}
 
 /** Engine extensions installed via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): registers the
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_shingle_hashes takes (text, n)")
         ShingleHashes(children.head, foldableInt(children(1), "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sign_bits"),
+      new ExpressionInfo(classOf[SignBits].getName, "graft_sign_bits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_sign_bits takes (vector, planes)")
+        SignBits(children.head, foldableInt(children(1), "planes"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),

@@ -153,9 +153,8 @@ object Dedup {
       embeddings: DataFrame,
       threshold: Double = 0.9,
       planes: Int = 16,
-      bands: Int = 4,
-      dims: Int = 64): DataFrame =
-    Similarity.cosinePairsLsh(embeddings, threshold, planes, bands, dims)
+      bands: Int = 4): DataFrame =
+    Similarity.cosinePairsLsh(embeddings, threshold, planes, bands)
 
   /** Portable tokenized-text array (position-preserving), shared by the
     * n-gram operators and spelled identically in the DuckDB oracle. */

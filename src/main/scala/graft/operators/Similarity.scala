@@ -61,15 +61,11 @@ object Similarity {
       threshold: Double,
       planes: Int = 16,
       bands: Int = 4,
-      dims: Int = 64,
       maxBucket: Int = 256): DataFrame = {
     require(planes % bands == 0)
     val r = planes / bands
-    val sigExpr =
-      s"transform(planes, p -> CASE WHEN ${dot.format("p", "v")} > 0 THEN 1 ELSE 0 END)"
     val banded = prepared(embeddings, "embedding")
-      .withColumn("planes", planeLit(planes, dims))
-      .withColumn("bits", expr(sigExpr))
+      .withColumn("bits", expr(s"graft_sign_bits(v, $planes)"))
       .select(col("vec_id"), col("v"), col("norm"),
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(bits, b * $r + 1, $r)))"))
@@ -189,8 +185,7 @@ object Similarity {
       mode: String = "lsh",
       lshBands: Int = 8,
       ivfNprobe: Int = 12,
-      ivfCentroids: Int = 16,
-      dims: Int = 64): DataFrame = {
+      ivfCentroids: Int = 16): DataFrame = {
     // Gate parameters are tuned to the synthetic corpus' cosine regime
     // (near-random vectors, top-10 neighbors at cos≈0.3): 16 planes in 8
     // bands puts the LSH S-curve crossing low enough to recall them, and
@@ -200,7 +195,7 @@ object Similarity {
     // parameter point, which is what this guards.
     val exact = knnBruteForce(embeddings, queryIds, k).select("q_id", "vec_id")
     val approx = (mode match {
-      case "lsh" => annCosineLsh(embeddings, queryIds, k, bands = lshBands, dims = dims)
+      case "lsh" => annCosineLsh(embeddings, queryIds, k, bands = lshBands)
       case "ivf" =>
         ivfSearch(embeddings, queryIds, k, nCentroids = ivfCentroids, nprobe = ivfNprobe)
       case other => throw new IllegalArgumentException(s"unknown ANN mode: $other")
@@ -219,14 +214,6 @@ object Similarity {
     perQuery
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
-  private def planeLit(planes: Int, dims: Int) = {
-    val arr = Array.tabulate(planes, dims) { (j, i) =>
-      MinHash.mix64(j.toLong * 131071L + i * 524287L + 17L).toDouble / Long.MaxValue.toDouble
-    }
-    typedlit(arr.map(_.toSeq).toSeq)
-  }
-
   /** Approximate top-k cosine via sign-random-projection LSH.
     * `planes` sign bits per vector, split into `bands`; two vectors are
     * candidates iff they agree on all bits of at least one band. Exact
@@ -237,16 +224,11 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int = 10,
       planes: Int = 16,
-      bands: Int = 4,
-      dims: Int = 64): DataFrame = {
+      bands: Int = 4): DataFrame = {
     require(planes % bands == 0)
     val r = planes / bands
-    val sigExpr =
-      s"transform(planes, p -> CASE WHEN ${dot.format("p", "v")} > 0 THEN 1 ELSE 0 END)"
     val e = prepared(embeddings, "embedding")
-      .withColumn("planes", planeLit(planes, dims))
-      .withColumn("bits", expr(sigExpr))
-      .drop("planes")
+      .withColumn("bits", expr(s"graft_sign_bits(v, $planes)"))
     val banded = e.select(col("vec_id"), col("v"), col("norm"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(bits, b * $r + 1, $r)))"))

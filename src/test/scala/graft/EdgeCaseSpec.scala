@@ -42,7 +42,7 @@ class EdgeCaseSpec extends SparkSpec {
   test("similarity search with no matching query ids returns empty") {
     val vecs = Seq((0L, Array(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
     assert(Similarity.knnBruteForce(vecs, Seq(99L), 5).count() == 0)
-    assert(Similarity.annCosineLsh(vecs, Seq(99L), 5, planes = 8, bands = 2, dims = 2).count() == 0)
+    assert(Similarity.annCosineLsh(vecs, Seq(99L), 5, planes = 8, bands = 2).count() == 0)
   }
 
   test("rankByValue on empty input returns empty") {

@@ -27,7 +27,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("ann lsh finds the collinear vector (same-bucket guarantee)") {
     // identical-direction vectors share all sign bits → always candidates
-    val got = Similarity.annCosineLsh(vecs, Seq(0L), k = 4, planes = 16, bands = 4, dims = 4)
+    val got = Similarity.annCosineLsh(vecs, Seq(0L), k = 4, planes = 16, bands = 4)
       .select("vec_id", "cos").as[(Long, Double)].collect().toMap
     assert(got.contains(1L) && got(1L) == 1.0)
     // opposite vector flips every bit → never a candidate
@@ -52,7 +52,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cosinePairsLsh finds collinear pairs above threshold, skips opposites") {
-    val pairs = Similarity.cosinePairsLsh(vecs, threshold = 0.9, planes = 16, bands = 4, dims = 4)
+    val pairs = Similarity.cosinePairsLsh(vecs, threshold = 0.9, planes = 16, bands = 4)
       .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect()
       .map { case (a, b, c) => ((a, b), c) }.toMap
     // vec 0 and 1 are collinear → cos 1.0, always bucketed together
@@ -64,7 +64,7 @@ class SimilaritySpec extends SparkSpec {
   test("ann results are a subset of brute-force results with equal scores") {
     val bf = Similarity.knnBruteForce(vecs, Seq(0L), k = 4)
       .select("vec_id", "cos").as[(Long, Double)].collect().toMap
-    val ann = Similarity.annCosineLsh(vecs, Seq(0L), k = 4, planes = 16, bands = 4, dims = 4)
+    val ann = Similarity.annCosineLsh(vecs, Seq(0L), k = 4, planes = 16, bands = 4)
       .select("vec_id", "cos").as[(Long, Double)].collect()
     ann.foreach { case (id, c) => assert(bf(id) == c) }
   }
@@ -81,7 +81,7 @@ class SimilaritySpec extends SparkSpec {
     // lsh can never return vec 4 (opposite signs) → recall ≤ 3/4 < 0.99
     val ex = intercept[IllegalArgumentException] {
       Similarity.annRecallGate(vecs, Seq(0L), k = 4, minRecall = 0.99,
-        mode = "lsh", lshBands = 4, dims = 4).collect()
+        mode = "lsh", lshBands = 4).collect()
     }
     assert(ex.getMessage.contains("recall"))
   }
