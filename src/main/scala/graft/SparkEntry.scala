@@ -403,6 +403,21 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "t_start_us")
     }),
+    // Stream-stream interval join executed in batch (same plan; streaming
+    // adds watermark-driven state eviction): each purchase matched to the
+    // same user's errors within ±10 minutes.
+    "events_interval_join_batch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pur = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val err = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      graft.streaming.Streams.intervalJoin(pur, err,
+        "user_id", "e_user", "p_ts", "e_ts")
+        .select(col("p_id"), col("e_id"), col("user_id"),
+          (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
+        .orderBy("p_id", "e_id")
+    }),
     // --- Multimodal plumbing (no relational oracle: mapPartitions over
     // binary payloads; rows-only check) ---
     "multimodal_decode" -> ((s, _) =>
@@ -466,6 +481,12 @@ object SparkEntry {
       Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "lsh")),
     "ivf_recall" -> ((s, dir) =>
       Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "ivf")),
+    // PQ: 8x16 codebooks (8 bytes/vector), ADC scoring, exact re-rank of
+    // the top-50 — the memory-bounded ANN path; gate at 0.9 like the others
+    "pq_cosine_top10" -> ((s, dir) =>
+      operators.ProductQuantization.pqSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
+    "pq_recall" -> ((s, dir) =>
+      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "pq")),
     // --- TPC-H-ish pricing summary (agg + decimal-exact sums) ---
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -948,6 +969,14 @@ object SparkEntry {
          |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "events_interval_join_batch" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id,
+        |  epoch_us(e.ts) - epoch_us(p.ts) AS delta_us
+        |FROM events p JOIN events e ON e.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        |  AND e.ts >= p.ts - INTERVAL 10 MINUTE
+        |  AND e.ts <= p.ts + INTERVAL 10 MINUTE
+        |ORDER BY p_id, e_id""".stripMargin,
     "shingle_distinct_counts" ->
       """WITH c AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS canon

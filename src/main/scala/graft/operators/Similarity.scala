@@ -198,6 +198,7 @@ object Similarity {
       case "lsh" => annCosineLsh(embeddings, queryIds, k, bands = lshBands)
       case "ivf" =>
         ivfSearch(embeddings, queryIds, k, nCentroids = ivfCentroids, nprobe = ivfNprobe)
+      case "pq" => ProductQuantization.pqSearch(embeddings, queryIds, k)
       case other => throw new IllegalArgumentException(s"unknown ANN mode: $other")
     }).select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     val perQuery = exact.join(approx, Seq("q_id", "vec_id"), "left")

@@ -62,6 +62,23 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-stream interval join: right rows within
+    * `[left.t - lower, left.t + upper]` for the same key. The explicit
+    * time bound is what makes this viable on unbounded streams — with both
+    * sides watermarked, the state store evicts buffered rows older than
+    * watermark+bound, so join state tracks the interval width, not stream
+    * history. Executed in batch it is the same plan as a plain range join.
+    * Callers pass watermarked inputs for streaming use. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      lower: String = "10 minutes", upper: String = "10 minutes"): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lower") &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $upper"))
+
   /** Exactly-once-shaped parquet sink: `foreachBatch` writing each
     * micro-batch to a `batch_id=<id>`-keyed directory with overwrite. A
     * replayed batch (failure between write and commit) overwrites its own

@@ -14,7 +14,9 @@ class DeterminismSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.shuffle.partitions", 4)
   }
 
-  for (q <- Seq("q1_pricing_summary", "tfidf_full", "sessionize_events", "knn_cosine_top10")) {
+  for (q <- Seq("q1_pricing_summary", "tfidf_full", "sessionize_events", "knn_cosine_top10",
+    "decontaminate_overlap", "sequence_packing", "repetition_stats",
+    "streams_near_dups_batch", "ivf_cosine_top10")) {
     test(s"$q is identical under 3 vs 13 shuffle partitions") {
       assert(runWith(3, q) == runWith(13, q))
     }

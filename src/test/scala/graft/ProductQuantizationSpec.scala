@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{ProductQuantization, Similarity}
+import graft.sources.Tables
+
+class ProductQuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, dir)
+
+  test("codebooks: dense code ids per sub-space, correct sub-vector width") {
+    val cb = ProductQuantization.trainCodebooks(emb, m = 8, codes = 16)
+      .as[(Int, Int, Array[Double])].collect()
+    assert(cb.length == 8 * 16)
+    assert(cb.map(_._1).distinct.sorted.toSeq == (0 until 8))
+    cb.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 until 16))
+    }
+    assert(cb.forall(_._3.length == 8))
+  }
+
+  test("encode: one code row per vector, m codes in [0, codes)") {
+    val cb = ProductQuantization.trainCodebooks(emb, m = 8, codes = 16)
+    val enc = ProductQuantization.encode(emb, cb, m = 8)
+      .as[(Long, Array[Int], Double)].collect()
+    assert(enc.length == emb.count())
+    enc.foreach { case (_, codes, norm) =>
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+      assert(norm > 0)
+    }
+  }
+
+  test("pq search: exact re-ranked scores match brute force; recall is useful") {
+    val got = ProductQuantization.pqSearch(emb, 0L to 9L, k = 10)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+    assert(got.length == 100)
+    val bf = Similarity.knnBruteForce(emb, 0L to 9L, 10)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+    val bfMap = bf.map(r => (r._1, r._2) -> r._3).toMap
+    // precision: every returned cos that brute force also returned is equal
+    got.foreach { case (q, v, c) =>
+      bfMap.get((q, v)).foreach(exact => assert(exact == c)) }
+    // recall of the exact top-10 via the coarse 8x16 codebook + re-rank
+    val hit = got.map(r => (r._1, r._2)).toSet
+    val recall = bf.count(r => hit.contains((r._1, r._2))).toDouble / bf.length
+    assert(recall >= 0.5, s"PQ recall $recall under 0.5 — coarser than expected")
+  }
+
+  test("pq search is deterministic across shuffle layouts") {
+    def run(parts: Int): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try ProductQuantization.pqSearch(emb, Seq(0L, 1L), k = 5)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    }
+    assert(run(3) == run(13))
+  }
+}

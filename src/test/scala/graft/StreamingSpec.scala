@@ -115,6 +115,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the time bound, evictable state") {
+    implicit val sqlCtx = spark.sqlContext
+    val inP = MemoryStream[(Long, Timestamp, Long)]
+    val inE = MemoryStream[(Long, Timestamp, Long)]
+    val pur = inP.toDF.toDF("p_id", "p_ts", "user_id").withWatermark("p_ts", "0 seconds")
+    val err = inE.toDF.toDF("e_id", "e_ts", "e_user").withWatermark("e_ts", "0 seconds")
+    val q = Streams.intervalJoin(pur, err, "user_id", "e_user", "p_ts", "e_ts")
+      .select("p_id", "e_id")
+      .writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    try {
+      inP.addData((1L, ts(10), 7L))
+      inE.addData((100L, ts(15), 7L),  // within 10 min → match
+        (101L, ts(40), 7L),            // outside bound → no match
+        (102L, ts(15), 8L))            // other user → no match
+      q.processAllAvailable()
+      val got = spark.table("ivj_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink writes idempotent batch_id partitions") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
