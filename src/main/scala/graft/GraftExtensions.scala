@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SigAgreement, SignBits, TrimNonAlpha}
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SigAgreement, SignBits, SquaredDistance, TrimNonAlpha}
 
 /** Engine extensions installed via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): registers the
@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_sig_match takes exactly two arguments")
         SigAgreement(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_sqdist takes exactly two arguments")
+        SquaredDistance(children.head, children(1))
       }))
     // table-valued surface: LATERAL VIEW graft_shingle_hashes(text, n)
     ext.injectFunction((

@@ -383,6 +383,14 @@ object SparkEntry {
         docs.where(col("doc_id") % 53 =!= 0), docs.where(col("doc_id") % 53 === 0))
     }),
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(Tables.documents(s, dir))),
+    // two eval sets screened in one pass (one conditional-distinct agg)
+    "decontaminate_multi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminateMulti(
+        docs.where(col("doc_id") % 53 =!= 0 && col("doc_id") % 47 =!= 0),
+        Map("a" -> docs.where(col("doc_id") % 53 === 0),
+          "b" -> docs.where(col("doc_id") % 47 === 0)))
+    }),
     "boilerplate_grams" -> ((s, dir) => Curation.boilerplateGrams(Tables.documents(s, dir))),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -433,6 +441,12 @@ object SparkEntry {
         .select(col("asset_id"), col("pos").cast("long").as("bin"),
           round(col("col"), 9).as("weight"))
         .orderBy("asset_id", "bin")),
+    "multimodal_keyframes" -> ((s, _) =>
+      graft.multimodal.Multimodal.keyFrames(
+        graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+          round(col("diff_energy"), 9).as("diff_energy"))
+        .orderBy("asset_id", "frame_idx")),
     "multimodal_audio_energy" -> ((s, _) =>
       graft.multimodal.Multimodal.audioFrameEnergy(
         graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
@@ -914,6 +928,20 @@ object SparkEntry {
          |  CASE WHEN round(CAST(n_overlap AS DOUBLE) / n_grams, 9) >= 0.05 THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM tr ORDER BY doc_id""".stripMargin,
+    "decontaminate_multi" ->
+      s"""WITH $toksArrCte,
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+         |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+         |  FROM toksarr WHERE len(a) >= 3
+         |), ba AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0),
+         |bb AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 47 = 0)
+         |SELECT doc_id, count(DISTINCT gram) AS n_grams,
+         |  count(DISTINCT CASE WHEN gram IN (SELECT gram FROM ba) THEN gram END) AS overlap_a,
+         |  count(DISTINCT CASE WHEN gram IN (SELECT gram FROM bb) THEN gram END) AS overlap_b
+         |FROM grams WHERE doc_id % 53 <> 0 AND doc_id % 47 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       s"""WITH $toksCte,
          |$toksArrCte,

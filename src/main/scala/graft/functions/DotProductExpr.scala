@@ -19,6 +19,14 @@ object VectorUtil {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+    s
+  }
 }
 
 /** Fraction of component-wise equal elements between two equal-length
@@ -94,5 +102,37 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Catalyst expression for [[VectorUtil.sqDist]]; SQL function
+  * `graft_sqdist` — the codegen'd k-means/PQ assignment kernel (the
+  * `aggregate(zip_with(...))` fold it replaces is interpreted per row and
+  * dominated PQ codebook training). */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sqdist expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorUtil.sqDist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredDistance =
     copy(left = newLeft, right = newRight)
 }

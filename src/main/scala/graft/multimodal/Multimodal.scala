@@ -156,6 +156,33 @@ object Multimodal {
       }
   }
 
+  case class KeyFrame(asset_id: Long, frame_idx: Int, diff_energy: Double)
+
+  /** Key-frame selection for video assets: score each frame by mean
+    * absolute byte difference against its predecessor (a scene-change
+    * proxy; a real pipeline diffs decoded luma planes — same dataflow) and
+    * keep the `topJ` highest-energy frames per asset. Selection happens
+    * INSIDE the per-row map — frames of one asset never leave the task, so
+    * there is no shuffle at all; output is topJ rows per video. */
+  def keyFrames(assets: DataFrame, frameBytes: Int = 32, topJ: Int = 3): Dataset[KeyFrame] = {
+    import assets.sparkSession.implicits._
+    assets.where(col("kind") === "video")
+      .select("asset_id", "content").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val frames = bytes.grouped(frameBytes).toArray
+        val scored = (1 until frames.length).map { i =>
+          val prev = frames(i - 1)
+          val cur = frames(i)
+          val n = math.min(prev.length, cur.length)
+          var s = 0.0
+          var j = 0
+          while (j < n) { s += math.abs((cur(j) & 0xFF) - (prev(j) & 0xFF)); j += 1 }
+          KeyFrame(id, i, if (n == 0) 0.0 else s / n)
+        }
+        scored.sortBy(f => (-f.diff_energy, f.frame_idx)).take(topJ)
+      }
+  }
+
   /** Sample every `everyK`-th frame of video assets (stub: fixed-size byte
     * chunks as "frames"). One output row per sampled frame. */
   def sampleFrames(assets: DataFrame, everyK: Int = 2, frameBytes: Int = 32): Dataset[Frame] = {

@@ -63,6 +63,32 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Multi-benchmark decontamination in ONE corpus pass: per training
+    * document, the distinct-gram overlap against EACH named benchmark set.
+    * All benchmark gram tables union into one broadcast (they are small by
+    * nature), and per-set hits fall out of one conditional-distinct
+    * aggregation — adding an eval set costs a column, not a corpus scan. */
+  def decontaminateMulti(
+      training: DataFrame,
+      benchmarks: Map[String, DataFrame],
+      n: Int = 3): DataFrame = {
+    require(benchmarks.nonEmpty, "need at least one benchmark set")
+    val names = benchmarks.keys.toSeq.sorted
+    val benchGrams = names.map { name =>
+      gramRows(benchmarks(name), n).select("gram").distinct()
+        .withColumn("set_name", lit(name))
+    }.reduce(_ unionByName _)
+    val overlapCols = names.map { name =>
+      countDistinct(when(col("set_name") === name, col("gram")))
+        .as(s"overlap_$name")
+    }
+    gramRows(training, n)
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_grams"), overlapCols: _*)
+      .orderBy("doc_id")
+  }
+
   /** Repetition quality stats (Gopher-style filter inputs), one row per
     * document with ≥1 token:
     *  - `top_word_ratio`: occurrences of the most frequent token / tokens

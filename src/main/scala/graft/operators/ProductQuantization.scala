@@ -57,7 +57,7 @@ object ProductQuantization {
       // negated distance, broadcast codebook (m×codes rows — tiny)
       val assigned = sub.join(broadcast(cents), "sub")
         .withColumn("d2", expr(
-          "aggregate(zip_with(subv, cv, (a, b) -> (a - b) * (a - b)), 0d, (s, x) -> s + x)"))
+          "graft_sqdist(subv, cv)"))
         .groupBy("vec_id", "sub")
         .agg(max_by(struct(col("code"), col("subv")),
           struct(-col("d2"), -col("code"))).as("best"))
@@ -84,7 +84,7 @@ object ProductQuantization {
     subVectors(e, m, subDim)
       .join(broadcast(codebooks), "sub")
       .withColumn("d2", expr(
-        "aggregate(zip_with(subv, cv, (a, b) -> (a - b) * (a - b)), 0d, (s, x) -> s + x)"))
+        "graft_sqdist(subv, cv)"))
       .groupBy("vec_id", "sub")
       .agg(max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))
       .groupBy("vec_id")
@@ -99,8 +99,9 @@ object ProductQuantization {
     * partial dots — approximate dot — then the top `rerank` candidates by
     * approximate cosine are re-scored EXACTLY and the top `k` returned.
     * The scan side touches only (vec_id, codes, norm) — the ~30×-smaller
-    * representation — plus an output-bound exact re-rank. */
-  /** Defaults calibrated on the synthetic (iid-random — PQ's worst case:
+    * representation — plus an output-bound exact re-rank.
+    *
+    * Defaults calibrated on the synthetic (iid-random — PQ's worst case:
     * no cluster structure to exploit) corpus: 8×32 codebooks with a
     * 300-candidate exact re-rank hold recall ≥ 0.9 at both fixture scales.
     * `rerank` is a CONSTANT independent of corpus size — at a billion

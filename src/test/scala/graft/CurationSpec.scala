@@ -29,6 +29,20 @@ class CurationSpec extends SparkSpec {
     assert(row._3 == 4L) // distinct grams: 'a b c','b c x','c x a','x a b' (dup collapsed)
   }
 
+  test("decontaminateMulti screens several eval sets in one pass") {
+    val benchA = docs(100L -> "alpha beta gamma delta")
+    val benchB = docs(200L -> "zeta eta theta iota")
+    val train = docs(
+      1L -> "alpha beta gamma one two three four",  // hits A only
+      2L -> "zeta eta theta one two three four",    // hits B only
+      3L -> "none of these words match anything")
+    val got = Curation.decontaminateMulti(train, Map("a" -> benchA, "b" -> benchB))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.contains((1L, 5L, 1L, 0L)))
+    assert(got.contains((2L, 5L, 0L, 1L)))
+    assert(got.contains((3L, 4L, 0L, 0L))) // 6 tokens → 4 grams
+  }
+
   test("repetitionStats flags stutter and repeated grams") {
     val got = Curation.repetitionStats(docs(
       1L -> "word word word word",          // one token repeated: adj pairs = 3

@@ -42,6 +42,20 @@ class MultimodalSpec extends SparkSpec {
     assert(single.sameElements(frames.sortBy(f => (f.asset_id, f.frame_idx))))
   }
 
+  test("keyFrames: topJ per video by diff energy, no frame 0, deterministic") {
+    val kf = Multimodal.keyFrames(assets, topJ = 2).collect()
+    assert(kf.nonEmpty)
+    // frame 0 has no predecessor → never selected
+    assert(kf.forall(_.frame_idx >= 1))
+    kf.groupBy(_.asset_id).foreach { case (_, rows) => assert(rows.length <= 2) }
+    val videoIds = assets.where(org.apache.spark.sql.functions.col("kind") === "video")
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kf.map(_.asset_id).toSet.subsetOf(videoIds))
+    val again = Multimodal.keyFrames(assets, topJ = 2).collect()
+    assert(again.sortBy(f => (f.asset_id, f.frame_idx))
+      .sameElements(kf.sortBy(f => (f.asset_id, f.frame_idx))))
+  }
+
   test("sampleFrames: only video assets, every 2nd frame") {
     val frames = Multimodal.sampleFrames(assets, everyK = 2).collect()
     assert(frames.nonEmpty)
