@@ -396,6 +396,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.5)),
+    // near-dup clusters from the exact pair table (keep `cluster`, drop the
+    // rest); oracle = DuckDB recursive reachability over the same pairs
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.5)
+          .select("doc_a", "doc_b"))),
     // sketch-based near-dup: not ANSI-SQL-expressible → rows-only checks
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5)),
@@ -997,6 +1003,31 @@ object SparkEntry {
          |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $toksArrCte,
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+         |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+         |  FROM toksarr WHERE len(a) >= 3
+         |), sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+         |shared AS (
+         |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+         |)
+         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "events_interval_join_batch" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id,
         |  epoch_us(e.ts) - epoch_us(p.ts) AS delta_us

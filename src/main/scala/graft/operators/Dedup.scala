@@ -156,6 +156,47 @@ object Dedup {
       bands: Int = 4): DataFrame =
     Similarity.cosinePairsLsh(embeddings, threshold, planes, bands)
 
+  /** Connected components over an undirected near-dup pair table →
+    * (doc_id, cluster) with cluster = the minimum doc_id reachable. This is
+    * what turns PAIRS into dedup decisions: keep `cluster`, drop the rest.
+    *
+    * Min-label propagation: each iteration every node adopts the smallest
+    * label among itself and its neighbors; converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (boilerplate stars,
+    * chains of edits), so a handful of rounds in practice; `maxIter` hard-
+    * bounds adversarial chains. Each round is one join + one agg on narrow
+    * (id, label) rows; the driver-side convergence `count` is the standard
+    * iterative-algorithm action (GraphX Pregel does the same). Production
+    * note: alternating large-star/small-star contraction would converge in
+    * O(log n) rounds at identical per-round cost. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist(lvl)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** Portable tokenized-text array (position-preserving), shared by the
     * n-gram operators and spelled identically in the DuckDB oracle. */
   private def tokenArray = expr(

@@ -59,6 +59,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L, math.rint(1.0 / 3.0 * 1e9) / 1e9)))
   }
 
+  test("connectedComponents: transitive chains collapse to the min id") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L),   // chain 1-2-3 → cluster 1
+      (10L, 7L),            // pair → cluster 7
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 10L -> 7L))
+  }
+
+  test("connectedComponents: long chain converges within the diameter bound") {
+    // path 1-2-3-...-8: label 1 must travel 7 hops
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L))
+  }
+
   test("shingles are distinct per doc and length-bounded") {
     val sh = Dedup.shingles(Seq((1L, "abcdefg")).toDF("doc_id", "text"), n = 5)
     assert(sh.count() == 3) // abcde, bcdef, cdefg
