@@ -507,6 +507,10 @@ object SparkEntry {
       operators.ProductQuantization.pqSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
     "pq_recall" -> ((s, dir) =>
       Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "pq")),
+    // composed billion-scale layout: IVF prunes lists, PQ codes shrink the
+    // scan; rows-only (two stacked sketches)
+    "ivfpq_cosine_top10" -> ((s, dir) =>
+      operators.ProductQuantization.ivfPqSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
     // --- TPC-H-ish pricing summary (agg + decimal-exact sums) ---
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)

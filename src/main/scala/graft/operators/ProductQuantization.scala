@@ -145,7 +145,64 @@ object ProductQuantization {
       .where(col("arank") <= rerank)
       .select("q_id", "vec_id")
     // exact re-rank of the survivors
-    scored
+    exactRerank(scored, e, k)
+  }
+
+  /** IVF+PQ: the composed billion-scale layout — IVF prunes WHICH lists
+    * are scanned (nprobe of C), PQ codes shrink WHAT each scan touches
+    * (8 bytes + norm per vector). Queries ADC-score only the vectors in
+    * their probed lists, then exact-re-rank `rerank` survivors. Codebooks
+    * are shared across lists (non-residual IVFADC — residual-encoding
+    * would subtract the list centroid before PQ; same dataflow, one extra
+    * broadcast join at encode time). */
+  def ivfPqSearch(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nprobe: Int = 12,
+      m: Int = 8,
+      codes: Int = 32,
+      rerank: Int = 300): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = Similarity.prepared(embeddings, "embedding")
+      .select("vec_id", "v", "norm").persist(lvl)
+    val cents = Similarity.trainCentroids(e, nCentroids, lloydIters = 2)
+    val lists = Similarity.assignToLists(e, cents).select("list_id", "vec_id")
+    val cb = trainCodebooks(embeddings, m, codes).persist(lvl)
+    val encoded = encode(embeddings, cb, m).join(lists, "vec_id").persist(lvl)
+    val probes = Similarity.probeLists(e, cents, queryIds, nprobe)
+      .select("q_id", "list_id")
+    val subDim = 64 / m
+    val table = e.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .select(col("q_id"), col("qnorm"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(qv, s * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "qsubv")))
+      .join(broadcast(cb), "sub")
+      .withColumn("pdot", expr("graft_dot(qsubv, cv)"))
+      .select("q_id", "qnorm", "sub", "code", "pdot")
+    // candidates = probed lists only; ADC over codes, never raw vectors
+    val scored = encoded
+      .join(broadcast(probes), "list_id")
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("norm"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(any_value(col("qnorm")).as("qnorm"), any_value(col("norm")).as("norm"),
+        sum("pdot").as("adot"))
+      .withColumn("acos", col("adot") / (col("qnorm") * col("norm")))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("acos"), asc("vec_id"))))
+      .where(col("arank") <= rerank)
+      .select("q_id", "vec_id")
+    exactRerank(scored, e, k)
+  }
+
+  /** Exact cosine re-rank of (q_id, vec_id) candidates → top-k rows. */
+  private def exactRerank(candidates: DataFrame, e: DataFrame, k: Int): DataFrame =
+    candidates
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm")), "q_id")
       .join(e, "vec_id")
@@ -155,5 +212,4 @@ object ProductQuantization {
       .where(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
       .orderBy("q_id", "rank")
-  }
 }

@@ -30,7 +30,7 @@ object Similarity {
   private val dot = "graft_dot(%s, %s)"
 
   /** Add `v` (double vector) and `norm` columns. */
-  private def prepared(embeddings: DataFrame, vecCol: String): DataFrame =
+  private[operators] def prepared(embeddings: DataFrame, vecCol: String): DataFrame =
     embeddings
       .withColumn("v", col(vecCol).cast("array<double>"))
       .withColumn("norm", expr("sqrt(" + dot.format("v", "v") + ")"))
@@ -112,53 +112,9 @@ object Similarity {
       lloydIters: Int = 2): DataFrame = {
     val e = prepared(embeddings, "embedding").select("vec_id", "v", "norm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic centroid sample, then `lloydIters` k-means refinements.
-    // Each iteration is map-side assignment (broadcast centroids, partial
-    // max_by before the exchange) + a (c_id, dim) mean whose partial agg
-    // collapses to C×dims rows per partition — index-build cost, linear in
-    // the corpus, no corpus×C shuffle.
-    var cents = e.withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h").limit(nCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
-    for (_ <- 1 to lloydIters) {
-      val assigned0 = e.join(broadcast(cents))
-        .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("c_id"), col("v")),
-          struct(col("c_sim"), -col("c_id"))).as("best"))
-        .select(col("best.c_id").as("c_id"), col("best.v").as("v"))
-      // per-dimension means, rounded to 9 so merge-order ulps can't leak
-      // into assignments; rebuilt as ordered arrays (C×dims rows — tiny)
-      cents = assigned0
-        .select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("c_id", "i").agg(round(avg("x"), 9).as("m"))
-        .groupBy("c_id")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
-        .select(col("c_id"), expr("transform(pairs, p -> p.m)").as("cv"))
-        .withColumn("cnorm", expr("sqrt(" + dot.format("cv", "cv") + ")"))
-    }
-    // inverted lists: every vector → nearest centroid. argmax via map-side
-    // max_by partial aggregation — no corpus×C shuffle, no per-key sort
-    // (the row_number window this replaced shuffled corpus×C rows).
-    val assigned = e.join(broadcast(cents))
-      .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("c_id"), col("v"), col("norm")),
-        struct(col("c_sim"), -col("c_id"))).as("best"))
-      .select(col("best.c_id").as("list_id"), col("vec_id"),
-        col("best.v").as("v"), col("best.norm").as("norm"))
-    // queries probe their nprobe nearest lists: top-nprobe via a sorted
-    // C-element collect_list per query (C is small by construction)
-    val probes = e.where(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      .join(broadcast(cents))
-      .withColumn("c_sim", expr(dot.format("qv", "cv") + " / (qnorm * cnorm)"))
-      .groupBy("q_id")
-      .agg(any_value(col("qv")).as("qv"), any_value(col("qnorm")).as("qnorm"),
-        slice(array_sort(collect_list(
-          struct((-col("c_sim")).as("neg_sim"), col("c_id")))), 1, nprobe).as("top"))
-      .select(col("q_id"), col("qv"), col("qnorm"),
-        explode(col("top.c_id")).as("list_id"))
+    val cents = trainCentroids(e, nCentroids, lloydIters)
+    val assigned = assignToLists(e, cents)
+    val probes = probeLists(e, cents, queryIds, nprobe)
     broadcast(probes)
       .join(assigned, "list_id")
       .where(col("q_id") =!= col("vec_id"))
@@ -171,6 +127,62 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
       .orderBy("q_id", "rank")
   }
+
+  /** Deterministic-sample + `lloydIters` k-means centroids over (vec_id,
+    * v, norm) rows. Each iteration is map-side assignment (broadcast
+    * centroids, partial max_by before the exchange) + a (c_id, dim) mean
+    * whose partial agg collapses to C×dims rows per partition — index-
+    * build cost, linear in the corpus, no corpus×C shuffle. Means are
+    * rounded to 9 so merge-order ulps can't leak into assignments. */
+  private[operators] def trainCentroids(
+      e: DataFrame, nCentroids: Int, lloydIters: Int): DataFrame = {
+    var cents = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    for (_ <- 1 to lloydIters) {
+      val assigned0 = e.join(broadcast(cents))
+        .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("c_id"), col("v")),
+          struct(col("c_sim"), -col("c_id"))).as("best"))
+        .select(col("best.c_id").as("c_id"), col("best.v").as("v"))
+      cents = assigned0
+        .select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("c_id", "i").agg(round(avg("x"), 9).as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+        .select(col("c_id"), expr("transform(pairs, p -> p.m)").as("cv"))
+        .withColumn("cnorm", expr("sqrt(" + dot.format("cv", "cv") + ")"))
+    }
+    cents
+  }
+
+  /** Inverted lists: every vector → nearest centroid. argmax via map-side
+    * max_by partial aggregation — no corpus×C shuffle, no per-key sort
+    * (the row_number window this replaced shuffled corpus×C rows). */
+  private[operators] def assignToLists(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents))
+      .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("c_id"), col("v"), col("norm")),
+        struct(col("c_sim"), -col("c_id"))).as("best"))
+      .select(col("best.c_id").as("list_id"), col("vec_id"),
+        col("best.v").as("v"), col("best.norm").as("norm"))
+
+  /** Per-query top-`nprobe` lists via a sorted C-element collect_list (C is
+    * small by construction): (q_id, qv, qnorm, list_id). */
+  private[operators] def probeLists(
+      e: DataFrame, cents: DataFrame, queryIds: Seq[Long], nprobe: Int): DataFrame =
+    e.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .join(broadcast(cents))
+      .withColumn("c_sim", expr(dot.format("qv", "cv") + " / (qnorm * cnorm)"))
+      .groupBy("q_id")
+      .agg(any_value(col("qv")).as("qv"), any_value(col("qnorm")).as("qnorm"),
+        slice(array_sort(collect_list(
+          struct((-col("c_sim")).as("neg_sim"), col("c_id")))), 1, nprobe).as("top"))
+      .select(col("q_id"), col("qv"), col("qnorm"),
+        explode(col("top.c_id")).as("list_id"))
 
   /** Driver-visible recall gate: per-query overlap of an ANN result
     * (`"lsh"` or `"ivf"`) with the exact [[knnBruteForce]] top-k, THROWING

@@ -47,6 +47,17 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall $recall under 0.5 — coarser than expected")
   }
 
+  test("ivf+pq composition: recall vs brute force survives double pruning") {
+    val got = ProductQuantization.ivfPqSearch(emb, 0L to 9L, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.knnBruteForce(emb, 0L to 9L, 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    val recall = bf.count(got.contains).toDouble / bf.length
+    // two approximations stack (nprobe=12/16 lists × 8x32 codes): the bar
+    // is necessarily below either alone, but must stay useful
+    assert(recall >= 0.7, s"IVF+PQ recall $recall under 0.7")
+  }
+
   test("pq search is deterministic across shuffle layouts") {
     def run(parts: Int): Seq[String] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
