@@ -22,14 +22,18 @@ object Curation {
     "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
       "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
 
-  /** Distinct token `n`-grams per document: (doc_id, gram). */
+  /** Distinct token `n`-grams per document: (doc_id, gram). Dedup happens
+    * in the ARRAY domain (`array_distinct` inside the row) — per-doc
+    * distinct equals global (doc_id, gram) distinct, so this is the same
+    * result as explode-then-distinct WITHOUT the corpus-wide string
+    * shuffle that a post-explode `.distinct()` would plan. */
   private def gramRows(docs: DataFrame, n: Int): DataFrame = {
     val mk = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
     docs.select(col("doc_id"), tokenArray.as("a"))
       .where(size(col("a")) >= n)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(a) - ${n - 1}), i -> $mk)")).as("gram"))
-      .distinct()
+        explode(expr(
+          s"array_distinct(transform(sequence(1, size(a) - ${n - 1}), i -> $mk))")).as("gram"))
   }
 
   /** Benchmark decontamination: per training document, the count and

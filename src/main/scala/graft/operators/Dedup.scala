@@ -206,14 +206,15 @@ object Dedup {
   /** Exact token 3-gram Jaccard for every pair sharing ≥1 gram, at
     * `minJaccard` or above. ANSI-SQL-expressible (oracle-checked). */
   def ngramJaccardExact(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    // per-doc gram dedup in the ARRAY domain: same result as
+    // explode-then-distinct without the corpus-wide string shuffle
     val grams = docs
       .select(col("doc_id"), tokenArray.as("a"))
       .where(size(col("a")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(a) - 2), i -> " +
-          "concat_ws(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2)))"))
+        "array_distinct(transform(sequence(1, size(a) - 2), i -> " +
+          "concat_ws(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2))))"))
         .as("gram"))
-      .distinct()
       // join key = 64-bit gram hash FIRST, exact gram equality second: the
       // sort-merge compares/sorts resolve on the long almost always and only
       // fall through to the string on hash-equal rows, while the retained
