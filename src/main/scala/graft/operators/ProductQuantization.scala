@@ -140,12 +140,8 @@ object ProductQuantization {
       .agg(any_value(col("qnorm")).as("qnorm"), any_value(col("norm")).as("norm"),
         sum("pdot").as("adot"))
       .withColumn("acos", col("adot") / (col("qnorm") * col("norm")))
-      .withColumn("arank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("acos"), asc("vec_id"))))
-      .where(col("arank") <= rerank)
-      .select("q_id", "vec_id")
     // exact re-rank of the survivors
-    exactRerank(scored, e, k)
+    exactRerank(topCandidates(scored, rerank), e, k)
   }
 
   /** IVF+PQ: the composed billion-scale layout — IVF prunes WHICH lists
@@ -193,11 +189,19 @@ object ProductQuantization {
       .agg(any_value(col("qnorm")).as("qnorm"), any_value(col("norm")).as("norm"),
         sum("pdot").as("adot"))
       .withColumn("acos", col("adot") / (col("qnorm") * col("norm")))
-      .withColumn("arank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("acos"), asc("vec_id"))))
-      .where(col("arank") <= rerank)
-      .select("q_id", "vec_id")
-    exactRerank(scored, e, k)
+    exactRerank(topCandidates(scored, rerank), e, k)
+  }
+
+  /** Top-`rerank` ADC candidates per query via the bounded
+    * [[graft.functions.TopKAgg]] buffer — the shuffle carries at most
+    * `rerank` rows per (query, partition) instead of every scored vector
+    * through a ranking-window sort. */
+  private def topCandidates(scored: DataFrame, rerank: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(rerank))
+    scored
+      .groupBy("q_id")
+      .agg(topk(col("acos"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(expr("transform(top, t -> t._2)")).as("vec_id"))
   }
 
   /** Exact cosine re-rank of (q_id, vec_id) candidates → top-k rows. */
