@@ -511,6 +511,20 @@ object SparkEntry {
     // scan; rows-only (two stacked sketches)
     "ivfpq_cosine_top10" -> ((s, dir) =>
       operators.ProductQuantization.ivfPqSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
+    // streaming index maintenance run in batch: per-row encode of arrivals
+    // against a frozen (collected) index — no shuffle of the arrival side
+    "stream_encode_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val e = emb.withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+        .select("vec_id", "v", "norm")
+      val cents = Similarity.trainCentroids(e, 16, 2)
+      val cb = operators.ProductQuantization.trainCodebooks(emb, 8, 32)
+      operators.ProductQuantization.encodeStream(emb, cents, cb)
+        .select(col("vec_id"), col("list_id"),
+          to_json(col("codes")).as("codes_json"), round(col("norm"), 9).as("norm"))
+        .orderBy("vec_id")
+    }),
     // --- TPC-H-ish pricing summary (agg + decimal-exact sums) ---
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)

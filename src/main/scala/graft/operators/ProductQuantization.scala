@@ -204,6 +204,71 @@ object ProductQuantization {
       .select(col("q_id"), explode(expr("transform(top, t -> t._2)")).as("vec_id"))
   }
 
+  /** Streaming index maintenance: encode ARRIVING vectors against a FROZEN
+    * index — per-row map work only (no shuffle, no state store, streaming-
+    * safe in append mode). The trained centroids + codebooks are tiny
+    * (C + m·codes short vectors) and are collected once into the task
+    * closure — the standard "broadcast the trained model, score the
+    * stream" pattern; training itself stays in batch
+    * ([[Similarity.trainCentroids]], [[trainCodebooks]]).
+    *
+    * Argmin order matches the batch encoders bit-for-bit: index-ordered
+    * dot products, ties toward the lowest centroid/code id (inputs iterate
+    * id-sorted, comparisons strict). Output: (vec_id, list_id, codes,
+    * norm) — identical schema to [[encode]] + list assignment. */
+  def encodeStream(
+      arrivals: DataFrame,
+      cents: DataFrame,
+      codebooks: DataFrame,
+      m: Int = 8): DataFrame = {
+    import arrivals.sparkSession.implicits._
+    val cA = cents.select("c_id", "cv", "cnorm")
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    // keep (code, cv) pairs: code ids can have gaps if a Lloyd iteration
+    // emptied a cluster, so the array index is NOT the code id
+    val cbA = codebooks.select("sub", "code", "cv")
+      .as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3))).toMap
+    val subDim = 64 / m
+    arrivals.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var nn = 0.0
+        var i = 0
+        while (i < v.length) { nn += v(i) * v(i); i += 1 }
+        val norm = math.sqrt(nn)
+        var bestC = 0L
+        var bestSim = Double.NegativeInfinity
+        cA.foreach { case (cid, cv, cnorm) =>
+          var d = 0.0
+          var j = 0
+          val n = math.min(v.length, cv.length)
+          while (j < n) { d += v(j) * cv(j); j += 1 }
+          val sim = d / (norm * cnorm)
+          if (sim > bestSim) { bestSim = sim; bestC = cid }
+        }
+        val codes = Array.tabulate(m) { s =>
+          val start = s * subDim
+          var best = 0
+          var bestD = Double.MaxValue
+          val cb = cbA(s)
+          var c = 0
+          while (c < cb.length) {
+            val (code, cv) = cb(c)
+            var d2 = 0.0
+            var j = 0
+            val n = math.min(subDim, cv.length)
+            while (j < n) { val d = v(start + j) - cv(j); d2 += d * d; j += 1 }
+            if (d2 < bestD) { bestD = d2; best = code }
+            c += 1
+          }
+          best
+        }
+        (id, bestC, codes, norm)
+      }
+      .toDF("vec_id", "list_id", "codes", "norm")
+  }
+
   /** Exact cosine re-rank of (q_id, vec_id) candidates → top-k rows. */
   private def exactRerank(candidates: DataFrame, e: DataFrame, k: Int): DataFrame =
     candidates

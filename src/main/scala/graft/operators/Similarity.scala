@@ -134,7 +134,7 @@ object Similarity {
     * whose partial agg collapses to C×dims rows per partition — index-
     * build cost, linear in the corpus, no corpus×C shuffle. Means are
     * rounded to 9 so merge-order ulps can't leak into assignments. */
-  private[operators] def trainCentroids(
+  def trainCentroids(
       e: DataFrame, nCentroids: Int, lloydIters: Int): DataFrame = {
     var cents = e.withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(nCentroids)
@@ -160,7 +160,7 @@ object Similarity {
   /** Inverted lists: every vector → nearest centroid. argmax via map-side
     * max_by partial aggregation — no corpus×C shuffle, no per-key sort
     * (the row_number window this replaced shuffled corpus×C rows). */
-  private[operators] def assignToLists(e: DataFrame, cents: DataFrame): DataFrame =
+  def assignToLists(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents))
       .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
       .groupBy("vec_id")
@@ -171,7 +171,7 @@ object Similarity {
 
   /** Per-query top-`nprobe` lists via a sorted C-element collect_list (C is
     * small by construction): (q_id, qv, qnorm, list_id). */
-  private[operators] def probeLists(
+  def probeLists(
       e: DataFrame, cents: DataFrame, queryIds: Seq[Long], nprobe: Int): DataFrame =
     e.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))

@@ -58,6 +58,52 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF+PQ recall $recall under 0.7")
   }
 
+  test("encodeStream matches the batch encoder bit-for-bit (frozen index)") {
+    val e = emb.withColumn("v", org.apache.spark.sql.functions.col("embedding")
+      .cast("array<double>"))
+      .withColumn("norm", org.apache.spark.sql.functions.expr("sqrt(graft_dot(v, v))"))
+      .select("vec_id", "v", "norm")
+    val cents = Similarity.trainCentroids(e, 4, 2)
+    val cb = ProductQuantization.trainCodebooks(emb, m = 8, codes = 16)
+    val batch = ProductQuantization.encode(emb, cb, m = 8)
+      .join(Similarity.assignToLists(e, cents).select("vec_id", "list_id"), "vec_id")
+      .select("vec_id", "list_id", "codes", "norm")
+      .as[(Long, Long, Array[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val stream = ProductQuantization.encodeStream(emb, cents, cb, m = 8)
+      .as[(Long, Long, Array[Int], Double)].collect()
+    assert(stream.length == batch.size)
+    stream.foreach { case (id, list, codes, norm) =>
+      val b = batch(id)
+      assert(list == b._2, s"list mismatch for vec $id")
+      assert(codes.toSeq == b._3.toSeq, s"codes mismatch for vec $id")
+      assert(norm == b._4, s"norm mismatch for vec $id")
+    }
+  }
+
+  test("encodeStream works on an actual stream (per-row, append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = emb.withColumn("v", org.apache.spark.sql.functions.col("embedding")
+      .cast("array<double>"))
+      .withColumn("norm", org.apache.spark.sql.functions.expr("sqrt(graft_dot(v, v))"))
+      .select("vec_id", "v", "norm")
+    val cents = Similarity.trainCentroids(e, 4, 1)
+    val cb = ProductQuantization.trainCodebooks(emb, m = 8, codes = 16)
+    val in = MemoryStream[(Long, Array[Float])]
+    val arrivals = in.toDF.toDF("vec_id", "embedding")
+    val q = ProductQuantization.encodeStream(arrivals, cents, cb)
+      .writeStream.format("memory").queryName("enc_out")
+      .outputMode("append").start()
+    try {
+      val vecs = emb.select("vec_id", "embedding")
+        .as[(Long, Array[Float])].take(3)
+      in.addData(vecs.toIndexedSeq)
+      q.processAllAvailable()
+      assert(spark.table("enc_out").count() == 3)
+    } finally q.stop()
+  }
+
   test("pq search is deterministic across shuffle layouts") {
     def run(parts: Int): Seq[String] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
