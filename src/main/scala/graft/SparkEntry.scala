@@ -511,6 +511,16 @@ object SparkEntry {
     // scan; rows-only (two stacked sketches)
     "ivfpq_cosine_top10" -> ((s, dir) =>
       operators.ProductQuantization.ivfPqSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
+    // end-to-end retrieval: query embedding → exact cosine top-10 → join
+    // the document table back for display columns (vec_id ↔ doc_id)
+    "retrieve_docs_for_query" -> ((s, dir) =>
+      Similarity.knnBruteForce(Tables.embeddings(s, dir), Seq(0L), 10)
+        .withColumnRenamed("rank", "rnk")
+        .withColumn("rnk", col("rnk").cast("long"))
+        .join(Tables.documents(s, dir).select(
+          col("doc_id").as("vec_id"), col("lang"), col("source")), "vec_id")
+        .select("q_id", "rnk", "vec_id", "cos", "lang", "source")
+        .orderBy("rnk")),
     // streaming index maintenance run in batch: per-row encode of arrivals
     // against a frozen (collected) index — no shuffle of the arrival side
     "stream_encode_batch" -> ((s, dir) => {
@@ -1087,6 +1097,28 @@ object SparkEntry {
         |)
         |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+    "retrieve_docs_for_query" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+        |  FROM ex GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS d
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id = 0 GROUP BY 1, 2
+        |), cosd AS (
+        |  SELECT q_id, dots.vec_id AS vec_id, round(d / (na.nrm * nb.nrm), 6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = dots.vec_id
+        |), ranked AS (
+        |  SELECT q_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk,
+        |    vec_id, cos FROM cosd
+        |)
+        |SELECT r.q_id, r.rnk, r.vec_id, r.cos, d.lang, d.source
+        |FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+        |WHERE r.rnk <= 10 ORDER BY r.rnk""".stripMargin,
     "tfidf_full" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
