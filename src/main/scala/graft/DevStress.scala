@@ -28,10 +28,23 @@ object DevStress {
     time("dedup_exact")(Dedup.exact(docs).count())
     time("minhash_pairs")(Dedup.minhashPairs(docs, threshold = 0.5).count())
     time("simhash_pairs")(Dedup.simhashPairs(docs).count())
+    time("dedup_clusters")(Dedup.connectedComponents(
+      Dedup.minhashPairs(docs, threshold = 0.5).select(
+        org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))).count())
+    time("decontaminate")(graft.operators.Curation.decontaminate(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 53 =!= 0),
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 53 === 0)).count())
+    time("repetition_stats")(graft.operators.Curation.repetitionStats(docs).count())
+    time("boilerplate_grams")(graft.operators.Curation.boilerplateGrams(docs).count())
+    time("streaming_neardups")(graft.streaming.Streams.streamingNearDups(
+      docs.select("doc_id", "text"), threshold = 0.5).count())
     time("knn_top10")(Similarity.knnBruteForce(embs, 0L to 9L, 10).count())
     time("ann_top10")(Similarity.annCosineLsh(embs, 0L to 9L, 10).count())
     time("ivf_top10")(Similarity.ivfSearch(embs, 0L to 9L, 10).count())
     time("embedding_near_dups")(Similarity.cosinePairsLsh(embs, 0.95).count())
+    time("pq_top10")(graft.operators.ProductQuantization.pqSearch(embs, 0L to 9L, 10).count())
+    time("ivfpq_top10")(graft.operators.ProductQuantization.ivfPqSearch(embs, 0L to 9L, 10).count())
     if (new java.io.File(s"$dir/lineitem.parquet").exists()) {
       time("q1_pricing")(SparkEntry.queries("q1_pricing_summary")(spark, dir).count())
       time("q3_top_revenue")(SparkEntry.queries("q3_top_revenue")(spark, dir).count())
