@@ -81,16 +81,23 @@ object ProductQuantization {
       .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
       .select("vec_id", "v", "norm")
     val subDim = 64 / m
-    subVectors(e, m, subDim)
+    // norm rides along through both aggregations (any_value of a column
+    // functionally determined by the group key) — carrying 8 bytes beats
+    // re-joining the corpus to itself on vec_id afterwards
+    e.select(col("vec_id"), col("norm"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
+      .as(Seq("sub", "subv")))
       .join(broadcast(codebooks), "sub")
       .withColumn("d2", expr(
         "graft_sqdist(subv, cv)"))
       .groupBy("vec_id", "sub")
-      .agg(max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))
+      .agg(any_value(col("norm")).as("norm"),
+        max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))
       .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("pairs"))
-      .select(col("vec_id"), expr("transform(pairs, p -> p.code)").as("codes"))
-      .join(e.select("vec_id", "norm"), "vec_id")
+      .agg(any_value(col("norm")).as("norm"),
+        array_sort(collect_list(struct(col("sub"), col("code")))).as("pairs"))
+      .select(col("vec_id"), expr("transform(pairs, p -> p.code)").as("codes"),
+        col("norm"))
   }
 
   /** PQ search: asymmetric distance computation. Per query, the partial
@@ -269,9 +276,12 @@ object ProductQuantization {
       .toDF("vec_id", "list_id", "codes", "norm")
   }
 
-  /** Exact cosine re-rank of (q_id, vec_id) candidates → top-k rows. */
+  /** Exact cosine re-rank of (q_id, vec_id) candidates → top-k rows.
+    * Candidates are ≤ |Q|·rerank rows by construction → broadcast them
+    * rather than letting an unknown-stats post-agg side pick a
+    * sort-merge join against the corpus. */
   private def exactRerank(candidates: DataFrame, e: DataFrame, k: Int): DataFrame =
-    candidates
+    broadcast(candidates)
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm")), "q_id")
       .join(e, "vec_id")
