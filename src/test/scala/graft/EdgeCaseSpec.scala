@@ -48,4 +48,41 @@ class EdgeCaseSpec extends SparkSpec {
   test("rankByValue on empty input returns empty") {
     assert(Tfidf.rankByValue(docsOf(Seq()), "doc_id", Seq("text")).count() == 0)
   }
+
+  test("connectedComponents on an empty pair table returns no clusters") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("decontaminate drops sub-gram-length docs from both sides consistently") {
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val train = Seq((1L, "alpha beta"), (2L, "alpha beta gamma more words"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation.decontaminate(train, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L)) // doc 1 has 2 tokens → no 3-grams → absent
+  }
+
+  test("pq search works when the corpus is smaller than the codebook size") {
+    val vecs = (0L until 6L).map(i =>
+      (i, Array.tabulate(64)(j => (i + 1).toFloat * (j % 3 + 1)), 0))
+      .toDF("vec_id", "embedding", "label")
+    // codes=32 > 6 vectors: codebooks are just smaller; search must still run
+    val got = graft.operators.ProductQuantization.pqSearch(vecs, Seq(0L), k = 3)
+    assert(got.count() == 3)
+  }
+
+  test("streaming near-dup store: sub-shingle docs share the all-empty signature") {
+    // docs shorter than the shingle window get the all-MaxValue densified
+    // signature → they band-collide with each OTHER (semantically: two
+    // empty-content docs are duplicates) but never with real docs; the
+    // per-bucket cap bounds the degenerate bucket
+    val docs = Seq((1L, "ab"), (2L, "cd"),
+      (3L, "a real document with plenty of shingled content here"))
+      .toDF("doc_id", "text")
+    val hits = graft.streaming.Streams.streamingNearDups(docs, threshold = 0.5)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(hits.contains((2L, 1L)))
+    assert(!hits.exists(h => h._1 == 3L || h._2 == 3L))
+  }
 }
