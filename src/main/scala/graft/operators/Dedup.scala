@@ -192,6 +192,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: iteration cap $maxIter hit " +
+        "before fixpoint — labels are an upper bound, not final components")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")

@@ -244,7 +244,9 @@ object ProductQuantization {
         var i = 0
         while (i < v.length) { nn += v(i) * v(i); i += 1 }
         val norm = math.sqrt(nn)
-        var bestC = 0L
+        // init = lowest centroid id: matches the batch max_by tie policy
+        // even in the degenerate all-NaN case (a zero-norm vector)
+        var bestC = cA.head._1
         var bestSim = Double.NegativeInfinity
         cA.foreach { case (cid, cv, cnorm) =>
           var d = 0.0
