@@ -396,6 +396,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.5)),
+    // idempotent ingestion: which incoming docs are content-NEW vs the
+    // already-ingested half of the corpus
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNew(docs.where(col("doc_id") % 2 === 0), docs)
+    }),
     // near-dup clusters from the exact pair table (keep `cluster`, drop the
     // rest); oracle = DuckDB recursive reachability over the same pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -1031,6 +1037,15 @@ object SparkEntry {
          |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents
+        |), seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 2 = 0),
+        |keeper AS (SELECT fingerprint, min(doc_id) AS doc_id FROM f GROUP BY 1)
+        |SELECT doc_id, fingerprint FROM keeper
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $toksArrCte,
          |grams AS (

@@ -156,6 +156,24 @@ object Dedup {
       bands: Int = 4): DataFrame =
     Similarity.cosinePairsLsh(embeddings, threshold, planes, bands)
 
+  /** Incremental ingestion dedup: of `incoming`, keep only documents whose
+    * content fingerprint is NOT already in `existing` — the anti-join that
+    * makes corpus ingestion idempotent (re-delivered batches, overlapping
+    * crawls). Within the incoming batch itself the lowest doc_id per
+    * fingerprint survives (same policy as [[exact]]). Both sides reduce to
+    * narrow (fingerprint[, id]) rows before the one shuffle; no text moves. */
+  def incrementalNew(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val seen = existing
+      .select(TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+      .distinct()
+    incoming
+      .select(col("doc_id"), TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .join(seen, Seq("fingerprint"), "left_anti")
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an undirected near-dup pair table →
     * (doc_id, cluster) with cluster = the minimum doc_id reachable. This is
     * what turns PAIRS into dedup decisions: keep `cluster`, drop the rest.

@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L, math.rint(1.0 / 3.0 * 1e9) / 1e9)))
   }
 
+  test("incrementalNew keeps only content not already ingested, idempotently") {
+    val existing = Seq((10L, "seen before")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "SEEN   before"),        // dup of existing modulo case/whitespace
+      (2L, "brand new content"),
+      (3L, "brand NEW content"),    // in-batch dup of 2 → keeper 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(existing, incoming)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+    // idempotence: re-delivering after ingest yields nothing
+    val afterIngest = existing.union(incoming)
+    assert(Dedup.incrementalNew(afterIngest, incoming).count() == 0)
+  }
+
   test("connectedComponents: transitive chains collapse to the min id") {
     val pairs = Seq(
       (2L, 1L), (2L, 3L),   // chain 1-2-3 → cluster 1
