@@ -53,6 +53,16 @@ object SparkEntry {
           .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf")),
         "tfidf", 100, Seq("term", "doc_id"))
     }),
+    // the reference output's canonical consumer: rank docs for a term query
+    "tfidf_search" -> ((s, dir) =>
+      Tfidf.searchByTerms(Tables.documents(s, dir),
+        Seq("table", "query", "spark"), 20)),
+    // per-source stratified stable sample (content-keyed, reproducible)
+    "documents_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stableSample(Tables.documents(s, dir), "doc_id", 0.2)
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source")),
     "tfidf_l2_normalized" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // round tfidf FIRST so both engines square/sum identical doubles;
@@ -1134,6 +1144,26 @@ object SparkEntry {
         |SELECT r.q_id, r.rnk, r.vec_id, r.cos, d.lang, d.source
         |FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
         |WHERE r.rnk <= 10 ORDER BY r.rnk""".stripMargin,
+    "tfidf_search" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tc.term, tc.doc_id,
+         |    round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9)
+         |      AS tfidf_r
+         |  FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n)
+         |SELECT doc_id, count(*) AS n_hits,
+         |  round(CAST(sum(CAST(tfidf_r AS DECIMAL(28,14))) AS DOUBLE), 9) AS score
+         |FROM scored WHERE term IN ('table', 'query', 'spark')
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "documents_stratified_sample" ->
+      """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 858993459
+        |GROUP BY source ORDER BY source""".stripMargin,
     "tfidf_full" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),

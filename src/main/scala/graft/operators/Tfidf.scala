@@ -133,4 +133,23 @@ object Tfidf {
     * form of the reference's job 4 for ranking queries. */
   def topKByValue(df: DataFrame, valueCol: String, k: Int, tiebreak: Seq[String]): DataFrame =
     rankByValue(df, valueCol, tiebreak).limit(k)
+
+  /** TF-IDF text search: rank documents by summed tf·idf over the query's
+    * terms — the canonical CONSUMER of the reference's output (what its
+    * ranked word|file table exists to serve). Scale shape: the term filter
+    * prunes the scored table to query-term rows only (predicate pushdown
+    * into the aggregation's input), one narrow per-doc agg, top-k as
+    * TakeOrderedAndProject. The per-doc sum is decimal-routed over rounded
+    * tfidf values so ranking is engine-exact and merge-order-free. */
+  def searchByTerms(docs: DataFrame, queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    val scored = pipeline(docs, portable = true)
+      .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf_r"))
+    topKByValue(
+      scored.where(col("term").isInCollection(queryTerms))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          round(sum(col("tfidf_r").cast("decimal(28,14)")).cast("double"), 9).as("score"))
+        .select("doc_id", "n_hits", "score"),
+      "score", k, Seq("doc_id"))
+  }
 }
