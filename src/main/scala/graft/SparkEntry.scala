@@ -1037,10 +1037,12 @@ object SparkEntry {
          |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
          |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
          |  FROM toksarr WHERE len(a) >= 3
-         |), sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+         |), okg AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 64),
+         |kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN okg USING (gram)),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
          |shared AS (
          |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+         |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_shared, sa.n_grams AS grams_a, sb.n_grams AS grams_b,
          |  round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) AS jaccard
@@ -1063,10 +1065,12 @@ object SparkEntry {
          |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
          |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
          |  FROM toksarr WHERE len(a) >= 3
-         |), sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+         |), okg AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 64),
+         |kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN okg USING (gram)),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
          |shared AS (
          |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+         |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
          |  GROUP BY 1, 2),
          |pairs AS (
          |  SELECT doc_a, doc_b

@@ -225,8 +225,21 @@ object Dedup {
       "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
 
   /** Exact token 3-gram Jaccard for every pair sharing ≥1 gram, at
-    * `minJaccard` or above. ANSI-SQL-expressible (oracle-checked). */
-  def ngramJaccardExact(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    * `minJaccard` or above. ANSI-SQL-expressible (oracle-checked).
+    *
+    * Boilerplate-gram cap: a gram appearing in d documents contributes
+    * d·(d−1)/2 rows to the shared-gram self-join — one corpus-wide header
+    * 3-gram in 100k docs is 10¹⁰ join rows, the classic near-dup scale
+    * killer. Grams with document frequency above `maxGramDf` are dropped
+    * from BOTH the numerator and the denominators (Jaccard over the
+    * non-boilerplate gram sets — the same move as stop-word removal, and
+    * the standard semantics for content-overlap dedup), so every gram
+    * contributes at most `maxGramDf`² join rows and the join is bounded by
+    * |grams|·maxGramDf regardless of corpus size. The dropped grams are
+    * exactly [[graft.operators.Curation.boilerplateGrams]]' output above
+    * the cap, reportable as a coverage stat. */
+  def ngramJaccardExact(docs: DataFrame, minJaccard: Double = 0.5,
+      maxGramDf: Int = 64): DataFrame = {
     // per-doc gram dedup in the ARRAY domain: same result as
     // explode-then-distinct without the corpus-wide string shuffle
     val grams = docs
@@ -241,9 +254,19 @@ object Dedup {
       // fall through to the string on hash-equal rows, while the retained
       // gram equality keeps the count collision-proof (exact verifier).
       .withColumn("gh", xxhash64(col("gram")))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val shared = grams.as("ga")
-      .join(grams.as("gb"),
+      // one scan+tokenize feeds three consumers (gram-DF agg, sizes, both
+      // self-join sides); persist the narrow (doc_id, gram, gh) rows once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gram document frequency on the hash-first key; rows are distinct per
+    // (doc, gram) by construction so count(*) IS the df
+    val okGrams = grams.groupBy("gh", "gram")
+      .agg(count(lit(1)).as("gram_df"))
+      .where(col("gram_df") <= maxGramDf)
+      .select("gh", "gram")
+    val kept = grams.join(okGrams, Seq("gh", "gram"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = kept.as("ga")
+      .join(kept.as("gb"),
         col("ga.gh") === col("gb.gh") && col("ga.gram") === col("gb.gram"))
       .where(col("ga.doc_id") < col("gb.doc_id"))
       .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))

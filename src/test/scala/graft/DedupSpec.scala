@@ -47,6 +47,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairSet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram jaccard: boilerplate gram above maxGramDf is dropped from numerator AND denominator") {
+    // "z z z" appears in all 4 docs (df=4); every other gram is doc-local or df=2
+    val docs = Seq(
+      (1L, "z z z a b c"),  // grams: "z z z","z z a","z a b","a b c"
+      (2L, "z z z a b d"),  // shares "z z a","z a b" with doc 1
+      (3L, "z z z p q r"),
+      (4L, "z z z s t u"),
+    ).toDF("doc_id", "text")
+    // cap=3 < df("z z z")=4 → boilerplate gram excluded everywhere:
+    // docs 1,2 share 2 of their 3 remaining grams → jaccard 2/4 = 0.5;
+    // docs 3,4 share nothing any more → no pair at all
+    val capped = Dedup.ngramJaccardExact(docs, minJaccard = 0.0, maxGramDf = 3)
+      .select("doc_a", "doc_b", "n_shared", "grams_a", "grams_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(capped == Seq((1L, 2L, 2L, 3L, 3L, 0.5)))
+    // cap=4 keeps the gram → all 6 pairs share at least "z z z"
+    val uncapped = Dedup.ngramJaccardExact(docs, minJaccard = 0.0, maxGramDf = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(uncapped.length == 6)
+  }
+
   test("ngram jaccard: hand-computed overlap") {
     val docs = Seq(
       (1L, "a b c d"),   // grams: "a b c", "b c d"
