@@ -30,6 +30,27 @@ object SparkEntry {
     Tfidf.rankByValue(Tfidf.pipeline(docs), "tfidf", Seq("term", "doc_id"))
   }
 
+  /** One trained ANN index per sf directory, built on first use and
+    * persisted as parquet tables (build-once/query-many): every PQ/IVF
+    * query and recall gate below reads the same index instead of paying
+    * the deterministic training again. Training is deterministic, so a
+    * rebuild would produce bit-identical tables — the cache only saves
+    * time, never changes answers. */
+  private val annIndexCache =
+    new scala.collection.concurrent.TrieMap[String, operators.ProductQuantization.AnnIndex]()
+
+  private def annIndex(s: SparkSession, dir: String): operators.ProductQuantization.AnnIndex =
+    annIndexCache.getOrElseUpdate(dir, {
+      val idxDir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_index_" + java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val built = operators.ProductQuantization.buildIndex(Tables.embeddings(s, dir))
+      operators.ProductQuantization.writeIndex(built, idxDir)
+      // serve queries from the on-disk tables: immune to cache clears, and
+      // exactly the layout a production cluster would read
+      operators.ProductQuantization.loadIndex(s, idxDir)
+    })
+
   // ---------------------------------------------------------------------------
   // Declared queries. Each (SparkSession, sfDir) => DataFrame, hash-compared
   // against `oracleSql` by the driver (DuckDB on the same parquet).
@@ -510,23 +531,41 @@ object SparkEntry {
     "ann_cosine_lsh" -> ((s, dir) =>
       Similarity.annCosineLsh(Tables.embeddings(s, dir), 0L to 9L, 10)),
     "ivf_cosine_top10" -> ((s, dir) =>
-      Similarity.ivfSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
+      Similarity.ivfSearch(Tables.embeddings(s, dir), 0L to 9L, 10,
+        prebuiltCents = Some(annIndex(s, dir).cents))),
     // Recall gates: THROW (→ driver `err`) if ANN recall vs brute force
     // drops under 0.9; rows-only output (q_id, n_matched, k_exact).
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "lsh")),
     "ivf_recall" -> ((s, dir) =>
-      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "ivf")),
-    // PQ: 8x16 codebooks (8 bytes/vector), ADC scoring, exact re-rank of
-    // the top-50 — the memory-bounded ANN path; gate at 0.9 like the others
+      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "ivf",
+        index = Some(annIndex(s, dir)))),
+    // index build as a first-class operator: train coarse centroids + PQ
+    // codebooks once, persist the compressed corpus; the summary row is the
+    // driver-visible artifact (rows-only — centroid values are engine-
+    // specific, but counts/dims are deterministic)
+    "ann_index_build" -> ((s, dir) => {
+      val idx = annIndex(s, dir)
+      idx.encoded.agg(
+        count(lit(1)).as("n_vectors"),
+        countDistinct(col("list_id")).as("n_lists"),
+        max(size(col("codes"))).as("codes_per_vec"))
+        .withColumn("m", lit(idx.m))
+        .withColumn("dim", lit(idx.dim))
+    }),
+    // PQ: 8x32 codebooks (8 bytes/vector), ADC scoring against the prebuilt
+    // index, exact re-rank — the memory-bounded ANN path; gate at 0.9
     "pq_cosine_top10" -> ((s, dir) =>
-      operators.ProductQuantization.pqSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
+      operators.ProductQuantization.pqSearch(annIndex(s, dir),
+        Tables.embeddings(s, dir), 0L to 9L, 10, rerank = 300)),
     "pq_recall" -> ((s, dir) =>
-      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "pq")),
+      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "pq",
+        index = Some(annIndex(s, dir)))),
     // composed billion-scale layout: IVF prunes lists, PQ codes shrink the
     // scan; rows-only (two stacked sketches)
     "ivfpq_cosine_top10" -> ((s, dir) =>
-      operators.ProductQuantization.ivfPqSearch(Tables.embeddings(s, dir), 0L to 9L, 10)),
+      operators.ProductQuantization.ivfPqSearch(annIndex(s, dir),
+        Tables.embeddings(s, dir), 0L to 9L, 10, nprobe = 12, rerank = 300)),
     // end-to-end retrieval: query embedding → exact cosine top-10 → join
     // the document table back for display columns (vec_id ↔ doc_id)
     "retrieve_docs_for_query" -> ((s, dir) =>
@@ -540,15 +579,22 @@ object SparkEntry {
     // streaming index maintenance run in batch: per-row encode of arrivals
     // against a frozen (collected) index — no shuffle of the arrival side
     "stream_encode_batch" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val e = emb.withColumn("v", col("embedding").cast("array<double>"))
-        .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
-        .select("vec_id", "v", "norm")
-      val cents = Similarity.trainCentroids(e, 16, 2)
-      val cb = operators.ProductQuantization.trainCodebooks(emb, 8, 32)
-      operators.ProductQuantization.encodeStream(emb, cents, cb)
+      val idx = annIndex(s, dir)
+      operators.ProductQuantization.encodeStream(
+          Tables.embeddings(s, dir), idx.cents, idx.codebooks)
         .select(col("vec_id"), col("list_id"),
           to_json(col("codes")).as("codes_json"), round(col("norm"), 9).as("norm"))
+        .orderBy("vec_id")
+    }),
+    // the encoder's oracle-able face: the exact norm column (index-ordered
+    // double sum in Spark vs DECIMAL-exact sum in DuckDB, both rounded) —
+    // pins the streaming encoder's arithmetic to something outside the
+    // engine, while codes/list_id stay engine-specific (rows-only above)
+    "stream_encode_norms" -> ((s, dir) => {
+      val idx = annIndex(s, dir)
+      operators.ProductQuantization.encodeStream(
+          Tables.embeddings(s, dir), idx.cents, idx.codebooks)
+        .select(col("vec_id"), round(col("norm"), 6).as("norm"))
         .orderBy("vec_id")
     }),
     // --- TPC-H-ish pricing summary (agg + decimal-exact sums) ---
@@ -1126,6 +1172,15 @@ object SparkEntry {
         |)
         |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+    // the streaming encoder's SQL-expressible column: exact vector norms.
+    // Spark sums squares index-ordered in the JVM loop; the oracle sums
+    // exactly via DECIMAL — both round(·, 6), per the float-parity rules.
+    "stream_encode_norms" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |)
+        |SELECT vec_id, round(sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)), 6) AS norm
+        |FROM ex GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "retrieve_docs_for_query" ->
       """WITH ex AS (
         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

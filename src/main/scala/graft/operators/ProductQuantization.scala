@@ -1,11 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-quantization (PQ) approximate nearest neighbor: compress each
-  * vector to `m` sub-space codebook codes (here 8 codes of 4 bits → 8
+  * vector to `m` sub-space codebook codes (8 codes of 5 bits → 8
   * bytes/vector instead of 256 for a 64-dim float embedding), score
   * queries against codes via an asymmetric distance table, exact-re-rank
   * the survivors.
@@ -15,18 +15,45 @@ import org.apache.spark.sql.functions._
   * than the embeddings, so the scan stage reads gigabytes instead of
   * terabytes, and codes survive entirely in memory at corpus sizes where
   * raw vectors cannot. Composing both (IVF lists of PQ codes) is the
-  * standard billion-scale layout; the pieces here compose exactly that
-  * way.
+  * standard billion-scale layout; [[AnnIndex]] holds exactly that
+  * composition, built once and queried many times.
   *
   * All stages are deterministic: codebook init is a lowest-hash sample per
   * sub-space, Lloyd refinement uses means rounded to 9 decimals (merge-
   * order ulps cannot leak into assignments), and every argmin tie breaks
-  * toward the lowest code id.
+  * toward the lowest code id. The embedding dimension is read from the
+  * data (never assumed), so any `array<float>` corpus works as long as
+  * `dim % m == 0`.
   */
 object ProductQuantization {
 
-  /** (vec_id, v, norm) with double vectors, plus per-sub-space rows
-    * (vec_id, sub, subv). */
+  /** A trained, reusable ANN index over one embedding corpus:
+    *  - `cents`     (c_id, cv, cnorm): IVF coarse centroids
+    *  - `codebooks` (sub, code, cv):   PQ sub-space codebooks
+    *  - `encoded`   (vec_id, list_id, codes, norm): the compressed corpus
+    * Build once with [[buildIndex]], persist to storage with
+    * [[writeIndex]], reload with [[loadIndex]] — the production shape
+    * (index tables on disk, queried many times) and the fix for paying
+    * deterministic training again on every search call. */
+  case class AnnIndex(
+      cents: DataFrame,
+      codebooks: DataFrame,
+      encoded: DataFrame,
+      m: Int,
+      dim: Int)
+
+  /** Embedding width read from the data: one-row scan at index-build
+    * time, never a hardcoded fixture width. */
+  private[operators] def embeddingDim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+
+  private def checkDim(dim: Int, m: Int): Int = {
+    require(dim > 0 && dim % m == 0,
+      s"embedding dim $dim must be a positive multiple of m=$m sub-spaces")
+    dim / m
+  }
+
+  /** Per-sub-space rows (vec_id, sub, subv) from (vec_id, v) rows. */
   private def subVectors(prepared: DataFrame, m: Int, subDim: Int): DataFrame =
     prepared.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
@@ -42,8 +69,7 @@ object ProductQuantization {
       lloydIters: Int = 2): DataFrame = {
     val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
-    val dim = 64 // embeddings fixture width; subDim derives from it
-    val subDim = dim / m
+    val subDim = checkDim(embeddingDim(embeddings), m)
     val sub = subVectors(e, m, subDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: per sub-space, the `codes` sub-vectors with lowest row hash
@@ -80,7 +106,7 @@ object ProductQuantization {
     val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
       .select("vec_id", "v", "norm")
-    val subDim = 64 / m
+    val subDim = checkDim(embeddingDim(embeddings), m)
     // norm rides along through both aggregations (any_value of a column
     // functionally determined by the group key) — carrying 8 bytes beats
     // re-joining the corpus to itself on vec_id afterwards
@@ -100,13 +126,85 @@ object ProductQuantization {
         col("norm"))
   }
 
-  /** PQ search: asymmetric distance computation. Per query, the partial
-    * dot product of its sub-vector with every codebook centroid forms an
-    * m×codes lookup table (broadcast); corpus codes join the table and sum
-    * partial dots — approximate dot — then the top `rerank` candidates by
-    * approximate cosine are re-scored EXACTLY and the top `k` returned.
-    * The scan side touches only (vec_id, codes, norm) — the ~30×-smaller
-    * representation — plus an output-bound exact re-rank.
+  /** Train the full IVF+PQ index over a corpus: coarse centroids, PQ
+    * codebooks, and the encoded corpus with list assignments — every
+    * deterministic training pass runs exactly once. The returned frames
+    * are persisted; call [[writeIndex]] to make the index durable. */
+  def buildIndex(
+      embeddings: DataFrame,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      codes: Int = 32,
+      lloydIters: Int = 2): AnnIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dim = embeddingDim(embeddings)
+    checkDim(dim, m)
+    val e = Similarity.prepared(embeddings, "embedding")
+      .select("vec_id", "v", "norm").persist(lvl)
+    val cents = Similarity.trainCentroids(e, nCentroids, lloydIters).persist(lvl)
+    val lists = Similarity.assignToLists(e, cents).select("list_id", "vec_id")
+    val cb = trainCodebooks(embeddings, m, codes, lloydIters).persist(lvl)
+    val encoded = encode(embeddings, cb, m).join(lists, "vec_id")
+      .select("vec_id", "list_id", "codes", "norm").persist(lvl)
+    AnnIndex(cents, cb, encoded, m, dim)
+  }
+
+  /** Persist a trained index as parquet tables under `dir` — the
+    * build-once/query-many layout (centroids + codebooks are tiny; the
+    * encoded corpus is the ~30×-compressed representation). */
+  def writeIndex(index: AnnIndex, dir: String): Unit = {
+    index.cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    index.encoded.write.mode("overwrite").parquet(s"$dir/encoded.parquet")
+    index.cents.sparkSession.range(1)
+      .select(lit(index.m).as("m"), lit(index.dim).as("dim"))
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** Reload a persisted index. Queries against a loaded index never pay
+    * training again — and never re-scan the raw corpus except for the
+    * output-bound exact re-rank. */
+  def loadIndex(spark: SparkSession, dir: String): AnnIndex = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    AnnIndex(
+      cents = spark.read.parquet(s"$dir/centroids.parquet"),
+      codebooks = spark.read.parquet(s"$dir/codebooks.parquet"),
+      encoded = spark.read.parquet(s"$dir/encoded.parquet"),
+      m = meta.getAs[Int]("m"),
+      dim = meta.getAs[Int]("dim"))
+  }
+
+  /** ADC lookup table: per query, the partial dot product of each of its
+    * sub-vectors with every codebook centroid — m×codes rows per query,
+    * broadcast to the code scan. Output: (q_id, qnorm, sub, code, pdot). */
+  private def adcTable(
+      e: DataFrame, codebooks: DataFrame, queryIds: Seq[Long],
+      m: Int, subDim: Int): DataFrame =
+    e.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .select(col("q_id"), col("qnorm"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(qv, s * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "qsubv")))
+      .join(broadcast(codebooks), "sub")
+      .withColumn("pdot", expr("graft_dot(qsubv, cv)"))
+      .select("q_id", "qnorm", "sub", "code", "pdot")
+
+  /** Sum of per-sub-space partial dots → approximate cosine per
+    * (query, vector). `coded` must carry (q_id, vec_id, norm, sub, code)
+    * already joined with the ADC `table` columns (qnorm, pdot). */
+  private def adcScore(coded: DataFrame): DataFrame =
+    coded
+      .groupBy("q_id", "vec_id")
+      .agg(any_value(col("qnorm")).as("qnorm"), any_value(col("norm")).as("norm"),
+        sum("pdot").as("adot"))
+      .withColumn("acos", col("adot") / (col("qnorm") * col("norm")))
+
+  /** PQ search against a prebuilt index: asymmetric distance computation
+    * over the compressed corpus (every list — no IVF pruning), then the
+    * top `rerank` candidates by approximate cosine are re-scored EXACTLY
+    * and the top `k` returned. The scan side touches only
+    * (vec_id, codes, norm) — the ~30×-smaller representation — plus an
+    * output-bound exact re-rank against `embeddings`.
     *
     * Defaults calibrated on the synthetic (iid-random — PQ's worst case:
     * no cluster structure to exploit) corpus: 8×32 codebooks with a
@@ -114,50 +212,70 @@ object ProductQuantization {
     * `rerank` is a CONSTANT independent of corpus size — at a billion
     * vectors the re-rank stage is still 300 exact dots per query. */
   def pqSearch(
+      index: AnnIndex,
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      rerank: Int): DataFrame = {
+    val e = Similarity.prepared(embeddings, "embedding").select("vec_id", "v", "norm")
+    val table = adcTable(e, index.codebooks, queryIds, index.m, index.dim / index.m)
+    val scored = adcScore(index.encoded
+      .select(col("vec_id"), col("norm"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("sub", "code"))
+      .where(col("q_id") =!= col("vec_id")))
+    exactRerank(topCandidates(scored, rerank), e, k)
+  }
+
+  /** Self-contained PQ search: trains an ephemeral codebook + encoding
+    * first (one deterministic pass), then delegates to the indexed path.
+    * Prefer [[buildIndex]] + the index overload when running more than one
+    * query batch — training is the dominant cost. */
+  def pqSearch(
       embeddings: DataFrame,
       queryIds: Seq[Long],
       k: Int = 10,
       m: Int = 8,
       codes: Int = 32,
       rerank: Int = 300): DataFrame = {
-    val cb = trainCodebooks(embeddings, m, codes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dim = embeddingDim(embeddings)
+    val cb = trainCodebooks(embeddings, m, codes).persist(lvl)
     val encoded = encode(embeddings, cb, m)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
-      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
-      .select("vec_id", "v", "norm")
-    // ADC table: (q_id, sub, code, pdot)
-    val subDim = 64 / m
-    val table = e.where(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      .select(col("q_id"), col("qnorm"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> slice(qv, s * $subDim + 1, $subDim))"))
-        .as(Seq("sub", "qsubv")))
-      .join(broadcast(cb), "sub")
-      .withColumn("pdot", expr("graft_dot(qsubv, cv)"))
-      .select("q_id", "qnorm", "sub", "code", "pdot")
-    // score: corpus codes × per-query table — the scan reads codes+norm only
-    val scored = encoded
-      .select(col("vec_id"), col("norm"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(table), Seq("sub", "code"))
+      .withColumn("list_id", lit(0L)).persist(lvl)
+    pqSearch(AnnIndex(null, cb, encoded, m, dim), embeddings, queryIds, k, rerank)
+  }
+
+  /** IVF+PQ against a prebuilt index: the composed billion-scale layout —
+    * IVF prunes WHICH lists are scanned (nprobe of C), PQ codes shrink
+    * WHAT each scan touches (8 bytes + norm per vector). Queries ADC-score
+    * only the vectors in their probed lists, then exact-re-rank `rerank`
+    * survivors. Codebooks are shared across lists (non-residual IVFADC —
+    * residual-encoding would subtract the list centroid before PQ; same
+    * dataflow, one extra broadcast join at encode time). */
+  def ivfPqSearch(
+      index: AnnIndex,
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    val e = Similarity.prepared(embeddings, "embedding").select("vec_id", "v", "norm")
+    val probes = Similarity.probeLists(e, index.cents, queryIds, nprobe)
+      .select("q_id", "list_id")
+    val table = adcTable(e, index.codebooks, queryIds, index.m, index.dim / index.m)
+    // candidates = probed lists only; ADC over codes, never raw vectors
+    val scored = adcScore(index.encoded
+      .join(broadcast(probes), "list_id")
       .where(col("q_id") =!= col("vec_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(any_value(col("qnorm")).as("qnorm"), any_value(col("norm")).as("norm"),
-        sum("pdot").as("adot"))
-      .withColumn("acos", col("adot") / (col("qnorm") * col("norm")))
-    // exact re-rank of the survivors
+      .select(col("q_id"), col("vec_id"), col("norm"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("q_id", "sub", "code")))
     exactRerank(topCandidates(scored, rerank), e, k)
   }
 
-  /** IVF+PQ: the composed billion-scale layout — IVF prunes WHICH lists
-    * are scanned (nprobe of C), PQ codes shrink WHAT each scan touches
-    * (8 bytes + norm per vector). Queries ADC-score only the vectors in
-    * their probed lists, then exact-re-rank `rerank` survivors. Codebooks
-    * are shared across lists (non-residual IVFADC — residual-encoding
-    * would subtract the list centroid before PQ; same dataflow, one extra
-    * broadcast join at encode time). */
+  /** Self-contained IVF+PQ: builds an ephemeral index, then delegates.
+    * Prefer [[buildIndex]] + the index overload for repeated queries. */
   def ivfPqSearch(
       embeddings: DataFrame,
       queryIds: Seq[Long],
@@ -166,38 +284,9 @@ object ProductQuantization {
       nprobe: Int = 12,
       m: Int = 8,
       codes: Int = 32,
-      rerank: Int = 300): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = Similarity.prepared(embeddings, "embedding")
-      .select("vec_id", "v", "norm").persist(lvl)
-    val cents = Similarity.trainCentroids(e, nCentroids, lloydIters = 2)
-    val lists = Similarity.assignToLists(e, cents).select("list_id", "vec_id")
-    val cb = trainCodebooks(embeddings, m, codes).persist(lvl)
-    val encoded = encode(embeddings, cb, m).join(lists, "vec_id").persist(lvl)
-    val probes = Similarity.probeLists(e, cents, queryIds, nprobe)
-      .select("q_id", "list_id")
-    val subDim = 64 / m
-    val table = e.where(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      .select(col("q_id"), col("qnorm"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> slice(qv, s * $subDim + 1, $subDim))"))
-        .as(Seq("sub", "qsubv")))
-      .join(broadcast(cb), "sub")
-      .withColumn("pdot", expr("graft_dot(qsubv, cv)"))
-      .select("q_id", "qnorm", "sub", "code", "pdot")
-    // candidates = probed lists only; ADC over codes, never raw vectors
-    val scored = encoded
-      .join(broadcast(probes), "list_id")
-      .where(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), col("norm"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(table), Seq("q_id", "sub", "code"))
-      .groupBy("q_id", "vec_id")
-      .agg(any_value(col("qnorm")).as("qnorm"), any_value(col("norm")).as("norm"),
-        sum("pdot").as("adot"))
-      .withColumn("acos", col("adot") / (col("qnorm") * col("norm")))
-    exactRerank(topCandidates(scored, rerank), e, k)
-  }
+      rerank: Int = 300): DataFrame =
+    ivfPqSearch(buildIndex(embeddings, nCentroids, m, codes),
+      embeddings, queryIds, k, nprobe, rerank)
 
   /** Top-`rerank` ADC candidates per query via the bounded
     * [[graft.functions.TopKAgg]] buffer — the shuffle carries at most
@@ -221,8 +310,10 @@ object ProductQuantization {
     *
     * Argmin order matches the batch encoders bit-for-bit: index-ordered
     * dot products, ties toward the lowest centroid/code id (inputs iterate
-    * id-sorted, comparisons strict). Output: (vec_id, list_id, codes,
-    * norm) — identical schema to [[encode]] + list assignment. */
+    * id-sorted, comparisons strict). The sub-space width comes from the
+    * codebook vectors themselves, so any trained dimension works.
+    * Output: (vec_id, list_id, codes, norm) — identical schema to
+    * [[encode]] + list assignment. */
   def encodeStream(
       arrivals: DataFrame,
       cents: DataFrame,
@@ -236,7 +327,7 @@ object ProductQuantization {
     val cbA = codebooks.select("sub", "code", "cv")
       .as[(Int, Int, Array[Double])].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3))).toMap
-    val subDim = 64 / m
+    val subDim = cbA(0).head._2.length
     arrivals.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>

@@ -109,10 +109,13 @@ object Similarity {
       k: Int = 10,
       nCentroids: Int = 16,
       nprobe: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2,
+      prebuiltCents: Option[DataFrame] = None): DataFrame = {
     val e = prepared(embeddings, "embedding").select("vec_id", "v", "norm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCentroids(e, nCentroids, lloydIters)
+    // reuse an AnnIndex's coarse centroids when provided — training is the
+    // dominant index cost and is identical (deterministic) either way
+    val cents = prebuiltCents.getOrElse(trainCentroids(e, nCentroids, lloydIters))
     val assigned = assignToLists(e, cents)
     val probes = probeLists(e, cents, queryIds, nprobe)
     broadcast(probes)
@@ -197,7 +200,8 @@ object Similarity {
       mode: String = "lsh",
       lshBands: Int = 8,
       ivfNprobe: Int = 12,
-      ivfCentroids: Int = 16): DataFrame = {
+      ivfCentroids: Int = 16,
+      index: Option[ProductQuantization.AnnIndex] = None): DataFrame = {
     // Gate parameters are tuned to the synthetic corpus' cosine regime
     // (near-random vectors, top-10 neighbors at cos≈0.3): 16 planes in 8
     // bands puts the LSH S-curve crossing low enough to recall them, and
@@ -209,8 +213,13 @@ object Similarity {
     val approx = (mode match {
       case "lsh" => annCosineLsh(embeddings, queryIds, k, bands = lshBands)
       case "ivf" =>
-        ivfSearch(embeddings, queryIds, k, nCentroids = ivfCentroids, nprobe = ivfNprobe)
-      case "pq" => ProductQuantization.pqSearch(embeddings, queryIds, k)
+        ivfSearch(embeddings, queryIds, k, nCentroids = ivfCentroids,
+          nprobe = ivfNprobe, prebuiltCents = index.map(_.cents))
+      case "pq" => index match {
+        case Some(idx) =>
+          ProductQuantization.pqSearch(idx, embeddings, queryIds, k, rerank = 300)
+        case None => ProductQuantization.pqSearch(embeddings, queryIds, k)
+      }
       case other => throw new IllegalArgumentException(s"unknown ANN mode: $other")
     }).select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     val perQuery = exact.join(approx, Seq("q_id", "vec_id"), "left")

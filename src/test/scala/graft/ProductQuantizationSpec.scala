@@ -104,6 +104,54 @@ class ProductQuantizationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dim is read from the data: full PQ stack works on a 48-dim corpus") {
+    val df = (0L until 60L).map(i =>
+      (i, Array.tabulate(48)(j => math.sin(i * 48.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = ProductQuantization.trainCodebooks(df, m = 8, codes = 8)
+    assert(cb.select("cv").as[Array[Double]].head().length == 6) // 48 / 8
+    val enc = ProductQuantization.encode(df, cb, m = 8)
+      .as[(Long, Array[Int], Double)].collect()
+    assert(enc.length == 60 && enc.forall(_._2.length == 8))
+    val got = ProductQuantization.pqSearch(df, Seq(0L, 1L), k = 5, m = 8, codes = 8)
+    assert(got.count() == 10)
+    // the streaming encoder derives the sub-space width from the codebook
+    val e = df.withColumn("v", org.apache.spark.sql.functions.col("embedding")
+      .cast("array<double>"))
+      .withColumn("norm", org.apache.spark.sql.functions.expr("sqrt(graft_dot(v, v))"))
+      .select("vec_id", "v", "norm")
+    val cents = Similarity.trainCentroids(e, 4, 1)
+    assert(ProductQuantization.encodeStream(df, cents, cb).count() == 60)
+  }
+
+  test("embedding dim not divisible by m fails fast with a clear error") {
+    val df = (0L until 10L).map(i =>
+      (i, Array.tabulate(50)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      ProductQuantization.trainCodebooks(df, m = 8, codes = 4)
+    }
+    assert(err.getMessage.contains("50"))
+  }
+
+  test("index build/write/load round-trip matches the self-contained searches") {
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_test_annidx").getAbsolutePath
+    val idx = ProductQuantization.buildIndex(emb)
+    ProductQuantization.writeIndex(idx, tmp)
+    val loaded = ProductQuantization.loadIndex(spark, tmp)
+    assert(loaded.m == 8 && loaded.dim == 64)
+    val viaIdx = ProductQuantization.pqSearch(loaded, emb, 0L to 2L, 10, 300)
+      .collect().map(_.toString).toSeq
+    val direct = ProductQuantization.pqSearch(emb, 0L to 2L, 10)
+      .collect().map(_.toString).toSeq
+    assert(viaIdx == direct)
+    val ivfViaIdx = ProductQuantization.ivfPqSearch(loaded, emb, 0L to 2L, 10, 12, 300)
+      .collect().map(_.toString).toSeq
+    val ivfDirect = ProductQuantization.ivfPqSearch(emb, 0L to 2L, 10)
+      .collect().map(_.toString).toSeq
+    assert(ivfViaIdx == ivfDirect)
+  }
+
   test("pq search is deterministic across shuffle layouts") {
     def run(parts: Int): Seq[String] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
