@@ -178,43 +178,76 @@ object Dedup {
     * (doc_id, cluster) with cluster = the minimum doc_id reachable. This is
     * what turns PAIRS into dedup decisions: keep `cluster`, drop the rest.
     *
-    * Min-label propagation: each iteration every node adopts the smallest
-    * label among itself and its neighbors; converges in O(component
-    * diameter) rounds — near-dup clusters are shallow (boilerplate stars,
-    * chains of edits), so a handful of rounds in practice; `maxIter` hard-
-    * bounds adversarial chains. Each round is one join + one agg on narrow
-    * (id, label) rows; the driver-side convergence `count` is the standard
-    * iterative-algorithm action (GraphX Pregel does the same). Production
-    * note: alternating large-star/small-star contraction would converge in
-    * O(log n) rounds at identical per-round cost. */
+    * Alternating large-star/small-star contraction (the MapReduce-native
+    * components algorithm): large-star hangs every neighbor larger than a
+    * node off that node's minimum, small-star regroups the remaining
+    * larger→smaller edges around each node's minimum. The edge set
+    * contracts to per-component stars in O(log n) rounds — against
+    * min-label propagation's O(component diameter), the difference between
+    * ~6 and ~50 rounds on a chain of edits — at the same per-round cost:
+    * two narrow groupBy/join passes and ONE driver-side fingerprint action
+    * (count + order-sensitive hash sum) for the convergence test. `maxIter`
+    * hard-bounds adversarial inputs. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
+    val init = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .where(col("u") =!= col("v")).distinct().persist(lvl)
+    val nodes = init.select(col("u").as("doc_id"))
+      .union(init.select(col("v").as("doc_id"))).distinct()
+
+    // cheap exact-enough fixpoint test: edge count + sum of per-edge hashes
+    // (sum through DECIMAL — ANSI-safe against Long overflow)
+    def fingerprint(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+
+    var edges = init
+    var persisted = init
+    var fp = fingerprint(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // large-star: per node u, every neighbor v > u links to
+      // m(u) = min(neighbors ∪ {u}); output edges all point larger→smaller
+      val sym = edges.select("u", "v")
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: per node u (now only smaller neighbors), everything in
+      // the neighborhood (u included) re-links to the minimum
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
         .persist(lvl)
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val nfp = fingerprint(small) // materializes the round's edge set
+      if (persisted ne init) persisted.unpersist()
+      persisted = small
+      // cut the lineage: each round's plan otherwise embeds the previous
+      // round's plan several times over — exponential plan growth that
+      // stalls the optimizer long before the data is the bottleneck
+      edges = small.sparkSession.createDataFrame(small.rdd, small.schema)
+      converged = nfp == fp
+      fp = nfp
       iter += 1
     }
     if (!converged)
       System.err.println(s"[graft] connectedComponents: iteration cap $maxIter hit " +
         "before fixpoint — labels are an upper bound, not final components")
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    // fixpoint edges are stars (node → component root); roots label themselves
+    nodes.join(
+      edges.groupBy("u").agg(min("v").as("cluster"))
+        .withColumnRenamed("u", "doc_id"),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
   }
 

@@ -105,6 +105,14 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 10L -> 7L))
   }
 
+  test("connectedComponents: 64-node chain converges in O(log n) rounds") {
+    // min-label propagation needs 63 rounds here; star contraction must
+    // reach the fixpoint well inside 8 or the labels come out wrong
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, maxIter = 8).as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 1L))
+  }
+
   test("connectedComponents: long chain converges within the diameter bound") {
     // path 1-2-3-...-8: label 1 must travel 7 hops
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
