@@ -443,6 +443,22 @@ object SparkEntry {
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5)),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    // sketch-quality gates: THROW (→ driver `err`) if the LSH sketches lose
+    // recall against the exact n-gram verifier or emit unrelated pairs —
+    // the text-sketch counterpart of the ANN recall gates
+    "minhash_precision" -> ((s, dir) =>
+      Dedup.sketchQualityGate(Tables.documents(s, dir), "minhash")),
+    // simhash hamming<=3 targets near-identical docs; on the fixture's
+    // short documents it reaches ~60% of the >=0.95-jaccard slice (sign
+    // bits are fragile at low token counts — an operator property, pinned
+    // at the unit level in DedupSpec), so the recall bar detects a CRATER
+    // (banding regression → ≈ 0), not a dip. Precision vs the n-gram
+    // verifier is REPORTED but not gated: simhash measures weighted
+    // unigram-distribution similarity, and distribution-similar short docs
+    // legitimately collide without sequence (n-gram) overlap.
+    "simhash_precision" -> ((s, dir) =>
+      Dedup.sketchQualityGate(Tables.documents(s, dir), "simhash",
+        truthMinJaccard = 0.95, minRecall = 0.5, minPrecision = 0.0)),
     // --- Streaming operators, batch-executed (same plan, micro-batch or
     // batch — withWatermark is a no-op in batch mode) ---
     "streams_sessionize_batch" -> ((s, dir) => {

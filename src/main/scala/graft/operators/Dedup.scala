@@ -156,6 +156,64 @@ object Dedup {
       bands: Int = 4): DataFrame =
     Similarity.cosinePairsLsh(embeddings, threshold, planes, bands)
 
+  /** Driver-visible sketch-quality gate, mirroring
+    * [[Similarity.annRecallGate]]: measures the LSH text sketches against
+    * the exact n-gram verifier and THROWS (→ driver `err`) on regression,
+    * so a banding/mixing bug surfaces as a hard failure instead of passing
+    * a rows-only check silently. Two directions from ONE exact pass
+    * ([[ngramJaccardExact]] at the loose bar, filtered to the strict bar):
+    *  - recall: pairs the exact verifier scores ≥ `truthMinJaccard` must be
+    *    found by the sketch (a banding regression that stops near-dups from
+    *    colliding craters this);
+    *  - precision: pairs the sketch emits must be at least loosely similar
+    *    (≥ `looseJaccard` exact) — a hashing regression that floods
+    *    buckets with unrelated docs craters this.
+    * Output: one summary row (rows-only; the gate is the point). */
+  def sketchQualityGate(
+      docs: DataFrame,
+      mode: String = "minhash",
+      truthMinJaccard: Double = 0.8,
+      looseJaccard: Double = 0.2,
+      minRecall: Double = 0.9,
+      minPrecision: Double = 0.9,
+      threshold: Double = 0.7,
+      bands: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    val exact = ngramJaccardExact(docs, looseJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val found = (mode match {
+      case "minhash" => minhashPairs(docs, bands = bands, threshold = threshold)
+      case "simhash" => simhashPairs(docs, maxHamming)
+      case other => throw new IllegalArgumentException(s"unknown sketch mode: $other")
+    }).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = exact.where(col("jaccard") >= truthMinJaccard)
+    val r = truth.join(found.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_matched")).head()
+    val (nTruth, nMatched) = (r.getLong(0), r.getLong(1))
+    val p = found.join(exact.withColumn("loose", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_found"),
+        coalesce(sum(col("loose")), lit(0L)).as("n_loose")).head()
+    val (nFound, nLoose) = (p.getLong(0), p.getLong(1))
+    require(nTruth > 0, s"sketch($mode) gate has no ground-truth pairs at " +
+      s"jaccard >= $truthMinJaccard — corpus unsuitable for the gate")
+    require(nFound > 0, s"sketch($mode) emitted no pairs at all")
+    val recall = nMatched.toDouble / nTruth
+    val precision = nLoose.toDouble / nFound
+    require(recall >= minRecall,
+      f"sketch($mode) recall $recall%.3f below gate $minRecall%.2f")
+    require(precision >= minPrecision,
+      f"sketch($mode) precision $precision%.3f below gate $minPrecision%.2f")
+    docs.sparkSession.range(1).select(
+      lit(mode).as("mode"),
+      lit(nTruth).as("n_truth"), lit(nMatched).as("n_matched"),
+      lit(nFound).as("n_found"), lit(nLoose).as("n_loose"),
+      round(lit(recall), 6).as("recall"),
+      round(lit(precision), 6).as("precision"))
+  }
+
   /** Incremental ingestion dedup: of `incoming`, keep only documents whose
     * content fingerprint is NOT already in `existing` — the anti-join that
     * makes corpus ingestion idempotent (re-delivered batches, overlapping

@@ -105,6 +105,36 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 10L -> 7L))
   }
 
+  // deterministic gate corpus: 6 base docs of 100 letter-tokens, each with a
+  // one-token-edited near-dup (token-3-gram jaccard ≈ 0.94), no cross-doc
+  // gram overlap (first token char is doc-specific)
+  private lazy val gateCorpus = {
+    val a = "abcdefghijklmnopqrstuvwxyz"
+    def tok(d: Int, j: Int) = s"${a(d % 26)}${a(j % 26)}${a((d * 7 + j * 3) % 26)}"
+    val base = (0 until 6).map(d =>
+      (d.toLong, (0 until 100).map(tok(d, _)).mkString(" ")))
+    val dups = (0 until 6).map(d =>
+      (100L + d, (0 until 100).map(tok(d, _)).updated(50, "zzqx").mkString(" ")))
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("sketchQualityGate passes for both sketches on a near-dup corpus") {
+    val mh = Dedup.sketchQualityGate(gateCorpus, "minhash")
+      .select("n_truth", "n_matched", "recall").as[(Long, Long, Double)].head()
+    assert(mh._1 == 6 && mh._2 == 6 && mh._3 == 1.0)
+    val sh = Dedup.sketchQualityGate(gateCorpus, "simhash")
+      .select("recall", "precision").as[(Double, Double)].head()
+    assert(sh._1 >= 0.9 && sh._2 >= 0.9)
+  }
+
+  test("sketchQualityGate throws on a seeded banding regression") {
+    // bands=1 demands a FULL 128-hash signature match: one-token edits no
+    // longer collide, recall craters, the gate must surface a hard error
+    intercept[IllegalArgumentException] {
+      Dedup.sketchQualityGate(gateCorpus, "minhash", bands = 1)
+    }
+  }
+
   test("connectedComponents: 64-node chain converges in O(log n) rounds") {
     // min-label propagation needs 63 rounds here; star contraction must
     // reach the fixpoint well inside 8 or the labels come out wrong
