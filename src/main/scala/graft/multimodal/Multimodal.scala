@@ -31,14 +31,26 @@ object Multimodal {
   ))
 
   /** Deterministic synthetic asset table (fixture generator — the corpus'
-    * stand-in for a real object-store-backed table). Payload bytes derive
-    * from xxhash-mixed asset ids; sizes vary per row. */
+    * stand-in for a real object-store-backed table). Image rows are VALID
+    * minimal BMP files and audio rows VALID mono PCM8 WAVs (every fourth
+    * image a binary PPM), so the decode operators exercise the real header
+    * parsers; video rows stay raw chunk payloads (stub-decoded — a real
+    * video container needs a codec library). */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     import graft.functions.MinHash.mix64
     val rows = (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
-      val len = 64 + (math.abs(mix64(i.toLong)) % 192).toInt
-      val bytes = Array.tabulate(len)(j => mix64(i.toLong * 1000003L + j).toByte)
+      val bytes = kind match {
+        case "image" if i % 4 == 0 =>
+          HeaderCodecs.makePpm(2 + i % 7, 2 + i % 5, i.toLong)
+        case "image" =>
+          HeaderCodecs.makeBmp(2 + i % 9, 2 + i % 6, i.toLong)
+        case "audio" =>
+          HeaderCodecs.makeWav(8000 + 1000 * (i % 5), 32 + (i % 160), i.toLong)
+        case _ =>
+          val len = 64 + (math.abs(mix64(i.toLong)) % 192).toInt
+          Array.tabulate(len)(j => mix64(i.toLong * 1000003L + j).toByte)
+      }
       Row(i.toLong, kind, bytes, Map("source" -> s"synthetic/$i"))
     }
     spark.createDataFrame(
@@ -58,7 +70,7 @@ object Multimodal {
       .mapPartitions { batch =>
         // per-partition setup happens HERE (codec init, native handles):
         // once per task, not per row — the pattern that matters at scale.
-        val codec = StubCodecs
+        val codec = HeaderCodecs
         batch.map { case (id, kind, bytes) =>
           val (w, h, frames) = codec.decodeHeader(kind, bytes)
           DecodedMeta(id, kind, w, h, frames, bytes.length.toLong)
@@ -95,7 +107,7 @@ object Multimodal {
     assets.where(col("kind") === "image")
       .select("asset_id", "kind", "content").as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
-        val codec = StubCodecs
+        val codec = HeaderCodecs
         batch.map { case (id, kind, bytes) =>
           val (w, h, _) = codec.decodeHeader(kind, bytes)
           val out = new Array[Byte](targetW * targetH)
@@ -137,8 +149,10 @@ object Multimodal {
       .select("asset_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(rowBatch).flatMap { chunk =>
-          // per-chunk "kernel" invocation over a bounded batch
-          chunk.iterator.flatMap { case (id, bytes) =>
+          // per-chunk "kernel" invocation over a bounded batch; WAV payloads
+          // contribute only their PCM data chunk, raw payloads pass whole
+          chunk.iterator.flatMap { case (id, raw) =>
+            val bytes = HeaderCodecs.pcmData(raw)
             bytes.grouped(frameBytes).zipWithIndex.map { case (frame, idx) =>
               var sumSq = 0.0
               var peak = 0.0
@@ -197,12 +211,14 @@ object Multimodal {
 }
 
 /** STUB codecs — deterministic fakes standing in for libjpeg/ffmpeg/etc.
-  * (not available in this environment). Replace with real decoders; the
-  * dataflow above is codec-agnostic. */
+  * (not available in this environment). [[HeaderCodecs]] parses real
+  * header-only containers (BMP, PPM, WAV) in pure JVM code first; this
+  * fallback covers raw payloads and formats that need a codec library. */
 object StubCodecs {
   /** "Decode" a header: width/height/frame-count derived deterministically
     * from the first payload bytes. A real implementation parses the actual
-    * container format. */
+    * container format — see [[HeaderCodecs.decodeHeader]], which tries the
+    * real parsers before landing here. */
   def decodeHeader(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
     val b0 = if (bytes.length > 0) bytes(0) & 0xFF else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xFF else 0
@@ -211,5 +227,177 @@ object StubCodecs {
       case "audio" => (0, 0, 1 + b0 % 16)            // "frames" = chunks
       case _       => (16 + b0 % 32, 16 + b1 % 32, 1 + (b0 + b1) % 8)
     }
+  }
+}
+
+/** Real pure-JVM container parsing for the header-only formats — BMP and
+  * binary PPM (image dimensions), WAV (sample rate / channels / frame
+  * count). No codec library needed: these are fixed-layout byte headers.
+  * Malformed or unrecognized payloads return None and the caller falls
+  * back to [[StubCodecs]], so a corrupt object in a 100 TB corpus degrades
+  * to a deterministic fake instead of failing the task. */
+object HeaderCodecs {
+
+  /** Parsed container metadata. `nFrames`: 1 for still images, PCM
+    * sample-frame count for WAV. */
+  case class ContainerMeta(format: String, width: Int, height: Int,
+      nFrames: Int, sampleRate: Int, channels: Int, bitsPerSample: Int)
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (u16le(b, o).toLong) | (u16le(b, o + 2).toLong << 16)
+  private def i32le(b: Array[Byte], o: Int): Int = u32le(b, o).toInt
+
+  // sanity bound: dimensions past 2^20 in a header are corruption, not data
+  private val MaxDim = 1 << 20
+
+  /** BMP: 14-byte file header ("BM", file size, pixel offset) + BITMAPINFO
+    * header (size ≥ 40) carrying signed little-endian width/height at
+    * offsets 18/22; negative height encodes top-down row order. */
+  def parseBmp(bytes: Array[Byte]): Option[ContainerMeta] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val infoSize = i32le(bytes, 14)
+    val w = i32le(bytes, 18)
+    val h = math.abs(i32le(bytes, 22))
+    if (infoSize < 40 || w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) None
+    else Some(ContainerMeta("bmp", w, h, 1, 0, 0, u16le(bytes, 28)))
+  }
+
+  /** Binary/ASCII PPM/PGM ("P2".."P6"): ASCII magic, then whitespace- and
+    * comment-separated width, height, maxval. */
+  def parsePpm(bytes: Array[Byte]): Option[ContainerMeta] = {
+    if (bytes.length < 7 || bytes(0) != 'P' ||
+        bytes(1) < '2' || bytes(1) > '6') return None
+    var pos = 2
+    // read the next ASCII int, skipping whitespace and '#' comments
+    def nextInt(): Option[Int] = {
+      while (pos < bytes.length &&
+          (Character.isWhitespace(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < bytes.length && Character.isDigit(bytes(pos))) pos += 1
+      if (pos == start) None
+      else Some(new String(bytes, start, pos - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); _ <- nextInt() // maxval
+      if w > 0 && h > 0 && w <= MaxDim && h <= MaxDim
+    } yield ContainerMeta("ppm", w, h, 1, 0, 0, 8)
+  }
+
+  /** WAV: RIFF/WAVE container; walk chunks for "fmt " (format, channels,
+    * sample rate, block align, bits) and "data" (payload size → frame
+    * count = size / blockAlign). */
+  def parseWav(bytes: Array[Byte]): Option[ContainerMeta] = {
+    def tag(o: Int, s: String) = bytes.length >= o + 4 &&
+      bytes(o) == s(0) && bytes(o + 1) == s(1) &&
+      bytes(o + 2) == s(2) && bytes(o + 3) == s(3)
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var rate, channels, bits, blockAlign = 0
+    var dataSize = -1L
+    var ok = true
+    while (ok && pos + 8 <= bytes.length && (rate == 0 || dataSize < 0)) {
+      val size = u32le(bytes, pos + 4)
+      if (tag(pos, "fmt ") && pos + 24 <= bytes.length) {
+        channels = u16le(bytes, pos + 10)
+        rate = i32le(bytes, pos + 12)
+        blockAlign = u16le(bytes, pos + 20)
+        bits = u16le(bytes, pos + 22)
+      } else if (tag(pos, "data")) {
+        dataSize = math.min(size, (bytes.length - pos - 8).toLong)
+      }
+      // a declared size past the payload is corruption; stop the walk with
+      // whatever was parsed (a truncated final data chunk is still usable)
+      if (size > bytes.length - pos - 8) ok = false
+      else pos += 8 + size.toInt + (size.toInt & 1) // chunks 2-byte aligned
+    }
+    if (rate <= 0 || blockAlign <= 0 || dataSize < 0) None
+    else Some(ContainerMeta("wav", 0, 0, (dataSize / blockAlign).toInt,
+      rate, channels, bits))
+  }
+
+  /** Sniff + parse any recognized container. */
+  def parse(bytes: Array[Byte]): Option[ContainerMeta] =
+    parseBmp(bytes).orElse(parseWav(bytes)).orElse(parsePpm(bytes))
+
+  /** The decode seam used by the operators: real header parse first,
+    * [[StubCodecs]] fallback for raw/unrecognized payloads. */
+  def decodeHeader(kind: String, bytes: Array[Byte]): (Int, Int, Int) =
+    parse(bytes) match {
+      case Some(m) => (m.width, m.height, m.nFrames)
+      case None    => StubCodecs.decodeHeader(kind, bytes)
+    }
+
+  /** WAV payloads contribute only their PCM data chunk to sample math;
+    * raw payloads pass through whole. */
+  def pcmData(bytes: Array[Byte]): Array[Byte] = {
+    def tag(o: Int, s: String) = bytes.length >= o + 4 &&
+      bytes(o) == s(0) && bytes(o + 1) == s(1) &&
+      bytes(o + 2) == s(2) && bytes(o + 3) == s(3)
+    if (parseWav(bytes).isEmpty) return bytes
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val size = u32le(bytes, pos + 4)
+      if (tag(pos, "data")) {
+        val n = math.min(size, (bytes.length - pos - 8).toLong).toInt
+        return java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + n)
+      }
+      if (size > bytes.length - pos - 8) return bytes
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    bytes
+  }
+
+  // --- builders (fixture generation + specs): valid minimal containers ---
+
+  /** Minimal 24-bit BMP with deterministic pixel bytes. */
+  def makeBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    import graft.functions.MinHash.mix64
+    val rowBytes = (w * 3 + 3) & ~3
+    val pixelBytes = rowBytes * h
+    val out = new Array[Byte](54 + pixelBytes)
+    def putU16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def putU32(o: Int, v: Long): Unit = { putU16(o, (v & 0xFFFF).toInt); putU16(o + 2, ((v >> 16) & 0xFFFF).toInt) }
+    out(0) = 'B'; out(1) = 'M'
+    putU32(2, out.length.toLong); putU32(10, 54L)
+    putU32(14, 40L); putU32(18, w.toLong); putU32(22, h.toLong)
+    putU16(26, 1); putU16(28, 24)
+    putU32(34, pixelBytes.toLong)
+    var i = 0
+    while (i < pixelBytes) { out(54 + i) = mix64(seed * 31 + i).toByte; i += 1 }
+    out
+  }
+
+  /** Minimal mono PCM8 WAV with deterministic samples. */
+  def makeWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    import graft.functions.MinHash.mix64
+    val out = new Array[Byte](44 + nSamples)
+    def putU16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def putU32(o: Int, v: Long): Unit = { putU16(o, (v & 0xFFFF).toInt); putU16(o + 2, ((v >> 16) & 0xFFFF).toInt) }
+    def putTag(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s(i).toByte; i += 1 } }
+    putTag(0, "RIFF"); putU32(4, (36 + nSamples).toLong); putTag(8, "WAVE")
+    putTag(12, "fmt "); putU32(16, 16L); putU16(20, 1); putU16(22, 1)
+    putU32(24, sampleRate.toLong); putU32(28, sampleRate.toLong)
+    putU16(32, 1); putU16(34, 8)
+    putTag(36, "data"); putU32(40, nSamples.toLong)
+    var i = 0
+    while (i < nSamples) { out(44 + i) = mix64(seed * 37 + i).toByte; i += 1 }
+    out
+  }
+
+  /** Minimal binary PPM (P6) with deterministic pixel bytes. */
+  def makePpm(w: Int, h: Int, seed: Long): Array[Byte] = {
+    import graft.functions.MinHash.mix64
+    val header = s"P6\n# graft fixture\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h * 3) { out(header.length + i) = mix64(seed * 41 + i).toByte; i += 1 }
+    out
   }
 }
