@@ -10,29 +10,43 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // Each query runs twice: cold (fresh cache — includes plan compile,
+    // codegen, and any per-query persists) and warm (immediately after,
+    // caches intact — the steady-state cost a repeated production query
+    // pays). clearCache only BETWEEN queries keeps the memory profile flat
+    // across 90+ queries without poisoning the warm run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // per-query persisted intermediates are single-plan caches; drop them
-      // so the run's memory profile stays flat across 70+ queries
+      val cold = once()
+      val warm = once()
       spark.catalog.clearCache()
-      name -> dt
+      (name, cold, warm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def obj(f: ((String, Double, Double)) => (String, Double)): String =
+      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val totalWarm = results.map(_._3).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""value_warm":$totalWarm,"queries":${obj(r => (r._1, r._2))},""" +
+      s""""queries_warm":${obj(r => (r._1, r._3))},"sf":"$sfDir"}"""
+    // The driver tails stdout, where sbt's own "[success]" line lands after
+    // the forked JVM exits — so emit the JSON line several ways: bare (for
+    // line-wise JSON scans), sentinel-prefixed (grep BENCH_JSON), and as a
+    // file for machine consumption.
     println(json)
-    // sbt prints its own "[success]" line after the forked JVM exits, so the
-    // JSON above can never be the final stdout line; persist it to a file for
-    // machine consumption.
+    println("BENCH_JSON " + json)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(json)
   }
 }

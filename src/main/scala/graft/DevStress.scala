@@ -28,6 +28,8 @@ object DevStress {
     time("dedup_exact")(Dedup.exact(docs).count())
     time("minhash_pairs")(Dedup.minhashPairs(docs, threshold = 0.5).count())
     time("simhash_pairs")(Dedup.simhashPairs(docs).count())
+    time("ngram_jaccard_capped")(Dedup.ngramJaccardExact(docs, 0.5).count())
+    time("minhash_gate")(Dedup.sketchQualityGate(docs, "minhash").count())
     time("dedup_clusters")(Dedup.connectedComponents(
       Dedup.minhashPairs(docs, threshold = 0.5).select(
         org.apache.spark.sql.functions.col("doc_a"),
@@ -43,8 +45,16 @@ object DevStress {
     time("ann_top10")(Similarity.annCosineLsh(embs, 0L to 9L, 10).count())
     time("ivf_top10")(Similarity.ivfSearch(embs, 0L to 9L, 10).count())
     time("embedding_near_dups")(Similarity.cosinePairsLsh(embs, 0.95).count())
-    time("pq_top10")(graft.operators.ProductQuantization.pqSearch(embs, 0L to 9L, 10).count())
-    time("ivfpq_top10")(graft.operators.ProductQuantization.ivfPqSearch(embs, 0L to 9L, 10).count())
+    // index built once, searched twice — the production shape
+    val idx = time("ann_index_build") {
+      val built = graft.operators.ProductQuantization.buildIndex(embs)
+      graft.operators.ProductQuantization.writeIndex(built, "/tmp/stress_annidx")
+      graft.operators.ProductQuantization.loadIndex(spark, "/tmp/stress_annidx")
+    }
+    time("pq_top10_indexed")(
+      graft.operators.ProductQuantization.pqSearch(idx, embs, 0L to 9L, 10, 300).count())
+    time("ivfpq_top10_indexed")(
+      graft.operators.ProductQuantization.ivfPqSearch(idx, embs, 0L to 9L, 10, 12, 300).count())
     if (new java.io.File(s"$dir/lineitem.parquet").exists()) {
       time("q1_pricing")(SparkEntry.queries("q1_pricing_summary")(spark, dir).count())
       time("q3_top_revenue")(SparkEntry.queries("q3_top_revenue")(spark, dir).count())

@@ -433,6 +433,30 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.incrementalNew(docs.where(col("doc_id") % 2 === 0), docs)
     }),
+    // pairs → clusters → filtered corpus: the shipped dedup decision (keep
+    // the min doc per near-dup cluster); oracle via the same recursive CTE
+    "dedup_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.applyNearDedup(docs,
+        Dedup.ngramJaccardExact(docs, minJaccard = 0.5).select("doc_a", "doc_b"))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    // overlapping token-window chunking (context-length splitting)
+    "chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), 64, 16)),
+    // domain mixing: per-source stable-sample fractions in one pass
+    "documents_weighted_sample" -> ((s, dir) => {
+      val weights = ((0 to 4).map(i => s"src$i" -> 0.4) ++
+        (5 to 9).map(i => s"src$i" -> 0.2) ++
+        (10 to 19).map(i => s"src$i" -> 0.05)).toMap
+      TextAnalysis.weightedSourceSample(Tables.documents(s, dir), weights)
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source")
+    }),
+    // reproducible per-epoch corpus shuffle (total order, no global window)
+    "documents_epoch_shuffle" -> ((s, dir) =>
+      TextAnalysis.epochShuffle(Tables.documents(s, dir), epoch = 1)),
     // near-dup clusters from the exact pair table (keep `cluster`, drop the
     // rest); oracle = DuckDB recursive reachability over the same pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -659,6 +683,37 @@ object SparkEntry {
       |    t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '', 'g')), t -> t <> '') AS a
       |  FROM documents
       |)""".stripMargin
+
+  // near-dup cluster labels via recursive reachability over the capped
+  // exact-verifier pairs — shared by the cluster and apply-dedup oracles
+  private lazy val clusterLabelsCte =
+    s"""WITH RECURSIVE $toksArrCte,
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+       |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+       |  FROM toksarr WHERE len(a) >= 3
+       |), okg AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 64),
+       |kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN okg USING (gram)),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
+       |shared AS (
+       |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+       |),
+       |labels AS (
+       |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+       |  FROM reach GROUP BY a)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q3_top_revenue" ->
@@ -1121,32 +1176,13 @@ object SparkEntry {
         |WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
         |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $toksArrCte,
-         |grams AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
-         |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
-         |  FROM toksarr WHERE len(a) >= 3
-         |), okg AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 64),
-         |kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN okg USING (gram)),
-         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
-         |shared AS (
-         |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         |  WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5),
-         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |        UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
-         |)
-         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      s"""$clusterLabelsCte
+         |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin,
+    "dedup_apply" ->
+      s"""$clusterLabelsCte
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster)
+         |ORDER BY d.doc_id""".stripMargin,
     "events_interval_join_batch" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id,
         |  epoch_us(e.ts) - epoch_us(p.ts) AS delta_us
@@ -1239,6 +1275,34 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 858993459
         |GROUP BY source ORDER BY source""".stripMargin,
+    // thresholds = round(fraction * 2^32): 0.4 → 1717986918, 0.2 → 858993459,
+    // 0.05 → 214748365 — same rounding as the Scala side
+    "documents_weighted_sample" ->
+      """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1717986918
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 858993459
+        |       ELSE 214748365 END
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "chunk_documents" ->
+      s"""WITH $toksArrCte,
+         |c AS (SELECT doc_id, a, len(a) AS n FROM toksarr WHERE len(a) > 0),
+         |ch0 AS (
+         |  SELECT doc_id, a, n,
+         |    unnest(range(0, greatest(1, CAST(ceil((n - 16) / 48.0) AS BIGINT)))) AS i
+         |  FROM c),
+         |ch AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(n AS BIGINT) AS doc_tokens,
+         |    list_slice(a, CAST(i * 48 + 1 AS BIGINT), CAST(least(i * 48 + 64, n) AS BIGINT)) AS chunk
+         |  FROM ch0)
+         |SELECT doc_id, chunk_idx, doc_tokens,
+         |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "documents_epoch_shuffle" ->
+      """SELECT doc_id, md5(doc_id || ':1') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
     "tfidf_full" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),

@@ -309,6 +309,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Apply near-dedup decisions to the corpus: from an undirected near-dup
+    * pair table, keep exactly ONE document per cluster (the minimum doc_id
+    * — [[connectedComponents]]' label) plus every unpaired document. The
+    * end-to-end "pairs → decisions → filtered corpus" step a training
+    * pipeline actually ships: losers are the narrow (doc_id) rows, so the
+    * anti-join never moves document text. */
+  def applyNearDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Portable tokenized-text array (position-preserving), shared by the
     * n-gram operators and spelled identically in the DuckDB oracle. */
   private def tokenArray = expr(

@@ -185,4 +185,65 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Overlapping token-window chunking — the "context-length packing"
+    * counterpart that SPLITS long documents instead of concatenating short
+    * ones: each document's (portable-tokenized) token array becomes
+    * ⌈(n−overlap)/stride⌉ windows of `chunkTokens` tokens advancing by
+    * stride = chunkTokens − overlap. Pure per-row map work (tokenize +
+    * in-array slicing, no shuffle, no window function) — the shape that
+    * holds at any corpus size. Token-less documents produce no chunks.
+    * Output carries the chunk fingerprint, not the text — parity is
+    * verifiable without shipping chunk bodies. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = expr(
+      "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
+        "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
+    docs.select(col("doc_id"), toks.as("a"))
+      .where(size(col("a")) > 0)
+      .withColumn("n", size(col("a")))
+      .withColumn("nchunks", greatest(lit(1L),
+        ceil((col("n") - lit(overlap)) / lit(stride.toDouble)).cast("long")))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(
+          s"transform(sequence(0, nchunks - 1), i -> slice(a, i * $stride + 1, $chunkTokens))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n").cast("long").as("doc_tokens"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Source-weighted stable sampling — domain mixing for a training corpus:
+    * each source keeps its own [[stableSample]] fraction (content-keyed,
+    * reproducible, engine-portable); sources absent from `weights` keep
+    * nothing. One scan, no shuffle before the sample decision. */
+  def weightedSourceSample(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      keyCol: String = "doc_id"): DataFrame = {
+    // same rounding as stableSample so each source's boundary key behaves
+    // identically to a single-fraction sample at that rate
+    val thresholdCol = weights.foldLeft(lit(0L)) { case (acc, (source, f)) =>
+      when(col("source") === source, lit(math.round(f * 4294967296.0))).otherwise(acc)
+    }
+    docs.where(
+      conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") < thresholdCol)
+  }
+
+  /** Deterministic epoch shuffle: a content-independent, engine-portable
+    * total order per epoch (md5 of id:epoch), the reproducible "shuffle the
+    * corpus each epoch" a training loader consumes in key order. No global
+    * window/row_number — the ORDER BY is a range-partitioned sort, so
+    * positions are implicit in the total order and the plan scales. */
+  def epochShuffle(docs: DataFrame, epoch: Int = 0): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat(col("doc_id").cast("string"), lit(s":$epoch")).cast("binary"))
+        .as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
 }

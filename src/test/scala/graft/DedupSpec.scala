@@ -143,6 +143,14 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 64 && got.forall(_._2 == 1L))
   }
 
+  test("applyNearDedup keeps the cluster minimum and all unpaired docs") {
+    val docs = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.applyNearDedup(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L)) // 2 and 3 collapse into cluster 1
+  }
+
   test("connectedComponents: long chain converges within the diameter bound") {
     // path 1-2-3-...-8: label 1 must travel 7 hops
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

@@ -109,4 +109,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(a) != fp(b))      // order matters
     assert(fp(a) == fp(a))      // deterministic
   }
+
+  test("chunkDocuments: overlapping windows, truncated tail, no empty docs") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee"),   // 5 tokens, chunk=3 stride=2 → [aa bb cc], [cc dd ee]
+      (2L, "xx yy"),            // 2 tokens < chunk → one whole chunk
+      (3L, "12 34"),            // all tokens digit-dropped → no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, chunkTokens = 3, overlap = 1)
+      .select("doc_id", "chunk_idx", "doc_tokens", "chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 5L, 3L), (1L, 1L, 5L, 3L), (2L, 0L, 2L, 2L)))
+    // overlap: last token of chunk 0 == first token of chunk 1 → fingerprints
+    // of the two chunks of doc 1 differ but share the boundary token "cc"
+    val fps = TextAnalysis.chunkDocuments(docs, 3, 1)
+      .where($"doc_id" === 1L).select("chunk_fp").as[String].collect()
+    assert(fps.distinct.length == 2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, chunkTokens = 3, overlap = 3)
+    }
+  }
+
+  test("weightedSourceSample: per-source fractions, absent sources drop") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"text $i", if (i < 20) "keep_all" else if (i < 30) "keep_none" else "absent"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.weightedSourceSample(docs,
+      Map("keep_all" -> 1.0, "keep_none" -> 0.0))
+      .select("source").as[String].collect()
+    assert(got.toSet == Set("keep_all") && got.length == 20)
+  }
+
+  test("epochShuffle: total deterministic order, epoch changes the order") {
+    val docs = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val e0 = TextAnalysis.epochShuffle(docs, 0).select("doc_id").as[Long].collect().toSeq
+    val e0again = TextAnalysis.epochShuffle(docs, 0).select("doc_id").as[Long].collect().toSeq
+    val e1 = TextAnalysis.epochShuffle(docs, 1).select("doc_id").as[Long].collect().toSeq
+    assert(e0 == e0again)                      // reproducible
+    assert(e0.sorted == (0L until 50L).toSeq)  // a permutation, nothing lost
+    assert(e0 != e1)                           // epochs reshuffle
+  }
 }
