@@ -70,6 +70,40 @@ class PlanSpec extends SparkSpec {
       "as-of must not plan a join explosion:\n" + p.take(2000))
   }
 
+  test("chunkDocuments is per-row map work: no exchange before the final sort") {
+    val df = graft.operators.TextAnalysis.chunkDocuments(
+      Tables.documents(spark, dir), 64, 16)
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // tokenize + window-slice + fingerprint are all generate/project over
+    // the scan; the ONLY exchange is the output ORDER BY's range partition
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking must not shuffle before the sort:\n${exchanges.mkString("\n")}")
+    val scan = df.queryExecution.sparkPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "chunking must read only (doc_id, text):\n" + scan.take(1200))
+  }
+
+  test("epochShuffle plans a range-partitioned sort, no window, no single-partition funnel") {
+    val df = graft.operators.TextAnalysis.epochShuffle(
+      Tables.documents(spark, dir), epoch = 1)
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), "no global window allowed:\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"),
+      "shuffle order must not funnel through one partition:\n" + p.take(1500))
+    assert(p.contains("rangepartitioning"), p.take(1500))
+  }
+
+  test("weightedSourceSample pushes the row filter below any exchange") {
+    val df = graft.operators.TextAnalysis.weightedSourceSample(
+      Tables.documents(spark, dir), Map("src0" -> 0.5, "src1" -> 0.2))
+    // the sample decision is a pure row predicate over the scan: no
+    // exchange, no aggregation — one narrow Filter stage
+    val p = plan(df)
+    assert(!p.contains("Exchange"), "sampling must not shuffle:\n" + p.take(1500))
+    assert(p.contains("Filter"), p.take(1500))
+  }
+
   test("native normalizer stays inside WholeStageCodegen") {
     val toks = Tfidf.tokenizePortable(Tables.documents(spark, dir))
     toks.collect() // finalize THIS dataset's adaptive plan (count() would plan separately)
