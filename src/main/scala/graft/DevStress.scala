@@ -29,7 +29,13 @@ object DevStress {
     time("minhash_pairs")(Dedup.minhashPairs(docs, threshold = 0.5).count())
     time("simhash_pairs")(Dedup.simhashPairs(docs).count())
     time("ngram_jaccard_capped")(Dedup.ngramJaccardExact(docs, 0.5).count())
-    time("minhash_gate")(Dedup.sketchQualityGate(docs, "minhash").count())
+    // the sketch gate (like the verifier's gram cap) presumes exact dedup
+    // ran first — on this deliberately 20x-duplicated corpus the capped
+    // verifier strips cloned content wholesale, so gate the deduped slice
+    val keepers = Dedup.exact(docs)
+      .select(org.apache.spark.sql.functions.col("keeper").as("doc_id"))
+    time("minhash_gate_deduped")(
+      Dedup.sketchQualityGate(docs.join(keepers, "doc_id"), "minhash").count())
     time("dedup_clusters")(Dedup.connectedComponents(
       Dedup.minhashPairs(docs, threshold = 0.5).select(
         org.apache.spark.sql.functions.col("doc_a"),

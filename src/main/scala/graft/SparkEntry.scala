@@ -427,6 +427,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.5)),
+    // what the boilerplate-gram cap removed from the verifier's view
+    "gram_cap_coverage" -> ((s, dir) => Dedup.gramCapCoverage(Tables.documents(s, dir))),
     // idempotent ingestion: which incoming docs are content-NEW vs the
     // already-ingested half of the corpus
     "dedup_incremental" -> ((s, dir) => {
@@ -1178,6 +1180,19 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""$clusterLabelsCte
          |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin,
+    "gram_cap_coverage" ->
+      s"""WITH $toksArrCte,
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+         |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+         |  FROM toksarr WHERE len(a) >= 3
+         |), dfs AS (SELECT gram, count(*) AS gram_df FROM grams GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sum(CASE WHEN gram_df > 64 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_grams,
+         |  CAST(coalesce(sum(gram_df), 0) AS BIGINT) AS n_doc_gram_rows,
+         |  CAST(coalesce(sum(CASE WHEN gram_df > 64 THEN gram_df ELSE 0 END), 0) AS BIGINT) AS n_dropped_rows
+         |FROM dfs""".stripMargin,
     "dedup_apply" ->
       s"""$clusterLabelsCte
          |SELECT d.doc_id, d.source FROM documents d

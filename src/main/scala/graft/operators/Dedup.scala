@@ -164,7 +164,21 @@ object Dedup {
     * ([[ngramJaccardExact]] at the loose bar, filtered to the strict bar):
     *  - recall: pairs the exact verifier scores ≥ `truthMinJaccard` must be
     *    found by the sketch (a banding regression that stops near-dups from
-    *    colliding craters this);
+    *    colliding craters this). The default truth bar is the NEAR-IDENTICAL
+    *    slice (0.95): there the capped-gram measure and the sketch's own
+    *    measure (5-char shingles / weighted unigrams) agree on any corpus;
+    *    in the 0.8–0.95 band they legitimately diverge once the gram cap
+    *    reduces the verifier to rare residual grams (mass-duplicated
+    *    corpora), so gating that band is corpus-dependent calibration, not
+    *    regression detection. Truth pairs additionally need a gram-union of
+    *    at least `minUnionGrams`: with the boilerplate cap active, two
+    *    unrelated documents can share their ONLY few surviving rare grams
+    *    and score a degenerate residual-Jaccard of 1.0 — a denominator
+    *    floor keeps such pairs out of ground truth. Like the LSH bucket
+    *    caps, the gate presumes [[exact]] dedup ran first: under mass
+    *    duplication the df cap strips duplicated content wholesale and no
+    *    meaningful truth slice remains (the gate then fails fast on an
+    *    empty truth set rather than reporting vacuous recall);
     *  - precision: pairs the sketch emits must be at least loosely similar
     *    (≥ `looseJaccard` exact) — a hashing regression that floods
     *    buckets with unrelated docs craters this.
@@ -172,15 +186,17 @@ object Dedup {
   def sketchQualityGate(
       docs: DataFrame,
       mode: String = "minhash",
-      truthMinJaccard: Double = 0.8,
+      truthMinJaccard: Double = 0.95,
       looseJaccard: Double = 0.2,
       minRecall: Double = 0.9,
       minPrecision: Double = 0.9,
       threshold: Double = 0.7,
       bands: Int = 16,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      minUnionGrams: Int = 10): DataFrame = {
     val exact = ngramJaccardExact(docs, looseJaccard)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (col("grams_a") + col("grams_b") - col("n_shared")).as("union_grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val found = (mode match {
       case "minhash" => minhashPairs(docs, bands = bands, threshold = threshold)
@@ -188,7 +204,8 @@ object Dedup {
       case other => throw new IllegalArgumentException(s"unknown sketch mode: $other")
     }).select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = exact.where(col("jaccard") >= truthMinJaccard)
+    val truth = exact.where(col("jaccard") >= truthMinJaccard &&
+      col("union_grams") >= minUnionGrams)
     val r = truth.join(found.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_truth"),
         coalesce(sum(col("hit")), lit(0L)).as("n_matched")).head()
@@ -327,6 +344,29 @@ object Dedup {
   private def tokenArray = expr(
     "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
       "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
+
+  /** Coverage accounting for [[ngramJaccardExact]]'s boilerplate-gram cap:
+    * one summary row of how many distinct grams (and how many (doc, gram)
+    * rows) the df > `maxGramDf` cap removes from the verifier's view — the
+    * "what did we silently not compare" stat that must ship next to any
+    * capped operator. ANSI-SQL-expressible (oracle-checked). */
+  def gramCapCoverage(docs: DataFrame, maxGramDf: Int = 64): DataFrame = {
+    val dfs = docs
+      .select(col("doc_id"), tokenArray.as("a"))
+      .where(size(col("a")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(a) - 2), i -> " +
+          "concat_ws(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2))))"))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    dfs.agg(
+      count(lit(1)).as("n_grams"),
+      coalesce(sum(when(col("gram_df") > maxGramDf, 1L).otherwise(0L)), lit(0L))
+        .as("n_dropped_grams"),
+      coalesce(sum(col("gram_df")), lit(0L)).as("n_doc_gram_rows"),
+      coalesce(sum(when(col("gram_df") > maxGramDf, col("gram_df")).otherwise(0L)),
+        lit(0L)).as("n_dropped_rows"))
+  }
 
   /** Exact token 3-gram Jaccard for every pair sharing ≥1 gram, at
     * `minJaccard` or above. ANSI-SQL-expressible (oracle-checked).
