@@ -78,6 +78,12 @@ object SparkEntry {
     "tfidf_search" -> ((s, dir) =>
       Tfidf.searchByTerms(Tables.documents(s, dir),
         Seq("table", "query", "spark"), 20)),
+    // BM25: the modern ranked-retrieval successor over the same dataflow
+    "bm25_full" -> ((s, dir) => Tfidf.bm25(Tables.documents(s, dir))
+      .orderBy(desc("score"), asc("term"), asc("doc_id"))),
+    "bm25_search" -> ((s, dir) =>
+      Tfidf.searchByTermsBm25(Tables.documents(s, dir),
+        Seq("table", "query", "spark"), 20)),
     // per-source stratified stable sample (content-keyed, reproducible)
     "documents_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stableSample(Tables.documents(s, dir), "doc_id", 0.2)
@@ -1329,6 +1335,39 @@ object SparkEntry {
          |  round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
          |FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
          |ORDER BY tfidf DESC, term ASC, doc_id ASC""".stripMargin,
+    // constants (1.2, 0.75) and parenthesization mirror the Scala side
+    // exactly so both engines run the same IEEE operation sequence
+    "bm25_full" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+         |consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT CAST(CAST(sum(doc_total) AS BIGINT) AS DOUBLE) FROM dt) /
+         |    (SELECT count(*) FROM documents) AS avgdl)
+         |SELECT tc.term, tc.doc_id, tc.cnt, dt.doc_total, dfq.df,
+         |  round(ln((CAST(n_docs AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 9) AS idf_bm25,
+         |  round(round(ln((CAST(n_docs AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 9)
+         |    * (tc.cnt * (1.2 + 1.0))
+         |    / (tc.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dt.doc_total / avgdl)), 9) AS score
+         |FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN consts
+         |ORDER BY score DESC, term ASC, doc_id ASC""".stripMargin,
+    "bm25_search" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+         |consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT CAST(CAST(sum(doc_total) AS BIGINT) AS DOUBLE) FROM dt) /
+         |    (SELECT count(*) FROM documents) AS avgdl),
+         |scored AS (
+         |  SELECT tc.term, tc.doc_id,
+         |    round(round(ln((CAST(n_docs AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 9)
+         |      * (tc.cnt * (1.2 + 1.0))
+         |      / (tc.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dt.doc_total / avgdl)), 9) AS score
+         |  FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN consts)
+         |SELECT doc_id, count(*) AS n_hits,
+         |  round(CAST(sum(CAST(score AS DECIMAL(28,14))) AS DOUBLE), 9) AS score
+         |FROM scored WHERE term IN ('table', 'query', 'spark')
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "tfidf_l2_normalized" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),

@@ -134,6 +134,52 @@ object Tfidf {
   def topKByValue(df: DataFrame, valueCol: String, k: Int, tiebreak: Seq[String]): DataFrame =
     rankByValue(df, valueCol, tiebreak).limit(k)
 
+  /** BM25 scoring (Okapi, with Lucene's `+1` idf variant — always
+    * positive): the modern successor to the reference's plain tf·idf for
+    * ranked retrieval, over the identical aggregation dataflow
+    * ([[termCounts]] → [[docTotals]]/[[docFreq]] → per-row math):
+    * {{{
+    * idf   = ln((N − df + 0.5) / (df + 0.5) + 1)
+    * score = idf · cnt·(k1+1) / (cnt + k1·(1 − b + b·doc_total/avgdl))
+    * }}}
+    * `avgdl` = totalTokens / N over ALL documents (token-less docs count in
+    * N with length 0, consistent with the reference's O2 semantics). Both
+    * scalars are the pipeline's only driver-side actions.
+    *
+    * Float parity: every constant appears as the same decimal literal and
+    * the same parenthesization in the DuckDB oracle, so each engine
+    * performs the identical IEEE operation sequence; `ln` outputs round
+    * to 9 before use, the final score rounds to 9. */
+  def bm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val n = docs.count()
+    val tc = termCounts(tokenizePortable(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = docTotals(tc)
+    val totalTokens = totals.agg(coalesce(sum("doc_total"), lit(0L))).head().getLong(0)
+    val avgdl = totalTokens.toDouble / math.max(1L, n)
+    tc.join(totals, "doc_id").join(docFreq(tc), "term")
+      .withColumn("idf_bm25", round(log(
+        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 9))
+      .withColumn("score", round(
+        col("idf_bm25") * (col("cnt") * (lit(k1) + lit(1.0))) /
+          (col("cnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_total") / lit(avgdl))),
+        9))
+      .select("term", "doc_id", "cnt", "doc_total", "df", "idf_bm25", "score")
+  }
+
+  /** BM25 text search: documents ranked by summed BM25 over the query
+    * terms — same consumer shape as [[searchByTerms]] (term-filter
+    * pushdown, narrow per-doc agg, decimal-routed sum, top-k). */
+  def searchByTermsBm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 20): DataFrame =
+    topKByValue(
+      bm25(docs)
+        .where(col("term").isInCollection(queryTerms))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          round(sum(col("score").cast("decimal(28,14)")).cast("double"), 9).as("score"))
+        .select("doc_id", "n_hits", "score"),
+      "score", k, Seq("doc_id"))
+
   /** TF-IDF text search: rank documents by summed tf·idf over the query's
     * terms — the canonical CONSUMER of the reference's output (what its
     * ranked word|file table exists to serve). Scale shape: the term filter
