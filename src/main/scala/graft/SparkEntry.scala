@@ -78,6 +78,9 @@ object SparkEntry {
     "tfidf_search" -> ((s, dir) =>
       Tfidf.searchByTerms(Tables.documents(s, dir),
         Seq("table", "query", "spark"), 20)),
+    // related-documents: cosine over L2-normalized tf-idf vectors
+    "tfidf_more_like_this" -> ((s, dir) =>
+      Tfidf.moreLikeThis(Tables.documents(s, dir), queryDocId = 0L, k = 10)),
     // BM25: the modern ranked-retrieval successor over the same dataflow
     "bm25_full" -> ((s, dir) => Tfidf.bm25(Tables.documents(s, dir))
       .orderBy(desc("score"), asc("term"), asc("doc_id"))),
@@ -1335,6 +1338,29 @@ object SparkEntry {
          |  round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
          |FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
          |ORDER BY tfidf DESC, term ASC, doc_id ASC""".stripMargin,
+    "tfidf_more_like_this" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tc.term, tc.doc_id,
+         |    round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf_r
+         |  FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+         |),
+         |norms AS (
+         |  SELECT doc_id, sqrt(CAST(sum(CAST(tfidf_r * tfidf_r AS DECIMAL(28,14))) AS DOUBLE)) AS l2
+         |  FROM scored GROUP BY doc_id
+         |),
+         |unit AS (
+         |  SELECT s.term, s.doc_id, round(s.tfidf_r / nm.l2, 9) AS w
+         |  FROM scored s JOIN norms nm USING (doc_id)
+         |)
+         |SELECT u.doc_id, count(*) AS n_shared_terms,
+         |  round(CAST(sum(CAST(u.w * q.w AS DECIMAL(28,14))) AS DOUBLE), 9) AS cos
+         |FROM unit u JOIN (SELECT term, w FROM unit WHERE doc_id = 0) q USING (term)
+         |WHERE u.doc_id <> 0
+         |GROUP BY u.doc_id ORDER BY cos DESC, u.doc_id LIMIT 10""".stripMargin,
     // constants (1.2, 0.75) and parenthesization mirror the Scala side
     // exactly so both engines run the same IEEE operation sequence
     "bm25_full" ->

@@ -134,6 +134,37 @@ object Tfidf {
   def topKByValue(df: DataFrame, valueCol: String, k: Int, tiebreak: Seq[String]): DataFrame =
     rankByValue(df, valueCol, tiebreak).limit(k)
 
+  /** "More like this": rank documents by cosine similarity of
+    * L2-normalized tf·idf vectors against ONE query document — the classic
+    * related-documents consumer of a TF-IDF index. Scale shape: the query
+    * vector is a few hundred (term, weight) rows broadcast against the
+    * corpus side, which the shared-term join prunes to rows whose term the
+    * query contains — never a |corpus|² comparison. Weights round to 9
+    * before the dot product (identical doubles both engines) and the
+    * per-doc sum is decimal-routed, so the ranking is engine-exact. */
+  def moreLikeThis(docs: DataFrame, queryDocId: Long, k: Int = 10): DataFrame = {
+    val scored = pipeline(docs, portable = true)
+      .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = scored.groupBy("doc_id")
+      .agg(sqrt(sum((col("tfidf_r") * col("tfidf_r")).cast("decimal(28,14)"))
+        .cast("double")).as("l2"))
+    val unit = scored.join(norms, "doc_id")
+      .select(col("term"), col("doc_id"),
+        round(col("tfidf_r") / col("l2"), 9).as("w"))
+    val q = unit.where(col("doc_id") === queryDocId)
+      .select(col("term"), col("w").as("qw"))
+    topKByValue(
+      unit.where(col("doc_id") =!= queryDocId)
+        .join(broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_terms"),
+          round(sum((col("w") * col("qw")).cast("decimal(28,14)")).cast("double"), 9)
+            .as("cos"))
+        .select("doc_id", "n_shared_terms", "cos"),
+      "cos", k, Seq("doc_id"))
+  }
+
   /** BM25 scoring (Okapi, with Lucene's `+1` idf variant — always
     * positive): the modern successor to the reference's plain tf·idf for
     * ranked retrieval, over the identical aggregation dataflow

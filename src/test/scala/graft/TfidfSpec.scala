@@ -81,6 +81,16 @@ class TfidfSpec extends SparkSpec {
     assert(top2 == Seq(("cherry", 3L), ("apple", 1L)))
   }
 
+  test("moreLikeThis ranks the overlapping doc, omits the disjoint one") {
+    val docs = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana date"),
+      (2L, "xray yankee zulu")).toDF("doc_id", "text")
+    val got = Tfidf.moreLikeThis(docs, 0L, 5)
+      .select("doc_id", "n_shared_terms").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L))) // shares apple+banana; doc 2 shares nothing
+  }
+
   test("bm25: hand-computed micro corpus, rarer term outranks") {
     // N=2, doc 1 = [aa aa bb] (len 3), doc 2 = [aa cc] (len 2), avgdl = 2.5
     val docs = Seq((1L, "aa aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
