@@ -72,6 +72,11 @@ object DevStress {
       time("trailing_10min_2m")(SparkEntry.queries("events_trailing_10min")(spark, dir).count())
       time("pivot_2m")(SparkEntry.queries("events_pivot_by_type")(spark, dir).count())
     }
+    time("duplicate_spans")(graft.operators.Curation.duplicateSpans(docs).count())
+    time("span_dup_stats")(graft.operators.Curation.spanDupStats(docs).count())
+    time("keywords_per_doc")(Tfidf.keywordsPerDoc(docs).count())
+    time("more_like_this")(Tfidf.moreLikeThis(docs, 0L).count())
+    time("bm25_search")(Tfidf.searchByTermsBm25(docs, Seq("table", "query", "spark")).count())
     time("quality_score_100k")(graft.operators.TextAnalysis.qualityScore(docs).count())
     time("lang_id_100k")(graft.operators.TextAnalysis.langId(docs).count())
     time("packing_100k")(graft.operators.TextAnalysis.sequencePacking(docs).count())

@@ -81,6 +81,9 @@ object SparkEntry {
     // related-documents: cosine over L2-normalized tf-idf vectors
     "tfidf_more_like_this" -> ((s, dir) =>
       Tfidf.moreLikeThis(Tables.documents(s, dir), queryDocId = 0L, k = 10)),
+    // per-doc keyword extraction: top-5 terms of each doc by tf-idf
+    "keywords_per_doc" -> ((s, dir) =>
+      Tfidf.keywordsPerDoc(Tables.documents(s, dir), 5)),
     // BM25: the modern ranked-retrieval successor over the same dataflow
     "bm25_full" -> ((s, dir) => Tfidf.bm25(Tables.documents(s, dir))
       .orderBy(desc("score"), asc("term"), asc("doc_id"))),
@@ -432,6 +435,10 @@ object SparkEntry {
           "b" -> docs.where(col("doc_id") % 47 === 0)))
     }),
     "boilerplate_grams" -> ((s, dir) => Curation.boilerplateGrams(Tables.documents(s, dir))),
+    // Lee-et-al-style exact substring dedup: duplicated windows + coverage
+    "duplicate_spans" -> ((s, dir) =>
+      Curation.duplicateSpans(Tables.documents(s, dir), 5).orderBy("doc_id", "pos")),
+    "span_dup_stats" -> ((s, dir) => Curation.spanDupStats(Tables.documents(s, dir), 5)),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
@@ -1120,6 +1127,55 @@ object SparkEntry {
          |  count(DISTINCT CASE WHEN gram IN (SELECT gram FROM bb) THEN gram END) AS overlap_b
          |FROM grams WHERE doc_id % 53 <> 0 AND doc_id % 47 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // windows = 5-grams with 1-based start positions; `a` rides along the
+    // unnest CTE because DuckDB range() is not lateral-correlatable
+    "duplicate_spans" ->
+      s"""WITH $toksArrCte,
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 3)) AS pos
+         |  FROM toksarr WHERE len(a) >= 5
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    a[pos] || ' ' || a[pos+1] || ' ' || a[pos+2] || ' ' || a[pos+3] || ' ' || a[pos+4] AS gram
+         |  FROM w0
+         |),
+         |occ AS (SELECT gram, count(*) AS occ FROM wins GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT w.doc_id, w.pos, w.gram, o.occ
+         |FROM wins w JOIN occ o USING (gram)
+         |ORDER BY doc_id, pos""".stripMargin,
+    "span_dup_stats" ->
+      s"""WITH $toksArrCte,
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 3)) AS pos
+         |  FROM toksarr WHERE len(a) >= 5
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    a[pos] || ' ' || a[pos+1] || ' ' || a[pos+2] || ' ' || a[pos+3] || ' ' || a[pos+4] AS gram
+         |  FROM w0
+         |),
+         |occ AS (SELECT gram, count(*) AS occ FROM wins GROUP BY 1 HAVING count(*) >= 2),
+         |dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN occ USING (gram)),
+         |toks AS (SELECT doc_id, pos, unnest(range(pos, pos + 5)) AS tok FROM dup),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT pos) AS n_dup_windows,
+         |    count(DISTINCT tok) AS n_dup_tokens
+         |  FROM toks GROUP BY 1
+         |),
+         |totals AS (
+         |  SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens,
+         |    CAST(greatest(len(a) - 4, 0) AS BIGINT) AS n_windows
+         |  FROM toksarr
+         |)
+         |SELECT t.doc_id, t.n_tokens, t.n_windows,
+         |  CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         |  CASE WHEN t.n_tokens > 0
+         |    THEN round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / t.n_tokens, 9)
+         |    ELSE 0.0 END AS dup_token_frac
+         |FROM totals t LEFT JOIN cov c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       s"""WITH $toksCte,
          |$toksArrCte,
@@ -1338,6 +1394,23 @@ object SparkEntry {
          |  round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
          |FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
          |ORDER BY tfidf DESC, term ASC, doc_id ASC""".stripMargin,
+    "keywords_per_doc" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tc.term, tc.doc_id,
+         |    round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
+         |  FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+         |),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 5
+         |ORDER BY doc_id, rnk""".stripMargin,
     "tfidf_more_like_this" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),

@@ -141,4 +141,66 @@ object Curation {
       .where(col("n_docs") >= minDocs)
       .orderBy(desc("n_docs"), asc("gram"))
       .limit(topK)
+
+  /** Every `n`-token window per document with its 1-based start position
+    * over the portable token sequence: (doc_id, pos, gram). One row per
+    * OCCURRENCE (no `array_distinct` — positions matter here), LINEAR in
+    * corpus tokens. */
+  private def windowRows(docs: DataFrame, n: Int): DataFrame = {
+    val mk = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(col("doc_id"), tokenArray.as("a"))
+      .where(size(col("a")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(a) - ${n - 1}), i -> $mk)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+  }
+
+  /** Duplicated-span detection — the exact-substring-dedup primitive from
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., 2021): every `n`-token window whose exact token sequence occurs
+    * more than once in the corpus (in another document, or repeated within
+    * the same one). Output: (doc_id, pos, gram, occ) with `occ` the gram's
+    * corpus-wide occurrence count.
+    *
+    * Scale shape: windows are narrow (doc_id, pos, gram) rows — LINEAR in
+    * corpus tokens, never a document-pair join. The duplicated-gram set is
+    * one map-side-partial `groupBy(gram)`, and the mark-back is an
+    * equi-join on the same key, so a gram occurring d times contributes d
+    * output rows — contrast the |pairs| = d² of a gram-keyed SELF-join
+    * ([[Dedup.ngramJaccardExact]] needs its DF cap precisely because
+    * pairing is quadratic; marking spans is not). */
+  def duplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val wins = windowRows(docs, n)
+    val occ = wins.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2)
+    wins.join(occ, "gram")
+      .select(col("doc_id"), col("pos"), col("gram"), col("occ"))
+  }
+
+  /** Per-document duplicated-span coverage — the "how much of this document
+    * is duplicated text" statistic that drives span-level dedup policy:
+    * token count, window count, duplicated-window count, the number of
+    * DISTINCT token positions covered by at least one duplicated window
+    * (overlapping windows don't double-count), and that coverage as a
+    * fraction of the document. Documents with no duplicated span (or fewer
+    * than `n` tokens) report zeros via the left join. */
+  def spanDupStats(docs: DataFrame, n: Int = 5): DataFrame = {
+    val cov = duplicateSpans(docs, n)
+      .select(col("doc_id"), col("pos"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tok"))
+      .groupBy("doc_id")
+      .agg(countDistinct("pos").as("n_dup_windows"),
+        countDistinct("tok").as("n_dup_tokens"))
+    docs.select(col("doc_id"), size(tokenArray).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - lit(n - 1), lit(0)).cast("long").as("n_windows"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 9))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
 }

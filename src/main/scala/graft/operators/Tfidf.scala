@@ -165,6 +165,24 @@ object Tfidf {
       "cos", k, Seq("doc_id"))
   }
 
+  /** Per-document keyword extraction: the top-`k` terms of each document by
+    * tf·idf — the classic "what is this document about" consumer of the
+    * index. Ranks by the ROUNDED score so ties (and therefore `row_number`)
+    * resolve identically in both engines. The window partitions by doc_id:
+    * per-partition cardinality is ONE document's vocabulary (bounded by doc
+    * length), so unlike a term-partitioned window there is no skew at
+    * corpus scale — every document ranks its own terms independently. */
+  def keywordsPerDoc(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf_r").desc, col("term").asc)
+    pipeline(docs, portable = true)
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 9).as("tfidf_r"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf_r").as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** BM25 scoring (Okapi, with Lucene's `+1` idf variant — always
     * positive): the modern successor to the reference's plain tf·idf for
     * ranked retrieval, over the identical aggregation dataflow

@@ -82,4 +82,48 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("duplicateSpans marks the cross-doc window, positions 1-based") {
+    val corpus = docs(
+      1L -> "a b c d e",   // windows: (1,'a b c') (2,'b c d') (3,'c d e')
+      2L -> "x b c d y",   // windows: (1,'x b c') (2,'b c d') (3,'c d y')
+      3L -> "p q r s t")   // shares nothing
+    val got = Curation.duplicateSpans(corpus, n = 3)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == Set((1L, 2L, "b c d", 2L), (2L, 2L, "b c d", 2L)))
+  }
+
+  test("duplicateSpans counts within-doc repetition too") {
+    // 'm n o' ×3 → every window's gram recurs, all 7 windows are duplicated
+    val corpus = docs(1L -> "m n o m n o m n o")
+    val got = Curation.duplicateSpans(corpus, n = 3)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got.size == 7)
+    assert(got.filter(_._3 == "m n o").map(_._2).sorted == Seq(1L, 4L, 7L))
+    assert(got.forall(_._4 >= 2L))
+  }
+
+  test("spanDupStats: overlap-free coverage, zero rows for clean/short docs") {
+    val corpus = docs(
+      1L -> "a b c d e",
+      2L -> "x b c d y",
+      3L -> "p q r s t",
+      4L -> "too short")  // < n tokens: 0 windows
+    val got = Curation.spanDupStats(corpus, n = 3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // docs 1,2: one dup window at pos 2 covering tokens {2,3,4} → 3/5
+    assert(got == Seq(
+      (1L, 5L, 3L, 1L, 3L, 0.6),
+      (2L, 5L, 3L, 1L, 3L, 0.6),
+      (3L, 5L, 3L, 0L, 0L, 0.0),
+      (4L, 2L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("spanDupStats does not double-count overlapping dup windows") {
+    // doc 1 = doc 2 → every window dup; coverage = all tokens, frac 1.0
+    val corpus = docs(1L -> "a b c d e", 2L -> "a b c d e")
+    val got = Curation.spanDupStats(corpus, n = 3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 5L, 3L, 3L, 5L, 1.0), (2L, 5L, 3L, 3L, 5L, 1.0)))
+  }
 }

@@ -91,6 +91,18 @@ class TfidfSpec extends SparkSpec {
     assert(got == Seq((1L, 2L))) // shares apple+banana; doc 2 shares nothing
   }
 
+  test("keywordsPerDoc ranks each doc's own terms, distinctive first") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry cherry")).toDF("doc_id", "text")
+    val got = Tfidf.keywordsPerDoc(docs, 5)
+      .select("doc_id", "rnk", "term").as[(Long, Long, String)].collect().toSeq
+    // banana is in both docs (idf=0) → always ranks after the distinctive term
+    assert(got == Seq(
+      (1L, 1L, "apple"), (1L, 2L, "banana"),
+      (2L, 1L, "cherry"), (2L, 2L, "banana")))
+  }
+
   test("bm25: hand-computed micro corpus, rarer term outranks") {
     // N=2, doc 1 = [aa aa bb] (len 3), doc 2 = [aa cc] (len 2), avgdl = 2.5
     val docs = Seq((1L, "aa aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
