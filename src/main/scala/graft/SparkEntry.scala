@@ -439,6 +439,11 @@ object SparkEntry {
     "duplicate_spans" -> ((s, dir) =>
       Curation.duplicateSpans(Tables.documents(s, dir), 5).orderBy("doc_id", "pos")),
     "span_dup_stats" -> ((s, dir) => Curation.spanDupStats(Tables.documents(s, dir), 5)),
+    "strip_duplicate_spans" -> ((s, dir) =>
+      Curation.stripDuplicateSpans(Tables.documents(s, dir), 5)),
+    // the 100 TB shuffle shape (8-byte gram hashes) — engine hash, rows-only
+    "duplicate_spans_hashed" -> ((s, dir) =>
+      Curation.duplicateSpansHashed(Tables.documents(s, dir), 5).orderBy("doc_id", "pos")),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
@@ -1175,6 +1180,47 @@ object SparkEntry {
          |    THEN round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / t.n_tokens, 9)
          |    ELSE 0.0 END AS dup_token_frac
          |FROM totals t LEFT JOIN cov c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "strip_duplicate_spans" ->
+      s"""WITH $toksArrCte,
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 3)) AS pos
+         |  FROM toksarr WHERE len(a) >= 5
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    a[pos] || ' ' || a[pos+1] || ' ' || a[pos+2] || ' ' || a[pos+3] || ' ' || a[pos+4] AS gram
+         |  FROM w0
+         |),
+         |occ AS (
+         |  SELECT gram, min(doc_id * 4294967296 + pos) AS canon
+         |  FROM wins GROUP BY 1 HAVING count(*) >= 2
+         |),
+         |rem AS (
+         |  SELECT w.doc_id, w.pos FROM wins w JOIN occ o USING (gram)
+         |  WHERE w.doc_id * 4294967296 + w.pos <> o.canon
+         |),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, tpos
+         |  FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS tpos FROM rem)
+         |),
+         |toks AS (
+         |  SELECT doc_id, tpos, a[tpos] AS term
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS tpos FROM toksarr)
+         |),
+         |kept AS (
+         |  SELECT t.doc_id, t.tpos, t.term
+         |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         |  WHERE c.doc_id IS NULL
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(term, ' ' ORDER BY tpos) AS clean_text
+         |  FROM kept GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       s"""WITH $toksCte,

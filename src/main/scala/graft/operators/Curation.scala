@@ -177,6 +177,68 @@ object Curation {
       .select(col("doc_id"), col("pos"), col("gram"), col("occ"))
   }
 
+  /** [[duplicateSpans]] with the shuffle keyed by `xxhash64(gram)` instead
+    * of the gram string — the 100 TB form. An `n`-token gram is ~8·n bytes;
+    * hashing first shrinks every exchanged row to (doc_id, pos, gh), a ~5×
+    * shuffle-volume cut at n=5 (this is also what Lee et al. ship: they
+    * match on hashes and accept the 2⁻⁶⁴ birthday noise, which marks a
+    * false span but never loses a true one). Output positions are identical
+    * to the exact operator absent a collision — proven by spec; the
+    * registered query keeps the string-keyed form because DuckDB cannot
+    * reproduce xxhash64. */
+  def duplicateSpansHashed(docs: DataFrame, n: Int = 5): DataFrame = {
+    val wins = windowRows(docs, n)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val occ = wins.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2)
+    wins.join(occ, "gh")
+      .select(col("doc_id"), col("pos"), col("gh"), col("occ"))
+  }
+
+  /** Span-level dedup APPLY — rebuild each document with duplicated spans
+    * removed, keeping each gram's canonical occurrence (the corpus-first:
+    * lowest doc_id, then lowest position — Lee et al. likewise keep one
+    * occurrence and cut the rest). A token is dropped if ANY removable
+    * window covers it, even one overlapping a canonical window — the
+    * simple deterministic rule, spelled identically in the oracle. Output
+    * is in the token domain (normalized tokens re-joined with single
+    * spaces; original whitespace/case are not reconstructed):
+    * (doc_id, n_kept, clean_text), with fully-stripped or token-free
+    * documents emitting (0, "").
+    *
+    * Scale shape: same linear mark-back as [[duplicateSpans]] plus one
+    * (doc_id, tpos) anti-join and a per-document re-assembly — the
+    * collect_list is bounded by ONE document's length. The canonical
+    * occurrence rides the same `groupBy(gram)` that counts occurrences
+    * (packed `doc_id·2³² + pos` min — assumes doc_id < 2³¹, pos < 2³²,
+    * which any per-document token position satisfies). */
+  def stripDuplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val packed = col("doc_id") * lit(4294967296L) + col("pos")
+    val wins = windowRows(docs, n)
+    val occ = wins.groupBy("gram")
+      .agg(count(lit(1)).as("occ"), min(packed).as("canon"))
+      .where(col("occ") >= 2)
+    val rem = wins.join(occ, "gram")
+      .where(packed =!= col("canon"))
+      .select("doc_id", "pos")
+    val cov = rem
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tpos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"), tokenArray.as("a"))
+      .select(col("doc_id"), posexplode(col("a")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("tpos"), col("col").as("term"))
+    val kept = toks.join(cov, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(tpos, term))), s -> s.term))")
+          .as("clean_text"))
+    docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document duplicated-span coverage — the "how much of this document
     * is duplicated text" statistic that drives span-level dedup policy:
     * token count, window count, duplicated-window count, the number of

@@ -119,6 +119,45 @@ class CurationSpec extends SparkSpec {
       (4L, 2L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("duplicateSpansHashed marks identical positions to the exact form") {
+    val corpus = docs(
+      1L -> "a b c d e f g",
+      2L -> "x b c d y z w",
+      3L -> "a b c d e q r",  // doc 1 prefix repeated
+      4L -> "m n o m n o m n o")
+    val exact = Curation.duplicateSpans(corpus, n = 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    val hashed = Curation.duplicateSpansHashed(corpus, n = 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    assert(hashed == exact)
+  }
+
+  test("stripDuplicateSpans keeps the corpus-first occurrence, cuts the rest") {
+    val corpus = docs(
+      1L -> "a b c d e",
+      2L -> "x b c d y",   // 'b c d' canon is doc 1 → doc 2's copy removed
+      3L -> "p q r s t")
+    val got = Curation.stripDuplicateSpans(corpus, n = 3)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, "a b c d e"),
+      (2L, 2L, "x y"),
+      (3L, 5L, "p q r s t")))
+  }
+
+  test("stripDuplicateSpans: clone doc fully stripped, self-repetition cut") {
+    val corpus = docs(
+      1L -> "a b c d e",
+      2L -> "a b c d e",        // exact clone → stripped to nothing
+      3L -> "m n o m n o")      // self-repeat: second 'm n o' removed
+    val got = Curation.stripDuplicateSpans(corpus, n = 3)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, "a b c d e"),
+      (2L, 0L, ""),
+      (3L, 3L, "m n o")))
+  }
+
   test("spanDupStats does not double-count overlapping dup windows") {
     // doc 1 = doc 2 → every window dup; coverage = all tokens, frac 1.0
     val corpus = docs(1L -> "a b c d e", 2L -> "a b c d e")

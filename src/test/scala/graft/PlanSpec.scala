@@ -104,6 +104,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Filter"), p.take(1500))
   }
 
+  test("duplicateSpans joins, never pairs: no cartesian/nested-loop, no window") {
+    val df = graft.operators.Curation.duplicateSpans(Tables.documents(spark, dir), 5)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span marking must stay an equi-join:\n" + p.take(2000))
+    assert(!p.contains("Window"), "no gram-partitioned window (skew):\n" + p.take(2000))
+    // the occurrence-count side partial-aggregates map-side before its exchange
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("native normalizer stays inside WholeStageCodegen") {
     val toks = Tfidf.tokenizePortable(Tables.documents(spark, dir))
     toks.collect() // finalize THIS dataset's adaptive plan (count() would plan separately)
