@@ -400,6 +400,8 @@ object SparkEntry {
     // --- Text analysis ---
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    // engine-internal (JVM deflate — no DuckDB equivalent): rows-only
+    "compression_stats" -> ((s, dir) => TextAnalysis.compressionStats(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // Per-shard packing (shardCol = source): the global-cumsum variant

@@ -73,6 +73,14 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** DEFLATE-compressed length of `text` in bytes (see [[DeflateLen]]).
+    * Engine-internal (no oracle: DuckDB exposes no SQL deflate), fixed
+    * `level` so the value is deterministic for a given zlib. */
+  def deflateLen(text: Column, level: Int = 6): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(DeflateLen(GraftColumnBridge.expression(text), level))
+  }
+
   /** Small English stopword list used by the language-ID heuristic and the
     * quality scorer. Deliberately tiny and fixed so the DuckDB oracle can
     * spell the identical list. */

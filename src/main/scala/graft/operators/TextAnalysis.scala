@@ -62,6 +62,23 @@ object TextAnalysis {
     * list over the tokens. A real system compares n-gram profiles per
     * language; the operator shape (per-doc classify in one map + agg stage,
     * no shuffle beyond the per-doc grouping) is what scales. */
+  /** Compression-ratio quality signal (Gopher-style): DEFLATE length over
+    * raw UTF-8 length per document. Low ratio → repetitive boilerplate;
+    * ratio near (or above) 1 → high-entropy noise (minified code, base64);
+    * natural prose sits in a stable mid band, so curation pipelines cut
+    * both tails. Pure per-row map work via the native [[graft.functions.DeflateLen]]
+    * expression — no shuffle at all, scan-speed at any corpus size.
+    * Engine-internal output (rows-only): DuckDB has no SQL deflate. */
+  def compressionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        TextFunctions.deflateLen(col("text")).as("deflate_bytes"))
+      .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"),
+        when(col("n_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("n_bytes"), 9))
+          .otherwise(lit(0.0)).as("compress_ratio"))
+      .orderBy("doc_id")
+
   def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
     val stopSet = TextFunctions.EnglishStopwords
     Tfidf.tokenizePortable(docs)

@@ -140,6 +140,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSet == Set("keep_all") && got.length == 20)
   }
 
+  test("compressionStats: boilerplate compresses harder than varied prose") {
+    val docs = Seq(
+      (1L, "spam spam spam " * 50),                       // repetitive → low ratio
+      (2L, (0 until 200).map(i => s"w${i * 7919 % 997}").mkString(" ")), // varied
+      (3L, "")).toDF("doc_id", "text")                    // empty → ratio 0
+    val got = TextAnalysis.compressionStats(docs)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1)._2 == 750L && got(2)._2 > 0L)           // n_bytes = utf-8 length
+    assert(got(1)._4 < got(2)._4, s"repetitive ${got(1)._4} !< varied ${got(2)._4}")
+    assert(got(1)._4 > 0.0 && got(2)._4 > 0.0)
+    assert(got(3)._2 == 0L && got(3)._4 == 0.0)
+    // deterministic across invocations (fixed deflate level)
+    val again = TextAnalysis.compressionStats(docs)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("epochShuffle: total deterministic order, epoch changes the order") {
     val docs = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val e0 = TextAnalysis.epochShuffle(docs, 0).select("doc_id").as[Long].collect().toSeq
