@@ -32,4 +32,33 @@ class SourcesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(byDoc == Map("doc_a.txt" -> 3L, "doc_b.txt" -> 1L))
   }
+
+  test("JSONL round-trips documents, embedded newlines included") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val docs = Seq(
+      (1L, "line one\nline two", "en", "src0", 17L),
+      (2L, "tabs\tand \"quotes\"", "en", "src1", 17L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.sources.JsonLines.writeDocuments(docs, s"$dir/out")
+    val back = graft.sources.JsonLines.readDocumentsClean(spark, s"$dir/out")
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(back == docs.as[(Long, String, String, String, Long)].collect().toSet)
+  }
+
+  test("JSONL ingest quarantines corrupt lines instead of failing") {
+    val dir = Files.createTempDirectory("graft_jsonl_bad")
+    Files.writeString(dir.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "good", "lang": "en", "source": "s", "n_chars": 4}
+        |this is not json at all
+        |{"doc_id": 2, "text": "also good", "lang": "en", "source": "s", "n_chars": 9}
+        |{"broken": unquoted}
+        |""".stripMargin)
+    val stats = graft.sources.JsonLines
+      .readDocumentsStrictness(spark, dir.toString)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(stats == ((4L, 2L, 2L, 0L)))
+    val clean = graft.sources.JsonLines.readDocumentsClean(spark, dir.toString)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(1L, 2L))
+  }
 }
