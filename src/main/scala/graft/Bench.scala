@@ -18,7 +18,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        // Execute the query's OWN plan and drain it (`toRdd.count()`), not
+        // `df.count()`: a count on top lets Catalyst prune final-stage
+        // expression work and eliminate row-preserving joins (e.g. the
+        // left-join re-assembly in strip_duplicate_spans collapses to a
+        // bare scan), which under-measures exactly the work a real
+        // consumer pays for.
+        try fn(spark, sfDir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }

@@ -73,7 +73,15 @@ object DevStress {
       time("pivot_2m")(SparkEntry.queries("events_pivot_by_type")(spark, dir).count())
     }
     time("duplicate_spans")(graft.operators.Curation.duplicateSpans(docs).count())
-    time("span_dup_stats")(graft.operators.Curation.spanDupStats(docs).count())
+    time("duplicate_spans_hashed")(graft.operators.Curation.duplicateSpansHashed(docs).count())
+    // toRdd: a plain count() would let Catalyst eliminate the row-preserving
+    // re-assembly joins and measure a bare scan
+    time("span_dup_stats")(graft.operators.Curation.spanDupStats(docs)
+      .queryExecution.toRdd.count())
+    time("strip_duplicate_spans")(graft.operators.Curation.stripDuplicateSpans(docs)
+      .queryExecution.toRdd.count())
+    time("compression_stats")(graft.operators.TextAnalysis.compressionStats(docs)
+      .queryExecution.toRdd.count())
     time("keywords_per_doc")(Tfidf.keywordsPerDoc(docs).count())
     time("more_like_this")(Tfidf.moreLikeThis(docs, 0L).count())
     time("bm25_search")(Tfidf.searchByTermsBm25(docs, Seq("table", "query", "spark")).count())
