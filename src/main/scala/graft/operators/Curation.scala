@@ -170,7 +170,11 @@ object Curation {
     * ([[Dedup.ngramJaccardExact]] needs its DF cap precisely because
     * pairing is quadratic; marking spans is not). */
   def duplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    // windows feed both the occurrence count and the mark-back join; without
+    // a persist Catalyst re-tokenizes and re-windows the corpus for each
+    // (same rationale as Tfidf.pipeline's term-counts cache)
     val wins = windowRows(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occ = wins.groupBy("gram").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2)
     wins.join(occ, "gram")
@@ -189,6 +193,7 @@ object Curation {
   def duplicateSpansHashed(docs: DataFrame, n: Int = 5): DataFrame = {
     val wins = windowRows(docs, n)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occ = wins.groupBy("gh").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2)
     wins.join(occ, "gh")
@@ -215,6 +220,7 @@ object Curation {
   def stripDuplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     val packed = col("doc_id") * lit(4294967296L) + col("pos")
     val wins = windowRows(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occ = wins.groupBy("gram")
       .agg(count(lit(1)).as("occ"), min(packed).as("canon"))
       .where(col("occ") >= 2)
