@@ -33,14 +33,17 @@ object Multimodal {
   /** Deterministic synthetic asset table (fixture generator — the corpus'
     * stand-in for a real object-store-backed table). Image rows are VALID
     * minimal BMP files and audio rows VALID mono PCM8 WAVs (every fourth
-    * image a binary PPM), so the decode operators exercise the real header
-    * parsers; video rows stay raw chunk payloads (stub-decoded — a real
-    * video container needs a codec library). */
+    * image a binary PPM, every eighth a CRC-correct PNG), so the decode
+    * operators exercise the real header parsers; video rows stay raw chunk
+    * payloads (stub-decoded — a real video container needs a codec
+    * library). */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     import graft.functions.MinHash.mix64
     val rows = (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
       val bytes = kind match {
+        case "image" if i % 8 == 0 =>
+          HeaderCodecs.makePng(2 + i % 11, 2 + i % 7, i.toLong)
         case "image" if i % 4 == 0 =>
           HeaderCodecs.makePpm(2 + i % 7, 2 + i % 5, i.toLong)
         case "image" =>
@@ -321,9 +324,30 @@ object HeaderCodecs {
       rate, channels, bits))
   }
 
+  /** PNG: 8-byte signature, then the IHDR chunk (length 13, big-endian
+    * width/height at offsets 16/20, bit depth at 24). The IHDR CRC32 (over
+    * chunk type + data, as the spec defines) is VERIFIED — a flipped header
+    * byte falls back to the stub path rather than yielding garbage dims. */
+  def parsePng(bytes: Array[Byte]): Option[ContainerMeta] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (bytes.length < 33 || !sig.indices.forall(i => bytes(i) == sig(i))) return None
+    def u32be(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    if (u32be(8) != 13L || bytes(12) != 'I' || bytes(13) != 'H' ||
+        bytes(14) != 'D' || bytes(15) != 'R') return None
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, 12, 4 + 13) // chunk type + data
+    if (crc.getValue != u32be(29)) return None
+    val w = u32be(16)
+    val h = u32be(20)
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) None
+    else Some(ContainerMeta("png", w.toInt, h.toInt, 1, 0, 0, bytes(24) & 0xFF))
+  }
+
   /** Sniff + parse any recognized container. */
   def parse(bytes: Array[Byte]): Option[ContainerMeta] =
-    parseBmp(bytes).orElse(parseWav(bytes)).orElse(parsePpm(bytes))
+    parsePng(bytes).orElse(parseBmp(bytes)).orElse(parseWav(bytes)).orElse(parsePpm(bytes))
 
   /** The decode seam used by the operators: real header parse first,
     * [[StubCodecs]] fallback for raw/unrecognized payloads. */
@@ -398,6 +422,30 @@ object HeaderCodecs {
     System.arraycopy(header, 0, out, 0, header.length)
     var i = 0
     while (i < w * h * 3) { out(header.length + i) = mix64(seed * 41 + i).toByte; i += 1 }
+    out
+  }
+
+  /** Minimal PNG: signature + a CRC-correct IHDR (8-bit RGB) + deterministic
+    * opaque payload bytes standing in for the IDAT stream (header-only
+    * parsing never inflates them). */
+  def makePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    import graft.functions.MinHash.mix64
+    val out = new Array[Byte](33 + 16)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    System.arraycopy(sig, 0, out, 0, 8)
+    def putU32be(o: Int, v: Long): Unit = {
+      out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+      out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+    }
+    putU32be(8, 13L)
+    out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+    putU32be(16, w.toLong); putU32be(20, h.toLong)
+    out(24) = 8; out(25) = 2 // bit depth 8, color type 2 (truecolor)
+    val crc = new java.util.zip.CRC32
+    crc.update(out, 12, 17)
+    putU32be(29, crc.getValue)
+    var i = 0
+    while (i < 16) { out(33 + i) = mix64(seed * 43 + i).toByte; i += 1 }
     out
   }
 }

@@ -13,7 +13,9 @@ class MultimodalSpec extends SparkSpec {
     metas.filter(_.kind == "image").foreach { m =>
       val i = m.asset_id.toInt
       val (ew, eh) =
-        if (i % 4 == 0) (2 + i % 7, 2 + i % 5) else (2 + i % 9, 2 + i % 6)
+        if (i % 8 == 0) (2 + i % 11, 2 + i % 7)
+        else if (i % 4 == 0) (2 + i % 7, 2 + i % 5)
+        else (2 + i % 9, 2 + i % 6)
       assert(m.width == ew && m.height == eh && m.n_frames == 1,
         s"asset $i parsed (${m.width},${m.height}) expected ($ew,$eh)")
     }
@@ -39,6 +41,20 @@ class MultimodalSpec extends SparkSpec {
       wav.nFrames == 77 && wav.channels == 1 && wav.bitsPerSample == 8)
     // sniffing dispatches on magic, not argument order
     assert(HeaderCodecs.parse(HeaderCodecs.makeWav(8000, 10, 4L)).get.format == "wav")
+    val png = HeaderCodecs.parsePng(HeaderCodecs.makePng(12, 7, 4L)).get
+    assert(png.format == "png" && png.width == 12 && png.height == 7 &&
+      png.bitsPerSample == 8)
+    assert(HeaderCodecs.parse(HeaderCodecs.makePng(3, 3, 5L)).get.format == "png")
+  }
+
+  test("PNG IHDR CRC is verified: a flipped dimension byte is rejected") {
+    val good = HeaderCodecs.makePng(12, 7, 8L)
+    assert(HeaderCodecs.parsePng(good).isDefined)
+    val flipped = good.clone()
+    flipped(19) = (flipped(19) ^ 1).toByte // width LSB — CRC now wrong
+    assert(HeaderCodecs.parsePng(flipped).isEmpty)
+    val (w, h, _) = HeaderCodecs.decodeHeader("image", flipped) // stub fallback
+    assert(w > 0 && h > 0)
   }
 
   test("malformed headers fall back to the stub decoder, never throw") {
