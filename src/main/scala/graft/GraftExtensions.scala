@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children.head,
           foldableInt(children(1), "n"), foldableInt(children(2), "k"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[graft.functions.DeflateLen].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_deflate_len takes (text, level)")
+        graft.functions.DeflateLen(children.head, foldableInt(children(1), "level"))
+      }))
   }
 
   /** Evaluate a foldable argument to an Int at resolution time (the shingle

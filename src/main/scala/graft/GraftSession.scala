@@ -29,6 +29,24 @@ object GraftSession {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerAggregates(spark)
     spark
+  }
+
+  /** SQL-surface registration of the typed sketch aggregators (Aggregator
+    * instances can't go through `SparkSessionExtensions.injectFunction`,
+    * which takes expression builders — `udaf` bridges them instead). Lets
+    * pure SQL run the full MinHash pipeline:
+    * {{{
+    * SELECT doc_id, graft_minhash_agg(sh) AS sig
+    * FROM corpus LATERAL VIEW graft_shingle_hashes(text, 5) t AS sh
+    * GROUP BY doc_id
+    * }}}
+    * Signature length is fixed at registration (k = 128, the library
+    * default); callers needing another k use the typed API. */
+  def registerAggregates(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    spark.udf.register("graft_minhash_agg",
+      F.udaf(new graft.functions.OnePermMinHashAgg(128), Encoders.scalaLong))
   }
 }
