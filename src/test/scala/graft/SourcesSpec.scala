@@ -45,6 +45,22 @@ class SourcesSpec extends SparkSpec {
     assert(back == docs.as[(Long, String, String, String, Long)].collect().toSet)
   }
 
+  test("JSONL reads gzip-compressed parts transparently (single-split each)") {
+    val dir = Files.createTempDirectory("graft_jsonl_gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("part-0.json.gz")))
+    gz.write(
+      """{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s", "n_chars": 5}
+        |{"doc_id": 2, "text": "beta", "lang": "en", "source": "s", "n_chars": 4}
+        |""".stripMargin.getBytes("UTF-8"))
+    gz.close()
+    val back = graft.sources.JsonLines.readDocumentsClean(spark, dir.toString)
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // gzip is not splittable: one task per .gz file regardless of size —
+    // the documented pattern is repartition-after-read before heavy work
+    assert(back.rdd.getNumPartitions == 1)
+  }
+
   test("JSONL ingest quarantines corrupt lines instead of failing") {
     val dir = Files.createTempDirectory("graft_jsonl_bad")
     Files.writeString(dir.resolve("part-0.json"),
