@@ -587,6 +587,12 @@ object SparkEntry {
         .groupBy("doc_id", "dup_of")
         .agg(min("band").as("first_band"), round(max("jaccard_est"), 9).as("jaccard_est"))
         .orderBy("doc_id", "dup_of")),
+    // batch run of the streaming gram store = every occurrence except the
+    // corpus-first (oracle-checked against that relational definition)
+    "streams_span_dedup_batch" -> ((s, dir) =>
+      graft.streaming.Streams.streamingSpanDedup(
+        Tables.documents(s, dir).select("doc_id", "text"), n = 5).toDF()
+        .orderBy("doc_id", "pos")),
     // --- Similarity search ---
     "knn_cosine_top10" -> ((s, dir) =>
       Similarity.knnBruteForce(Tables.embeddings(s, dir), 0L to 9L, 10)
@@ -1224,6 +1230,27 @@ object SparkEntry {
          |  coalesce(a.clean_text, '') AS clean_text
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "streams_span_dedup_batch" ->
+      s"""WITH $toksArrCte,
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 3)) AS pos
+         |  FROM toksarr WHERE len(a) >= 5
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    a[pos] || ' ' || a[pos+1] || ' ' || a[pos+2] || ' ' || a[pos+3] || ' ' || a[pos+4] AS gram
+         |  FROM w0
+         |),
+         |occ AS (
+         |  SELECT gram, min(doc_id * 4294967296 + pos) AS canon
+         |  FROM wins GROUP BY 1 HAVING count(*) >= 2
+         |)
+         |SELECT w.doc_id, w.pos,
+         |  CAST(o.canon // 4294967296 AS BIGINT) AS first_doc,
+         |  CAST(o.canon % 4294967296 AS BIGINT) AS first_pos
+         |FROM wins w JOIN occ o USING (gram)
+         |WHERE w.doc_id * 4294967296 + w.pos <> o.canon
+         |ORDER BY doc_id, pos""".stripMargin,
     "repetition_stats" ->
       s"""WITH $toksCte,
          |$toksArrCte,

@@ -146,7 +146,7 @@ object Curation {
     * over the portable token sequence: (doc_id, pos, gram). One row per
     * OCCURRENCE (no `array_distinct` — positions matter here), LINEAR in
     * corpus tokens. */
-  private def windowRows(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def windowRows(docs: DataFrame, n: Int): DataFrame = {
     val mk = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
     docs.select(col("doc_id"), tokenArray.as("a"))
       .where(size(col("a")) >= n)

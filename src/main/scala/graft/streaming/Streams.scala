@@ -196,4 +196,53 @@ object Streams {
           }
         })
   }
+
+  case class GramOcc(gh: Long, doc_id: Long, pos: Long)
+  case class SpanHit(doc_id: Long, pos: Long, first_doc: Long, first_pos: Long)
+
+  /** Streaming span-level dedup — the incremental-ingest twin of
+    * [[graft.operators.Curation.duplicateSpans]]: a keyed gram store
+    * remembers the FIRST occurrence of each `n`-token window (by gram
+    * hash) and emits every later occurrence as a duplicated span, so a
+    * downstream writer can strip already-seen text from newly ingested
+    * documents without re-scanning the corpus.
+    *
+    * State bounds: exactly ONE (doc_id, pos) pair per gram ever seen
+    * recently — constant-size values, and grams idle past `idleTimeout`
+    * are evicted (a span recurring after eviction is treated as new: the
+    * standard recall-for-state trade of streaming dedup, same policy as
+    * [[streamingNearDups]]).
+    *
+    * In BATCH mode each group sees all occurrences at once sorted by
+    * (doc_id, pos), so "first" is the corpus-wide minimum and the output
+    * is exactly the batch remover's removable set — the registered
+    * `streams_span_dedup_batch` query is oracle-checked against that
+    * definition. In streaming mode "first" is first-ARRIVED. */
+  def streamingSpanDedup(docs: DataFrame, n: Int = 5,
+      idleTimeout: String = "1 hour"): Dataset[SpanHit] = {
+    import docs.sparkSession.implicits._
+    val occs = graft.operators.Curation.windowRows(docs, n)
+      .select(xxhash64(col("gram")).as("gh"), col("doc_id"), col("pos"))
+      .as[GramOcc]
+    occs.groupByKey(_.gh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (gh: Long, batch: Iterator[GramOcc], state: GroupState[(Long, Long)]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var first = state.getOption
+            val hits = List.newBuilder[SpanHit]
+            batch.toSeq.sortBy(o => (o.doc_id, o.pos)).foreach { o =>
+              first match {
+                case None => first = Some((o.doc_id, o.pos))
+                case Some((fd, fp)) => hits += SpanHit(o.doc_id, o.pos, fd, fp)
+              }
+            }
+            first.foreach(state.update)
+            state.setTimeoutDuration(idleTimeout)
+            hits.result().iterator
+          }
+        })
+  }
 }

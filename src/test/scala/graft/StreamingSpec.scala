@@ -187,6 +187,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingSpanDedup (batch mode): later occurrences point at corpus-first") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x b c d y"),       // 'b c d' first seen at (1,2)
+      (3L, "m n o m n o"))     // self-repeat: (3,4) dups (3,1)
+      .toDF("doc_id", "text")
+    val hits = Streams.streamingSpanDedup(docs, n = 3)
+      .collect().map(h => (h.doc_id, h.pos, h.first_doc, h.first_pos)).toSet
+    assert(hits == Set((2L, 2L, 1L, 2L), (3L, 4L, 3L, 1L)))
+    // agrees with the batch remover's removable set
+    val strip = graft.operators.Curation.stripDuplicateSpans(docs, n = 3)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(strip.map(_._1) == Seq(1L, 2L, 3L))
+    assert(strip(1)._3 == "x y" && strip(2)._3 == "m n o")
+  }
+
   test("flatMapGroupsWithState running stats (batch mode)") {
     val events = Seq(
       Streams.UserEvent(1L, 1L, "click", 1.0),
