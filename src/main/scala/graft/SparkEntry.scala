@@ -310,6 +310,10 @@ object SparkEntry {
         .agg(approx_count_distinct(col("doc_id"), 0.01).as("df_approx"))
         .orderBy("term")
     }),
+    // gate: HLL df sketch vs exact df, THROWS (→ driver err) past 10% max
+    // relative error — the approx sketches' twin of the ANN recall gates
+    "df_approx_gate" -> ((s, dir) =>
+      Tfidf.dfApproxGate(Tables.documents(s, dir))),
     "value_percentiles_approx" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")

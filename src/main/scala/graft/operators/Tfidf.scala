@@ -165,6 +165,36 @@ object Tfidf {
       "cos", k, Seq("doc_id"))
   }
 
+  /** Driver-visible quality gate for the approximate document-frequency
+    * sketch (mirrors `Similarity.annRecallGate` / `Dedup.sketchQualityGate`
+    * — the last sketch without one): joins `approx_count_distinct(doc_id,
+    * rsd)` per term against the exact df and THROWS if the max relative
+    * error exceeds `maxRelErr`, so an HLL regression (or an rsd mis-tune)
+    * surfaces as a hard driver `err` instead of a silently-passing
+    * rows-only check. Returns a one-row error report. The default bar is
+    * loose relative to rsd=0.01 (HLL error is probabilistic per register
+    * pattern, and small exact counts quantize the relative error), but any
+    * sketch-code regression blows past it. */
+  def dfApproxGate(docs: DataFrame, rsd: Double = 0.01,
+      maxRelErr: Double = 0.1): DataFrame = {
+    val tc = termCounts(tokenizePortable(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    val approx = tc.groupBy("term")
+      .agg(approx_count_distinct(col("doc_id"), rsd).as("df_approx"))
+    val report = exact.join(approx, "term")
+      .select((abs(col("df_approx") - col("df")).cast("double") / col("df"))
+        .as("rel_err"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(max("rel_err"), 9).as("max_rel_err"),
+        round(avg("rel_err"), 9).as("avg_rel_err"))
+    val row = report.head()
+    require(row.getDouble(1) <= maxRelErr,
+      f"df sketch max relative error ${row.getDouble(1)}%.4f exceeds gate $maxRelErr%.2f " +
+        f"(rsd=$rsd, ${row.getLong(0)} terms)")
+    report
+  }
+
   /** Per-document keyword extraction: the top-`k` terms of each document by
     * tf·idf — the classic "what is this document about" consumer of the
     * index. Ranks by the ROUNDED score so ties (and therefore `row_number`)

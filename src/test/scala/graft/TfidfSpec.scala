@@ -91,6 +91,21 @@ class TfidfSpec extends SparkSpec {
     assert(got == Seq((1L, 2L))) // shares apple+banana; doc 2 shares nothing
   }
 
+  test("dfApproxGate passes at sane rsd, throws on an absurd one") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"w${i % 7} w${i % 13} w${i % 29} shared"))
+      .toDF("doc_id", "text")
+    val row = Tfidf.dfApproxGate(docs, rsd = 0.01, maxRelErr = 0.1)
+      .as[(Long, Double, Double)].collect().head
+    assert(row._1 > 0 && row._2 <= 0.1 && row._3 <= row._2)
+    // unreachable bar → the require fires (HLL++ is exact in sparse mode
+    // at this cardinality, so error can't be seeded via rsd here)
+    val ex = intercept[IllegalArgumentException] {
+      Tfidf.dfApproxGate(docs, rsd = 0.01, maxRelErr = -0.1).collect()
+    }
+    assert(ex.getMessage.contains("relative error"))
+  }
+
   test("keywordsPerDoc ranks each doc's own terms, distinctive first") {
     val docs = Seq(
       (1L, "apple apple banana"),
