@@ -14,45 +14,68 @@ object Bench {
     // codegen, and any per-query persists) and warm (immediately after,
     // caches intact — the steady-state cost a repeated production query
     // pays). clearCache only BETWEEN queries keeps the memory profile flat
-    // across 90+ queries without poisoning the warm run.
+    // across 100+ queries without poisoning the warm run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // Execute the query's OWN plan and drain it (`toRdd.count()`), not
+      // `df.count()`: a count on top lets Catalyst prune final-stage
+      // expression work and eliminate row-preserving joins (e.g. the
+      // left-join re-assembly in strip_duplicate_spans collapses to a
+      // bare scan), which under-measures exactly the work a real
+      // consumer pays for.
+      def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
-        // Execute the query's OWN plan and drain it (`toRdd.count()`), not
-        // `df.count()`: a count on top lets Catalyst prune final-stage
-        // expression work and eliminate row-preserving joins (e.g. the
-        // left-join re-assembly in strip_duplicate_spans collapses to a
-        // bare scan), which under-measures exactly the work a real
-        // consumer pays for.
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val err =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      val cold = once()
-      val warm = once()
+      val (cold, errC) = once()
+      val (warm, errW) = once()
       spark.catalog.clearCache()
-      (name, cold, warm)
+      (name, cold, warm, errC.orElse(errW))
     }
-    def obj(f: ((String, Double, Double)) => (String, Double)): String =
-      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
+    def jsStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    def timesObj(rs: Seq[(String, Double, Double, Option[String])],
+        f: ((String, Double, Double, Option[String])) => Double): String =
+      rs.map(r => "\"" + r._1 + "\":" + math.round(f(r) * 10000) / 10000.0)
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalWarm = results.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""value_warm":$totalWarm,"queries":${obj(r => (r._1, r._2))},""" +
-      s""""queries_warm":${obj(r => (r._1, r._3))},"sf":"$sfDir"}"""
-    // The driver tails stdout, where sbt's own "[success]" line lands after
-    // the forked JVM exits — so emit the JSON line several ways: bare (for
-    // line-wise JSON scans), sentinel-prefixed (grep BENCH_JSON), and as a
-    // file for machine consumption.
-    println(json)
-    println("BENCH_JSON " + json)
+    // A query that THREW must never read as a fast success: its timing is
+    // excluded from the totals/maps and it lands in "errors" instead.
+    val (failed, ok) = results.partition(_._4.isDefined)
+    val errorsObj = failed.map(r => "\"" + r._1 + "\":" + jsStr(r._4.get))
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val totalWarm = ok.map(_._3).sum
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""value_warm":$totalWarm,"n_queries":${results.size},""" +
+      s""""n_errors":${failed.size},"errors":$errorsObj,""" +
+      s""""queries":${timesObj(ok, _._2)},""" +
+      s""""queries_warm":${timesObj(ok, _._3)},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
+    println(fullJson)
     spark.stop()
-    println(json)
+    // The driver parses a bounded TAIL of stdout (~2000 chars) — a
+    // 110-query JSON line never fits, so the LAST lines are a compact form:
+    // totals + the headline (most expensive cold) queries, capped so the
+    // sentinel and the line both land inside the tail window. Full
+    // per-query detail lives in target/bench.json and the full line above.
+    var headline = ok.sortBy(-_._2).take(12)
+    var compact = ""
+    do {
+      compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""value_warm":$totalWarm,"n_queries":${results.size},""" +
+        s""""n_errors":${failed.size},""" +
+        s""""queries":${timesObj(headline, _._2)},"sf":"$sfDir"}"""
+      headline = headline.dropRight(1)
+    } while (compact.length > 1800 && headline.nonEmpty)
+    println("BENCH_JSON " + compact)
+    println(compact)
   }
 }

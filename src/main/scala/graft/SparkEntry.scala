@@ -37,13 +37,23 @@ object SparkEntry {
     * rebuild would produce bit-identical tables — the cache only saves
     * time, never changes answers. */
   private val annIndexCache =
-    new scala.collection.concurrent.TrieMap[String, operators.ProductQuantization.AnnIndex]()
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), operators.ProductQuantization.AnnIndex]()
+
+  /** Collision-resistant, filesystem-safe key for a dataset dir: SHA-256 hex.
+    * (`String.hashCode` is 32-bit and collidable — two dirs could silently
+    * share one index path.) */
+  private[graft] def dirDigest(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(32)
+  }
 
   private def annIndex(s: SparkSession, dir: String): operators.ProductQuantization.AnnIndex =
-    annIndexCache.getOrElseUpdate(dir, {
+    // cache keyed per SparkSession (reference identity) too: an index bound
+    // to a stopped session must not be served to a new session in this JVM
+    annIndexCache.getOrElseUpdate((s, dir), {
       val idxDir = new java.io.File(
         sys.props("java.io.tmpdir"),
-        "graft_ann_index_" + java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_ann_index_" + dirDigest(dir)).getAbsolutePath
       val built = operators.ProductQuantization.buildIndex(Tables.embeddings(s, dir))
       operators.ProductQuantization.writeIndex(built, idxDir)
       // serve queries from the on-disk tables: immune to cache clears, and
@@ -304,10 +314,14 @@ object SparkEntry {
     }),
     // --- approximate variants: the 100 TB opt-ins (sketch-based, engine-
     // specific values → rows-only checks) ---
+    // rsd 0.05 (the Spark default): one HLL buffer per TERM group means
+    // register count is the multiplier on the whole aggregation's memory
+    // and time — 1% precision cost 16× the sketch for a check whose gate
+    // bar (10%) doesn't need it
     "doc_freq_approx" -> ((s, dir) => {
       Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir)))
         .groupBy("term")
-        .agg(approx_count_distinct(col("doc_id"), 0.01).as("df_approx"))
+        .agg(approx_count_distinct(col("doc_id"), 0.05).as("df_approx"))
         .orderBy("term")
     }),
     // gate: HLL df sketch vs exact df, THROWS (→ driver err) past 10% max
@@ -1204,13 +1218,14 @@ object SparkEntry {
          |    a[pos] || ' ' || a[pos+1] || ' ' || a[pos+2] || ' ' || a[pos+3] || ' ' || a[pos+4] AS gram
          |  FROM w0
          |),
-         |occ AS (
-         |  SELECT gram, min(doc_id * 4294967296 + pos) AS canon
-         |  FROM wins GROUP BY 1 HAVING count(*) >= 2
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |  FROM wins
          |),
          |rem AS (
-         |  SELECT w.doc_id, w.pos FROM wins w JOIN occ o USING (gram)
-         |  WHERE w.doc_id * 4294967296 + w.pos <> o.canon
+         |  SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1
          |),
          |cov AS (
          |  SELECT DISTINCT doc_id, tpos
@@ -1245,15 +1260,16 @@ object SparkEntry {
          |    a[pos] || ' ' || a[pos+1] || ' ' || a[pos+2] || ' ' || a[pos+3] || ' ' || a[pos+4] AS gram
          |  FROM w0
          |),
-         |occ AS (
-         |  SELECT gram, min(doc_id * 4294967296 + pos) AS canon
-         |  FROM wins GROUP BY 1 HAVING count(*) >= 2
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         |    first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, pos) AS first_doc,
+         |    first_value(pos) OVER (PARTITION BY gram ORDER BY doc_id, pos) AS first_pos
+         |  FROM wins
          |)
-         |SELECT w.doc_id, w.pos,
-         |  CAST(o.canon // 4294967296 AS BIGINT) AS first_doc,
-         |  CAST(o.canon % 4294967296 AS BIGINT) AS first_pos
-         |FROM wins w JOIN occ o USING (gram)
-         |WHERE w.doc_id * 4294967296 + w.pos <> o.canon
+         |SELECT doc_id, pos, first_doc, first_pos
+         |FROM marked WHERE occ >= 2 AND rn > 1
          |ORDER BY doc_id, pos""".stripMargin,
     "repetition_stats" ->
       s"""WITH $toksCte,

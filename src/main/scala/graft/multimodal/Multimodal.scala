@@ -283,7 +283,9 @@ object HeaderCodecs {
       }
       val start = pos
       while (pos < bytes.length && Character.isDigit(bytes(pos))) pos += 1
-      if (pos == start) None
+      // >9 digits can't be a sane dimension and would overflow toInt —
+      // return None so the caller degrades to the stub (never throws)
+      if (pos == start || pos - start > 9) None
       else Some(new String(bytes, start, pos - start, "US-ASCII").toInt)
     }
     for {

@@ -214,18 +214,19 @@ object Curation {
     * Scale shape: same linear mark-back as [[duplicateSpans]] plus one
     * (doc_id, tpos) anti-join and a per-document re-assembly — the
     * collect_list is bounded by ONE document's length. The canonical
-    * occurrence rides the same `groupBy(gram)` that counts occurrences
-    * (packed `doc_id·2³² + pos` min — assumes doc_id < 2³¹, pos < 2³²,
-    * which any per-document token position satisfies). */
+    * occurrence rides the same `groupBy(gram)` that counts occurrences as
+    * a `min(struct(doc_id, pos))` — lexicographic and overflow-free for
+    * ANY Long doc_id (a packed `doc_id·2³² + pos` BIGINT would silently
+    * wrap past doc_id ≥ 2³¹). */
   def stripDuplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
-    val packed = col("doc_id") * lit(4294967296L) + col("pos")
+    val occKey = struct(col("doc_id"), col("pos"))
     val wins = windowRows(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occ = wins.groupBy("gram")
-      .agg(count(lit(1)).as("occ"), min(packed).as("canon"))
+      .agg(count(lit(1)).as("occ"), min(occKey).as("canon"))
       .where(col("occ") >= 2)
     val rem = wins.join(occ, "gram")
-      .where(packed =!= col("canon"))
+      .where(occKey =!= col("canon"))
       .select("doc_id", "pos")
     val cov = rem
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tpos"))

@@ -265,10 +265,14 @@ object Dedup {
     * hard-bounds adversarial inputs. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // nodes come from the RAW pairs: a document appearing only in a
+    // self-pair (doc_a == doc_b) still belongs in the output, labeling
+    // itself via the final coalesce — the self-edge filter below is only
+    // for the contraction's edge set
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val init = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .where(col("u") =!= col("v")).distinct().persist(lvl)
-    val nodes = init.select(col("u").as("doc_id"))
-      .union(init.select(col("v").as("doc_id"))).distinct()
 
     // cheap exact-enough fixpoint test: edge count + sum of per-edge hashes
     // (sum through DECIMAL — ANSI-safe against Long overflow)
@@ -317,13 +321,23 @@ object Dedup {
       System.err.println(s"[graft] connectedComponents: iteration cap $maxIter hit " +
         "before fixpoint — labels are an upper bound, not final components")
     // fixpoint edges are stars (node → component root); roots label themselves
-    nodes.join(
+    val labels = nodes.join(
       edges.groupBy("u").agg(min("v").as("cluster"))
         .withColumnRenamed("u", "doc_id"),
       Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
+      .persist(lvl)
+    // materialize the labels, then release every iteration frame: a long
+    // session composing operators must not accumulate this loop's storage.
+    // The RETURNED frame is persisted — callers own its unpersist (or a
+    // session-level clearCache); re-draining it after an eviction replays
+    // from retained shuffle files, not from scratch.
+    labels.count()
+    init.unpersist()
+    if (persisted ne init) persisted.unpersist()
+    labels
   }
 
   /** Apply near-dedup decisions to the corpus: from an undirected near-dup

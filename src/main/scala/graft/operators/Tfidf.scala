@@ -171,11 +171,14 @@ object Tfidf {
     * rsd)` per term against the exact df and THROWS if the max relative
     * error exceeds `maxRelErr`, so an HLL regression (or an rsd mis-tune)
     * surfaces as a hard driver `err` instead of a silently-passing
-    * rows-only check. Returns a one-row error report. The default bar is
-    * loose relative to rsd=0.01 (HLL error is probabilistic per register
-    * pattern, and small exact counts quantize the relative error), but any
-    * sketch-code regression blows past it. */
-  def dfApproxGate(docs: DataFrame, rsd: Double = 0.01,
+    * rows-only check. Returns a one-row error report.
+    *
+    * `rsd = 0.05` (the `approx_count_distinct` default) is deliberate: the
+    * gate's bar is 10 % max-rel-err, which 5 %-rsd sketches (~2¹⁰ registers)
+    * detect just as hard as 1 %-rsd ones (~2¹⁴ registers, 16× the per-GROUP
+    * memory — with one HLL buffer per TERM, that sizing dominated a whole
+    * bench round). Any sketch-code regression still blows far past 10 %. */
+  def dfApproxGate(docs: DataFrame, rsd: Double = 0.05,
       maxRelErr: Double = 0.1): DataFrame = {
     val tc = termCounts(tokenizePortable(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -188,11 +191,19 @@ object Tfidf {
       .agg(count(lit(1)).as("n_terms"),
         round(max("rel_err"), 9).as("max_rel_err"),
         round(avg("rel_err"), 9).as("avg_rel_err"))
-    val row = report.head()
+    val row = try report.head() finally tc.unpersist()
+    // empty-corpus fail-fast: with zero terms max(rel_err) is null and the
+    // gate would NPE instead of reporting — mirror sketchQualityGate's
+    // nTruth > 0 require
+    require(row.getLong(0) > 0,
+      "df gate has no terms — corpus unsuitable for a sketch-quality check")
     require(row.getDouble(1) <= maxRelErr,
       f"df sketch max relative error ${row.getDouble(1)}%.4f exceeds gate $maxRelErr%.2f " +
         f"(rsd=$rsd, ${row.getLong(0)} terms)")
-    report
+    // the report is ONE already-collected row — return it as a literal frame
+    // so nothing downstream re-runs the two corpus aggregations
+    docs.sparkSession.createDataFrame(
+      java.util.List.of(row), report.schema)
   }
 
   /** Per-document keyword extraction: the top-`k` terms of each document by
