@@ -54,12 +54,68 @@ object SparkEntry {
       val idxDir = new java.io.File(
         sys.props("java.io.tmpdir"),
         "graft_ann_index_" + dirDigest(dir)).getAbsolutePath
-      val built = operators.ProductQuantization.buildIndex(Tables.embeddings(s, dir))
-      operators.ProductQuantization.writeIndex(built, idxDir)
+      // the scope releases the build's internal caches once the index is
+      // on disk — a long-lived session keeps only the parquet asset
+      operators.CacheScope {
+        val built = operators.ProductQuantization.buildIndex(Tables.embeddings(s, dir))
+        operators.ProductQuantization.writeIndex(built, idxDir)
+      }
       // serve queries from the on-disk tables: immune to cache clears, and
       // exactly the layout a production cluster would read
       operators.ProductQuantization.loadIndex(s, idxDir)
     })
+
+  /** Text-dedup pipeline assets, mirroring [[annIndex]]: the exact-verifier
+    * pair table, the component labels, and the sketch pair tables are each
+    * built ONCE per (session, sf dir) and persisted as parquet — the
+    * production shape, where a signature/pair table is a stored corpus
+    * asset every downstream consumer reads, not a per-query recomputation
+    * (`dedup_clusters`, `dedup_apply`, and both precision gates previously
+    * re-ran the whole gram pipeline each). Every builder is deterministic,
+    * so a rebuild is bit-identical — the cache saves time, never changes
+    * answers. */
+  private val corpusAssetCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  private def corpusAsset(s: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame =
+    corpusAssetCache.getOrElseUpdate((s, dir, kind), {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_asset_${kind}_" + dirDigest(dir)).getAbsolutePath
+      // the scope releases every builder-internal cache (gram rows, LSH
+      // signatures, iteration frames) once the asset is on disk
+      operators.CacheScope {
+        val b = build
+        b.write.mode("overwrite").parquet(path)
+        b.unpersist() // builders may return persisted frames; the parquet is the asset
+      }
+      s.read.parquet(path)
+    })
+
+  /** Exact n-gram pair table at the LOOSEST consumed bar (0.2 — the
+    * precision gates' loose slice); tighter consumers filter `jaccard`. */
+  private def exactPairsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "ngram_pairs") {
+      Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.2)
+    }
+
+  private def dedupLabelsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "dedup_labels") {
+      Dedup.connectedComponents(
+        exactPairsAsset(s, dir).where(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b"))
+    }
+
+  private def minhashPairsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "minhash_pairs") {
+      Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5)
+    }
+
+  private def simhashPairsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "simhash_pairs") {
+      Dedup.simhashPairs(Tables.documents(s, dir))
+    }
 
   // ---------------------------------------------------------------------------
   // Declared queries. Each (SparkSession, sfDir) => DataFrame, hash-compared
@@ -467,7 +523,8 @@ object SparkEntry {
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.5)),
+      exactPairsAsset(s, dir).where(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")),
     // what the boilerplate-gram cap removed from the verifier's view
     "gram_cap_coverage" -> ((s, dir) => Dedup.gramCapCoverage(Tables.documents(s, dir))),
     // idempotent ingestion: which incoming docs are content-NEW vs the
@@ -478,12 +535,9 @@ object SparkEntry {
     }),
     // pairs → clusters → filtered corpus: the shipped dedup decision (keep
     // the min doc per near-dup cluster); oracle via the same recursive CTE
-    "dedup_apply" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.applyNearDedup(docs,
-        Dedup.ngramJaccardExact(docs, minJaccard = 0.5).select("doc_a", "doc_b"))
-        .select("doc_id", "source").orderBy("doc_id")
-    }),
+    "dedup_apply" -> ((s, dir) =>
+      Dedup.applyDedupLabels(Tables.documents(s, dir), dedupLabelsAsset(s, dir))
+        .select("doc_id", "source").orderBy("doc_id")),
     // overlapping token-window chunking (context-length splitting)
     "chunk_documents" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir), 64, 16)),
@@ -502,19 +556,21 @@ object SparkEntry {
       TextAnalysis.epochShuffle(Tables.documents(s, dir), epoch = 1)),
     // near-dup clusters from the exact pair table (keep `cluster`, drop the
     // rest); oracle = DuckDB recursive reachability over the same pairs
-    "dedup_clusters" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.5)
-          .select("doc_a", "doc_b"))),
+    "dedup_clusters" -> ((s, dir) => dedupLabelsAsset(s, dir).orderBy("doc_id")),
     // sketch-based near-dup: not ANSI-SQL-expressible → rows-only checks
     "minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5)),
-    "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+      minhashPairsAsset(s, dir).orderBy("doc_a", "doc_b")),
+    "simhash_pairs" -> ((s, dir) =>
+      simhashPairsAsset(s, dir).orderBy("doc_a", "doc_b")),
     // sketch-quality gates: THROW (→ driver `err`) if the LSH sketches lose
     // recall against the exact n-gram verifier or emit unrelated pairs —
     // the text-sketch counterpart of the ANN recall gates
     "minhash_precision" -> ((s, dir) =>
-      Dedup.sketchQualityGate(Tables.documents(s, dir), "minhash")),
+      Dedup.sketchQualityGate(Tables.documents(s, dir), "minhash",
+        exactPairs = Some(exactPairsAsset(s, dir)),
+        // asset holds the 0.5-threshold table; the gate judges the 0.7 slice
+        sketchPairs = Some(minhashPairsAsset(s, dir)
+          .where(col("jaccard_est") >= 0.7)))),
     // simhash hamming<=3 targets near-identical docs; on the fixture's
     // short documents it reaches ~60% of the >=0.95-jaccard slice (sign
     // bits are fragile at low token counts — an operator property, pinned
@@ -525,7 +581,9 @@ object SparkEntry {
     // legitimately collide without sequence (n-gram) overlap.
     "simhash_precision" -> ((s, dir) =>
       Dedup.sketchQualityGate(Tables.documents(s, dir), "simhash",
-        truthMinJaccard = 0.95, minRecall = 0.5, minPrecision = 0.0)),
+        truthMinJaccard = 0.95, minRecall = 0.5, minPrecision = 0.0,
+        exactPairs = Some(exactPairsAsset(s, dir)),
+        sketchPairs = Some(simhashPairsAsset(s, dir)))),
     // --- Streaming operators, batch-executed (same plan, micro-batch or
     // batch — withWatermark is a no-op in batch mode) ---
     "streams_sessionize_batch" -> ((s, dir) => {

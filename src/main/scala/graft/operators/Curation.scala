@@ -174,7 +174,7 @@ object Curation {
     // a persist Catalyst re-tokenizes and re-windows the corpus for each
     // (same rationale as Tfidf.pipeline's term-counts cache)
     val wins = windowRows(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val occ = wins.groupBy("gram").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2)
     wins.join(occ, "gram")
@@ -193,7 +193,7 @@ object Curation {
   def duplicateSpansHashed(docs: DataFrame, n: Int = 5): DataFrame = {
     val wins = windowRows(docs, n)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val occ = wins.groupBy("gh").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2)
     wins.join(occ, "gh")
@@ -221,7 +221,7 @@ object Curation {
   def stripDuplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     val occKey = struct(col("doc_id"), col("pos"))
     val wins = windowRows(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val occ = wins.groupBy("gram")
       .agg(count(lit(1)).as("occ"), min(occKey).as("canon"))
       .where(col("occ") >= 2)

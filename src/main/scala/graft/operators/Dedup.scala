@@ -82,7 +82,7 @@ object Dedup {
     // — at cluster scale this is "write the signature table, then join",
     // the standard LSH shape.
     val sigs = minhashSignatures(docs, k, shingleLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
 
     // banding, bucket cap, self-join, and pair-dedup all operate on NARROW
     // (id, band, hash) rows — the 1 KB signature arrays only rejoin after
@@ -131,7 +131,7 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "chunk_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),
@@ -193,27 +193,38 @@ object Dedup {
       threshold: Double = 0.7,
       bands: Int = 16,
       maxHamming: Int = 3,
-      minUnionGrams: Int = 10): DataFrame = {
-    val exact = ngramJaccardExact(docs, looseJaccard)
+      minUnionGrams: Int = 10,
+      exactPairs: Option[DataFrame] = None,
+      sketchPairs: Option[DataFrame] = None): DataFrame = {
+    // `exactPairs`/`sketchPairs` accept PREBUILT pair tables (a persisted
+    // [[ngramJaccardExact]] run at minJaccard <= looseJaccard, and the
+    // already-filtered sketch output) so a pipeline that materialized them
+    // once — the production shape — doesn't pay the generators again here.
+    // Results are identical either way: both builders are deterministic.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val exact = exactPairs.getOrElse(ngramJaccardExact(docs, looseJaccard))
+      .where(col("jaccard") >= looseJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         (col("grams_a") + col("grams_b") - col("n_shared")).as("union_grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val found = (mode match {
+      .persist(lvl)
+    val found = sketchPairs.getOrElse(mode match {
       case "minhash" => minhashPairs(docs, bands = bands, threshold = threshold)
       case "simhash" => simhashPairs(docs, maxHamming)
       case other => throw new IllegalArgumentException(s"unknown sketch mode: $other")
     }).select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = exact.where(col("jaccard") >= truthMinJaccard &&
-      col("union_grams") >= minUnionGrams)
-    val r = truth.join(found.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("n_truth"),
-        coalesce(sum(col("hit")), lit(0L)).as("n_matched")).head()
-    val (nTruth, nMatched) = (r.getLong(0), r.getLong(1))
-    val p = found.join(exact.withColumn("loose", lit(1L)), Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("n_found"),
-        coalesce(sum(col("loose")), lit(0L)).as("n_loose")).head()
-    val (nFound, nLoose) = (p.getLong(0), p.getLong(1))
+      .persist(lvl)
+    val (nTruth, nMatched, nFound, nLoose) =
+      try {
+        val truth = exact.where(col("jaccard") >= truthMinJaccard &&
+          col("union_grams") >= minUnionGrams)
+        val r = truth.join(found.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_matched")).head()
+        val p = found.join(exact.withColumn("loose", lit(1L)), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_found"),
+            coalesce(sum(col("loose")), lit(0L)).as("n_loose")).head()
+        (r.getLong(0), r.getLong(1), p.getLong(0), p.getLong(1))
+      } finally { exact.unpersist(); found.unpersist() }
     require(nTruth > 0, s"sketch($mode) gate has no ground-truth pairs at " +
       s"jaccard >= $truthMinJaccard — corpus unsuitable for the gate")
     require(nFound > 0, s"sketch($mode) emitted no pairs at all")
@@ -328,7 +339,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
-      .persist(lvl)
+      .scopedPersist()
     // materialize the labels, then release every iteration frame: a long
     // session composing operators must not accumulate this loop's storage.
     // The RETURNED frame is persisted — callers own its unpersist (or a
@@ -346,8 +357,15 @@ object Dedup {
     * end-to-end "pairs → decisions → filtered corpus" step a training
     * pipeline actually ships: losers are the narrow (doc_id) rows, so the
     * anti-join never moves document text. */
-  def applyNearDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val losers = connectedComponents(pairs)
+  def applyNearDedup(docs: DataFrame, pairs: DataFrame): DataFrame =
+    applyDedupLabels(docs, connectedComponents(pairs))
+
+  /** [[applyNearDedup]] from a PRECOMPUTED label table (a persisted
+    * [[connectedComponents]] output): the pipeline shape where clustering
+    * ran once and its labels are a stored corpus asset consumed by both
+    * the cluster report and the corpus filter. */
+  def applyDedupLabels(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val losers = labels
       .where(col("doc_id") =!= col("cluster"))
       .select("doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")
@@ -414,7 +432,7 @@ object Dedup {
       .withColumn("gh", xxhash64(col("gram")))
       // one scan+tokenize feeds three consumers (gram-DF agg, sizes, both
       // self-join sides); persist the narrow (doc_id, gram, gh) rows once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     // gram document frequency on the hash-first key; rows are distinct per
     // (doc, gram) by construction so count(*) IS the df
     val okGrams = grams.groupBy("gh", "gram")

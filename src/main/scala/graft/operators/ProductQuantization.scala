@@ -71,7 +71,7 @@ object ProductQuantization {
       .select("vec_id", "v")
     val subDim = checkDim(embeddingDim(embeddings), m)
     val sub = subVectors(e, m, subDim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     // init: per sub-space, the `codes` sub-vectors with lowest row hash
     var cents = sub.withColumn("h", xxhash64(col("vec_id"), col("sub")))
       .withColumn("rn", row_number().over(
@@ -140,12 +140,12 @@ object ProductQuantization {
     val dim = embeddingDim(embeddings)
     checkDim(dim, m)
     val e = Similarity.prepared(embeddings, "embedding")
-      .select("vec_id", "v", "norm").persist(lvl)
-    val cents = Similarity.trainCentroids(e, nCentroids, lloydIters).persist(lvl)
+      .select("vec_id", "v", "norm").scopedPersist()
+    val cents = Similarity.trainCentroids(e, nCentroids, lloydIters).scopedPersist()
     val lists = Similarity.assignToLists(e, cents).select("list_id", "vec_id")
-    val cb = trainCodebooks(embeddings, m, codes, lloydIters).persist(lvl)
+    val cb = trainCodebooks(embeddings, m, codes, lloydIters).scopedPersist()
     val encoded = encode(embeddings, cb, m).join(lists, "vec_id")
-      .select("vec_id", "list_id", "codes", "norm").persist(lvl)
+      .select("vec_id", "list_id", "codes", "norm").scopedPersist()
     AnnIndex(cents, cb, encoded, m, dim)
   }
 
@@ -240,9 +240,9 @@ object ProductQuantization {
       rerank: Int = 300): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dim = embeddingDim(embeddings)
-    val cb = trainCodebooks(embeddings, m, codes).persist(lvl)
+    val cb = trainCodebooks(embeddings, m, codes).scopedPersist()
     val encoded = encode(embeddings, cb, m)
-      .withColumn("list_id", lit(0L)).persist(lvl)
+      .withColumn("list_id", lit(0L)).scopedPersist()
     pqSearch(AnnIndex(null, cb, encoded, m, dim), embeddings, queryIds, k, rerank)
   }
 

@@ -77,7 +77,7 @@ object Similarity {
         Window.partitionBy("band", "band_hash").orderBy("vec_id")))
       .where(col("rn") <= maxBucket)
       .drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val a = banded.select(col("band"), col("band_hash"),
       col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("norm_a"))
     val b = banded.select(col("band"), col("band_hash"),
@@ -112,7 +112,7 @@ object Similarity {
       lloydIters: Int = 2,
       prebuiltCents: Option[DataFrame] = None): DataFrame = {
     val e = prepared(embeddings, "embedding").select("vec_id", "v", "norm")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     // reuse an AnnIndex's coarse centroids when provided — training is the
     // dominant index cost and is identical (deterministic) either way
     val cents = prebuiltCents.getOrElse(trainCentroids(e, nCentroids, lloydIters))
@@ -227,7 +227,7 @@ object Similarity {
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_matched"),
         count(lit(1)).as("k_exact"))
       .orderBy("q_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val totals = perQuery.agg(
       sum("n_matched").cast("double"), sum("k_exact").cast("double")).head()
     val recall = totals.getDouble(0) / totals.getDouble(1)
@@ -257,7 +257,7 @@ object Similarity {
         .as(Seq("band", "band_hash")))
       // both the query side and the corpus side consume the banded
       // signatures; persist once instead of recomputing the plane dots
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val q = banded.where(col("vec_id").isInCollection(queryIds))
       .select(col("band"), col("band_hash"),
         col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))

@@ -115,7 +115,7 @@ object Tfidf {
     // full tokenize passes — the same call a 100 TB pipeline makes by
     // materializing term_counts as an intermediate table.
     val tc = termCounts(toks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     score(tc, docTotals(tc), docFreq(tc), n)
       .select("term", "doc_id", "cnt", "doc_total", "df", "tf", "idf", "tfidf")
   }
@@ -145,7 +145,7 @@ object Tfidf {
   def moreLikeThis(docs: DataFrame, queryDocId: Long, k: Int = 10): DataFrame = {
     val scored = pipeline(docs, portable = true)
       .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf_r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val norms = scored.groupBy("doc_id")
       .agg(sqrt(sum((col("tfidf_r") * col("tfidf_r")).cast("decimal(28,14)"))
         .cast("double")).as("l2"))
@@ -181,7 +181,7 @@ object Tfidf {
   def dfApproxGate(docs: DataFrame, rsd: Double = 0.05,
       maxRelErr: Double = 0.1): DataFrame = {
     val tc = termCounts(tokenizePortable(docs))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val exact = tc.groupBy("term").agg(count(lit(1)).as("df"))
     val approx = tc.groupBy("term")
       .agg(approx_count_distinct(col("doc_id"), rsd).as("df_approx"))
@@ -243,7 +243,7 @@ object Tfidf {
   def bm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val n = docs.count()
     val tc = termCounts(tokenizePortable(docs))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val totals = docTotals(tc)
     val totalTokens = totals.agg(coalesce(sum("doc_total"), lit(0L))).head().getLong(0)
     val avgdl = totalTokens.toDouble / math.max(1L, n)
