@@ -33,10 +33,10 @@ object Multimodal {
   /** Deterministic synthetic asset table (fixture generator — the corpus'
     * stand-in for a real object-store-backed table). Image rows are VALID
     * minimal BMP files and audio rows VALID mono PCM8 WAVs (every fourth
-    * image a binary PPM, every eighth a CRC-correct PNG), so the decode
-    * operators exercise the real header parsers; video rows stay raw chunk
-    * payloads (stub-decoded — a real video container needs a codec
-    * library). */
+    * image a binary PPM, every eighth a CRC-correct PNG); most video rows
+    * are VALID MJPEG-flavored AVIs (real RIFF walk — frame payloads stay
+    * opaque, decoding them needs a codec library), with every fifth left a
+    * raw chunk payload to keep the stub fallback exercised. */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     import graft.functions.MinHash.mix64
     val rows = (0 until n).map { i =>
@@ -50,9 +50,11 @@ object Multimodal {
           HeaderCodecs.makeBmp(2 + i % 9, 2 + i % 6, i.toLong)
         case "audio" =>
           HeaderCodecs.makeWav(8000 + 1000 * (i % 5), 32 + (i % 160), i.toLong)
-        case _ =>
+        case _ if i % 5 == 4 =>
           val len = 64 + (math.abs(mix64(i.toLong)) % 192).toInt
           Array.tabulate(len)(j => mix64(i.toLong * 1000003L + j).toByte)
+        case _ =>
+          HeaderCodecs.makeAvi(16 + i % 16, 12 + i % 8, 4 + i % 9, i.toLong)
       }
       Row(i.toLong, kind, bytes, Map("source" -> s"synthetic/$i"))
     }
@@ -175,40 +177,58 @@ object Multimodal {
 
   case class KeyFrame(asset_id: Long, frame_idx: Int, diff_energy: Double)
 
+  /** Frame boundaries for one video payload: the AVI movi chunk index when
+    * the container parses ([[HeaderCodecs.aviFrameBounds]]), fixed-size
+    * chunking as the degraded path for raw/corrupt payloads — the same
+    * real-parse-first/stub-fallback seam as [[HeaderCodecs.decodeHeader]]. */
+  private def frameBounds(bytes: Array[Byte], frameBytes: Int): Array[(Int, Int)] =
+    HeaderCodecs.aviFrameBounds(bytes).getOrElse(
+      Array.tabulate((bytes.length + frameBytes - 1) / frameBytes) { i =>
+        (i * frameBytes, math.min(frameBytes, bytes.length - i * frameBytes))
+      })
+
   /** Key-frame selection for video assets: score each frame by mean
     * absolute byte difference against its predecessor (a scene-change
-    * proxy; a real pipeline diffs decoded luma planes — same dataflow) and
-    * keep the `topJ` highest-energy frames per asset. Selection happens
-    * INSIDE the per-row map — frames of one asset never leave the task, so
-    * there is no shuffle at all; output is topJ rows per video. */
+    * proxy over the container's REAL frame boundaries for AVI payloads; a
+    * full pipeline diffs decoded luma planes — same dataflow) and keep the
+    * `topJ` highest-energy frames per asset. Selection happens INSIDE the
+    * per-row map — frames of one asset never leave the task, so there is
+    * no shuffle at all; output is topJ rows per video. */
   def keyFrames(assets: DataFrame, frameBytes: Int = 32, topJ: Int = 3): Dataset[KeyFrame] = {
     import assets.sparkSession.implicits._
     assets.where(col("kind") === "video")
       .select("asset_id", "content").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val frames = bytes.grouped(frameBytes).toArray
-        val scored = (1 until frames.length).map { i =>
-          val prev = frames(i - 1)
-          val cur = frames(i)
-          val n = math.min(prev.length, cur.length)
+        val bounds = frameBounds(bytes, frameBytes)
+        val scored = (1 until bounds.length).map { i =>
+          val (po, pn) = bounds(i - 1)
+          val (co, cn) = bounds(i)
+          val n = math.min(pn, cn)
           var s = 0.0
           var j = 0
-          while (j < n) { s += math.abs((cur(j) & 0xFF) - (prev(j) & 0xFF)); j += 1 }
+          while (j < n) {
+            s += math.abs((bytes(co + j) & 0xFF) - (bytes(po + j) & 0xFF)); j += 1
+          }
           KeyFrame(id, i, if (n == 0) 0.0 else s / n)
         }
         scored.sortBy(f => (-f.diff_energy, f.frame_idx)).take(topJ)
       }
   }
 
-  /** Sample every `everyK`-th frame of video assets (stub: fixed-size byte
-    * chunks as "frames"). One output row per sampled frame. */
+  /** Sample every `everyK`-th frame of video assets — AVI frame chunks
+    * when the container parses, fixed-size byte chunks otherwise. One
+    * output row per sampled frame. */
   def sampleFrames(assets: DataFrame, everyK: Int = 2, frameBytes: Int = 32): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.where(col("kind") === "video")
       .select("asset_id", "content").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val frames = bytes.grouped(frameBytes).toSeq
-        frames.indices.collect { case i if i % everyK == 0 => Frame(id, i, frames(i)) }
+        val bounds = frameBounds(bytes, frameBytes)
+        bounds.indices.collect {
+          case i if i % everyK == 0 =>
+            val (o, n) = bounds(i)
+            Frame(id, i, java.util.Arrays.copyOfRange(bytes, o, o + n))
+        }
       }
   }
 }
@@ -233,9 +253,10 @@ object StubCodecs {
   }
 }
 
-/** Real pure-JVM container parsing for the header-only formats — BMP and
-  * binary PPM (image dimensions), WAV (sample rate / channels / frame
-  * count). No codec library needed: these are fixed-layout byte headers.
+/** Real pure-JVM container parsing for the header-only formats — BMP /
+  * PPM / PNG (image dimensions), WAV (sample rate / channels / frame
+  * count), AVI (dimensions / frame count / movi frame index). No codec
+  * library needed: these are fixed-layout byte headers and chunk walks.
   * Malformed or unrecognized payloads return None and the caller falls
   * back to [[StubCodecs]], so a corrupt object in a 100 TB corpus degrades
   * to a deterministic fake instead of failing the task. */
@@ -347,9 +368,84 @@ object HeaderCodecs {
     else Some(ContainerMeta("png", w.toInt, h.toInt, 1, 0, 0, bytes(24) & 0xFF))
   }
 
+  /** AVI: RIFF container with form type "AVI " — WAV's sibling layout.
+    * The main header (`avih` inside `LIST hdrl`) carries total frame
+    * count at data offset 16 and frame width/height at 32/36; streams,
+    * codec ids, and the movi payload are separate chunks. Pure header
+    * walk, no codec: enough for metadata and (via [[aviFrameBounds]])
+    * frame-boundary work like key-frame selection. */
+  def parseAvi(bytes: Array[Byte]): Option[ContainerMeta] = {
+    def tag(o: Int, s: String) = bytes.length >= o + 4 &&
+      bytes(o) == s(0) && bytes(o + 1) == s(1) &&
+      bytes(o + 2) == s(2) && bytes(o + 3) == s(3)
+    if (bytes.length < 24 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    var pos = 12
+    while (pos + 12 <= bytes.length) {
+      val size = u32le(bytes, pos + 4)
+      if (size > bytes.length - pos - 8) return None // truncated walk
+      if (tag(pos, "LIST") && tag(pos + 8, "hdrl")) {
+        // inside hdrl: the first sub-chunk must be avih (56-byte header)
+        var p = pos + 12
+        val end = pos + 8 + size.toInt
+        while (p + 8 <= end) {
+          val csz = u32le(bytes, p + 4)
+          if (csz > end - p - 8) return None
+          if (tag(p, "avih") && csz >= 40 && p + 8 + 40 <= bytes.length) {
+            val frames = i32le(bytes, p + 8 + 16)
+            val w = i32le(bytes, p + 8 + 32)
+            val h = i32le(bytes, p + 8 + 36)
+            return if (w > 0 && h > 0 && w <= MaxDim && h <= MaxDim && frames >= 0)
+              Some(ContainerMeta("avi", w, h, frames, 0, 0, 0))
+            else None
+          }
+          p += 8 + csz.toInt + (csz.toInt & 1)
+        }
+        return None
+      }
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** Frame payload bounds (offset, length) from an AVI's `LIST movi`
+    * chunks — ids `##dc`/`##db` (compressed/uncompressed video data for
+    * stream ##). None for non-AVI or AVIs whose movi walk is corrupt, so
+    * callers degrade to fixed-size chunking exactly like the metadata
+    * path degrades to [[StubCodecs]]. */
+  def aviFrameBounds(bytes: Array[Byte]): Option[Array[(Int, Int)]] = {
+    def tag(o: Int, s: String) = bytes.length >= o + 4 &&
+      bytes(o) == s(0) && bytes(o + 1) == s(1) &&
+      bytes(o + 2) == s(2) && bytes(o + 3) == s(3)
+    if (parseAvi(bytes).isEmpty) return None
+    var pos = 12
+    while (pos + 12 <= bytes.length) {
+      val size = u32le(bytes, pos + 4)
+      if (size > bytes.length - pos - 8) return None
+      if (tag(pos, "LIST") && tag(pos + 8, "movi")) {
+        val out = Array.newBuilder[(Int, Int)]
+        var p = pos + 12
+        val end = pos + 8 + size.toInt
+        while (p + 8 <= end) {
+          val csz = u32le(bytes, p + 4)
+          if (csz > end - p - 8) return None
+          val isDigit = (i: Int) => bytes(p + i) >= '0' && bytes(p + i) <= '9'
+          val videoData = isDigit(0) && isDigit(1) && bytes(p + 2) == 'd' &&
+            (bytes(p + 3) == 'c' || bytes(p + 3) == 'b')
+          if (videoData) out += ((p + 8, csz.toInt))
+          p += 8 + csz.toInt + (csz.toInt & 1)
+        }
+        val bounds = out.result()
+        return if (bounds.nonEmpty) Some(bounds) else None
+      }
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
   /** Sniff + parse any recognized container. */
   def parse(bytes: Array[Byte]): Option[ContainerMeta] =
-    parsePng(bytes).orElse(parseBmp(bytes)).orElse(parseWav(bytes)).orElse(parsePpm(bytes))
+    parsePng(bytes).orElse(parseBmp(bytes)).orElse(parseWav(bytes))
+      .orElse(parseAvi(bytes)).orElse(parsePpm(bytes))
 
   /** The decode seam used by the operators: real header parse first,
     * [[StubCodecs]] fallback for raw/unrecognized payloads. */
@@ -424,6 +520,64 @@ object HeaderCodecs {
     System.arraycopy(header, 0, out, 0, header.length)
     var i = 0
     while (i < w * h * 3) { out(header.length + i) = mix64(seed * 41 + i).toByte; i += 1 }
+    out
+  }
+
+  /** Minimal MJPEG-flavored AVI: RIFF(AVI ) with LIST hdrl (avih + one
+    * vids/MJPG stream) and LIST movi holding `nFrames` 00dc chunks of
+    * `frameBytes` deterministic payload each. Frame payloads are opaque
+    * stand-ins for JPEG data (frame-BOUNDARY work never inflates them),
+    * which is exactly how far a pure-JVM pipeline gets without a codec. */
+  def makeAvi(w: Int, h: Int, nFrames: Int, seed: Long,
+      frameBytes: Int = 24): Array[Byte] = {
+    import graft.functions.MinHash.mix64
+    val chunk = 8 + frameBytes + (frameBytes & 1)
+    val strlSize = 4 + (8 + 56) + (8 + 40)          // "strl" + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)    // "hdrl" + avih + LIST strl
+    val moviSize = 4 + nFrames * chunk
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val out = new Array[Byte](total)
+    var pos = 0
+    def putTag(s: String): Unit = { var i = 0; while (i < 4) { out(pos + i) = s(i).toByte; i += 1 }; pos += 4 }
+    def putU32(v: Long): Unit = {
+      out(pos) = v.toByte; out(pos + 1) = (v >> 8).toByte
+      out(pos + 2) = (v >> 16).toByte; out(pos + 3) = (v >> 24).toByte; pos += 4
+    }
+    putTag("RIFF"); putU32(total - 8L); putTag("AVI ")
+    putTag("LIST"); putU32(hdrlSize.toLong); putTag("hdrl")
+    putTag("avih"); putU32(56L)
+    val avih = pos
+    putU32(40000L)            // usec/frame (25 fps)
+    putU32(0L); putU32(0L); putU32(0L)
+    putU32(nFrames.toLong)    // dwTotalFrames @ avih+16
+    putU32(0L); putU32(1L)    // initial frames, stream count
+    putU32(frameBytes.toLong) // suggested buffer
+    putU32(w.toLong); putU32(h.toLong) // @ avih+32 / +36
+    pos = avih + 56
+    putTag("LIST"); putU32(strlSize.toLong); putTag("strl")
+    putTag("strh"); putU32(56L)
+    val strh = pos
+    putTag("vids"); putTag("MJPG")
+    putU32(0L); putU32(0L); putU32(0L)
+    putU32(1L); putU32(25L)   // scale / rate = 25 fps
+    putU32(0L); putU32(nFrames.toLong) // start, length
+    pos = strh + 56
+    putTag("strf"); putU32(40L)
+    val strf = pos
+    putU32(40L); putU32(w.toLong); putU32(h.toLong)
+    out(pos) = 1; out(pos + 2) = 24 // planes 1, bpp 24
+    pos += 4
+    putTag("MJPG")            // biCompression
+    pos = strf + 40
+    putTag("LIST"); putU32(moviSize.toLong); putTag("movi")
+    var f = 0
+    while (f < nFrames) {
+      putTag("00dc"); putU32(frameBytes.toLong)
+      var i = 0
+      while (i < frameBytes) { out(pos + i) = mix64(seed * 47 + f * 131L + i).toByte; i += 1 }
+      pos += frameBytes + (frameBytes & 1)
+      f += 1
+    }
     out
   }
 

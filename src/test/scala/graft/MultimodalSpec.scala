@@ -128,4 +128,54 @@ class MultimodalSpec extends SparkSpec {
       .select("asset_id").collect().map(_.getLong(0)).toSet
     assert(frames.map(_.asset_id).toSet.subsetOf(videoIds))
   }
+
+  test("AVI: header parse returns the generated dims/frame count; movi walk finds every frame") {
+    val avi = HeaderCodecs.makeAvi(w = 32, h = 24, nFrames = 7, seed = 5L, frameBytes = 24)
+    val m = HeaderCodecs.parseAvi(avi).get
+    assert(m.format == "avi" && m.width == 32 && m.height == 24 && m.nFrames == 7)
+    assert(HeaderCodecs.parse(avi).get.format == "avi") // sniffed, not WAV
+    val bounds = HeaderCodecs.aviFrameBounds(avi).get
+    assert(bounds.length == 7)
+    assert(bounds.forall(_._2 == 24))
+    // bounds are disjoint, in order, inside the payload
+    bounds.sliding(2).foreach { case Array((o1, n1), (o2, _)) => assert(o1 + n1 <= o2) }
+    assert(bounds.last._1 + bounds.last._2 <= avi.length)
+  }
+
+  test("AVI: truncated or corrupt containers degrade (None → stub), never throw") {
+    val avi = HeaderCodecs.makeAvi(16, 12, 5, 9L)
+    assert(HeaderCodecs.parseAvi(avi.take(40)).isEmpty)       // cut inside hdrl
+    assert(HeaderCodecs.aviFrameBounds(avi.take(40)).isEmpty)
+    val badForm = avi.clone(); badForm(8) = 'X'               // not "AVI "
+    assert(HeaderCodecs.parseAvi(badForm).isEmpty)
+    val lyingSize = avi.clone()
+    lyingSize(4) = -1; lyingSize(5) = -1                       // RIFF size past EOF
+    assert(HeaderCodecs.parseAvi(java.util.Arrays.copyOf(lyingSize, 30)).isEmpty)
+    // decodeHeader's seam: all of them land on the stub with sane values
+    Seq(avi.take(40), badForm).foreach { b =>
+      val (w, h, f) = HeaderCodecs.decodeHeader("video", b)
+      assert(w > 0 && h > 0 && f > 0)
+    }
+    // and the real path reports the REAL frame count, not the stub's
+    assert(HeaderCodecs.decodeHeader("video", avi)._3 == 5)
+  }
+
+  test("keyFrames diff REAL AVI frame boundaries; raw payloads use chunk fallback") {
+    val avi = Multimodal.syntheticAssets(spark, 30)
+      .where(org.apache.spark.sql.functions.col("kind") === "video")
+    val kf = Multimodal.keyFrames(avi, topJ = 100).collect() // topJ > frames: keep all
+    val metas = Multimodal.decodeMeta(avi).collect().map(m => m.asset_id -> m).toMap
+    // for parsed AVIs the diffable frame count is exactly n_frames - 1
+    kf.groupBy(_.asset_id).foreach { case (id, rows) =>
+      val i = id.toInt
+      if (i % 5 != 4) // AVI-backed videos (generator layout)
+        assert(rows.length == metas(id).n_frames - 1,
+          s"asset $id: ${rows.length} diffs for ${metas(id).n_frames} frames")
+    }
+    // sampled frame payloads from AVI rows are the 24-byte movi chunks
+    val sampled = Multimodal.sampleFrames(avi, everyK = 1).collect()
+    sampled.filter(f => f.asset_id % 5 != 4).foreach { f =>
+      assert(f.frame_bytes.length == 24)
+    }
+  }
 }
