@@ -63,4 +63,32 @@ object JsonLines {
   /** Write documents as JSONL (one object per line, UTF-8). */
   def writeDocuments(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Does `path` (file, dir, or glob base) contain gzip parts? One
+    * driver-side metadata listing — no data touched. */
+  private[graft] def hasGzipParts(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return path.endsWith(".gz")
+    val status = fs.getFileStatus(p)
+    if (status.isFile) path.endsWith(".gz")
+    else fs.listStatus(p).exists(_.getPath.getName.endsWith(".gz"))
+  }
+
+  /** [[readDocumentsClean]] with GUARANTEED post-read parallelism — the
+    * ingest entry for compressed corpora. Gzip is not splittable: an
+    * N-gigabyte `.gz` part scans as ONE task no matter its size, and a
+    * file-size-based split estimate ([[graft.operators.Scaling.fanOut]]
+    * divides bytes by the split size) cannot see that. For inputs with
+    * gzip parts this repartitions the compact parsed rows to the session
+    * default parallelism immediately after the scan — one cheap shuffle
+    * of pre-expansion rows, before any tokenize/shingle blow-up would run
+    * single-threaded per file. Uncompressed inputs delegate to `fanOut`'s
+    * no-op-when-already-parallel estimate. */
+  def readDocumentsFanned(spark: SparkSession, path: String): DataFrame = {
+    val clean = readDocumentsClean(spark, path)
+    if (hasGzipParts(spark, path))
+      clean.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    else graft.operators.Scaling.fanOut(clean)
+  }
 }

@@ -159,6 +159,70 @@ object Streams {
         })
   }
 
+  case class DocBandSigTs(doc_id: Long, sig: Array[Long], band: Int,
+      band_hash: Long, ts: java.sql.Timestamp)
+
+  /** [[streamingNearDups]] with EVENT-TIME state eviction: buckets expire
+    * `stateHorizon` past the latest event time they saw, driven by the
+    * stream's watermark instead of the executor wall clock. This is the
+    * variant a REPLAYED historical stream needs — reprocessing a year of
+    * documents at full speed must evict by stream time (a bucket idle for
+    * an hour OF STREAM) rather than wall time (nothing would ever evict at
+    * replay speed, and state would grow with history). Input schema adds an
+    * event-time column: (doc_id, ts timestamp, text). Same store, cap, and
+    * emit semantics as the processing-time variant. */
+  def streamingNearDupsEventTime(
+      docs: DataFrame,
+      k: Int = 64,
+      shingleLen: Int = 5,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64,
+      watermarkDelay: String = "10 minutes",
+      stateHorizon: String = "1 hour"): Dataset[NearDupHit] = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    import docs.sparkSession.implicits._
+    val sigs = docs
+      .withWatermark("ts", watermarkDelay)
+      .selectExpr("doc_id", "ts",
+        s"graft_minhash(trim(regexp_replace(lower(text), '\\\\s+', ' ')), $shingleLen, $k) AS sig")
+      .select(col("doc_id"), col("sig"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band", "band_hash")), col("ts"))
+      .as[DocBandSigTs]
+    sigs
+      .groupByKey(s => (s.band, s.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), batch: Iterator[DocBandSigTs],
+            state: GroupState[List[(Long, Array[Long])]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var stored = state.getOption.getOrElse(Nil)
+            val hits = List.newBuilder[NearDupHit]
+            val rows = batch.toSeq.sortBy(_.doc_id)
+            rows.foreach { d =>
+              if (!stored.exists(_._1 == d.doc_id)) {
+                stored.foreach { case (earlierId, earlierSig) =>
+                  val est = graft.functions.MinHash.estimate(
+                    earlierSig.toSeq, d.sig.toSeq)
+                  if (est >= threshold)
+                    hits += NearDupHit(d.doc_id, earlierId, key._1, est)
+                }
+                if (stored.size < maxBucket) stored = stored :+ (d.doc_id -> d.sig)
+              }
+            }
+            state.update(stored)
+            // expire when the WATERMARK (stream time) passes the bucket's
+            // latest activity + horizon — wall clock plays no part
+            state.setTimeoutTimestamp(rows.map(_.ts.getTime).max, stateHorizon)
+            hits.result().iterator
+          }
+        })
+  }
+
   case class UserEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
 

@@ -59,6 +59,22 @@ class SourcesSpec extends SparkSpec {
     // gzip is not splittable: one task per .gz file regardless of size —
     // the documented pattern is repartition-after-read before heavy work
     assert(back.rdd.getNumPartitions == 1)
+
+    // the fanned ingest entry closes that hazard: gzip inputs come out at
+    // session default parallelism (one narrow shuffle of parsed rows),
+    // BEFORE any tokenize/shingle expansion would run single-threaded
+    val fanned = graft.sources.JsonLines.readDocumentsFanned(spark, dir.toString)
+    assert(fanned.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      s"fanned gzip read got ${fanned.rdd.getNumPartitions} partitions")
+    assert(fanned.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // uncompressed inputs keep fanOut's no-op-when-parallel behavior (and
+    // identical rows either way)
+    val plainDir = Files.createTempDirectory("graft_jsonl_plain")
+    Files.writeString(plainDir.resolve("part-0.json"),
+      """{"doc_id": 3, "text": "gamma", "lang": "en", "source": "s", "n_chars": 5}
+        |""".stripMargin)
+    val plain = graft.sources.JsonLines.readDocumentsFanned(spark, plainDir.toString)
+    assert(plain.select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
 
   test("JSONL ingest quarantines corrupt lines instead of failing") {

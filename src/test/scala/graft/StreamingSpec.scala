@@ -173,6 +173,45 @@ class StreamingSpec extends SparkSpec {
     assert(!hits.exists(h => h._1 == 2L || h._2 == 2L))
   }
 
+  test("event-time near-dup store: in-horizon hits, eviction driven by stream time") {
+    // EventTimeTimeout is watermark-driven, so unlike the processing-time
+    // variant this IS MemoryStream-testable: no wall clock is involved —
+    // the test advances hours of STREAM time in milliseconds of real time,
+    // exactly the replayed-historical-stream scenario the variant exists for.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    val textX = "the quick brown fox jumps over the lazy dog and keeps jumping " * 2
+    val q = Streams.streamingNearDupsEventTime(docs, threshold = 0.5,
+        watermarkDelay = "0 seconds", stateHorizon = "1 hour")
+      .writeStream.format("memory").queryName("etnd_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), textX))
+      q.processAllAvailable()
+      in.addData((2L, ts(5), textX)) // 5 min of stream time later: in horizon
+      q.processAllAvailable()
+      // an unrelated doc 4h ahead pushes the watermark past the X-buckets'
+      // deadline (10:05 + 1h); the next trigger fires their timeouts
+      in.addData((3L, Timestamp.valueOf("2024-01-01 14:00:00"),
+        "completely different vocabulary with nothing shared at all"))
+      q.processAllAvailable()
+      in.addData((4L, Timestamp.valueOf("2024-01-01 14:00:30"),
+        "still unrelated filler material advancing the stream"))
+      q.processAllAvailable()
+      // the same text X after eviction: its signatures are GONE from state,
+      // so this is treated as new — no hit against doc 1 or 2
+      in.addData((5L, Timestamp.valueOf("2024-01-01 14:01:00"), textX))
+      q.processAllAvailable()
+      val hits = spark.table("etnd_out")
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+      assert(hits.exists(h => h._1 == 2L && h._2 == 1L),
+        s"in-horizon duplicate must be flagged, got $hits")
+      assert(!hits.exists(h => h._1 == 5L),
+        s"post-eviction duplicate must read as new, got $hits")
+    } finally q.stop()
+  }
+
   test("per-row graft_minhash matches the batch generator+aggregator signature") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
