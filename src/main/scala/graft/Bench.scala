@@ -15,7 +15,14 @@ object Bench {
     // caches intact — the steady-state cost a repeated production query
     // pays). clearCache only BETWEEN queries keeps the memory profile flat
     // across 100+ queries without poisoning the warm run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter (comma-separated names) for targeted runs —
+    // e.g. the sf1 scale rehearsal over the flagship + dedup family. The
+    // driver's full run leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Execute the query's OWN plan and drain it (`toRdd.count()`), not
       // `df.count()`: a count on top lets Catalyst prune final-stage
       // expression work and eliminate row-preserving joins (e.g. the
