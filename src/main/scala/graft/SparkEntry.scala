@@ -93,6 +93,21 @@ object SparkEntry {
       s.read.parquet(path)
     })
 
+  /** Materialized portable term-counts table `(term, doc_id, cnt)` — the
+    * intermediate every TF-IDF-family query aggregates from. As an asset
+    * the corpus tokenizes ONCE per (session, dir) instead of once per
+    * query; scoring math is unchanged (the counts are deterministic). */
+  private def termCountsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "term_counts") {
+      Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir)))
+    }
+
+  /** Corpus cardinality (N in every idf): one count per (session, dir). */
+  private val docsCountCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
+  private def docsCount(s: SparkSession, dir: String): Long =
+    docsCountCache.getOrElseUpdate((s, dir), Tables.documents(s, dir).count())
+
   /** Exact n-gram pair table at the LOOSEST consumed bar (0.2 — the
     * precision gates' loose slice); tighter consumers filter `jaccard`. */
   private def exactPairsAsset(s: SparkSession, dir: String): DataFrame =
@@ -124,37 +139,38 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- TF-IDF family (reference parity, portable tokenizer) ---
-    "tfidf_full" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Tfidf.pipeline(docs, portable = true)
+    // the whole family scores from the term-counts ASSET (one tokenize per
+    // dataset, not per query) + the cached corpus count — values identical
+    // to the per-query recomputation (deterministic counts, same math)
+    "tfidf_full" -> ((s, dir) =>
+      Tfidf.pipelineFromCounts(termCountsAsset(s, dir), docsCount(s, dir))
         .select(col("term"), col("doc_id"), col("cnt"), col("doc_total"), col("df"),
           round(col("tf"), 9).as("tf"),
           round(col("idf"), 9).as("idf"),
           round(col("tfidf"), 9).as("tfidf"))
-        .orderBy(desc("tfidf"), asc("term"), asc("doc_id"))
-    }),
-    "tfidf_top100" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+        .orderBy(desc("tfidf"), asc("term"), asc("doc_id"))),
+    "tfidf_top100" -> ((s, dir) =>
       Tfidf.topKByValue(
-        Tfidf.pipeline(docs, portable = true)
+        Tfidf.pipelineFromCounts(termCountsAsset(s, dir), docsCount(s, dir))
           .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf")),
-        "tfidf", 100, Seq("term", "doc_id"))
-    }),
+        "tfidf", 100, Seq("term", "doc_id"))),
     // the reference output's canonical consumer: rank docs for a term query
     "tfidf_search" -> ((s, dir) =>
-      Tfidf.searchByTerms(Tables.documents(s, dir),
+      Tfidf.searchByTermsFromCounts(termCountsAsset(s, dir), docsCount(s, dir),
         Seq("table", "query", "spark"), 20)),
     // related-documents: cosine over L2-normalized tf-idf vectors
     "tfidf_more_like_this" -> ((s, dir) =>
-      Tfidf.moreLikeThis(Tables.documents(s, dir), queryDocId = 0L, k = 10)),
+      Tfidf.moreLikeThisFromCounts(termCountsAsset(s, dir), docsCount(s, dir),
+        queryDocId = 0L, k = 10)),
     // per-doc keyword extraction: top-5 terms of each doc by tf-idf
     "keywords_per_doc" -> ((s, dir) =>
-      Tfidf.keywordsPerDoc(Tables.documents(s, dir), 5)),
+      Tfidf.keywordsPerDocFromCounts(termCountsAsset(s, dir), docsCount(s, dir), 5)),
     // BM25: the modern ranked-retrieval successor over the same dataflow
-    "bm25_full" -> ((s, dir) => Tfidf.bm25(Tables.documents(s, dir))
-      .orderBy(desc("score"), asc("term"), asc("doc_id"))),
+    "bm25_full" -> ((s, dir) =>
+      Tfidf.bm25FromCounts(termCountsAsset(s, dir), docsCount(s, dir))
+        .orderBy(desc("score"), asc("term"), asc("doc_id"))),
     "bm25_search" -> ((s, dir) =>
-      Tfidf.searchByTermsBm25(Tables.documents(s, dir),
+      Tfidf.searchByTermsBm25FromCounts(termCountsAsset(s, dir), docsCount(s, dir),
         Seq("table", "query", "spark"), 20)),
     // per-source stratified stable sample (content-keyed, reproducible)
     "documents_stratified_sample" -> ((s, dir) =>
@@ -163,10 +179,9 @@ object SparkEntry {
           min("doc_id").as("first_doc"))
         .orderBy("source")),
     "tfidf_l2_normalized" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
       // round tfidf FIRST so both engines square/sum identical doubles;
       // the per-doc sum of squares goes through DECIMAL (exact, order-free)
-      val scored = Tfidf.pipeline(docs, portable = true)
+      val scored = Tfidf.pipelineFromCounts(termCountsAsset(s, dir), docsCount(s, dir))
         .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf_r"))
       val norms = scored.groupBy("doc_id")
         .agg(sqrt(sum((col("tfidf_r") * col("tfidf_r")).cast("decimal(28,14)"))
@@ -176,15 +191,12 @@ object SparkEntry {
           round(col("tfidf_r") / col("l2"), 9).as("unit_weight"))
         .orderBy("doc_id", "term")
     }),
-    "tfidf_smooth_top100" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val toks = Tfidf.tokenizePortable(docs)
-      val tc = Tfidf.termCounts(toks)
+    "tfidf_smooth_top100" -> ((s, dir) =>
       Tfidf.topKByValue(
-        Tfidf.score(tc, Tfidf.docTotals(tc), Tfidf.docFreq(tc), docs.count(), smoothIdf = true)
+        Tfidf.pipelineFromCounts(termCountsAsset(s, dir), docsCount(s, dir),
+          smoothIdf = true)
           .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf")),
-        "tfidf", 100, Seq("term", "doc_id"))
-    }),
+        "tfidf", 100, Seq("term", "doc_id"))),
     // same computation through the pure-SQL surface (temp view + the
     // extension-registered graft_normalize native expression)
     "tfidf_sql_top100" -> ((s, dir) => {
@@ -206,18 +218,12 @@ object SparkEntry {
         ORDER BY tfidf DESC, term ASC, doc_id ASC
         LIMIT 100""")
     }),
-    "term_counts" -> ((s, dir) => {
-      Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir)))
-        .orderBy("term", "doc_id")
-    }),
-    "doc_totals" -> ((s, dir) => {
-      Tfidf.docTotals(Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir))))
-        .orderBy("doc_id")
-    }),
-    "doc_freq" -> ((s, dir) => {
-      Tfidf.docFreq(Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir))))
-        .orderBy("term")
-    }),
+    "term_counts" -> ((s, dir) =>
+      termCountsAsset(s, dir).orderBy("term", "doc_id")),
+    "doc_totals" -> ((s, dir) =>
+      Tfidf.docTotals(termCountsAsset(s, dir)).orderBy("doc_id")),
+    "doc_freq" -> ((s, dir) =>
+      Tfidf.docFreq(termCountsAsset(s, dir)).orderBy("term")),
     // --- pivot + array aggregation ---
     "events_pivot_by_type" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -374,16 +380,16 @@ object SparkEntry {
     // register count is the multiplier on the whole aggregation's memory
     // and time — 1% precision cost 16× the sketch for a check whose gate
     // bar (10%) doesn't need it
-    "doc_freq_approx" -> ((s, dir) => {
-      Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir)))
+    "doc_freq_approx" -> ((s, dir) =>
+      termCountsAsset(s, dir)
         .groupBy("term")
         .agg(approx_count_distinct(col("doc_id"), 0.05).as("df_approx"))
-        .orderBy("term")
-    }),
+        .orderBy("term")),
     // gate: HLL df sketch vs exact df, THROWS (→ driver err) past 10% max
     // relative error — the approx sketches' twin of the ANN recall gates
     "df_approx_gate" -> ((s, dir) =>
-      Tfidf.dfApproxGate(Tables.documents(s, dir))),
+      Tfidf.dfApproxGate(Tables.documents(s, dir),
+        precomputedCounts = Some(termCountsAsset(s, dir)))),
     "value_percentiles_approx" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")

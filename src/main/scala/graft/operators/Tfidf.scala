@@ -105,7 +105,6 @@ object Tfidf {
     * the reference's `fs.listStatus(input).length`,
     * `TfidfMapReduce.java:47-52`). */
   def pipeline(docs: DataFrame, totalDocs: Long, portable: Boolean): DataFrame = {
-    val n = totalDocs
     val toks = if (portable) tokenizePortable(docs) else tokenize(docs)
     // termCounts feeds three consumers (score, docTotals, docFreq); column
     // pruning specializes each branch's subplan, defeating exchange reuse,
@@ -114,11 +113,19 @@ object Tfidf {
     // per distinct (term, doc)) trades one spillable cache write for two
     // full tokenize passes — the same call a 100 TB pipeline makes by
     // materializing term_counts as an intermediate table.
-    val tc = termCounts(toks)
-      .scopedPersist()
-    score(tc, docTotals(tc), docFreq(tc), n)
-      .select("term", "doc_id", "cnt", "doc_total", "df", "tf", "idf", "tfidf")
+    pipelineFromCounts(termCounts(toks).scopedPersist(), totalDocs)
   }
+
+  /** [[pipeline]] over a PREBUILT `(term, doc_id, cnt)` table — the
+    * materialized term-counts intermediate a production pipeline stores
+    * once and scores many times. Identical math and output to the
+    * docs-based form; the caller owns the counts' materialization (a
+    * parquet-backed asset needs none, a lazy frame should be persisted
+    * since three aggregations consume it). */
+  def pipelineFromCounts(tc: DataFrame, totalDocs: Long,
+      smoothIdf: Boolean = false): DataFrame =
+    score(tc, docTotals(tc), docFreq(tc), totalDocs, smoothIdf)
+      .select("term", "doc_id", "cnt", "doc_total", "df", "tf", "idf", "tfidf")
 
   /** O19 generalized: `SortByValue` as a reusable operator
     * (`SortByValue.java:17-22` documents it as a generic desc-by-value
@@ -142,8 +149,14 @@ object Tfidf {
     * query contains — never a |corpus|² comparison. Weights round to 9
     * before the dot product (identical doubles both engines) and the
     * per-doc sum is decimal-routed, so the ranking is engine-exact. */
-  def moreLikeThis(docs: DataFrame, queryDocId: Long, k: Int = 10): DataFrame = {
-    val scored = pipeline(docs, portable = true)
+  def moreLikeThis(docs: DataFrame, queryDocId: Long, k: Int = 10): DataFrame =
+    moreLikeThisFromCounts(termCounts(tokenizePortable(docs)).scopedPersist(),
+      docs.count(), queryDocId, k)
+
+  /** [[moreLikeThis]] over a prebuilt term-counts table + corpus size. */
+  def moreLikeThisFromCounts(tc: DataFrame, totalDocs: Long, queryDocId: Long,
+      k: Int = 10): DataFrame = {
+    val scored = pipelineFromCounts(tc, totalDocs)
       .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf_r"))
       .scopedPersist()
     val norms = scored.groupBy("doc_id")
@@ -179,9 +192,10 @@ object Tfidf {
     * memory — with one HLL buffer per TERM, that sizing dominated a whole
     * bench round). Any sketch-code regression still blows far past 10 %. */
   def dfApproxGate(docs: DataFrame, rsd: Double = 0.05,
-      maxRelErr: Double = 0.1): DataFrame = {
-    val tc = termCounts(tokenizePortable(docs))
-      .scopedPersist()
+      maxRelErr: Double = 0.1,
+      precomputedCounts: Option[DataFrame] = None): DataFrame = {
+    val tc = precomputedCounts.getOrElse(
+      termCounts(tokenizePortable(docs)).scopedPersist())
     val exact = tc.groupBy("term").agg(count(lit(1)).as("df"))
     val approx = tc.groupBy("term")
       .agg(approx_count_distinct(col("doc_id"), rsd).as("df_approx"))
@@ -213,10 +227,15 @@ object Tfidf {
     * per-partition cardinality is ONE document's vocabulary (bounded by doc
     * length), so unlike a term-partitioned window there is no skew at
     * corpus scale — every document ranks its own terms independently. */
-  def keywordsPerDoc(docs: DataFrame, k: Int = 5): DataFrame = {
+  def keywordsPerDoc(docs: DataFrame, k: Int = 5): DataFrame =
+    keywordsPerDocFromCounts(termCounts(tokenizePortable(docs)).scopedPersist(),
+      docs.count(), k)
+
+  /** [[keywordsPerDoc]] over a prebuilt term-counts table + corpus size. */
+  def keywordsPerDocFromCounts(tc: DataFrame, totalDocs: Long, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf_r").desc, col("term").asc)
-    pipeline(docs, portable = true)
+    pipelineFromCounts(tc, totalDocs)
       .select(col("doc_id"), col("term"), round(col("tfidf"), 9).as("tfidf_r"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -240,10 +259,13 @@ object Tfidf {
     * the same parenthesization in the DuckDB oracle, so each engine
     * performs the identical IEEE operation sequence; `ln` outputs round
     * to 9 before use, the final score rounds to 9. */
-  def bm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val n = docs.count()
-    val tc = termCounts(tokenizePortable(docs))
-      .scopedPersist()
+  def bm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromCounts(termCounts(tokenizePortable(docs)).scopedPersist(),
+      docs.count(), k1, b)
+
+  /** [[bm25]] over a prebuilt term-counts table + corpus size. */
+  def bm25FromCounts(tc: DataFrame, n: Long, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     val totals = docTotals(tc)
     val totalTokens = totals.agg(coalesce(sum("doc_total"), lit(0L))).head().getLong(0)
     val avgdl = totalTokens.toDouble / math.max(1L, n)
@@ -261,8 +283,14 @@ object Tfidf {
     * terms — same consumer shape as [[searchByTerms]] (term-filter
     * pushdown, narrow per-doc agg, decimal-routed sum, top-k). */
   def searchByTermsBm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 20): DataFrame =
+    searchByTermsBm25FromCounts(termCounts(tokenizePortable(docs)).scopedPersist(),
+      docs.count(), queryTerms, k)
+
+  /** [[searchByTermsBm25]] over a prebuilt term-counts table + corpus size. */
+  def searchByTermsBm25FromCounts(tc: DataFrame, totalDocs: Long,
+      queryTerms: Seq[String], k: Int = 20): DataFrame =
     topKByValue(
-      bm25(docs)
+      bm25FromCounts(tc, totalDocs)
         .where(col("term").isInCollection(queryTerms))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"),
@@ -277,8 +305,14 @@ object Tfidf {
     * into the aggregation's input), one narrow per-doc agg, top-k as
     * TakeOrderedAndProject. The per-doc sum is decimal-routed over rounded
     * tfidf values so ranking is engine-exact and merge-order-free. */
-  def searchByTerms(docs: DataFrame, queryTerms: Seq[String], k: Int = 20): DataFrame = {
-    val scored = pipeline(docs, portable = true)
+  def searchByTerms(docs: DataFrame, queryTerms: Seq[String], k: Int = 20): DataFrame =
+    searchByTermsFromCounts(termCounts(tokenizePortable(docs)).scopedPersist(),
+      docs.count(), queryTerms, k)
+
+  /** [[searchByTerms]] over a prebuilt term-counts table + corpus size. */
+  def searchByTermsFromCounts(tc: DataFrame, totalDocs: Long,
+      queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    val scored = pipelineFromCounts(tc, totalDocs)
       .select(col("term"), col("doc_id"), round(col("tfidf"), 9).as("tfidf_r"))
     topKByValue(
       scored.where(col("term").isInCollection(queryTerms))
