@@ -637,6 +637,13 @@ object SparkEntry {
         .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
           round(col("diff_energy"), 9).as("diff_energy"))
         .orderBy("asset_id", "frame_idx")),
+    // nested container walks: AVI movi index, then per-frame JPEG SOF
+    "multimodal_frame_meta" -> ((s, _) =>
+      graft.multimodal.Multimodal.frameMeta(
+        graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("format"), col("width"), col("height"), col("n_bytes"))
+        .orderBy("asset_id", "frame_idx")),
     "multimodal_audio_energy" -> ((s, _) =>
       graft.multimodal.Multimodal.audioFrameEnergy(
         graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()

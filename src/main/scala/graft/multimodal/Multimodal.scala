@@ -44,6 +44,8 @@ object Multimodal {
       val bytes = kind match {
         case "image" if i % 8 == 0 =>
           HeaderCodecs.makePng(2 + i % 11, 2 + i % 7, i.toLong)
+        case "image" if i % 8 == 2 =>
+          HeaderCodecs.makeJpeg(2 + i % 10, 2 + i % 6, i.toLong)
         case "image" if i % 4 == 0 =>
           HeaderCodecs.makePpm(2 + i % 7, 2 + i % 5, i.toLong)
         case "image" =>
@@ -54,7 +56,10 @@ object Multimodal {
           val len = 64 + (math.abs(mix64(i.toLong)) % 192).toInt
           Array.tabulate(len)(j => mix64(i.toLong * 1000003L + j).toByte)
         case _ =>
-          HeaderCodecs.makeAvi(16 + i % 16, 12 + i % 8, 4 + i % 9, i.toLong)
+          // alternate genuine MJPEG (independent JPEG frames) and opaque
+          // frame payloads: both layouts exist in the wild
+          HeaderCodecs.makeAvi(16 + i % 16, 12 + i % 8, 4 + i % 9, i.toLong,
+            jpegFrames = i % 2 == 0)
       }
       Row(i.toLong, kind, bytes, Map("source" -> s"synthetic/$i"))
     }
@@ -215,6 +220,29 @@ object Multimodal {
       }
   }
 
+  case class FrameMeta(asset_id: Long, frame_idx: Int, format: String,
+      width: Int, height: Int, n_bytes: Long)
+
+  /** Per-frame metadata for video assets: sample frames on the container's
+    * boundaries, then parse EACH frame payload's OWN header — MJPEG frames
+    * are independent baseline JPEGs, so this is two nested container walks
+    * (AVI movi index, then JPEG SOF per frame), still pure per-row map
+    * work with no shuffle. Unrecognized payloads report format "raw". */
+  def frameMeta(assets: DataFrame, everyK: Int = 1,
+      frameBytes: Int = 32): Dataset[FrameMeta] = {
+    import assets.sparkSession.implicits._
+    sampleFrames(assets, everyK, frameBytes).map { fr =>
+      HeaderCodecs.parse(fr.frame_bytes) match {
+        case Some(m) =>
+          FrameMeta(fr.asset_id, fr.frame_idx, m.format, m.width, m.height,
+            fr.frame_bytes.length.toLong)
+        case None =>
+          FrameMeta(fr.asset_id, fr.frame_idx, "raw", 0, 0,
+            fr.frame_bytes.length.toLong)
+      }
+    }
+  }
+
   /** Sample every `everyK`-th frame of video assets — AVI frame chunks
     * when the container parses, fixed-size byte chunks otherwise. One
     * output row per sampled frame. */
@@ -368,6 +396,39 @@ object HeaderCodecs {
     else Some(ContainerMeta("png", w.toInt, h.toInt, 1, 0, 0, bytes(24) & 0xFF))
   }
 
+  /** JPEG/JFIF: marker walk to the first SOF segment (0xC0–0xCF minus
+    * DHT/JPG/DAC), which carries sample precision, height, width. Stops at
+    * SOS — entropy-coded data follows and dimensions must precede it. This
+    * is the decoder an MJPEG frame payload needs for its dimensions. */
+  def parseJpeg(bytes: Array[Byte]): Option[ContainerMeta] = {
+    if (bytes.length < 4 ||
+        (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xFF) != 0xFF) return None
+      val marker = bytes(pos + 1) & 0xFF
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) {
+        pos += 2 // standalone markers carry no length
+      } else {
+        val len = ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (len < 7) return None
+          val h = ((bytes(pos + 5) & 0xFF) << 8) | (bytes(pos + 6) & 0xFF)
+          val w = ((bytes(pos + 7) & 0xFF) << 8) | (bytes(pos + 8) & 0xFF)
+          return if (w > 0 && h > 0 && w <= MaxDim && h <= MaxDim)
+            Some(ContainerMeta("jpeg", w, h, 1, 0, 0, bytes(pos + 4) & 0xFF))
+          else None
+        }
+        if (marker == 0xDA) return None // SOS before any SOF: corrupt
+        pos += 2 + len
+      }
+    }
+    None
+  }
+
   /** AVI: RIFF container with form type "AVI " — WAV's sibling layout.
     * The main header (`avih` inside `LIST hdrl`) carries total frame
     * count at data offset 16 and frame width/height at 32/36; streams,
@@ -444,8 +505,8 @@ object HeaderCodecs {
 
   /** Sniff + parse any recognized container. */
   def parse(bytes: Array[Byte]): Option[ContainerMeta] =
-    parsePng(bytes).orElse(parseBmp(bytes)).orElse(parseWav(bytes))
-      .orElse(parseAvi(bytes)).orElse(parsePpm(bytes))
+    parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseBmp(bytes))
+      .orElse(parseWav(bytes)).orElse(parseAvi(bytes)).orElse(parsePpm(bytes))
 
   /** The decode seam used by the operators: real header parse first,
     * [[StubCodecs]] fallback for raw/unrecognized payloads. */
@@ -523,18 +584,51 @@ object HeaderCodecs {
     out
   }
 
+  /** Minimal baseline JPEG: SOI, JFIF APP0, SOF0 carrying the dimensions
+    * (3 components, 8-bit), deterministic opaque bytes standing in for the
+    * entropy-coded scan, EOI. Header-only parsing never inflates the scan
+    * — the same stance as [[makePng]]'s fake IDAT. */
+  def makeJpeg(w: Int, h: Int, seed: Long, scanBytes: Int = 12): Array[Byte] = {
+    import graft.functions.MinHash.mix64
+    val app0 = Array[Int](0xFF, 0xE0, 0, 16, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val sof0 = Array[Int](0xFF, 0xC0, 0, 17, 8,
+      (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF,
+      3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val out = new Array[Byte](2 + app0.length + sof0.length + scanBytes + 2)
+    var pos = 0
+    out(pos) = 0xFF.toByte; out(pos + 1) = 0xD8.toByte; pos += 2
+    app0.foreach { v => out(pos) = v.toByte; pos += 1 }
+    sof0.foreach { v => out(pos) = v.toByte; pos += 1 }
+    var i = 0
+    while (i < scanBytes) { out(pos + i) = mix64(seed * 53 + i).toByte; i += 1 }
+    pos += scanBytes
+    out(pos) = 0xFF.toByte; out(pos + 1) = 0xD9.toByte
+    out
+  }
+
   /** Minimal MJPEG-flavored AVI: RIFF(AVI ) with LIST hdrl (avih + one
     * vids/MJPG stream) and LIST movi holding `nFrames` 00dc chunks of
-    * `frameBytes` deterministic payload each. Frame payloads are opaque
-    * stand-ins for JPEG data (frame-BOUNDARY work never inflates them),
-    * which is exactly how far a pure-JVM pipeline gets without a codec. */
+    * `frameBytes` deterministic payload each — or, with
+    * `jpegFrames = true`, real [[makeJpeg]] frames at the container's
+    * dimensions (the genuine MJPEG layout: each frame an independent
+    * baseline JPEG), which [[parseJpeg]] can then decode per frame. */
   def makeAvi(w: Int, h: Int, nFrames: Int, seed: Long,
-      frameBytes: Int = 24): Array[Byte] = {
+      frameBytes: Int = 24, jpegFrames: Boolean = false): Array[Byte] = {
     import graft.functions.MinHash.mix64
-    val chunk = 8 + frameBytes + (frameBytes & 1)
+    val frames =
+      if (jpegFrames) Array.tabulate(nFrames)(f => makeJpeg(w, h, seed * 59 + f))
+      else Array.tabulate(nFrames)(f =>
+        Array.tabulate(frameBytes)(i => mix64(seed * 47 + f * 131L + i).toByte))
+    makeAviFromFrames(w, h, frames)
+  }
+
+  /** AVI assembly from explicit frame payloads (variable sizes allowed). */
+  def makeAviFromFrames(w: Int, h: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    val nFrames = frames.length
     val strlSize = 4 + (8 + 56) + (8 + 40)          // "strl" + strh + strf
     val hdrlSize = 4 + (8 + 56) + (8 + strlSize)    // "hdrl" + avih + LIST strl
-    val moviSize = 4 + nFrames * chunk
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val maxFrame = if (nFrames == 0) 0 else frames.map(_.length).max
     val total = 12 + (8 + hdrlSize) + (8 + moviSize)
     val out = new Array[Byte](total)
     var pos = 0
@@ -551,7 +645,7 @@ object HeaderCodecs {
     putU32(0L); putU32(0L); putU32(0L)
     putU32(nFrames.toLong)    // dwTotalFrames @ avih+16
     putU32(0L); putU32(1L)    // initial frames, stream count
-    putU32(frameBytes.toLong) // suggested buffer
+    putU32(maxFrame.toLong)   // suggested buffer
     putU32(w.toLong); putU32(h.toLong) // @ avih+32 / +36
     pos = avih + 56
     putTag("LIST"); putU32(strlSize.toLong); putTag("strl")
@@ -570,13 +664,10 @@ object HeaderCodecs {
     putTag("MJPG")            // biCompression
     pos = strf + 40
     putTag("LIST"); putU32(moviSize.toLong); putTag("movi")
-    var f = 0
-    while (f < nFrames) {
-      putTag("00dc"); putU32(frameBytes.toLong)
-      var i = 0
-      while (i < frameBytes) { out(pos + i) = mix64(seed * 47 + f * 131L + i).toByte; i += 1 }
-      pos += frameBytes + (frameBytes & 1)
-      f += 1
+    frames.foreach { f =>
+      putTag("00dc"); putU32(f.length.toLong)
+      System.arraycopy(f, 0, out, pos, f.length)
+      pos += f.length + (f.length & 1)
     }
     out
   }

@@ -14,6 +14,7 @@ class MultimodalSpec extends SparkSpec {
       val i = m.asset_id.toInt
       val (ew, eh) =
         if (i % 8 == 0) (2 + i % 11, 2 + i % 7)
+        else if (i % 8 == 2) (2 + i % 10, 2 + i % 6)
         else if (i % 4 == 0) (2 + i % 7, 2 + i % 5)
         else (2 + i % 9, 2 + i % 6)
       assert(m.width == ew && m.height == eh && m.n_frames == 1,
@@ -172,10 +173,46 @@ class MultimodalSpec extends SparkSpec {
         assert(rows.length == metas(id).n_frames - 1,
           s"asset $id: ${rows.length} diffs for ${metas(id).n_frames} frames")
     }
-    // sampled frame payloads from AVI rows are the 24-byte movi chunks
+    // sampled frame payloads from plain-payload AVI rows (odd ids in the
+    // generator layout) are the 24-byte movi chunks
     val sampled = Multimodal.sampleFrames(avi, everyK = 1).collect()
-    sampled.filter(f => f.asset_id % 5 != 4).foreach { f =>
+    sampled.filter(f => f.asset_id % 5 != 4 && f.asset_id % 2 == 1).foreach { f =>
       assert(f.frame_bytes.length == 24)
     }
+  }
+
+  test("JPEG SOF parse: round-trip dims, marker-walk rejects corruption") {
+    val j = HeaderCodecs.parseJpeg(HeaderCodecs.makeJpeg(123, 45, 7L)).get
+    assert(j.format == "jpeg" && j.width == 123 && j.height == 45 &&
+      j.bitsPerSample == 8)
+    assert(HeaderCodecs.parse(HeaderCodecs.makeJpeg(6, 4, 8L)).get.format == "jpeg")
+    val good = HeaderCodecs.makeJpeg(8, 8, 9L)
+    assert(HeaderCodecs.parseJpeg(good.take(10)).isEmpty)   // cut before SOF
+    val notJpeg = good.clone(); notJpeg(1) = 0x00
+    assert(HeaderCodecs.parseJpeg(notJpeg).isEmpty)
+    val lyingLen = good.clone()
+    lyingLen(4) = 0x7F.toByte // APP0 length now points past EOF
+    assert(HeaderCodecs.parseJpeg(lyingLen).isEmpty)
+    val (w, h, _) = HeaderCodecs.decodeHeader("image", good.take(10))
+    assert(w > 0 && h > 0) // stub fallback, never a throw
+  }
+
+  test("frameMeta parses per-frame JPEG headers inside MJPEG AVIs") {
+    val vids = Multimodal.syntheticAssets(spark, 30)
+      .where(org.apache.spark.sql.functions.col("kind") === "video")
+    val fm = Multimodal.frameMeta(vids).collect()
+    assert(fm.nonEmpty)
+    // jpeg-framed AVIs (even non-raw ids): every frame decodes to the
+    // container's dimensions through the nested JPEG SOF walk
+    val jpegFramed = fm.filter(f => f.asset_id % 5 != 4 && f.asset_id % 2 == 0)
+    assert(jpegFramed.nonEmpty)
+    jpegFramed.foreach { f =>
+      val i = f.asset_id.toInt
+      assert(f.format == "jpeg" && f.width == 16 + i % 16 && f.height == 12 + i % 8,
+        s"asset $i frame ${f.frame_idx}: ${f.format} ${f.width}x${f.height}")
+    }
+    // plain-payload AVIs: frames are opaque → "raw" with zero dims
+    val plain = fm.filter(f => f.asset_id % 5 != 4 && f.asset_id % 2 == 1)
+    assert(plain.nonEmpty && plain.forall(f => f.format == "raw" && f.width == 0))
   }
 }
