@@ -146,13 +146,16 @@ object Curation {
     * over the portable token sequence: (doc_id, pos, gram). One row per
     * OCCURRENCE (no `array_distinct` — positions matter here), LINEAR in
     * corpus tokens. */
-  private[graft] def windowRows(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def windowRows(docs: DataFrame, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val mk = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
-    docs.select(col("doc_id"), tokenArray.as("a"))
+    val c = carry.map(col)
+    docs.select(col("doc_id") +: c :+ tokenArray.as("a"): _*)
       .where(size(col("a")) >= n)
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, size(a) - ${n - 1}), i -> $mk)")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+      .select(col("doc_id") +: c :+
+        posexplode(expr(s"transform(sequence(1, size(a) - ${n - 1}), i -> $mk)")): _*)
+      .select(col("doc_id") +: c :+
+        (col("pos") + 1).cast("long").as("pos") :+ col("col").as("gram"): _*)
   }
 
   /** Duplicated-span detection — the exact-substring-dedup primitive from

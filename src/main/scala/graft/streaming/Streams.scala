@@ -309,4 +309,45 @@ object Streams {
           }
         })
   }
+
+  case class GramOccTs(gh: Long, doc_id: Long, pos: Long, ts: java.sql.Timestamp)
+
+  /** [[streamingSpanDedup]] with EVENT-TIME gram eviction — the replayed-
+    * historical-ingest twin, exactly as [[streamingNearDupsEventTime]] is
+    * to [[streamingNearDups]]: a gram's stored first-occurrence expires
+    * when the WATERMARK passes its last sighting + `stateHorizon`, so
+    * reprocessing a year of documents at full speed evicts by stream time
+    * (wall-clock idleness never fires at replay speed, and state would
+    * otherwise grow with history). Input schema adds an event-time
+    * column: (doc_id, ts timestamp, text). */
+  def streamingSpanDedupEventTime(docs: DataFrame, n: Int = 5,
+      watermarkDelay: String = "10 minutes",
+      stateHorizon: String = "1 hour"): Dataset[SpanHit] = {
+    import docs.sparkSession.implicits._
+    val occs = graft.operators.Curation
+      .windowRows(docs.withWatermark("ts", watermarkDelay), n, carry = Seq("ts"))
+      .select(xxhash64(col("gram")).as("gh"), col("doc_id"), col("pos"), col("ts"))
+      .as[GramOccTs]
+    occs.groupByKey(_.gh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (gh: Long, batch: Iterator[GramOccTs], state: GroupState[(Long, Long)]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var first = state.getOption
+            val hits = List.newBuilder[SpanHit]
+            val rows = batch.toSeq.sortBy(o => (o.doc_id, o.pos))
+            rows.foreach { o =>
+              first match {
+                case None => first = Some((o.doc_id, o.pos))
+                case Some((fd, fp)) => hits += SpanHit(o.doc_id, o.pos, fd, fp)
+              }
+            }
+            first.foreach(state.update)
+            state.setTimeoutTimestamp(rows.map(_.ts.getTime).max, stateHorizon)
+            hits.result().iterator
+          }
+        })
+  }
 }

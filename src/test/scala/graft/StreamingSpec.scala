@@ -212,6 +212,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time span-dedup gram store: dedup within horizon, stream-time eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    val span = "alpha beta gamma delta epsilon zeta"
+    val q = Streams.streamingSpanDedupEventTime(docs, n = 5,
+        watermarkDelay = "0 seconds", stateHorizon = "1 hour")
+      .writeStream.format("memory").queryName("etspan_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), span))
+      q.processAllAvailable()
+      in.addData((2L, ts(5), span)) // same 5-gram windows, in horizon
+      q.processAllAvailable()
+      in.addData((3L, Timestamp.valueOf("2024-01-01 14:00:00"),
+        "totally different words that share nothing with before"))
+      q.processAllAvailable()
+      in.addData((4L, Timestamp.valueOf("2024-01-01 14:00:30"),
+        "more filler entirely unlike anything else here"))
+      q.processAllAvailable()
+      in.addData((5L, Timestamp.valueOf("2024-01-01 14:01:00"), span))
+      q.processAllAvailable()
+      val hits = spark.table("etspan_out")
+        .select("doc_id", "first_doc").as[(Long, Long)].collect().toSet
+      assert(hits.exists(h => h._1 == 2L && h._2 == 1L),
+        s"in-horizon repeated span must point at its first occurrence, got $hits")
+      assert(!hits.exists(_._1 == 5L),
+        s"post-eviction repeat must be treated as first-seen, got $hits")
+    } finally q.stop()
+  }
+
   test("per-row graft_minhash matches the batch generator+aggregator signature") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
