@@ -22,12 +22,25 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
-  test("tfidf_full is identical with AQE disabled") {
-    val withAqe = SparkEntry.queries("tfidf_full")(spark, dir).collect().map(_.toString).toSeq
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val without = SparkEntry.queries("tfidf_full")(spark, dir).collect().map(_.toString).toSeq
-      assert(withAqe == without)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  // AQE re-plans shuffles at runtime (coalescing, skew splits, join
+  // strategy swaps) — none of it may change a single byte of output
+  for (q <- Seq("tfidf_full", "dedup_apply", "events_moving_sum",
+    "strip_duplicate_spans", "bm25_search")) {
+    test(s"$q is identical with AQE disabled") {
+      val withAqe = SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val without = SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+        assert(withAqe == without)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  // the degenerate layout: EVERYTHING in one task — no exchange ordering,
+  // no partial-agg merge order, one writer; still byte-identical
+  for (q <- Seq("tfidf_full", "quality_score", "dedup_clusters")) {
+    test(s"$q is identical under single-partition execution") {
+      assert(runWith(13, q) == runWith(1, q))
+    }
   }
 }
