@@ -17,9 +17,15 @@ object Bench {
     // across 100+ queries without poisoning the warm run.
     // Optional subset filter (comma-separated names) for targeted runs —
     // e.g. the sf1 scale rehearsal over the flagship + dedup family. The
-    // driver's full run leaves it unset.
+    // driver's full run leaves it unset. Unknown names fail FAST: a typo
+    // must not silently bench an empty set and report a green run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -73,6 +79,9 @@ object Bench {
     // totals + the headline (most expensive cold) queries, capped so the
     // sentinel and the line both land inside the tail window. Full
     // per-query detail lives in target/bench.json and the full line above.
+    // Both final lines (sentinel-prefixed + bare) must TOGETHER fit the
+    // tail window, or the earlier of the two gets truncated away — bound
+    // the PAIR's length, not one line's.
     var headline = ok.sortBy(-_._2).take(12)
     var compact = ""
     do {
@@ -81,7 +90,7 @@ object Bench {
         s""""n_errors":${failed.size},""" +
         s""""queries":${timesObj(headline, _._2)},"sf":"$sfDir"}"""
       headline = headline.dropRight(1)
-    } while (compact.length > 1800 && headline.nonEmpty)
+    } while (2 * compact.length + 12 > 1900 && headline.nonEmpty)
     println("BENCH_JSON " + compact)
     println(compact)
   }

@@ -47,13 +47,31 @@ object SparkEntry {
     md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(32)
   }
 
-  private def annIndex(s: SparkSession, dir: String): operators.ProductQuantization.AnnIndex =
+  /** Per-process random component for every on-disk asset path: two JVMs
+    * (or two sessions in one JVM) must never overwrite each other's asset
+    * out from under a live DataFrame reading it. Combined with the
+    * session's identity hash, each (session, dataset) gets its own
+    * directory — rebuild cost over cross-session sharing, correctness
+    * over cost. */
+  private val jvmNonce = java.util.UUID.randomUUID().toString.take(8)
+  private def sessionScopedPath(s: SparkSession, prefix: String, dir: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"${prefix}_${dirDigest(dir)}_${jvmNonce}_" +
+        java.lang.Integer.toHexString(System.identityHashCode(s))).getAbsolutePath
+
+  /** Drop cache entries bound to STOPPED sessions: their frames are dead
+    * weight and would pin the session's object graph for the JVM lifetime. */
+  private def pruneStopped[K, V](m: scala.collection.concurrent.TrieMap[K, V],
+      session: K => SparkSession): Unit =
+    m.keys.foreach { k => if (session(k).sparkContext.isStopped) m.remove(k) }
+
+  private def annIndex(s: SparkSession, dir: String): operators.ProductQuantization.AnnIndex = {
+    pruneStopped(annIndexCache, (k: (SparkSession, String)) => k._1)
     // cache keyed per SparkSession (reference identity) too: an index bound
     // to a stopped session must not be served to a new session in this JVM
     annIndexCache.getOrElseUpdate((s, dir), {
-      val idxDir = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft_ann_index_" + dirDigest(dir)).getAbsolutePath
+      val idxDir = sessionScopedPath(s, "graft_ann_index", dir)
       // the scope releases the build's internal caches once the index is
       // on disk — a long-lived session keeps only the parquet asset
       operators.CacheScope {
@@ -64,6 +82,7 @@ object SparkEntry {
       // exactly the layout a production cluster would read
       operators.ProductQuantization.loadIndex(s, idxDir)
     })
+  }
 
   /** Text-dedup pipeline assets, mirroring [[annIndex]]: the exact-verifier
     * pair table, the component labels, and the sketch pair tables are each
@@ -78,11 +97,11 @@ object SparkEntry {
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
   private def corpusAsset(s: SparkSession, dir: String, kind: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    pruneStopped(corpusAssetCache, (k: (SparkSession, String, String)) => k._1)
+    pruneStopped(docsCountCache, (k: (SparkSession, String)) => k._1)
     corpusAssetCache.getOrElseUpdate((s, dir, kind), {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_asset_${kind}_" + dirDigest(dir)).getAbsolutePath
+      val path = sessionScopedPath(s, s"graft_asset_$kind", dir)
       // the scope releases every builder-internal cache (gram rows, LSH
       // signatures, iteration frames) once the asset is on disk
       operators.CacheScope {
@@ -92,6 +111,17 @@ object SparkEntry {
       }
       s.read.parquet(path)
     })
+  }
+
+  /** Test hook: forget every cached asset/index/count so the next access
+    * rebuilds from scratch (determinism suites re-run queries under varied
+    * physical layouts and must not read a previous layout's materialized
+    * asset). */
+  private[graft] def clearAssetCaches(): Unit = {
+    corpusAssetCache.clear()
+    annIndexCache.clear()
+    docsCountCache.clear()
+  }
 
   /** Materialized portable term-counts table `(term, doc_id, cnt)` — the
     * intermediate every TF-IDF-family query aggregates from. As an asset

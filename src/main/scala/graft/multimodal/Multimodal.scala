@@ -406,6 +406,9 @@ object HeaderCodecs {
     var pos = 2
     while (pos + 4 <= bytes.length) {
       if ((bytes(pos) & 0xFF) != 0xFF) return None
+      // the spec allows any number of 0xFF fill bytes before a marker code
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xFF) == 0xFF) pos += 1
+      if (pos + 4 > bytes.length) return None
       val marker = bytes(pos + 1) & 0xFF
       if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) {
         pos += 2 // standalone markers carry no length

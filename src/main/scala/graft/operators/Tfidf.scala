@@ -194,6 +194,7 @@ object Tfidf {
   def dfApproxGate(docs: DataFrame, rsd: Double = 0.05,
       maxRelErr: Double = 0.1,
       precomputedCounts: Option[DataFrame] = None): DataFrame = {
+    val ownCounts = precomputedCounts.isEmpty
     val tc = precomputedCounts.getOrElse(
       termCounts(tokenizePortable(docs)).scopedPersist())
     val exact = tc.groupBy("term").agg(count(lit(1)).as("df"))
@@ -205,7 +206,9 @@ object Tfidf {
       .agg(count(lit(1)).as("n_terms"),
         round(max("rel_err"), 9).as("max_rel_err"),
         round(avg("rel_err"), 9).as("avg_rel_err"))
-    val row = try report.head() finally tc.unpersist()
+    // only the internally-built frame is ours to release — unpersisting a
+    // CALLER-supplied shared frame would silently drop their cache
+    val row = try report.head() finally { if (ownCounts) tc.unpersist() }
     // empty-corpus fail-fast: with zero terms max(rel_err) is null and the
     // gate would NPE instead of reporting — mirror sketchQualityGate's
     // nTruth > 0 require

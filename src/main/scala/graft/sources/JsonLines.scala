@@ -69,10 +69,15 @@ object JsonLines {
   private[graft] def hasGzipParts(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return path.endsWith(".gz")
-    val status = fs.getFileStatus(p)
-    if (status.isFile) path.endsWith(".gz")
-    else fs.listStatus(p).exists(_.getPath.getName.endsWith(".gz"))
+    def dirHasGz(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists(_.getPath.getName.endsWith(".gz"))
+    // globStatus resolves patterns ("/corpus/2024-*") that exists() cannot;
+    // for a plain path it returns that path's own status
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    if (matched.isEmpty) path.endsWith(".gz")
+    else matched.exists { st =>
+      if (st.isFile) st.getPath.getName.endsWith(".gz") else dirHasGz(st.getPath)
+    }
   }
 
   /** [[readDocumentsClean]] with GUARANTEED post-read parallelism — the

@@ -195,12 +195,12 @@ object Streams {
       .groupByKey(s => (s.band, s.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: (Int, Long), batch: Iterator[DocBandSigTs],
-            state: GroupState[List[(Long, Array[Long])]]) => {
+            state: GroupState[(Long, List[(Long, Array[Long])])]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var stored = state.getOption.getOrElse(Nil)
+            var (maxSeenTs, stored) = state.getOption.getOrElse((Long.MinValue, Nil))
             val hits = List.newBuilder[NearDupHit]
             val rows = batch.toSeq.sortBy(_.doc_id)
             rows.foreach { d =>
@@ -214,10 +214,16 @@ object Streams {
                 if (stored.size < maxBucket) stored = stored :+ (d.doc_id -> d.sig)
               }
             }
-            state.update(stored)
             // expire when the WATERMARK (stream time) passes the bucket's
-            // latest activity + horizon — wall clock plays no part
-            state.setTimeoutTimestamp(rows.map(_.ts.getTime).max, stateHorizon)
+            // latest activity + horizon — wall clock plays no part. The
+            // deadline base is monotone (max event time EVER seen, carried
+            // in state, never a batch-local max: a late-but-accepted batch
+            // must not pull the deadline backward) and clamped to the
+            // current watermark (a base at-or-below it would be rejected).
+            maxSeenTs = math.max(maxSeenTs, rows.map(_.ts.getTime).max)
+            state.update((maxSeenTs, stored))
+            state.setTimeoutTimestamp(
+              math.max(maxSeenTs, state.getCurrentWatermarkMs() + 1), stateHorizon)
             hits.result().iterator
           }
         })
@@ -330,22 +336,28 @@ object Streams {
       .as[GramOccTs]
     occs.groupByKey(_.gh)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (gh: Long, batch: Iterator[GramOccTs], state: GroupState[(Long, Long)]) => {
+        (gh: Long, batch: Iterator[GramOccTs],
+            state: GroupState[(Long, Long, Long)]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var first = state.getOption
+            var cur = state.getOption // (first_doc, first_pos, maxSeenTs)
             val hits = List.newBuilder[SpanHit]
             val rows = batch.toSeq.sortBy(o => (o.doc_id, o.pos))
             rows.foreach { o =>
-              first match {
-                case None => first = Some((o.doc_id, o.pos))
-                case Some((fd, fp)) => hits += SpanHit(o.doc_id, o.pos, fd, fp)
+              cur match {
+                case None => cur = Some((o.doc_id, o.pos, Long.MinValue))
+                case Some((fd, fp, _)) => hits += SpanHit(o.doc_id, o.pos, fd, fp)
               }
             }
-            first.foreach(state.update)
-            state.setTimeoutTimestamp(rows.map(_.ts.getTime).max, stateHorizon)
+            // monotone deadline base + watermark clamp — see
+            // streamingNearDupsEventTime for the rationale
+            val maxSeenTs = math.max(cur.map(_._3).getOrElse(Long.MinValue),
+              rows.map(_.ts.getTime).max)
+            cur.foreach { case (fd, fp, _) => state.update((fd, fp, maxSeenTs)) }
+            state.setTimeoutTimestamp(
+              math.max(maxSeenTs, state.getCurrentWatermarkMs() + 1), stateHorizon)
             hits.result().iterator
           }
         })

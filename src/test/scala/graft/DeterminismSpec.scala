@@ -9,6 +9,10 @@ class DeterminismSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def runWith(partitions: Int, q: String): Seq[String] = {
+    // asset-backed queries (term counts, pair tables, labels, ANN index)
+    // must REBUILD under each physical layout — comparing two reads of one
+    // already-materialized parquet would make these tests vacuous
+    SparkEntry.clearAssetCaches()
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
     try SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
     finally spark.conf.set("spark.sql.shuffle.partitions", 4)
@@ -27,7 +31,9 @@ class DeterminismSpec extends SparkSpec {
   for (q <- Seq("tfidf_full", "dedup_apply", "events_moving_sum",
     "strip_duplicate_spans", "bm25_search")) {
     test(s"$q is identical with AQE disabled") {
+      SparkEntry.clearAssetCaches()
       val withAqe = SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+      SparkEntry.clearAssetCaches()
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val without = SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq

@@ -193,6 +193,11 @@ class MultimodalSpec extends SparkSpec {
     val lyingLen = good.clone()
     lyingLen(4) = 0x7F.toByte // APP0 length now points past EOF
     assert(HeaderCodecs.parseJpeg(lyingLen).isEmpty)
+    // the spec allows 0xFF fill bytes before a marker — real encoders emit
+    // them, the walk must skip them
+    val withFill = HeaderCodecs.makeJpeg(31, 17, 10L)
+    val padded = withFill.take(2) ++ Array.fill(3)(0xFF.toByte) ++ withFill.drop(2)
+    assert(HeaderCodecs.parseJpeg(padded).exists(m => m.width == 31 && m.height == 17))
     val (w, h, _) = HeaderCodecs.decodeHeader("image", good.take(10))
     assert(w > 0 && h > 0) // stub fallback, never a throw
   }
