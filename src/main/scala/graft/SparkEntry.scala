@@ -510,6 +510,13 @@ object SparkEntry {
     // --- Text analysis ---
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    // provenance dashboard: one tiny groupBy(source) over per-doc map work
+    "source_quality_rollup" -> ((s, dir) =>
+      TextAnalysis.sourceQualityRollup(Tables.documents(s, dir))),
+    // vocabSize = 20 of the fixture's ~31 distinct terms so the OOV side is
+    // exercised (a vocab covering every term would oracle-check trivially)
+    "vocab_oov_rate" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), vocabSize = 20)),
     // engine-internal (JVM deflate — no DuckDB equivalent): rows-only
     "compression_stats" -> ((s, dir) => TextAnalysis.compressionStats(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -556,6 +563,10 @@ object SparkEntry {
     // the 100 TB shuffle shape (8-byte gram hashes) — engine hash, rows-only
     "duplicate_spans_hashed" -> ((s, dir) =>
       Curation.duplicateSpansHashed(Tables.documents(s, dir), 5).orderBy("doc_id", "pos")),
+    // hash-keyed strip: output is the token domain (no engine hash in the
+    // result), so unlike duplicate_spans_hashed it oracle-checks exactly
+    "strip_duplicate_spans_hashed" -> ((s, dir) =>
+      Curation.stripDuplicateSpansHashed(Tables.documents(s, dir), 5)),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
@@ -865,7 +876,15 @@ object SparkEntry {
        |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
        |  FROM reach GROUP BY a)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    // hash-keyed shuffle variants emit token-domain results identical to
+    // their exact siblings (absent a 2⁻⁶⁴ gram-hash collision), so they
+    // share the sibling's DuckDB oracle verbatim
+    m + ("strip_duplicate_spans_hashed" -> m("strip_duplicate_spans"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q3_top_revenue" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -1177,6 +1196,32 @@ object SparkEntry {
          |    + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
          |            / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "source_quality_rollup" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+         |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+         |      + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.1
+         |      + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+         |              / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
+         |  FROM documents
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(CAST(q.quality AS DECIMAL(18,9))) AS DOUBLE) / count(*), 9) AS avg_quality,
+         |  round(CAST(sum(d.n_chars) AS DOUBLE) / count(*), 9) AS avg_chars
+         |FROM documents d JOIN q USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "vocab_oov_rate" ->
+      s"""WITH $toksCte,
+         |freq AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS freq FROM tc GROUP BY 1),
+         |vocab AS (SELECT term FROM freq ORDER BY freq DESC, term LIMIT 20)
+         |SELECT tc.doc_id, CAST(sum(tc.cnt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.term IS NOT NULL THEN tc.cnt ELSE 0 END) AS BIGINT) AS n_in_vocab,
+         |  round(1.0 - CAST(sum(CASE WHEN v.term IS NOT NULL THEN tc.cnt ELSE 0 END) AS DOUBLE)
+         |        / sum(tc.cnt), 9) AS oov_rate
+         |FROM tc LEFT JOIN vocab v ON tc.term = v.term
+         |GROUP BY tc.doc_id ORDER BY tc.doc_id""".stripMargin,
     "lang_id" ->
       s"""WITH $toksCte
          |SELECT doc_id, count(*) AS n_tokens,

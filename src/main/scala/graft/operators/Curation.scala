@@ -231,6 +231,13 @@ object Curation {
     val rem = wins.join(occ, "gram")
       .where(occKey =!= col("canon"))
       .select("doc_id", "pos")
+    assembleStripped(docs, rem, n)
+  }
+
+  /** Shared strip tail: expand removable windows to covered token
+    * positions, anti-join the token stream, and re-assemble each document
+    * (the collect_list is bounded by ONE document's length). */
+  private def assembleStripped(docs: DataFrame, rem: DataFrame, n: Int): DataFrame = {
     val cov = rem
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tpos"))
       .distinct()
@@ -247,6 +254,30 @@ object Curation {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
+  }
+
+  /** [[stripDuplicateSpans]] with every gram-keyed exchange carrying
+    * `xxhash64(gram)` instead of the gram string — the same ~5× shuffle cut
+    * as [[duplicateSpansHashed]], applied to the full strip pipeline (the
+    * occurrence count, the canonical `min(struct(doc_id, pos))`, and the
+    * mark-back join all key on the 8-byte hash). A 2⁻⁶⁴ collision would
+    * merge two distinct grams' occurrence sets — cutting a span that the
+    * exact operator keeps — but never loses a marked duplicate, which is
+    * the trade Lee et al. ship at corpus scale. Output columns and (absent
+    * a collision) values are IDENTICAL to the exact form, so the registered
+    * query shares its DuckDB oracle. */
+  def stripDuplicateSpansHashed(docs: DataFrame, n: Int = 5): DataFrame = {
+    val occKey = struct(col("doc_id"), col("pos"))
+    val wins = windowRows(docs, n)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+      .scopedPersist()
+    val occ = wins.groupBy("gh")
+      .agg(count(lit(1)).as("occ"), min(occKey).as("canon"))
+      .where(col("occ") >= 2)
+    val rem = wins.join(occ, "gh")
+      .where(occKey =!= col("canon"))
+      .select("doc_id", "pos")
+    assembleStripped(docs, rem, n)
   }
 
   /** Per-document duplicated-span coverage — the "how much of this document

@@ -263,4 +263,58 @@ object TextAnalysis {
       md5(concat(col("doc_id").cast("string"), lit(s":$epoch")).cast("binary"))
         .as("shuffle_key"))
       .orderBy("shuffle_key", "doc_id")
+
+  /** Per-source (provenance) quality rollup — the dashboard a curation
+    * pipeline drives source-level keep/boost/drop decisions from: document
+    * count, total whitespace tokens, mean quality score, mean length.
+    *
+    * Scale shape: per-doc stats are codegen'd map work; the only exchange
+    * groups by `source` — cardinality tens-to-thousands, so the aggregate
+    * is map-side-partial then tiny. The per-doc quality is cast to
+    * DECIMAL(18,9) before summing so the mean is exact and deterministic
+    * regardless of partition summation order (double addition is not
+    * associative; a double `avg` could flip the 9th digit between runs). */
+  def sourceQualityRollup(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs).select("doc_id", "quality")
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"))
+      .join(q, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_ws_tokens").as("total_tokens"),
+        sum(col("quality").cast("decimal(18,9)")).as("q_sum"),
+        sum("n_chars").as("chars_sum"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("q_sum").cast("double") / col("n_docs"), 9).as("avg_quality"),
+        round(col("chars_sum").cast("double") / col("n_docs"), 9).as("avg_chars"))
+      .orderBy("source")
+  }
+
+  /** Vocabulary coverage: build the top-`vocabSize` term vocabulary by
+    * corpus occurrence count (ties broken by term — deterministic cutoff),
+    * then report per document how many token occurrences fall outside it
+    * (the OOV rate a tokenizer/vocab design iterates on).
+    *
+    * Scale shape: the vocabulary is a top-k over the (term, freq)
+    * aggregate — TakeOrderedAndProject, no global sort — and is small by
+    * construction, so it BROADCASTS to the token stream; the per-doc count
+    * partial-aggregates map-side. The corpus is never shuffled by term
+    * beyond the narrow (term, doc_id, cnt) aggregation it already shares
+    * with TF-IDF. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val tc = Tfidf.termCounts(Tfidf.tokenizePortable(docs))
+    val vocab = tc.groupBy("term").agg(sum("cnt").as("freq"))
+      .orderBy(desc("freq"), asc("term")).limit(vocabSize)
+      .select(col("term"), lit(1L).as("_v"))
+    tc.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        sum(when(col("_v").isNotNull, col("cnt")).otherwise(0L)).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        round(lit(1.0) - col("n_in_vocab").cast("double") / col("n_tokens"), 9)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
 }

@@ -34,25 +34,55 @@ object JsonLines {
     StructField("_corrupt", StringType)))
 
   /** Read a JSONL documents directory with the explicit schema; malformed
-    * lines land in `_corrupt` with every data column null. */
+    * lines land in `_corrupt` with every data column null.
+    *
+    * Implemented as a line scan + [[from_json]] rather than
+    * `spark.read.json`: with the JSON source, `_corrupt` is a scan-level
+    * pseudo-column and Spark REFUSES any query that references only it
+    * after pruning (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — so innocuous
+    * plans like `readDocumentsClean(...).count()` used to throw. Parsing
+    * through an expression makes `_corrupt` an ordinary column with no
+    * such restriction, while keeping byte-range line splitting (the text
+    * source splits exactly like the JSON source) and identical PERMISSIVE
+    * semantics (the raw line lands in `_corrupt`, data columns null).
+    * Whitespace-only lines are dropped to match the JSON source. */
   def readDocuments(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(documentSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
+    parseLines(spark.read.text(path))
+
+  /** The shared line→document parse chain (batch and streaming reads go
+    * through the same expressions, so their semantics cannot drift). */
+  private def parseLines(lines: DataFrame): DataFrame =
+    lines
+      .where(trim(col("value")) =!= "")
+      .select(from_json(col("value"), documentSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .select(col("j.*"))
+
+  /** Streaming (incremental) JSONL ingest with BOUNDED per-trigger intake:
+    * `maxFilesPerTrigger` caps how many files each micro-batch reads — the
+    * backpressure knob that keeps a backfill/replay over an arbitrarily
+    * large landing directory from loading the whole backlog into one giant
+    * first batch (the failure mode of an uncapped file stream pointed at
+    * months of history). Emits CLEAN rows only; corrupt lines are dropped
+    * silently here because a streaming sink can't quarantine to a side
+    * report — run [[readDocumentsStrictness]] on the same path for audit. */
+  def readDocumentsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parseLines(spark.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(path))
+      .where(col("_corrupt").isNull).drop("_corrupt")
 
   /** Clean rows only (corrupt lines dropped), `_corrupt` column removed —
-    * what downstream operators consume. */
+    * what downstream operators consume. Count-safe: `.count()` and other
+    * pruned-to-nothing plans work (see [[readDocuments]]). */
   def readDocumentsClean(spark: SparkSession, path: String): DataFrame =
     readDocuments(spark, path)
       .where(col("_corrupt").isNull).drop("_corrupt")
 
   /** One-row data-quality report for an ingest: total / clean / corrupt
     * line counts plus parsed-but-textless lines. One aggregation over one
-    * scan. (`n_missing_text` also references a data column, which Spark
-    * requires — a scan projecting ONLY the corrupt-record column is
-    * disallowed, QUERY_ONLY_CORRUPT_RECORD_COLUMN.) */
+    * scan. */
   def readDocumentsStrictness(spark: SparkSession, path: String): DataFrame =
     readDocuments(spark, path).agg(
       count(lit(1)).as("n_lines"),

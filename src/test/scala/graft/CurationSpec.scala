@@ -158,6 +158,19 @@ class CurationSpec extends SparkSpec {
       (3L, 3L, "m n o")))
   }
 
+  test("stripDuplicateSpansHashed rebuilds identical documents to the exact form") {
+    val corpus = docs(
+      1L -> "a b c d e",
+      2L -> "x b c d y",
+      3L -> "a b c d e",        // clone of doc 1
+      4L -> "m n o m n o m n")  // self-repetition
+    val exact = Curation.stripDuplicateSpans(corpus, n = 3)
+      .as[(Long, Long, String)].collect().toSeq
+    val hashed = Curation.stripDuplicateSpansHashed(corpus, n = 3)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(hashed == exact)
+  }
+
   test("spanDupStats does not double-count overlapping dup windows") {
     // doc 1 = doc 2 → every window dup; coverage = all tokens, frac 1.0
     val corpus = docs(1L -> "a b c d e", 2L -> "a b c d e")

@@ -92,5 +92,9 @@ class SourcesSpec extends SparkSpec {
     val clean = graft.sources.JsonLines.readDocumentsClean(spark, dir.toString)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(clean == Seq(1L, 2L))
+    // count-safety: with the JSON source this plan pruned down to only the
+    // corrupt pseudo-column and threw QUERY_ONLY_CORRUPT_RECORD_COLUMN; the
+    // from_json-based read has no such restriction
+    assert(graft.sources.JsonLines.readDocumentsClean(spark, dir.toString).count() == 2L)
   }
 }

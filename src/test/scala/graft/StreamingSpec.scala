@@ -284,4 +284,31 @@ class StreamingSpec extends SparkSpec {
     assert(out(1L).n_events == 2 && out(1L).n_purchases == 1 && out(1L).total_value == 11.0)
     assert(out(2L).n_events == 1 && out(2L).n_purchases == 0)
   }
+
+  test("bounded streaming JSONL ingest: maxFilesPerTrigger caps each micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_jsonl")
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(dir.resolve(s"part-$i.json"),
+        s"""{"doc_id": ${i * 10}, "text": "doc $i a", "lang": "en", "source": "s", "n_chars": 7}
+           |{"doc_id": ${i * 10 + 1}, "text": "doc $i b", "lang": "en", "source": "s", "n_chars": 7}
+           |""".stripMargin)
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = graft.sources.JsonLines.readDocumentsStream(spark, s"$dir/*.json",
+        maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.select("doc_id").as[Long].collect()
+        batchSizes.synchronized { batchSizes += ids.length; seen ++= ids }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // one file (= 2 docs) per micro-batch, never the whole 3-file backlog
+      assert(batchSizes.toSeq == Seq(2L, 2L, 2L), s"batches were $batchSizes")
+      assert(seen.sorted.toSeq == Seq(10L, 11L, 20L, 21L, 30L, 31L))
+    } finally q.stop()
+  }
 }

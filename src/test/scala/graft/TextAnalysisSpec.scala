@@ -157,6 +157,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("sourceQualityRollup aggregates per provenance with exact-decimal means") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "web", 22L),
+      (2L, "the dog ran to the park", "web", 23L),
+      (3L, "1234 5678 !!!! ####", "spam", 19L)).toDF("doc_id", "text", "source", "n_chars")
+    val got = TextAnalysis.sourceQualityRollup(docs)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(("spam", 1L, 4L), ("web", 2L, 12L)))
+    val bySrc = got.map(r => r._1 -> r).toMap
+    assert(bySrc("web")._4 > bySrc("spam")._4)     // prose outranks digit noise
+    assert(bySrc("web")._5 == 22.5)                // (22 + 23) / 2
+    // deterministic across runs (decimal sum, not double summation order)
+    val again = TextAnalysis.sourceQualityRollup(docs)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("vocabCoverage: top-k vocab by frequency, per-doc OOV occurrence rate") {
+    val docs = Seq(
+      (1L, "common common common rare"),
+      (2L, "common common unseen other")).toDF("doc_id", "text")
+    // vocabSize = 1 → vocab = {common} (highest frequency)
+    val got = TextAnalysis.vocabCoverage(docs, vocabSize = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 3L, 0.25), (2L, 4L, 2L, 0.5)))
+    // frequency tie at the cutoff breaks by term asc — deterministic
+    val tied = Seq((1L, "aaa bbb"), (2L, "bbb aaa")).toDF("doc_id", "text")
+    val cut = TextAnalysis.vocabCoverage(tied, vocabSize = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(cut == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5))) // 'aaa' wins the tie
+  }
+
   test("epochShuffle: total deterministic order, epoch changes the order") {
     val docs = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val e0 = TextAnalysis.epochShuffle(docs, 0).select("doc_id").as[Long].collect().toSeq
