@@ -455,6 +455,15 @@ object SparkEntry {
     "value_percentiles" -> ((s, dir) => Relational.valuePercentiles(s, dir)),
     "customers_above_segment_avg" -> ((s, dir) => Relational.customersAboveSegmentAvg(s, dir)),
     "events_moving_sum" -> ((s, dir) => Relational.eventsMovingSum(s, dir)),
+    // --- TPC-H shapes q6/q10/q14/q17/q18/q19: scan-aggregate, returned-item
+    // top-k, conditional-agg share, decorrelated-avg filter, HAVING-on-fact
+    // join-back, disjunctive bracket filter ---
+    "q6_forecast_revenue" -> ((s, dir) => Relational.q6ForecastRevenue(s, dir)),
+    "q10_returned_items" -> ((s, dir) => Relational.q10ReturnedItems(s, dir)),
+    "q14_promo_revenue" -> ((s, dir) => Relational.q14PromoRevenue(s, dir)),
+    "q17_small_qty_revenue" -> ((s, dir) => Relational.q17SmallQuantityRevenue(s, dir)),
+    "q18_large_orders" -> ((s, dir) => Relational.q18LargeOrders(s, dir)),
+    "q19_bracket_revenue" -> ((s, dir) => Relational.q19BracketRevenue(s, dir)),
     // --- embedding near-dup (LSH bucket logic → rows-only check) ---
     "embedding_near_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.5)),
@@ -526,6 +535,19 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       TextAnalysis.sequencePacking(Tables.documents(s, dir), shardCol = Some("source"))),
     "token_counts_bpeish" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    // collocations: adjacent-bigram counts + PMI vs unigram frequencies
+    "bigram_pmi" -> ((s, dir) =>
+      TextAnalysis.bigramPmi(Tables.documents(s, dir), minCount = 5L, k = 100)),
+    // corpus-driven stop list: terms covering >= 50% of documents
+    "stopword_candidates" -> ((s, dir) =>
+      TextAnalysis.stopwordCandidatesFromCounts(
+        termCountsAsset(s, dir), docsCount(s, dir), minDfRatio = 0.5)),
+    // data-mixing plan: per-source token inventory + equalizing sample rate
+    "source_mixture_plan" -> ((s, dir) =>
+      TextAnalysis.sourceMixturePlan(Tables.documents(s, dir), termCountsAsset(s, dir))),
+    // per-source bottom-quartile quality drop (rank-exact curation cut)
+    "quality_rank_filter" -> ((s, dir) =>
+      TextAnalysis.qualityRankFilter(Tables.documents(s, dir), dropFraction = 0.25)),
     "rolling_fingerprints" -> ((s, dir) =>
       TextAnalysis.rollingFingerprints(Tables.documents(s, dir))),
     "multimodal_resize" -> ((s, _) =>
@@ -910,6 +932,65 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT n_lines, promo_revenue, total_revenue,
+        |  round(100.0 * promo_revenue / total_revenue, 9) AS promo_share
+        |FROM (
+        |  SELECT count(*) AS n_lines,
+        |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01') t""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pa_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pa ON l_partkey = pa_partkey
+        |WHERE p_brand = 'Brand#4' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS order_ts_us,
+        |  o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    "q19_bracket_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
     "top_orders_per_customer" ->
       """SELECT o_custkey, rank_in_cust, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1758,6 +1839,68 @@ object SparkEntry {
          |LIMIT 100""".stripMargin,
     "term_counts" ->
       s"WITH $toksCte\nSELECT term, doc_id, cnt FROM tc ORDER BY term, doc_id",
+    "bigram_pmi" ->
+      s"""WITH $toksArrCte,
+         |bg AS (
+         |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+         |  FROM (SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
+         |        FROM toksarr WHERE len(a) >= 2) u
+         |), bgc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT t AS term, count(*) AS n_t
+         |        FROM (SELECT unnest(a) AS t FROM toksarr) v GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_t) AS DOUBLE) AS t_total FROM uni),
+         |bt AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS b_total FROM bgc)
+         |SELECT w1, w2, n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+         |  round(ln((CAST(n_ab AS DOUBLE) / b_total)
+         |        / ((CAST(ua.n_t AS DOUBLE) / t_total) * (CAST(ub.n_t AS DOUBLE) / t_total))), 9) AS pmi
+         |FROM bgc
+         |JOIN uni ua ON ua.term = w1
+         |JOIN uni ub ON ub.term = w2
+         |CROSS JOIN tt CROSS JOIN bt
+         |WHERE n_ab >= 5
+         |ORDER BY n_ab DESC, w1 ASC, w2 ASC
+         |LIMIT 100""".stripMargin,
+    "stopword_candidates" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT term, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+         |  round(CAST(count(*) AS DOUBLE) / n_docs, 9) AS df_ratio
+         |FROM tc CROSS JOIN n
+         |GROUP BY term, n_docs
+         |HAVING CAST(count(*) AS DOUBLE) / n_docs >= 0.5
+         |ORDER BY df DESC, term ASC""".stripMargin,
+    "source_mixture_plan" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok FROM tc GROUP BY 1),
+         |ps AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS total_tokens
+         |  FROM documents d LEFT JOIN dt USING (doc_id) GROUP BY 1),
+         |m AS (SELECT min(total_tokens) AS min_tokens FROM ps)
+         |SELECT source, n_docs, total_tokens,
+         |  round(CAST(min_tokens AS DOUBLE) / total_tokens, 9) AS sample_rate,
+         |  CAST(floor((CAST(min_tokens AS DOUBLE) / total_tokens) * total_tokens) AS BIGINT)
+         |    AS expected_tokens
+         |FROM ps CROSS JOIN m
+         |ORDER BY source""".stripMargin,
+    "quality_rank_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+         |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+         |      + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.1
+         |      + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+         |              / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
+         |  FROM documents
+         |), r AS (
+         |  SELECT d.doc_id, d.source, q.quality,
+         |    CAST(row_number() OVER (PARTITION BY d.source ORDER BY q.quality ASC, d.doc_id ASC) AS BIGINT)
+         |      AS quality_rank,
+         |    count(*) OVER (PARTITION BY d.source) AS n_in_source
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, source, quality, quality_rank
+         |FROM r WHERE quality_rank > floor(0.25 * n_in_source)
+         |ORDER BY doc_id""".stripMargin,
     "doc_totals" ->
       s"""WITH $toksCte
          |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc

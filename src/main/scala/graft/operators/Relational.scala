@@ -248,6 +248,113 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** TPC-H Q6 shape: forecast-revenue change — the minimal scan-dominated
+    * aggregate. Every predicate (ship-date range, discount band, quantity
+    * cap) pushes into the parquet reader, no join, and the single global
+    * sum partial-aggregates map-side, so the full-table pass is the only
+    * cost at any scale. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .where(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .where(col("l_discount").between(0.05, 0.07))
+      .where(col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        decSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q10 shape: top returned-item customers by lost revenue in a
+    * date window. Fact-fact join (lineitem ⨝ orders) shuffles on the order
+    * key with both sides pre-filtered; customer and nation broadcast. */
+  def q10ReturnedItems(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .where(col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q14 shape: promotion revenue share over a ship-date window —
+    * conditional aggregation (sum-CASE) after a broadcast dimension join,
+    * one output row. Both sums go through DECIMAL so the share is exact. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .where(col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        decSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_revenue"),
+        decSum(rev).as("total_revenue"))
+      .select(col("n_lines"), col("promo_revenue"), col("total_revenue"),
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 9).as("promo_share"))
+  }
+
+  /** TPC-H Q17 shape: revenue lost to small-quantity orders for one brand.
+    * The correlated `avg(l_quantity) per part` subquery is decorrelated as
+    * an aggregate + equi-join back (what Catalyst produces for the
+    * subquery form): the per-part average shuffles once on the part key —
+    * never a per-row subquery — and the brand filter broadcasts. */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String,
+      brand: String = "Brand#4"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // sum routed through DECIMAL, then ONE double division — exact and
+    // identical in both engines regardless of partition merge order
+    val partAvg = li.groupBy(col("l_partkey").as("pa_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    val brandParts = Tables.part(spark, dir)
+      .where(col("p_brand") === brand).select("p_partkey")
+    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("pa_partkey"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0), 6)
+          .as("avg_yearly"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — a HAVING-on-fact-aggregate
+    * (sum of quantity per order above a floor) joined back to order and
+    * customer detail. The quantity rollup shuffles the narrow
+    * (orderkey, qty) projection once; survivors are few, so the detail
+    * join is cheap at any scale. */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Double = 250.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .where(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_ts_us"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive "bracket" predicate over a fact ⨝ dim
+    * join — three (brand, size-band, quantity-band) alternatives OR-ed
+    * into one filter. Exercises boolean-expression pushdown: the part side
+    * prunes to the three brands before broadcast, and the residual OR
+    * evaluates post-join in one codegen'd stage. */
+  def q19BracketRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(11, 20) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(21, 30) &&
+          col("l_quantity").between(20, 35)))
+      .agg(count(lit(1)).as("n_lines"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
   /** Gap-based sessionization of the event stream (batch form): a session
     * breaks after `gapMinutes` of inactivity per user. Windows: `lag` for
     * boundary flags, running sum for session ids — then one aggregate per

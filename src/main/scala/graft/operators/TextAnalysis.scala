@@ -291,6 +291,123 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Adjacent-bigram collocation mining with pointwise mutual information —
+    * the classic "new york"/"machine learning" phrase detector a tokenizer
+    * or vocab pipeline runs before merging multi-word units.
+    *
+    * {{{ pmi(a,b) = ln( P(ab) / (P(a)·P(b)) ) }}}
+    * with P(ab) over the bigram total and P(·) over the unigram total.
+    *
+    * Scale shape: bigram extraction is per-document map work (token-array
+    * slicing, no window function, no self-join); both count tables shuffle
+    * narrow (term, count) rows with map-side partials; the two corpus
+    * totals ride along as broadcast one-row frames (no driver action); the
+    * final top-k plans as TakeOrderedAndProject. The min-count filter runs
+    * BEFORE the unigram joins, so the joined side is the interesting tail,
+    * not the full bigram vocabulary.
+    *
+    * Float parity: every P is an int/int double division and the product/
+    * quotient chain is spelled identically in the oracle, so `ln` sees the
+    * same IEEE double in both engines; output rounds to 9. */
+  def bigramPmi(docs: DataFrame, minCount: Long = 5L, k: Int = 100): DataFrame = {
+    val toks = expr(
+      "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
+        "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
+    val bigrams = docs.select(toks.as("a"))
+      .where(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(a) - 1), " +
+          "i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val uni = Tfidf.tokenizePortable(docs)
+      .groupBy("term").agg(count(lit(1)).as("n_t"))
+    val uniTotal = uni.agg(sum("n_t").cast("double").as("t_total"))
+    val bgTotal = bigrams.agg(sum("n_ab").cast("double").as("b_total"))
+    Tfidf.topKByValue(
+      bigrams.where(col("n_ab") >= minCount)
+        .join(uni.select(col("term").as("w1"), col("n_t").as("n_a")), "w1")
+        .join(uni.select(col("term").as("w2"), col("n_t").as("n_b")), "w2")
+        .crossJoin(broadcast(uniTotal))
+        .crossJoin(broadcast(bgTotal))
+        .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+          round(log(
+            (col("n_ab").cast("double") / col("b_total")) /
+              ((col("n_a").cast("double") / col("t_total")) *
+                (col("n_b").cast("double") / col("t_total")))), 9).as("pmi")),
+      "n_ab", k, Seq("w1", "w2"))
+  }
+
+  /** Corpus-driven stopword candidates: terms whose document frequency
+    * covers at least `minDfRatio` of the corpus — what a pipeline derives
+    * its language-specific stop list from instead of shipping a fixed one.
+    * One narrow (term, df) aggregate over the term-counts table; N is the
+    * caller's corpus cardinality (ALL documents, O2 semantics, consistent
+    * with every idf in [[Tfidf]]). */
+  def stopwordCandidatesFromCounts(tc: DataFrame, totalDocs: Long,
+      minDfRatio: Double = 0.5): DataFrame =
+    tc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("cnt").as("n_occurrences"))
+      .where(col("df").cast("double") / lit(totalDocs.toDouble) >= minDfRatio)
+      .select(col("term"), col("df"), col("n_occurrences"),
+        round(col("df").cast("double") / lit(totalDocs.toDouble), 9).as("df_ratio"))
+      .orderBy(desc("df"), asc("term"))
+
+  /** Source-mixture equalization plan — the "data mixing" step of a
+    * training pipeline: per source, its document/token inventory and the
+    * deterministic sampling rate that levels every source down to the
+    * smallest source's token budget (rate = min_tokens / source_tokens).
+    * The output is the PLAN a pipeline feeds into
+    * [[weightedSourceSample]]; planning and applying are separate so the
+    * plan is inspectable and auditable.
+    *
+    * Scale shape: one narrow per-doc token rollup (shared shuffle with
+    * TF-IDF's doc totals), one tiny groupBy(source), and the corpus-wide
+    * minimum rides along as a broadcast one-row frame — no driver action,
+    * no window over the full corpus. */
+  def sourceMixturePlan(docs: DataFrame, tc: DataFrame): DataFrame = {
+    val perDoc = tc.groupBy("doc_id").agg(sum("cnt").as("n_tok"))
+    val perSource = docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tok"), lit(0L)).as("total_tokens"))
+    val minTok = perSource.agg(min("total_tokens").as("min_tokens"))
+    perSource.crossJoin(broadcast(minTok))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("min_tokens").cast("double") / col("total_tokens"), 9).as("sample_rate"),
+        floor((col("min_tokens").cast("double") / col("total_tokens"))
+          * col("total_tokens")).cast("long").as("expected_tokens"))
+      .orderBy("source")
+  }
+
+  /** Per-source bottom-quantile quality drop: rank each source's documents
+    * by [[qualityScore]] (ascending, doc_id tiebreak) and drop the lowest
+    * `dropFraction` — the rank-exact curation cut applied per provenance
+    * shard. Integer rank comparisons only (no quantile interpolation), so
+    * keep/drop decisions are bit-identical across engines.
+    *
+    * SCALE NOTE: `row_number` over `partitionBy(source)` funnels each
+    * source through one partition — exact ranking is inherently a
+    * per-shard sort. Right for bounded shards (a source's eval slice, a
+    * crawl snapshot); for sources of unbounded size compose
+    * [[stableSample]] or an `approx_percentile` threshold + join-back
+    * instead, trading rank exactness for a fully parallel plan. */
+  def qualityRankFilter(docs: DataFrame, dropFraction: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropFraction >= 0.0 && dropFraction < 1.0,
+      s"dropFraction $dropFraction must be in [0, 1)")
+    val q = qualityScore(docs).select("doc_id", "quality")
+    val w = Window.partitionBy("source").orderBy(asc("quality"), asc("doc_id"))
+    docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+      .withColumn("quality_rank", row_number().over(w).cast("long"))
+      .withColumn("n_in_source",
+        count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+      .where(col("quality_rank") > floor(lit(dropFraction) * col("n_in_source")))
+      .select("doc_id", "source", "quality", "quality_rank")
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage: build the top-`vocabSize` term vocabulary by
     * corpus occurrence count (ties broken by term — deterministic cutoff),
     * then report per document how many token occurrences fall outside it

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Invariant checks for the TPC-H-shape queries added beyond q1/q3/q5.
+  * Exact values are gated by the DuckDB oracle at sf0.01; these specs pin
+  * the structural properties (cardinality, ordering, internal consistency)
+  * at sf0.001 and the plan shapes that matter at scale. */
+class RelationalTpchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q6: one row, and the filter actually selects a strict subset") {
+    val out = Relational.q6ForecastRevenue(spark, dir).collect()
+    assert(out.length == 1)
+    val n = out.head.getAs[Long]("n_lines")
+    val all = graft.sources.Tables.lineitem(spark, dir).count()
+    assert(n > 0 && n < all)
+    assert(out.head.getAs[Double]("revenue") > 0.0)
+  }
+
+  test("q10: at most k rows, revenue descending, custkey tiebreak") {
+    val out = Relational.q10ReturnedItems(spark, dir, k = 20)
+      .select("c_custkey", "revenue").as[(Long, Double)].collect().toSeq
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.sliding(2).forall {
+      case Seq((k1, r1), (k2, r2)) => r1 > r2 || (r1 == r2 && k1 < k2)
+      case _ => true
+    })
+  }
+
+  test("q14: promo share consistent with its two sums") {
+    val r = Relational.q14PromoRevenue(spark, dir).collect().head
+    val promo = r.getAs[Double]("promo_revenue")
+    val total = r.getAs[Double]("total_revenue")
+    val share = r.getAs[Double]("promo_share")
+    assert(promo >= 0.0 && promo <= total)
+    val expected = BigDecimal(100.0 * promo / total)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(share == expected)
+  }
+
+  test("q17: small-quantity lines are a subset of the brand's lines") {
+    val r = Relational.q17SmallQuantityRevenue(spark, dir).collect().head
+    val nSmall = r.getAs[Long]("n_lines")
+    val nBrand = graft.sources.Tables.lineitem(spark, dir)
+      .join(graft.sources.Tables.part(spark, dir).where(col("p_brand") === "Brand#4"),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(nSmall >= 0 && nSmall < nBrand)
+  }
+
+  test("q18: every surviving order really exceeds the quantity floor") {
+    val out = Relational.q18LargeOrders(spark, dir, minQty = 150.0)
+    assert(out.where(col("sum_qty") <= 150.0).isEmpty)
+    // join back preserves the aggregate: recompute independently for one order
+    val sample = out.select("o_orderkey", "sum_qty").as[(Long, Double)].collect()
+    assert(sample.nonEmpty)
+    val (okey, sq) = sample.head
+    val recomputed = graft.sources.Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") === okey)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(sq == recomputed)
+  }
+
+  test("q19: bracket disjunction equals the union of its three brackets") {
+    val total = Relational.q19BracketRevenue(spark, dir).collect().head.getAs[Long]("n_lines")
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val p = graft.sources.Tables.part(spark, dir)
+    val joined = li.join(p, col("l_partkey") === col("p_partkey"))
+    def bracket(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      joined.where(col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)).count()
+    val parts = bracket("Brand#1", 1, 10, 1, 15) +
+      bracket("Brand#2", 11, 20, 10, 25) +
+      bracket("Brand#3", 21, 30, 20, 35)
+    // brackets are brand-disjoint, so the OR is an exact partition
+    assert(total == parts)
+  }
+
+  test("q10 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.q10ReturnedItems(spark, dir, k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}

@@ -50,6 +50,59 @@ class TextAnalysisSpec extends SparkSpec {
   private def Tables(name: String) =
     graft.sources.Tables.load(spark, "/root/testdata/sf0.001", name)
 
+  test("bigramPmi: hand-computed counts and PMI on a micro corpus") {
+    val docs = Seq((1L, "new york new york is big")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPmi(docs, minCount = 1L, k = 10)
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // bigrams: (new,york)×2, (york,new), (york,is), (is,big) — B=5, T=6
+    assert(out.length == 4)
+    val top = out.head
+    assert((top._1, top._2, top._3, top._4, top._5) == ("new", "york", 2L, 2L, 2L))
+    val expected = BigDecimal(math.log((2.0 / 5.0) / ((2.0 / 6.0) * (2.0 / 6.0))))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top._6 == expected)
+    // deterministic order: count desc, then (w1, w2) asc
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq(("new", "york"), ("is", "big"), ("york", "is"), ("york", "new")))
+  }
+
+  test("stopwordCandidates keeps only terms above the df-ratio floor") {
+    val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the bird"), (4L, "fish"))
+      .toDF("doc_id", "text")
+    val tc = operators.Tfidf.termCounts(operators.Tfidf.tokenizePortable(docs))
+    val out = TextAnalysis.stopwordCandidatesFromCounts(tc, totalDocs = 4L, minDfRatio = 0.5)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("the", 3L, 3L, 0.75)))
+  }
+
+  test("sourceMixturePlan levels every source to the smallest token budget") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "a"), (2L, "delta epsilon zeta", "a"),
+      (3L, "eta theta", "b"),
+    ).toDF("doc_id", "text", "source")
+    val tc = operators.Tfidf.termCounts(operators.Tfidf.tokenizePortable(docs))
+    val out = TextAnalysis.sourceMixturePlan(docs, tc)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a") == ((2L, 6L, 0.333333333, math.floor((2.0 / 6.0) * 6.0).toLong)))
+    assert(out("b") == ((1L, 2L, 1.0, 2L)))
+  }
+
+  test("qualityRankFilter drops the bottom quartile per source, rank-exact") {
+    // 8 docs in one source: 2 digit-heavy (low quality), 6 prose (high)
+    val low = Seq((1L, "111 222 333 444 !!!", "s"), (2L, "999 888 777 666 ???", "s"))
+    val high = (3L to 8L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again", "s"))
+    val docs = (low ++ high).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.qualityRankFilter(docs, dropFraction = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    // floor(0.25 × 8) = 2 dropped — exactly the two digit-heavy docs
+    assert(kept == (3L to 8L).toSet)
+    val all = TextAnalysis.qualityRankFilter(docs, dropFraction = 0.0)
+    assert(all.count() == 8)
+  }
+
   test("piiRedact removes emails and urls") {
     val docs = Seq(
       (1L, "contact me at alice.smith+spam@example.org today"),
