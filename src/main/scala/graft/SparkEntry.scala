@@ -464,6 +464,12 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) => Relational.q17SmallQuantityRevenue(s, dir)),
     "q18_large_orders" -> ((s, dir) => Relational.q18LargeOrders(s, dir)),
     "q19_bracket_revenue" -> ((s, dir) => Relational.q19BracketRevenue(s, dir)),
+    // explicit GROUPING SETS (the general grouping-sets form; one Expand pass)
+    "orders_grouping_sets" -> ((s, dir) => Relational.ordersGroupingSets(s, dir)),
+    // deterministic arg-min per group (min + join-back + min-key tiebreak)
+    "part_min_cost_supplier" -> ((s, dir) => Relational.partMinCostSupplier(s, dir)),
+    // cume_dist / first_value / nth_value window surface
+    "order_cume_dist" -> ((s, dir) => Relational.orderCumeDist(s, dir)),
     // --- embedding near-dup (LSH bucket logic → rows-only check) ---
     "embedding_near_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.5)),
@@ -535,9 +541,11 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       TextAnalysis.sequencePacking(Tables.documents(s, dir), shardCol = Some("source"))),
     "token_counts_bpeish" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
-    // collocations: adjacent-bigram counts + PMI vs unigram frequencies
+    // collocations: adjacent-bigram counts + PMI; unigram side from the
+    // shared term-counts asset (no second tokenize pass)
     "bigram_pmi" -> ((s, dir) =>
-      TextAnalysis.bigramPmi(Tables.documents(s, dir), minCount = 5L, k = 100)),
+      TextAnalysis.bigramPmiFromCounts(Tables.documents(s, dir),
+        termCountsAsset(s, dir), minCount = 5L, k = 100)),
     // corpus-driven stop list: terms covering >= 50% of documents
     "stopword_candidates" -> ((s, dir) =>
       TextAnalysis.stopwordCandidatesFromCounts(
@@ -991,6 +999,36 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 25)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "orders_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus""".stripMargin,
+    "part_min_cost_supplier" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS avg_unit_price
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS bp_partkey, min(avg_unit_price) AS best_price
+        |         FROM pp GROUP BY 1)
+        |SELECT l_partkey, min(l_suppkey) AS best_suppkey,
+        |  round(min(best_price), 9) AS best_price
+        |FROM pp JOIN best ON l_partkey = bp_partkey AND avg_unit_price = best_price
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
+    "order_cume_dist" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  round(cume_dist() OVER w, 9) AS cdist,
+        |  first_value(o_totalprice) OVER w AS top_price,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderstatus, cdist, o_orderkey""".stripMargin,
     "top_orders_per_customer" ->
       """SELECT o_custkey, rank_in_cust, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

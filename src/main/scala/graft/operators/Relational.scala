@@ -355,6 +355,68 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"),
         decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * per-priority totals, per-status totals, and the grand total in ONE
+    * pass (Expand + a single aggregate, not three jobs). The two
+    * `grouping()` flags disambiguate "NULL because aggregated away" from a
+    * genuine NULL key, spelled per-column for engine parity (grouping_id
+    * bit order is engine-specific). */
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs_v")
+    spark.sql("""
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders_gs_v
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+    """)
+  }
+
+  /** Arg-min per group, engine-deterministic: the cheapest supplier of
+    * each part by quantity-weighted unit price (total revenue / total
+    * units). `min_by`/`arg_min` leave ties engine-arbitrary, so the
+    * portable form is min-aggregate + join-back + min-key among the tied
+    * best — two narrow aggregations over the same (part, supplier)
+    * rollup, no window over a skewable key.
+    *
+    * Both sums route through DECIMAL(18,2) — EXACT casts for 2-decimal
+    * money and integral quantities (a per-row `price/qty` double cast to
+    * decimal instead hits the engines' tie-rounding split: dyadic
+    * quotients land exactly on scale-6 ties, which Spark rounds HALF_UP
+    * and DuckDB half-even) — then ONE double division. */
+  def partMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perPair = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("avg_unit_price"))
+    val best = perPair.groupBy(col("l_partkey").as("bp_partkey"))
+      .agg(min("avg_unit_price").as("best_price"))
+    perPair
+      .join(best, col("l_partkey") === col("bp_partkey") &&
+        col("avg_unit_price") === col("best_price"))
+      .groupBy("l_partkey")
+      .agg(min("l_suppkey").as("best_suppkey"),
+        round(min("best_price"), 9).as("best_price"))
+      .orderBy("l_partkey")
+  }
+
+  /** Cumulative-distribution window surface: `cume_dist`, `first_value`,
+    * `nth_value` over a total per-status order (price desc, key asc — the
+    * unique key kills RANGE-frame peer groups, so every engine agrees). */
+  def orderCumeDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        round(cume_dist().over(w), 9).as("cdist"),
+        first("o_totalprice").over(w).as("top_price"),
+        nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+      .orderBy("o_orderstatus", "cdist", "o_orderkey")
+  }
+
   /** Gap-based sessionization of the event stream (batch form): a session
     * breaks after `gapMinutes` of inactivity per user. Windows: `lag` for
     * boundary flags, running sum for session ids — then one aggregate per

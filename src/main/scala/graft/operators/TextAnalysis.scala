@@ -309,7 +309,17 @@ object TextAnalysis {
     * Float parity: every P is an int/int double division and the product/
     * quotient chain is spelled identically in the oracle, so `ln` sees the
     * same IEEE double in both engines; output rounds to 9. */
-  def bigramPmi(docs: DataFrame, minCount: Long = 5L, k: Int = 100): DataFrame = {
+  def bigramPmi(docs: DataFrame, minCount: Long = 5L, k: Int = 100): DataFrame =
+    bigramPmiFromCounts(docs, Tfidf.termCounts(Tfidf.tokenizePortable(docs)),
+      minCount, k)
+
+  /** [[bigramPmi]] with the unigram side supplied as a prebuilt term-counts
+    * table `(term, doc_id, cnt)` — the shared corpus asset every TF-IDF-
+    * family query already aggregates from, saving one full tokenize pass
+    * (the unigram totals are `sum(cnt)` per term, identical to counting
+    * the token stream directly). */
+  def bigramPmiFromCounts(docs: DataFrame, tc: DataFrame,
+      minCount: Long = 5L, k: Int = 100): DataFrame = {
     val toks = expr(
       "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
         "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
@@ -320,8 +330,7 @@ object TextAnalysis {
           "i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
-    val uni = Tfidf.tokenizePortable(docs)
-      .groupBy("term").agg(count(lit(1)).as("n_t"))
+    val uni = tc.groupBy("term").agg(sum("cnt").as("n_t"))
     val uniTotal = uni.agg(sum("n_t").cast("double").as("t_total"))
     val bgTotal = bigrams.agg(sum("n_ab").cast("double").as("b_total"))
     Tfidf.topKByValue(
