@@ -250,6 +250,29 @@ object SparkEntry {
     }),
     "term_counts" -> ((s, dir) =>
       termCountsAsset(s, dir).orderBy("term", "doc_id")),
+    // corpus-append rehearsal: split the corpus into base + delta on a
+    // content-stable key, maintain the term-counts intermediate
+    // incrementally (mergeCounts), score the merged table — must equal the
+    // full rebuild bit-for-bit (shares tfidf_full's oracle)
+    "tfidf_incremental_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = TextAnalysis.stableSample(docs, "doc_id", 0.7)
+      val delta = docs.join(base.select("doc_id"), Seq("doc_id"), "left_anti")
+      val merged = operators.Tfidf.mergeCounts(
+        Tfidf.termCounts(Tfidf.tokenizePortable(base)),
+        Tfidf.termCounts(Tfidf.tokenizePortable(delta)))
+      Tfidf.pipelineFromCounts(operators.CacheScope.persist(merged), docsCount(s, dir))
+        .select(col("term"), col("doc_id"), col("cnt"), col("doc_total"), col("df"),
+          round(col("tf"), 9).as("tf"),
+          round(col("idf"), 9).as("idf"),
+          round(col("tfidf"), 9).as("tfidf"))
+        .orderBy(desc("tfidf"), asc("term"), asc("doc_id"))
+    }),
+    // the reference's WordCount as a stream (batch-executed here; the
+    // MemoryStream twin is spec-gated) — shares term_counts' oracle
+    "streams_term_counts_batch" -> ((s, dir) =>
+      graft.streaming.Streams.termCounts(Tables.documents(s, dir))
+        .orderBy("term", "doc_id")),
     "doc_totals" -> ((s, dir) =>
       Tfidf.docTotals(termCountsAsset(s, dir)).orderBy("doc_id")),
     "doc_freq" -> ((s, dir) =>
@@ -911,7 +934,12 @@ object SparkEntry {
     // hash-keyed shuffle variants emit token-domain results identical to
     // their exact siblings (absent a 2⁻⁶⁴ gram-hash collision), so they
     // share the sibling's DuckDB oracle verbatim
-    m + ("strip_duplicate_spans_hashed" -> m("strip_duplicate_spans"))
+    m + ("strip_duplicate_spans_hashed" -> m("strip_duplicate_spans")) +
+      // incremental maintenance must reproduce the full rebuild, and the
+      // streaming WordCount twin must reproduce the batch counts — each
+      // shares its sibling's oracle verbatim
+      ("tfidf_incremental_merge" -> m("tfidf_full")) +
+      ("streams_term_counts_batch" -> m("term_counts"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

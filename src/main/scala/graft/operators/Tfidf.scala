@@ -116,6 +116,19 @@ object Tfidf {
     pipelineFromCounts(termCounts(toks).scopedPersist(), totalDocs)
   }
 
+  /** Incremental index maintenance: merge a new corpus shard's term counts
+    * into an existing term-counts table — the production "append a batch"
+    * path that updates the materialized intermediate instead of
+    * re-tokenizing the whole corpus. Counts are additive per (term,
+    * doc_id) ([[docTotals]]/[[docFreq]] then derive from the merged table,
+    * so df and totals need no separate maintenance); with disjoint doc_id
+    * sets the merge is a pure concatenation and the groupBy collapses
+    * nothing, but the sum also makes RE-ingesting a doc's tokens additive
+    * rather than wrong. One narrow shuffle of (term, doc_id, cnt) rows. */
+  def mergeCounts(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.unionByName(delta)
+      .groupBy("term", "doc_id").agg(sum("cnt").as("cnt"))
+
   /** [[pipeline]] over a PREBUILT `(term, doc_id, cnt)` table — the
     * materialized term-counts intermediate a production pipeline stores
     * once and scores many times. Identical math and output to the

@@ -41,6 +41,19 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming WordCount — the reference's job 1
+    * (`WordCount.java:125-159`) as an incremental stream: stateless
+    * per-batch tokenization (the portable normalizer chain) feeding a
+    * streaming aggregation; in Update mode each micro-batch emits the
+    * groups it changed. State is one counter per (term, doc_id) — bounded
+    * by the corpus vocabulary footprint, not stream length, since
+    * re-delivered tokens merge into their existing group. Executed in
+    * batch this IS `Tfidf.termCounts ∘ tokenizePortable` (identical plan
+    * minus the state store), which is what the oracle checks. */
+  def termCounts(docs: DataFrame): DataFrame =
+    graft.operators.Tfidf.termCounts(
+      graft.operators.Tfidf.tokenizePortable(docs))
+
   /** Stream-static join: enrich a stream with a batch dimension table.
     * The static side is planned per micro-batch (broadcast when small);
     * no state store involved — the scale-friendly way to attach

@@ -38,6 +38,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming termCounts: incremental counts converge to the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF.toDF("doc_id", "text")
+    val q = Streams.termCounts(docs)
+      .writeStream.format("memory").queryName("tc_out")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, "the cat sat"), (2L, "the dog"))
+      q.processAllAvailable()
+      // a later micro-batch ADDS to existing groups, not replaces them
+      in.addData((1L, "the cat again"))
+      q.processAllAvailable()
+      val got = spark.table("tc_out")
+        .select("term", "doc_id", "cnt").as[(String, Long, Long)].collect().toSet
+      val batch = graft.operators.Tfidf.termCounts(
+        graft.operators.Tfidf.tokenizePortable(Seq(
+          (1L, "the cat sat"), (1L, "the cat again"), (2L, "the dog"))
+          .toDF("doc_id", "text")))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == batch)
+      assert(got.contains(("the", 1L, 2L)) && got.contains(("cat", 1L, 2L)))
+    } finally q.stop()
+  }
+
   test("windowed type counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String, Double)]

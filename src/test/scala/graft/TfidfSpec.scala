@@ -118,6 +118,24 @@ class TfidfSpec extends SparkSpec {
       (2L, 1L, "cherry"), (2L, 2L, "banana")))
   }
 
+  test("mergeCounts: disjoint shards concatenate, re-ingest adds") {
+    val base = Tfidf.termCounts(Tfidf.tokenizePortable(
+      Seq((1L, "aa bb"), (2L, "aa")).toDF("doc_id", "text")))
+    val delta = Tfidf.termCounts(Tfidf.tokenizePortable(
+      Seq((3L, "bb bb")).toDF("doc_id", "text")))
+    val merged = Tfidf.mergeCounts(base, delta)
+      .as[(String, Long, Long)].collect().toSet
+    // disjoint doc_ids: merge = concatenation
+    val full = Tfidf.termCounts(Tfidf.tokenizePortable(
+      Seq((1L, "aa bb"), (2L, "aa"), (3L, "bb bb")).toDF("doc_id", "text")))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == full)
+    // re-ingesting a doc's tokens is additive per (term, doc), not a dup row
+    val again = Tfidf.mergeCounts(base, base).as[(String, Long, Long)].collect().toSet
+    assert(again == base.as[(String, Long, Long)].collect()
+      .map { case (t, d, c) => (t, d, 2 * c) }.toSet)
+  }
+
   test("bm25: hand-computed micro corpus, rarer term outranks") {
     // N=2, doc 1 = [aa aa bb] (len 3), doc 2 = [aa cc] (len 2), avgdl = 2.5
     val docs = Seq((1L, "aa aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
