@@ -115,6 +115,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("bigramPmi: per-doc extraction (no self-join), top-k heap, no window") {
+    val df = graft.operators.TextAnalysis.bigramPmi(Tables.documents(spark, dir), 1L, 10)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a heap:\n" + p.take(2000))
+    assert(!p.contains("Window"), "no window over bigram keys:\n" + p.take(2000))
+    // the only nested-loop joins allowed are the two one-row totals
+    // broadcasts (scalar attach); a token self-join would be a shuffled
+    // CartesianProduct over the corpus
+    assert(!p.contains("CartesianProduct"),
+      "bigrams come from array slicing, never a token self-join:\n" + p.take(2000))
+  }
+
+  test("partMinCostSupplier: agg + join-back, no window over part keys") {
+    val df = Relational.partMinCostSupplier(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"), "arg-min must be agg+join-back:\n" + p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q6 pushes every predicate into the parquet scan") {
+    val df = Relational.q6ForecastRevenue(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the PushedFilters list is string-elided in plan dumps, so match its
+    // stable head; the quantity bound is visible in the post-scan Filter
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "filters must reach the scan's PushedFilters:\n" + p.take(2500))
+    assert(!p.contains("Join"), "q6 is scan+aggregate only:\n" + p.take(2000))
+  }
+
   test("native normalizer stays inside WholeStageCodegen") {
     val toks = Tfidf.tokenizePortable(Tables.documents(spark, dir))
     toks.collect() // finalize THIS dataset's adaptive plan (count() would plan separately)
