@@ -162,6 +162,15 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir))
     }
 
+  /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
+    * whole span-dedup family (detect/stats/strip, exact + hashed) marks
+    * back against; as an asset the corpus tokenizes + windows ONCE per
+    * (session, dir) instead of once per query. */
+  private def spanWindowsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "span_windows") {
+      operators.Curation.windowRows(Tables.documents(s, dir), 5)
+    }
+
   // ---------------------------------------------------------------------------
   // Declared queries. Each (SparkSession, sfDir) => DataFrame, hash-compared
   // against `oracleSql` by the driver (DuckDB on the same parquet).
@@ -607,19 +616,27 @@ object SparkEntry {
           "b" -> docs.where(col("doc_id") % 47 === 0)))
     }),
     "boilerplate_grams" -> ((s, dir) => Curation.boilerplateGrams(Tables.documents(s, dir))),
-    // Lee-et-al-style exact substring dedup: duplicated windows + coverage
+    // Lee-et-al-style exact substring dedup: duplicated windows + coverage.
+    // The whole family consumes the span-window ASSET (one tokenize+window
+    // pass per dataset, not per query — values unchanged, deterministic).
     "duplicate_spans" -> ((s, dir) =>
-      Curation.duplicateSpans(Tables.documents(s, dir), 5).orderBy("doc_id", "pos")),
-    "span_dup_stats" -> ((s, dir) => Curation.spanDupStats(Tables.documents(s, dir), 5)),
+      Curation.duplicateSpansFromWindows(spanWindowsAsset(s, dir))
+        .orderBy("doc_id", "pos")),
+    "span_dup_stats" -> ((s, dir) =>
+      Curation.spanDupStatsFromWindows(Tables.documents(s, dir),
+        spanWindowsAsset(s, dir), 5)),
     "strip_duplicate_spans" -> ((s, dir) =>
-      Curation.stripDuplicateSpans(Tables.documents(s, dir), 5)),
+      Curation.stripDuplicateSpansFromWindows(Tables.documents(s, dir),
+        spanWindowsAsset(s, dir), 5)),
     // the 100 TB shuffle shape (8-byte gram hashes) — engine hash, rows-only
     "duplicate_spans_hashed" -> ((s, dir) =>
-      Curation.duplicateSpansHashed(Tables.documents(s, dir), 5).orderBy("doc_id", "pos")),
+      Curation.duplicateSpansHashedFromWindows(spanWindowsAsset(s, dir))
+        .orderBy("doc_id", "pos")),
     // hash-keyed strip: output is the token domain (no engine hash in the
     // result), so unlike duplicate_spans_hashed it oracle-checks exactly
     "strip_duplicate_spans_hashed" -> ((s, dir) =>
-      Curation.stripDuplicateSpansHashed(Tables.documents(s, dir), 5)),
+      Curation.stripDuplicateSpansHashedFromWindows(Tables.documents(s, dir),
+        spanWindowsAsset(s, dir), 5)),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>

@@ -172,12 +172,18 @@ object Curation {
     * output rows — contrast the |pairs| = d² of a gram-keyed SELF-join
     * ([[Dedup.ngramJaccardExact]] needs its DF cap precisely because
     * pairing is quadratic; marking spans is not). */
-  def duplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+  def duplicateSpans(docs: DataFrame, n: Int = 5): DataFrame =
     // windows feed both the occurrence count and the mark-back join; without
     // a persist Catalyst re-tokenizes and re-windows the corpus for each
     // (same rationale as Tfidf.pipeline's term-counts cache)
-    val wins = windowRows(docs, n)
-      .scopedPersist()
+    duplicateSpansFromWindows(windowRows(docs, n).scopedPersist())
+
+  /** [[duplicateSpans]] over a PREBUILT `(doc_id, pos, gram)` window table
+    * — the materialized span-window intermediate the whole span family
+    * shares (each consumer otherwise re-tokenizes and re-windows the
+    * corpus). The caller owns the table's materialization; a parquet-
+    * backed asset needs no persist (both consumers rescan narrow rows). */
+  def duplicateSpansFromWindows(wins: DataFrame): DataFrame = {
     val occ = wins.groupBy("gram").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2)
     wins.join(occ, "gram")
@@ -193,10 +199,19 @@ object Curation {
     * to the exact operator absent a collision — proven by spec; the
     * registered query keeps the string-keyed form because DuckDB cannot
     * reproduce xxhash64. */
-  def duplicateSpansHashed(docs: DataFrame, n: Int = 5): DataFrame = {
-    val wins = windowRows(docs, n)
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
-      .scopedPersist()
+  def duplicateSpansHashed(docs: DataFrame, n: Int = 5): DataFrame =
+    duplicateSpansHashedFromWindows(
+      windowRows(docs, n)
+        .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+        .scopedPersist())
+
+  /** [[duplicateSpansHashed]] over prebuilt windows: accepts either the
+    * exact `(doc_id, pos, gram)` table (hashes it here — the string never
+    * crosses an exchange) or an already-hashed `(doc_id, pos, gh)` one. */
+  def duplicateSpansHashedFromWindows(wins0: DataFrame): DataFrame = {
+    val wins =
+      if (wins0.columns.contains("gh")) wins0
+      else wins0.select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
     val occ = wins.groupBy("gh").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2)
     wins.join(occ, "gh")
@@ -221,10 +236,14 @@ object Curation {
     * a `min(struct(doc_id, pos))` — lexicographic and overflow-free for
     * ANY Long doc_id (a packed `doc_id·2³² + pos` BIGINT would silently
     * wrap past doc_id ≥ 2³¹). */
-  def stripDuplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+  def stripDuplicateSpans(docs: DataFrame, n: Int = 5): DataFrame =
+    stripDuplicateSpansFromWindows(docs, windowRows(docs, n).scopedPersist(), n)
+
+  /** [[stripDuplicateSpans]] over a prebuilt window table (`docs` is still
+    * needed for the token stream the re-assembly anti-joins — single
+    * tokens are not derivable from n-gram windows). */
+  def stripDuplicateSpansFromWindows(docs: DataFrame, wins: DataFrame, n: Int): DataFrame = {
     val occKey = struct(col("doc_id"), col("pos"))
-    val wins = windowRows(docs, n)
-      .scopedPersist()
     val occ = wins.groupBy("gram")
       .agg(count(lit(1)).as("occ"), min(occKey).as("canon"))
       .where(col("occ") >= 2)
@@ -266,11 +285,20 @@ object Curation {
     * the trade Lee et al. ship at corpus scale. Output columns and (absent
     * a collision) values are IDENTICAL to the exact form, so the registered
     * query shares its DuckDB oracle. */
-  def stripDuplicateSpansHashed(docs: DataFrame, n: Int = 5): DataFrame = {
+  def stripDuplicateSpansHashed(docs: DataFrame, n: Int = 5): DataFrame =
+    stripDuplicateSpansHashedFromWindows(docs,
+      windowRows(docs, n)
+        .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+        .scopedPersist(), n)
+
+  /** [[stripDuplicateSpansHashed]] over prebuilt windows (exact or
+    * already-hashed, as in [[duplicateSpansHashedFromWindows]]). */
+  def stripDuplicateSpansHashedFromWindows(docs: DataFrame, wins0: DataFrame,
+      n: Int): DataFrame = {
+    val wins =
+      if (wins0.columns.contains("gh")) wins0
+      else wins0.select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
     val occKey = struct(col("doc_id"), col("pos"))
-    val wins = windowRows(docs, n)
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
-      .scopedPersist()
     val occ = wins.groupBy("gh")
       .agg(count(lit(1)).as("occ"), min(occKey).as("canon"))
       .where(col("occ") >= 2)
@@ -287,8 +315,12 @@ object Curation {
     * (overlapping windows don't double-count), and that coverage as a
     * fraction of the document. Documents with no duplicated span (or fewer
     * than `n` tokens) report zeros via the left join. */
-  def spanDupStats(docs: DataFrame, n: Int = 5): DataFrame = {
-    val cov = duplicateSpans(docs, n)
+  def spanDupStats(docs: DataFrame, n: Int = 5): DataFrame =
+    spanDupStatsFromWindows(docs, windowRows(docs, n).scopedPersist(), n)
+
+  /** [[spanDupStats]] over a prebuilt window table. */
+  def spanDupStatsFromWindows(docs: DataFrame, wins: DataFrame, n: Int): DataFrame = {
+    val cov = duplicateSpansFromWindows(wins)
       .select(col("doc_id"), col("pos"),
         explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tok"))
       .groupBy("doc_id")
