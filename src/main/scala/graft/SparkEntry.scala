@@ -1961,9 +1961,12 @@ object SparkEntry {
          |  FROM documents d LEFT JOIN dt USING (doc_id) GROUP BY 1),
          |m AS (SELECT min(total_tokens) AS min_tokens FROM ps)
          |SELECT source, n_docs, total_tokens,
-         |  round(CAST(min_tokens AS DOUBLE) / total_tokens, 9) AS sample_rate,
-         |  CAST(floor((CAST(min_tokens AS DOUBLE) / total_tokens) * total_tokens) AS BIGINT)
-         |    AS expected_tokens
+         |  CASE WHEN total_tokens > 0
+         |    THEN round(CAST(min_tokens AS DOUBLE) / total_tokens, 9) ELSE 0.0 END
+         |    AS sample_rate,
+         |  CASE WHEN total_tokens > 0
+         |    THEN CAST(floor((CAST(min_tokens AS DOUBLE) / total_tokens) * total_tokens) AS BIGINT)
+         |    ELSE 0 END AS expected_tokens
          |FROM ps CROSS JOIN m
          |ORDER BY source""".stripMargin,
     "quality_rank_filter" ->

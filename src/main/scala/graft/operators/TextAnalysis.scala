@@ -382,11 +382,17 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum("n_tok"), lit(0L)).as("total_tokens"))
     val minTok = perSource.agg(min("total_tokens").as("min_tokens"))
+    // a token-less source would make its own rate 0/0 = NaN (and drag the
+    // corpus minimum to zero, which is the right equalization answer for
+    // every OTHER source) — define its rate as 0, spelled as the same CASE
+    // in the oracle
+    val rate = col("min_tokens").cast("double") / col("total_tokens")
     perSource.crossJoin(broadcast(minTok))
       .select(col("source"), col("n_docs"), col("total_tokens"),
-        round(col("min_tokens").cast("double") / col("total_tokens"), 9).as("sample_rate"),
-        floor((col("min_tokens").cast("double") / col("total_tokens"))
-          * col("total_tokens")).cast("long").as("expected_tokens"))
+        when(col("total_tokens") > 0, round(rate, 9)).otherwise(lit(0.0))
+          .as("sample_rate"),
+        when(col("total_tokens") > 0, floor(rate * col("total_tokens")).cast("long"))
+          .otherwise(lit(0L)).as("expected_tokens"))
       .orderBy("source")
   }
 

@@ -89,6 +89,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("b") == ((1L, 2L, 1.0, 2L)))
   }
 
+  test("sourceMixturePlan: a token-less source gets rate 0, not NaN") {
+    val docs = Seq(
+      (1L, "alpha beta", "a"),
+      (2L, "123 456", "z"), // every token digit-dropped → zero tokens
+    ).toDF("doc_id", "text", "source")
+    val tc = operators.Tfidf.termCounts(operators.Tfidf.tokenizePortable(docs))
+    val out = TextAnalysis.sourceMixturePlan(docs, tc)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // corpus minimum is 0 → every source keeps nothing; no NaN anywhere
+    assert(out("z") == ((1L, 0L, 0.0, 0L)))
+    assert(out("a") == ((1L, 2L, 0.0, 0L)))
+  }
+
   test("qualityRankFilter drops the bottom quartile per source, rank-exact") {
     // 8 docs in one source: 2 digit-heavy (low quality), 6 prose (high)
     val low = Seq((1L, "111 222 333 444 !!!", "s"), (2L, "999 888 777 666 ???", "s"))
