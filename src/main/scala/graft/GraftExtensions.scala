@@ -64,6 +64,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children.head,
           foldableInt(children(1), "n"), foldableInt(children(2), "k"))
       }))
+    // Spark ships Bloom-filter aggregate/probe expressions for its runtime
+    // join filters but does NOT register them in the public function
+    // registry — surface them under graft names for the decontamination
+    // prefilter (value side must be a LONG, e.g. xxhash64(gram))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_bloom_agg takes (long_value, estimated_items)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_bloom_contains takes (bloom, long_value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[graft.functions.DeflateLen].getName, "graft_deflate_len"),

@@ -452,6 +452,11 @@ object SparkEntry {
     "df_approx_gate" -> ((s, dir) =>
       Tfidf.dfApproxGate(Tables.documents(s, dir),
         precomputedCounts = Some(termCountsAsset(s, dir)))),
+    // gate: count-min-sketch point-frequency estimates vs the exact top-k
+    // term counts, THROWS (→ driver err) past 10% relative error or on any
+    // undercount (CMS is overestimate-only — a negative error is corruption)
+    "cms_frequency_gate" -> ((s, dir) =>
+      Tfidf.cmsFrequencyGate(termCountsAsset(s, dir))),
     "value_percentiles_approx" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
@@ -604,6 +609,14 @@ object SparkEntry {
     "decontaminate_overlap" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Curation.decontaminate(
+        docs.where(col("doc_id") % 53 =!= 0), docs.where(col("doc_id") % 53 === 0))
+    }),
+    // the 100 TB staging of the same check: Bloom bitset prefilter, exact
+    // verify only on bloom-positive grams — no false negatives, so the
+    // result is identical (shares decontaminate_overlap's oracle)
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminateBloom(
         docs.where(col("doc_id") % 53 =!= 0), docs.where(col("doc_id") % 53 === 0))
     }),
     "repetition_stats" -> ((s, dir) => Curation.repetitionStats(Tables.documents(s, dir))),
@@ -956,7 +969,9 @@ object SparkEntry {
       // streaming WordCount twin must reproduce the batch counts — each
       // shares its sibling's oracle verbatim
       ("tfidf_incremental_merge" -> m("tfidf_full")) +
-      ("streams_term_counts_batch" -> m("term_counts"))
+      ("streams_term_counts_batch" -> m("term_counts")) +
+      // Bloom prefilter has no false negatives → identical final output
+      ("decontaminate_bloom" -> m("decontaminate_overlap"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -67,6 +67,56 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB staging
+    * of the same check. The benchmark grams aggregate into ONE compact
+    * bitset (`bloom_filter_agg` over the 64-bit gram hashes) that
+    * broadcasts as a single row; the corpus-side membership test is then
+    * a codegen'd `might_contain` per gram — no join at all for the ~all
+    * of the corpus that misses. Only BLOOM-POSITIVE grams (true hits +
+    * the fpp share of false positives) reach the exact gram join that
+    * confirms overlap. Bloom filters have no false negatives, so the
+    * output is IDENTICAL to [[decontaminate]] — the registered query
+    * shares its oracle — while the exact join's probe side shrinks from
+    * |corpus grams| to |hits| + fpp·|corpus grams|.
+    *
+    * `expectedItems` sizes the bitset (overestimating costs bits, not
+    * correctness; underestimating raises the false-positive rate, which
+    * costs exact-join work, never answers). */
+  def decontaminateBloom(
+      training: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      flagRatio: Double = 0.05,
+      expectedItems: Long = 100000L): DataFrame = {
+    val benchGrams = gramRows(benchmark, n).select("gram").distinct()
+    // the bitset collects to the driver and ships as a LITERAL — the same
+    // trained-model broadcast as the PQ codebooks (might_contain requires a
+    // constant bloom, and the blob is ~1 byte/item); an empty benchmark
+    // aggregates to null → no candidates, zeros from the left join below
+    val bfBytes = benchGrams
+      .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedItems}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val trainGrams = gramRows(training, n)
+    val candidates =
+      if (bfBytes == null) trainGrams.where(lit(false)).select("doc_id", "gram")
+      else trainGrams
+        .where(call_function("graft_bloom_contains", lit(bfBytes), xxhash64(col("gram"))))
+        .select("doc_id", "gram")
+    val exactHits = candidates
+      .join(broadcast(benchGrams.withColumn("_hit", lit(1L))), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    trainGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(exactHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("n_grams"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_grams"), 9)
+          .as("contamination"))
+      .withColumn("contaminated", (col("contamination") >= flagRatio).cast("int"))
+      .select("doc_id", "n_overlap", "n_grams", "contamination", "contaminated")
+      .orderBy("doc_id")
+  }
+
   /** Multi-benchmark decontamination in ONE corpus pass: per training
     * document, the distinct-gram overlap against EACH named benchmark set.
     * All benchmark gram tables union into one broadcast (they are small by

@@ -236,6 +236,52 @@ object Tfidf {
       java.util.List.of(row), report.schema)
   }
 
+  /** Driver-visible quality gate for a count-min-sketch over term
+    * occurrence counts — the heavy-hitters sketch that answers "how often
+    * does THIS term appear" on a 100 TB corpus without a rescan
+    * (completing the sketch family: HLL df, t-digest percentiles, Bloom
+    * membership, CMS point frequencies). One distributed pass builds the
+    * sketch (map-side partial merge, one binary blob to the driver — a
+    * trained-model-sized collect like the PQ codebooks); the gate then
+    * probes it for the exact top-`k` terms and THROWS if any estimate
+    * falls outside `maxRelErr` of the exact count. CMS overestimates only
+    * (collisions add), so the check is one-sided by construction — a
+    * negative error means the sketch is corrupt, not just loose. Returns
+    * a one-row report. */
+  def cmsFrequencyGate(tc: DataFrame, k: Int = 20, eps: Double = 0.0001,
+      confidence: Double = 0.99, maxRelErr: Double = 0.1): DataFrame = {
+    val freq = tc.groupBy("term").agg(sum("cnt").as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("term").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(top.nonEmpty, "CMS gate has no terms — corpus unsuitable")
+    // occurrence-weighted: CMS must see each token occurrence, which the
+    // (term, doc) counts can't weight through the SQL aggregate — feed it
+    // the re-expanded term stream (explode of per-row sequence; narrow)
+    val sketchBytes = tc
+      .select(explode(expr("array_repeat(term, cast(cnt as int))")).as("term"))
+      .agg(expr(s"count_min_sketch(term, ${eps}d, ${confidence}d, 42)").as("cms"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val errs = top.map { case (term, exact) =>
+      (cms.estimateCount(term) - exact).toDouble / exact
+    }
+    errs.zip(top).foreach { case (e, (term, exact)) =>
+      require(e >= 0.0,
+        s"CMS undercounts '$term' ($exact + ${math.round(e * exact)}) — sketch corrupt")
+      require(e <= maxRelErr,
+        f"CMS estimate for '$term' off by ${e * 100}%.2f%% (> ${maxRelErr * 100}%.0f%%, " +
+          f"eps=$eps, k=$k)")
+    }
+    val spark = tc.sparkSession
+    import spark.implicits._
+    Seq((top.length.toLong,
+      BigDecimal(errs.max).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(errs.sum / errs.length).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      cms.totalCount()))
+      .toDF("n_checked", "max_rel_err", "avg_rel_err", "sketch_total")
+  }
+
   /** Per-document keyword extraction: the top-`k` terms of each document by
     * tf·idf — the classic "what is this document about" consumer of the
     * index. Ranks by the ROUNDED score so ties (and therefore `row_number`)

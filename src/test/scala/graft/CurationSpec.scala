@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Curation
 
 class CurationSpec extends SparkSpec {
@@ -27,6 +29,19 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Int)].collect().head
     assert(row._2 == 1L) // n_overlap
     assert(row._3 == 4L) // distinct grams: 'a b c','b c x','c x a','x a b' (dup collapsed)
+  }
+
+  test("decontaminateBloom equals the exact decontaminate (no false negatives)") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val train = docs.where(col("doc_id") % 7 =!= 0)
+    val bench = docs.where(col("doc_id") % 7 === 0)
+    val exact = Curation.decontaminate(train, bench).collect().toSeq
+    val bloom = Curation.decontaminateBloom(train, bench).collect().toSeq
+    assert(bloom == exact)
+    // a deliberately undersized bitset raises fpp but must NOT change answers
+    val tiny = Curation.decontaminateBloom(train, bench, expectedItems = 8L)
+      .collect().toSeq
+    assert(tiny == exact)
   }
 
   test("decontaminateMulti screens several eval sets in one pass") {

@@ -38,4 +38,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaCol)
     assert(viaSql.values.forall(_ > 0))
   }
+
+  test("bloom build + probe works from pure SQL (scalar-subquery bloom)") {
+    Seq(1L, 2L, 3L).toDF("v").createOrReplaceTempView("bloom_keys")
+    Seq(1L, 3L, 9L).toDF("v").createOrReplaceTempView("bloom_probe")
+    // might_contain demands a constant/scalar-subquery bloom — the scalar
+    // subquery form is the pure-SQL spelling of the collected literal the
+    // Curation operator ships
+    val hits = spark.sql(
+      """SELECT v FROM bloom_probe
+        |WHERE graft_bloom_contains(
+        |  (SELECT graft_bloom_agg(xxhash64(v), 100L) FROM bloom_keys),
+        |  xxhash64(v))
+        |ORDER BY v""".stripMargin)
+      .as[Long].collect().toSeq
+    // no false negatives: 1 and 3 must hit; 9 may only appear as an fp
+    assert(hits.contains(1L) && hits.contains(3L))
+    assert(hits.toSet.subsetOf(Set(1L, 3L, 9L)))
+  }
 }

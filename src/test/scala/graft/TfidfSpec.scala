@@ -118,6 +118,26 @@ class TfidfSpec extends SparkSpec {
       (2L, 1L, "cherry"), (2L, 2L, "banana")))
   }
 
+  test("cmsFrequencyGate: sane sketch passes; unreachable bar throws") {
+    // letters only — the portable tokenizer drops digit-bearing tokens
+    val w5 = "abcde".map(c => s"w$c")
+    val w11 = "abcdefghijk".map(c => s"v$c")
+    val docs = (0 until 100)
+      .map(i => (i.toLong, s"${w5(i % 5)} ${w5(i % 5)} ${w11(i % 11)} zz"))
+      .toDF("doc_id", "text")
+    val tc = Tfidf.termCounts(Tfidf.tokenizePortable(docs))
+    val row = Tfidf.cmsFrequencyGate(tc, k = 5)
+      .as[(Long, Double, Double, Long)].collect().head
+    assert(row._1 == 5 && row._2 <= 0.1 && row._3 <= row._2)
+    // sketch_total = every token occurrence (4 per doc)
+    assert(row._4 == 400L)
+    // unreachable bar → the require fires driver-visibly
+    val ex = intercept[IllegalArgumentException] {
+      Tfidf.cmsFrequencyGate(tc, k = 5, maxRelErr = -0.1).collect()
+    }
+    assert(ex.getMessage.contains("off by") || ex.getMessage.contains("undercounts"))
+  }
+
   test("mergeCounts: disjoint shards concatenate, re-ingest adds") {
     val base = Tfidf.termCounts(Tfidf.tokenizePortable(
       Seq((1L, "aa bb"), (2L, "aa")).toDF("doc_id", "text")))
