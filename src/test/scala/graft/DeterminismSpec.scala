@@ -20,7 +20,11 @@ class DeterminismSpec extends SparkSpec {
 
   for (q <- Seq("q1_pricing_summary", "tfidf_full", "sessionize_events", "knn_cosine_top10",
     "decontaminate_overlap", "sequence_packing", "repetition_stats",
-    "streams_near_dups_batch", "ivf_cosine_top10")) {
+    "streams_near_dups_batch", "ivf_cosine_top10",
+    // round-4 additions: PMI ln-chain, arg-min double-equality join-back,
+    // rank-exact quantile drop, bloom prefilter, incremental counts merge
+    "bigram_pmi", "part_min_cost_supplier", "quality_rank_filter",
+    "decontaminate_bloom", "tfidf_incremental_merge")) {
     test(s"$q is identical under 3 vs 13 shuffle partitions") {
       assert(runWith(3, q) == runWith(13, q))
     }
