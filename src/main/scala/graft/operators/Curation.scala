@@ -88,7 +88,10 @@ object Curation {
       n: Int = 3,
       flagRatio: Double = 0.05,
       expectedItems: Long = 100000L): DataFrame = {
-    val benchGrams = gramRows(benchmark, n).select("gram").distinct()
+    // both gram tables feed two consumers each (bench: bitset build + exact
+    // join; train: candidates branch + per-doc totals) — persist so the
+    // corpus tokenizes/explodes ONCE, same rationale as duplicateSpans
+    val benchGrams = gramRows(benchmark, n).select("gram").distinct().scopedPersist()
     // the bitset collects to the driver and ships as a LITERAL — the same
     // trained-model broadcast as the PQ codebooks (might_contain requires a
     // constant bloom, and the blob is ~1 byte/item); an empty benchmark
@@ -96,7 +99,7 @@ object Curation {
     val bfBytes = benchGrams
       .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedItems}L)").as("bf"))
       .head().getAs[Array[Byte]](0)
-    val trainGrams = gramRows(training, n)
+    val trainGrams = gramRows(training, n).scopedPersist()
     val candidates =
       if (bfBytes == null) trainGrams.where(lit(false)).select("doc_id", "gram")
       else trainGrams
@@ -200,13 +203,31 @@ object Curation {
       carry: Seq[String] = Nil): DataFrame = {
     val mk = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
     val c = carry.map(col)
+    // the window length rides the gram column as metadata (survives the
+    // parquet round-trip of the span-window asset) so every *FromWindows
+    // consumer can verify its n matches the table's instead of silently
+    // mis-expanding coverage with a mismatched constant
+    val gramMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft_window_n", n.toLong).build()
     docs.select(col("doc_id") +: c :+ tokenArray.as("a"): _*)
       .where(size(col("a")) >= n)
       .select(col("doc_id") +: c :+
         posexplode(expr(s"transform(sequence(1, size(a) - ${n - 1}), i -> $mk)")): _*)
       .select(col("doc_id") +: c :+
-        (col("pos") + 1).cast("long").as("pos") :+ col("col").as("gram"): _*)
+        (col("pos") + 1).cast("long").as("pos") :+ col("col").as("gram", gramMeta): _*)
   }
+
+  /** Fail fast when a `*FromWindows` caller's `n` disagrees with the n the
+    * window table was built at (known via [[windowRows]]' column
+    * metadata); caller-built tables without the tag are trusted. */
+  private def requireWindowN(wins: DataFrame, n: Int): Unit =
+    wins.schema.fields.find(_.name == "gram")
+      .filter(_.metadata.contains("graft_window_n"))
+      .foreach { f =>
+        val built = f.metadata.getLong("graft_window_n")
+        require(built == n.toLong,
+          s"window table was built at n=$built but the caller passed n=$n")
+      }
 
   /** Duplicated-span detection — the exact-substring-dedup primitive from
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -293,6 +314,7 @@ object Curation {
     * needed for the token stream the re-assembly anti-joins — single
     * tokens are not derivable from n-gram windows). */
   def stripDuplicateSpansFromWindows(docs: DataFrame, wins: DataFrame, n: Int): DataFrame = {
+    requireWindowN(wins, n)
     val occKey = struct(col("doc_id"), col("pos"))
     val occ = wins.groupBy("gram")
       .agg(count(lit(1)).as("occ"), min(occKey).as("canon"))
@@ -345,6 +367,7 @@ object Curation {
     * already-hashed, as in [[duplicateSpansHashedFromWindows]]). */
   def stripDuplicateSpansHashedFromWindows(docs: DataFrame, wins0: DataFrame,
       n: Int): DataFrame = {
+    requireWindowN(wins0, n)
     val wins =
       if (wins0.columns.contains("gh")) wins0
       else wins0.select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
@@ -370,6 +393,7 @@ object Curation {
 
   /** [[spanDupStats]] over a prebuilt window table. */
   def spanDupStatsFromWindows(docs: DataFrame, wins: DataFrame, n: Int): DataFrame = {
+    requireWindowN(wins, n)
     val cov = duplicateSpansFromWindows(wins)
       .select(col("doc_id"), col("pos"),
         explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tok"))

@@ -320,10 +320,9 @@ object TextAnalysis {
     * the token stream directly). */
   def bigramPmiFromCounts(docs: DataFrame, tc: DataFrame,
       minCount: Long = 5L, k: Int = 100): DataFrame = {
-    val toks = expr(
-      "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
-        "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
-    val bigrams = docs.select(toks.as("a"))
+    // the shared portable token-array expression — the unigram side joins
+    // against termCounts output, so the two tokenizations MUST stay one
+    val bigrams = docs.select(Curation.tokenArray.as("a"))
       .where(size(col("a")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(a) - 1), " +

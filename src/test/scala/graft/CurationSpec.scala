@@ -44,6 +44,25 @@ class CurationSpec extends SparkSpec {
     assert(tiny == exact)
   }
 
+  test("*FromWindows rejects an n that disagrees with the table's build n") {
+    val d = docs((1L, "aa bb cc dd ee ff"), (2L, "aa bb cc dd ee ff"))
+    val wins = Curation.windowRows(d, 5)
+    val ex = intercept[IllegalArgumentException] {
+      Curation.spanDupStatsFromWindows(d, wins, 3)
+    }
+    assert(ex.getMessage.contains("built at n=5"))
+    // the tag survives the parquet round-trip the span-window asset does
+    val dir = java.nio.file.Files.createTempDirectory("graft_wins_").toString
+    wins.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    intercept[IllegalArgumentException] {
+      Curation.stripDuplicateSpansFromWindows(d, reread, 4)
+    }
+    // and the matching n passes through to identical output
+    assert(Curation.spanDupStatsFromWindows(d, reread, 5).collect().toSeq ==
+      Curation.spanDupStats(d, 5).collect().toSeq)
+  }
+
   test("decontaminateMulti screens several eval sets in one pass") {
     val benchA = docs(100L -> "alpha beta gamma delta")
     val benchB = docs(200L -> "zeta eta theta iota")

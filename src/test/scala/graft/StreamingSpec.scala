@@ -42,16 +42,24 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
     val docs = in.toDF.toDF("doc_id", "text")
+    // Update mode, matching the operator's documented contract: each
+    // micro-batch emits only the groups it changed, so the memory sink
+    // accumulates one row per (group, update) and the LATEST update per
+    // group (counts only grow → max) is the converged state
     val q = Streams.termCounts(docs)
       .writeStream.format("memory").queryName("tc_out")
-      .outputMode("complete").start()
+      .outputMode("update").start()
     try {
       in.addData((1L, "the cat sat"), (2L, "the dog"))
       q.processAllAvailable()
       // a later micro-batch ADDS to existing groups, not replaces them
       in.addData((1L, "the cat again"))
       q.processAllAvailable()
-      val got = spark.table("tc_out")
+      val updates = spark.table("tc_out")
+      // batch 2 re-emitted ONLY the doc-1 groups it touched
+      assert(updates.count() > updates.select("term", "doc_id").distinct().count())
+      val got = updates
+        .groupBy("term", "doc_id").agg(max("cnt").as("cnt"))
         .select("term", "doc_id", "cnt").as[(String, Long, Long)].collect().toSet
       val batch = graft.operators.Tfidf.termCounts(
         graft.operators.Tfidf.tokenizePortable(Seq(
