@@ -501,6 +501,11 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) => Relational.q17SmallQuantityRevenue(s, dir)),
     "q18_large_orders" -> ((s, dir) => Relational.q18LargeOrders(s, dir)),
     "q19_bracket_revenue" -> ((s, dir) => Relational.q19BracketRevenue(s, dir)),
+    // two-role dimension joins: nation under supplier AND customer roles
+    "q7_volume_shipping" -> ((s, dir) => Relational.q7VolumeShipping(s, dir)),
+    "q8_market_share" -> ((s, dir) => Relational.q8MarketShare(s, dir)),
+    // fact aggregate vs its own max (scalar-subquery shape, ties surface)
+    "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
     // explicit GROUPING SETS (the general grouping-sets form; one Expand pass)
     "orders_grouping_sets" -> ((s, dir) => Relational.ordersGroupingSets(s, dir)),
     // deterministic arg-min per group (min + join-back + min-key tiebreak)
@@ -1059,6 +1064,53 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 25)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year, nation_revenue, total_revenue,
+        |  round(nation_revenue / total_revenue, 9) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CAST(CASE WHEN ns.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS nation_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1) t
+        |ORDER BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "orders_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,

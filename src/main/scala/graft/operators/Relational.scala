@@ -355,6 +355,79 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"),
         decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
 
+  /** TPC-H Q7 shape: shipping volume between two nations by year — the
+    * classic two-role dimension join (nation joined TWICE under different
+    * roles, supplier side and customer side) with a symmetric pair
+    * filter. Both nation copies broadcast; the fact join shuffles once on
+    * the order key. */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .where(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape: one supplier nation's market share of revenue within
+    * one customer region, per order year — conditional aggregation over a
+    * two-role star join, with the share an exact DECIMAL-routed ratio. */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      targetNation: String = "NATION_3", region: String = "ASIA"): DataFrame = {
+    val custNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val suppNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val reg = Tables.region(spark, dir).where(col("r_name") === region)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("cn_region") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        decSum(when(col("supp_nation") === targetNation, rev).otherwise(lit(0.0)))
+          .as("nation_revenue"),
+        decSum(rev).as("total_revenue"))
+      .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+        round(col("nation_revenue") / col("total_revenue"), 9).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q15 shape: the top supplier(s) by quarterly revenue — a
+    * fact-side aggregate compared against its own maximum (the scalar-
+    * subquery shape, decorrelated as a one-row broadcast + equality on
+    * the identical double). Ties all surface, ordered by key. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .where(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val best = rev.agg(max("total_revenue").as("best_revenue"))
+    rev.crossJoin(broadcast(best))
+      .where(col("total_revenue") === col("best_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
     * per-priority totals, per-status totals, and the grand total in ONE
     * pass (Expand + a single aggregate, not three jobs). The two

@@ -81,6 +81,47 @@ class RelationalTpchSpec extends SparkSpec {
     assert(total == parts)
   }
 
+  test("q7: symmetric nation-pair filter yields only the two directions") {
+    // pick a pair that actually trades in the tiny fixture (the default
+    // NATION_1/NATION_2 pair can be empty at sf0.001)
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .where(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val (a, b) = li
+      .join(graft.sources.Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.sources.Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.sources.Tables.customer(spark, dir).withColumnRenamed("c_nationkey", "cn"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("sn"), col("cn"))
+      .where(col("s_nationkey") =!= col("cn"))
+      .head() match { case r => (r.getString(0), s"NATION_${r.getAs[Number](1).intValue()}") }
+    val out = Relational.q7VolumeShipping(spark, dir, a, b)
+      .select("supp_nation", "cust_nation").as[(String, String)].collect().toSet
+    assert(out.nonEmpty)
+    assert(out.subsetOf(Set((a, b), (b, a))))
+  }
+
+  test("q8: market share is the exact ratio of its two sums, in [0,1]") {
+    val rows = Relational.q8MarketShare(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot, share) = (r.getAs[Double]("nation_revenue"),
+        r.getAs[Double]("total_revenue"), r.getAs[Double]("mkt_share"))
+      assert(nat >= 0.0 && nat <= tot)
+      val expected = BigDecimal(nat / tot)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(share == expected && share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("q15: every returned supplier carries the corpus-max revenue") {
+    val out = Relational.q15TopSupplier(spark, dir)
+      .select("total_revenue").as[Double].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.distinct.size == 1, "ties must all carry the same (max) revenue")
+  }
+
   test("q10 top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = Relational.q10ReturnedItems(spark, dir, k = 20)
       .queryExecution.executedPlan.toString
