@@ -817,6 +817,12 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .withColumn("rnk", col("rnk").cast("long"))
         .select("q_id", "rnk", "vec_id", "cos")),
+    // contrastive-training negatives: most-similar vectors of a DIFFERENT label
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), 0L to 9L, 10)),
+    // embedding-space quality eval: leave-one-out kNN majority-label vote
+    "knn_label_accuracy" -> ((s, dir) =>
+      Similarity.knnLabelAccuracy(Tables.embeddings(s, dir), 0L to 9L, 10)),
     "ann_cosine_lsh" -> ((s, dir) =>
       Similarity.annCosineLsh(Tables.embeddings(s, dir), 0L to 9L, 10)),
     "ivf_cosine_top10" -> ((s, dir) =>
@@ -1753,6 +1759,72 @@ object SparkEntry {
         |                 i -> substr(canon, CAST(i AS INTEGER), 5)))) AS BIGINT) AS n_shingles
         |FROM c WHERE len(canon) >= 5
         |ORDER BY doc_id""".stripMargin,
+    "hard_negatives" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+        |  FROM ex GROUP BY 1
+        |), lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |dots AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS d
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |  GROUP BY 1, 2
+        |), cosd AS (
+        |  SELECT q_id, la.label AS q_label, dots.vec_id AS vec_id, lb.label AS label,
+        |    round(d / (na.nrm * nb.nrm), 6) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = q_id
+        |  JOIN norms nb ON nb.vec_id = dots.vec_id
+        |  JOIN lab la ON la.vec_id = q_id
+        |  JOIN lab lb ON lb.vec_id = dots.vec_id
+        |  WHERE la.label <> lb.label
+        |), ranked AS (
+        |  SELECT q_id, q_label,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk,
+        |    vec_id, label, cos
+        |  FROM cosd
+        |)
+        |SELECT q_id, q_label, rnk, vec_id, label, cos FROM ranked WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    "knn_label_accuracy" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+        |  FROM ex GROUP BY 1
+        |), lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |dots AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS d
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |  GROUP BY 1, 2
+        |), cosd AS (
+        |  SELECT q_id, dots.vec_id AS vec_id, round(d / (na.nrm * nb.nrm), 6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = dots.vec_id
+        |), ranked AS (
+        |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk,
+        |    vec_id
+        |  FROM cosd
+        |), votes AS (
+        |  SELECT q_id, l.label AS n_label, count(*) AS n_votes
+        |  FROM ranked JOIN lab l ON l.vec_id = ranked.vec_id
+        |  WHERE rnk <= 10 GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT q_id, n_label AS pred_label, n_votes,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label ASC) AS vr
+        |  FROM votes
+        |)
+        |SELECT p.q_id, lq.label AS true_label, pred_label, n_votes,
+        |  CAST(pred_label = lq.label AS INT) AS correct
+        |FROM pred p JOIN lab lq ON lq.vec_id = p.q_id
+        |WHERE vr = 1
+        |ORDER BY q_id""".stripMargin,
     "knn_cosine_top10" ->
       """WITH ex AS (
         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

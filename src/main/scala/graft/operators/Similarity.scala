@@ -53,6 +53,54 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the `k` most similar corpus vectors with a DIFFERENT
+    * label (similar-but-wrong examples; same-label rows are positives and
+    * excluded). Identical plan shape to [[knnBruteForce]] (broadcast
+    * probes, codegen'd dot, per-query ranking window bounded by the probe
+    * count) with the label inequality folded into the join predicate so
+    * same-label pairs never materialize. */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val e = prepared(embeddings, "embedding")
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("v"), col("norm"))
+    val q = e.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    broadcast(q)
+      .join(e, col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
+      .withColumn("cos",
+        round(expr(dot.format("qv", "v") + " / (qnorm * norm)"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "q_label", "rnk", "vec_id", "label", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Leave-one-out kNN label accuracy — the embedding-space quality eval:
+    * each probe vector predicts its own label by majority vote of its `k`
+    * nearest neighbors (itself excluded); ties resolve to the smaller
+    * label, votes then cosine-reachability break further ties nowhere
+    * (vec_id is unique). Per-probe verdict rows; aggregate accuracy is a
+    * trivial consumer. */
+  def knnLabelAccuracy(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val labels = embeddings.select(col("vec_id").as("n_id"), col("label").cast("long").as("n_label"))
+    val votes = knnBruteForce(embeddings, queryIds, k)
+      .join(broadcast(labels), col("vec_id") === col("n_id"))
+      .groupBy("q_id", "n_label").agg(count(lit(1)).as("n_votes"))
+    val pred = votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("n_votes"), asc("n_label"))))
+      .where(col("vr") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"), col("n_votes"))
+    pred
+      .join(broadcast(embeddings.select(col("vec_id").as("q_id"),
+        col("label").cast("long").as("true_label"))), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"), col("n_votes"),
+        (col("pred_label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("q_id")
+  }
+
   /** All-pairs near-dup by cosine: LSH-bucket self-join (two vectors are
     * candidates iff they share a full band of sign bits), exact cosine on
     * candidates, threshold filter before the pair dedup. */

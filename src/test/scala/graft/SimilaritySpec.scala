@@ -25,6 +25,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3)._3 == -1.0)
   }
 
+  test("hardNegatives returns only other-label vectors, similarity-ranked") {
+    val got = Similarity.hardNegatives(vecs, Seq(0L), k = 4)
+      .select("rnk", "vec_id", "label", "cos").as[(Long, Long, Long, Double)]
+      .collect().toSeq
+    // label-0 probes see only label-1 corpus rows (3 and 4), best-first
+    assert(got.map(_._2) == Seq(3L, 4L))
+    assert(got.map(_._3).forall(_ == 1L))
+    assert(got.map(_._4) == Seq(0.0, -1.0))
+  }
+
+  test("knnLabelAccuracy votes the majority neighbor label") {
+    // probe 0 (label 0) with k=3: neighbors 1, 2 (label 0) and 3 (label 1)
+    // → 2-vs-1 vote for label 0, correct
+    val row = Similarity.knnLabelAccuracy(vecs, Seq(0L), k = 3)
+      .select("true_label", "pred_label", "n_votes", "correct")
+      .as[(Long, Long, Long, Int)].collect().head
+    assert(row == ((0L, 0L, 2L, 1)))
+    // probe 4 (label 1, pointing away): nearest are 3 (label 1), then the
+    // orthogonal/opposed label-0 mass — vote 2-vs-1 AGAINST label 1
+    val wrong = Similarity.knnLabelAccuracy(vecs, Seq(4L), k = 3)
+      .select("correct").as[Int].collect().head
+    assert(wrong == 0)
+  }
+
   test("ann lsh finds the collinear vector (same-bucket guarantee)") {
     // identical-direction vectors share all sign bits → always candidates
     val got = Similarity.annCosineLsh(vecs, Seq(0L), k = 4, planes = 16, bands = 4)
