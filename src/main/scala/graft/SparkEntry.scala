@@ -577,6 +577,9 @@ object SparkEntry {
     // engine-internal (JVM deflate — no DuckDB equivalent): rows-only
     "compression_stats" -> ((s, dir) => TextAnalysis.compressionStats(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    // classifier eval: ground-truth lang column × langId prediction
+    "lang_id_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // Per-shard packing (shardCol = source): the global-cumsum variant
     // funnels the corpus through one partition; sharded is the 100 TB path.
@@ -1467,6 +1470,17 @@ object SparkEntry {
          |  CASE WHEN CAST(sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.05
          |       THEN 'en' ELSE 'unknown' END AS lang_pred
          |FROM toks2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "lang_id_confusion" ->
+      s"""WITH $toksCte,
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST(sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.05
+         |         THEN 'en' ELSE 'unknown' END AS lang_pred
+         |  FROM toks2 GROUP BY doc_id)
+         |SELECT d.lang, p.lang_pred, count(*) AS n_docs
+         |FROM documents d JOIN p USING (doc_id)
+         |GROUP BY 1, 2
+         |ORDER BY lang, lang_pred""".stripMargin,
     "doc_fingerprints" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

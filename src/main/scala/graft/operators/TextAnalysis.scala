@@ -93,6 +93,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Classifier-eval confusion matrix for [[langId]] against the corpus'
+    * ground-truth `lang` column — (true lang, predicted lang, doc count),
+    * the quality dashboard a curation pipeline reads before trusting a
+    * cheap classifier to route documents. Token-less documents have no
+    * prediction and drop out via the inner join (they are unroutable
+    * either way). One tiny |langs|·|preds| aggregate after the per-doc
+    * classify pass. */
+  def langIdConfusion(docs: DataFrame, threshold: Double = 0.05): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(langId(docs, threshold).select("doc_id", "lang_pred"), "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_pred")
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * segmentation (word runs / digit runs / punctuation runs, each with an
     * optional leading space — the RE2-safe core of GPT-style pre-
