@@ -485,6 +485,8 @@ object SparkEntry {
     "order_priority_counts" -> ((s, dir) => Relational.orderPriorityCounts(s, dir)),
     "event_user_set_ops" -> ((s, dir) => Relational.eventUserSetOps(s, dir)),
     "sessionize_events" -> ((s, dir) => Relational.sessionize(s, dir)),
+    // ordered funnel: first view → first later click → first later purchase
+    "event_funnel" -> ((s, dir) => Relational.eventFunnel(s, dir)),
     "events_asof_orders" -> ((s, dir) => Relational.eventsAsofOrders(s, dir)),
     // --- JSON / hierarchical agg / percentiles / subquery / frames ---
     "json_props_rollup" -> ((s, dir) => Relational.jsonPropsRollup(s, dir)),
@@ -1181,6 +1183,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'purchase_and_error' AS set_op, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e) b
         |ORDER BY set_op, user_id""".stripMargin,
+    "event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us
+        |       FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1_us
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us
+        |       FROM ev e JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2_us
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s1.user_id, t1_us, t2_us, t3_us,
+        |  CAST(1 + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "sessionize_events" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events

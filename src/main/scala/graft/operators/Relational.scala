@@ -490,6 +490,43 @@ object Relational {
       .orderBy("o_orderstatus", "cdist", "o_orderkey")
   }
 
+  /** Ordered event funnel — the product-analytics staple: per user, the
+    * earliest `view`, the earliest `click` strictly AFTER that view, and
+    * the earliest `purchase` strictly after that click (sequential
+    * first-occurrence semantics, not mere presence). `stage_reached`
+    * counts completed steps; users with no view emit nothing.
+    *
+    * Scale shape: three per-user min-aggregations chained by inequality
+    * joins on the user key — each stage's input is pre-filtered to one
+    * event type, every join is a user-key equi-join (the time bound is a
+    * residual predicate, not a range-join explosion), and per-user
+    * cardinality after stage 1 is ONE row. Micros precision so the
+    * DuckDB oracle agrees (parquet nanos truncate there). */
+  def eventFunnel(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.length == 3, "eventFunnel is specified for exactly three steps")
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    def firstAfter(tpe: String, prev: DataFrame, prevCol: String, outCol: String) =
+      ev.where(col("event_type") === tpe)
+        .select(col("user_id").as("u"), col("ts_us"))
+        .join(prev, col("u") === col("user_id") && col("ts_us") > col(prevCol))
+        .groupBy("user_id").agg(min("ts_us").as(outCol))
+        .join(prev, "user_id")
+    val s1 = ev.where(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts_us").as("t1_us"))
+    val s2 = firstAfter(steps(1), s1, "t1_us", "t2_us")
+      .select("user_id", "t1_us", "t2_us")
+    val s3 = firstAfter(steps(2), s2, "t2_us", "t3_us")
+      .select("user_id", "t1_us", "t2_us", "t3_us")
+    s1.join(s2.select(col("user_id"), col("t2_us")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("t3_us")), Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        (lit(1L) + when(col("t2_us").isNotNull, 1L).otherwise(0L)
+          + when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("stage_reached"))
+      .orderBy("user_id")
+  }
+
   /** Gap-based sessionization of the event stream (batch form): a session
     * breaks after `gapMinutes` of inactivity per user. Windows: `lag` for
     * boundary flags, running sum for session ids — then one aggregate per

@@ -122,6 +122,34 @@ class RelationalTpchSpec extends SparkSpec {
     assert(out.distinct.size == 1, "ties must all carry the same (max) revenue")
   }
 
+  test("eventFunnel: steps must occur strictly AFTER the previous step") {
+    val out = Relational.eventFunnel(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (t1, t2, t3) = (r.getAs[Long]("t1_us"),
+        Option(r.getAs[java.lang.Long]("t2_us")), Option(r.getAs[java.lang.Long]("t3_us")))
+      val stage = r.getAs[Long]("stage_reached")
+      // ordering invariant and stage accounting
+      t2.foreach(v => assert(v > t1))
+      t3.foreach { v => assert(t2.isDefined && v > t2.get.longValue()) }
+      assert(stage == 1 + t2.size + t3.size)
+    }
+    // cross-check one completed funnel against raw events
+    out.find(_.getAs[Long]("stage_reached") == 3).foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val ev = graft.sources.Tables.events(spark, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .where(col("user_id") === u)
+        .select("event_type", "ts_us").as[(String, Long)].collect()
+      val t1 = ev.filter(_._1 == "view").map(_._2).min
+      assert(r.getAs[Long]("t1_us") == t1)
+      val t2 = ev.filter(e => e._1 == "click" && e._2 > t1).map(_._2).min
+      assert(r.getAs[java.lang.Long]("t2_us").longValue() == t2)
+      val t3 = ev.filter(e => e._1 == "purchase" && e._2 > t2).map(_._2).min
+      assert(r.getAs[java.lang.Long]("t3_us").longValue() == t3)
+    }
+  }
+
   test("q10 top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = Relational.q10ReturnedItems(spark, dir, k = 20)
       .queryExecution.executedPlan.toString
