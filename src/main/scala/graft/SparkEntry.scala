@@ -487,6 +487,8 @@ object SparkEntry {
     "sessionize_events" -> ((s, dir) => Relational.sessionize(s, dir)),
     // ordered funnel: first view → first later click → first later purchase
     "event_funnel" -> ((s, dir) => Relational.eventFunnel(s, dir)),
+    // retention triangle: cohort month × months-since × active users
+    "retention_cohorts" -> ((s, dir) => Relational.retentionCohorts(s, dir)),
     "events_asof_orders" -> ((s, dir) => Relational.eventsAsofOrders(s, dir)),
     // --- JSON / hierarchical agg / percentiles / subquery / frames ---
     "json_props_rollup" -> ((s, dir) => Relational.jsonPropsRollup(s, dir)),
@@ -1183,6 +1185,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'purchase_and_error' AS set_op, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e) b
         |ORDER BY set_op, user_id""".stripMargin,
+    "retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+        |SELECT epoch_us(cohort) AS cohort_us,
+        |  CAST(date_diff('day', cohort, d) AS BIGINT) AS days_since,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort, d
+        |ORDER BY cohort_us, days_since""".stripMargin,
     "event_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM ev

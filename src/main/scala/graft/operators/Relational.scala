@@ -527,6 +527,32 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Cohort retention matrix — users grouped by first-activity day,
+    * counted on each subsequent day they were active: (cohort day, days
+    * since, active users). The retention triangle a growth dashboard
+    * plots; day granularity because the fixture (like most short event
+    * windows) spans weeks, not years — only the truncation unit changes
+    * for weekly/monthly cohorts.
+    *
+    * Scale shape: one narrow (user, day) distinct, one per-user min
+    * aggregate, a user-key equi-join, and a tiny final group-by (days ×
+    * cohorts). */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("cohort"))
+    val active = ev
+      .select(col("user_id").as("u"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    active.join(first, col("u") === col("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("d"), col("cohort")).cast("long").as("days_since"))
+      .agg(countDistinct("u").as("n_active"))
+      .select(unix_micros(col("cohort")).as("cohort_us"),
+        col("days_since"), col("n_active"))
+      .orderBy("cohort_us", "days_since")
+  }
+
   /** Gap-based sessionization of the event stream (batch form): a session
     * breaks after `gapMinutes` of inactivity per user. Windows: `lag` for
     * boundary flags, running sum for session ids — then one aggregate per
