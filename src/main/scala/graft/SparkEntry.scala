@@ -123,13 +123,29 @@ object SparkEntry {
     docsCountCache.clear()
   }
 
+  /** Token-position corpus asset `(doc_id, tokens: array<string>)` — the
+    * portable token stream, tokenized ONCE per (session, dir) and stored
+    * assembled. Every order-sensitive derivation (term counts, span
+    * windows, bigram adjacency) slices these arrays instead of repeating
+    * the regex-heavy tokenize; the array layout (vs a flat
+    * `(doc_id, pos, term)` table) keeps window/adjacency building per-row
+    * map work with no per-doc reassembly shuffle. */
+  private def tokenArraysAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "token_arrays") {
+      Tfidf.tokenArrays(Tables.documents(s, dir))
+    }
+
   /** Materialized portable term-counts table `(term, doc_id, cnt)` — the
-    * intermediate every TF-IDF-family query aggregates from. As an asset
-    * the corpus tokenizes ONCE per (session, dir) instead of once per
-    * query; scoring math is unchanged (the counts are deterministic). */
+    * intermediate every TF-IDF-family query aggregates from; derived from
+    * the token-array asset (explode + groupBy — bag-of-words over the same
+    * token stream), so the corpus tokenizes ONCE per (session, dir) across
+    * the whole counts/windows/adjacency family; scoring math is unchanged
+    * (the counts are deterministic). */
   private def termCountsAsset(s: SparkSession, dir: String): DataFrame =
     corpusAsset(s, dir, "term_counts") {
-      Tfidf.termCounts(Tfidf.tokenizePortable(Tables.documents(s, dir)))
+      Tfidf.termCounts(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+          .select(col("doc_id"), explode(col("tokens")).as("term")))
     }
 
   /** Corpus cardinality (N in every idf): one count per (session, dir). */
@@ -168,7 +184,8 @@ object SparkEntry {
     * (session, dir) instead of once per query. */
   private def spanWindowsAsset(s: SparkSession, dir: String): DataFrame =
     corpusAsset(s, dir, "span_windows") {
-      operators.Curation.windowRows(Tables.documents(s, dir), 5)
+      operators.Curation.windowRowsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 5)
     }
 
   // ---------------------------------------------------------------------------
@@ -590,10 +607,12 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       TextAnalysis.sequencePacking(Tables.documents(s, dir), shardCol = Some("source"))),
     "token_counts_bpeish" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
-    // collocations: adjacent-bigram counts + PMI; unigram side from the
-    // shared term-counts asset (no second tokenize pass)
+    // collocations: adjacent-bigram counts + PMI; BOTH sides from shared
+    // corpus assets (adjacency slices the token-array asset, unigrams from
+    // term-counts) — zero tokenize passes at query time
     "bigram_pmi" -> ((s, dir) =>
-      TextAnalysis.bigramPmiFromCounts(Tables.documents(s, dir),
+      TextAnalysis.bigramPmiFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         termCountsAsset(s, dir), minCount = 5L, k = 100)),
     // corpus-driven stop list: terms covering >= 50% of documents
     "stopword_candidates" -> ((s, dir) =>

@@ -200,7 +200,22 @@ object Curation {
     * OCCURRENCE (no `array_distinct` — positions matter here), LINEAR in
     * corpus tokens. */
   private[graft] def windowRows(docs: DataFrame, n: Int,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil): DataFrame =
+    windowRowsOver(
+      docs.select(col("doc_id") +: carry.map(col) :+ tokenArray.as("a"): _*),
+      n, carry)
+
+  /** [[windowRows]] with the tokenization already done — consumes the
+    * shared token-array corpus asset `(doc_id, tokens)` instead of
+    * re-tokenizing the corpus (the gram slicing itself is identical). */
+  private[graft] def windowRowsFromTokens(toks: DataFrame, n: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    windowRowsOver(
+      toks.select(col("doc_id") +: carry.map(col) :+ col("tokens").as("a"): _*),
+      n, carry)
+
+  private def windowRowsOver(rows: DataFrame, n: Int,
+      carry: Seq[String]): DataFrame = {
     val mk = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
     val c = carry.map(col)
     // the window length rides the gram column as metadata (survives the
@@ -209,7 +224,7 @@ object Curation {
     // mis-expanding coverage with a mismatched constant
     val gramMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft_window_n", n.toLong).build()
-    docs.select(col("doc_id") +: c :+ tokenArray.as("a"): _*)
+    rows
       .where(size(col("a")) >= n)
       .select(col("doc_id") +: c :+
         posexplode(expr(s"transform(sequence(1, size(a) - ${n - 1}), i -> $mk)")): _*)

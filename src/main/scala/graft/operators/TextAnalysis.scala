@@ -333,10 +333,22 @@ object TextAnalysis {
     * (the unigram totals are `sum(cnt)` per term, identical to counting
     * the token stream directly). */
   def bigramPmiFromCounts(docs: DataFrame, tc: DataFrame,
-      minCount: Long = 5L, k: Int = 100): DataFrame = {
+      minCount: Long = 5L, k: Int = 100): DataFrame =
     // the shared portable token-array expression — the unigram side joins
     // against termCounts output, so the two tokenizations MUST stay one
-    val bigrams = docs.select(Curation.tokenArray.as("a"))
+    bigramPmiFromArrays(docs.select(Curation.tokenArray.as("a")), tc, minCount, k)
+
+  /** [[bigramPmiFromCounts]] with the bigram side supplied as prebuilt
+    * token arrays `(doc_id, tokens)` — the shared token-array corpus asset
+    * — so NEITHER side of the PMI re-tokenizes the corpus (adjacency is
+    * per-row array slicing over the stored arrays). */
+  def bigramPmiFromTokens(toks: DataFrame, tc: DataFrame,
+      minCount: Long = 5L, k: Int = 100): DataFrame =
+    bigramPmiFromArrays(toks.select(col("tokens").as("a")), tc, minCount, k)
+
+  private def bigramPmiFromArrays(arrays: DataFrame, tc: DataFrame,
+      minCount: Long, k: Int): DataFrame = {
+    val bigrams = arrays
       .where(size(col("a")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(a) - 1), " +

@@ -58,6 +58,28 @@ object Tfidf {
       .select(col("doc_id"), TextFunctions.portableNormalize(col("raw")).as("term"))
       .where(col("term") =!= "")
 
+  /** Position-preserving portable token ARRAY per document:
+    * `(doc_id, tokens: array<string>)` — the same token stream as
+    * [[tokenizePortable]] (identical filter → normalize → drop-empty
+    * chain, applied in the array domain), kept assembled so every
+    * order-sensitive consumer (n-gram windows, bigram adjacency) can
+    * slice arrays instead of re-tokenizing or re-assembling exploded rows.
+    *
+    * This is the build expression of the shared token-position corpus
+    * asset: tokenization (the regex-heavy step) runs ONCE per dataset and
+    * the array form derives term counts (explode + groupBy), span windows
+    * (per-row slicing) and adjacency pairs (per-row zip) without a per-doc
+    * reassembly shuffle that a flat `(doc_id, pos, term)` layout would
+    * force on the window/adjacency consumers. */
+  def tokenArrays(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Scaling.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"),
+        filter(
+          transform(
+            filter(split(col("text"), "\\s+"), t => !t.rlike("[0-9]")),
+            t => TextFunctions.portableNormalize(t)),
+          t => t =!= "").as("tokens"))
+
   /** O11: count per (term, doc) — `WordCount.java:125-138`.
     * Partial-aggregates map-side (the shuffle carries pre-combined counts). */
   def termCounts(tokens: DataFrame): DataFrame =
