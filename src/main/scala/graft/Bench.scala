@@ -48,6 +48,15 @@ object Bench {
       val (cold, errC) = once()
       val (warm, errW) = once()
       spark.catalog.clearCache()
+      // Inter-query hygiene: without it, heap/GC pressure accumulated over
+      // a 100+-query run inflates LATE queries' recorded times up to 13x
+      // vs the same query in isolation (r4: value_stats_by_type 7.7s
+      // recorded, 0.57s isolated) — poisoning per-query regression
+      // tracking. A forced full GC plus a short settle between queries
+      // keeps each measurement standalone; the pause happens OUTSIDE the
+      // timed region, so totals still sum only measured query time.
+      System.gc()
+      Thread.sleep(150)
       (name, cold, warm, errC.orElse(errW))
     }
     def jsStr(s: String): String =
