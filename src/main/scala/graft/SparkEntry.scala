@@ -527,6 +527,20 @@ object SparkEntry {
     "q8_market_share" -> ((s, dir) => Relational.q8MarketShare(s, dir)),
     // fact aggregate vs its own max (scalar-subquery shape, ties surface)
     "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
+    // --- TPC-H shapes q2/q4/q9/q11/q12/q13/q16/q20/q21/q22: correlated
+    // min + decoration, EXISTS semi, star profit, HAVING-vs-scalar,
+    // dual sum-CASE, outer-join distribution, NOT-IN distinct counts,
+    // nested-IN excess, EXISTS+NOT-EXISTS self-joins, scalar-avg + anti ---
+    "q2_min_cost_supplier" -> ((s, dir) => Relational.q2MinCostSupplier(s, dir)),
+    "q4_order_priority" -> ((s, dir) => Relational.q4OrderPriority(s, dir)),
+    "q9_product_type_profit" -> ((s, dir) => Relational.q9ProductTypeProfit(s, dir)),
+    "q11_important_parts" -> ((s, dir) => Relational.q11ImportantParts(s, dir)),
+    "q12_returnflag_priority" -> ((s, dir) => Relational.q12ReturnflagPriority(s, dir)),
+    "q13_customer_distribution" -> ((s, dir) => Relational.q13CustomerOrderDistribution(s, dir)),
+    "q16_supplier_counts" -> ((s, dir) => Relational.q16SupplierCounts(s, dir)),
+    "q20_excess_suppliers" -> ((s, dir) => Relational.q20ExcessSuppliers(s, dir)),
+    "q21_suppliers_kept_waiting" -> ((s, dir) => Relational.q21SuppliersKeptWaiting(s, dir)),
+    "q22_global_sales_opportunity" -> ((s, dir) => Relational.q22GlobalSalesOpportunity(s, dir)),
     // explicit GROUPING SETS (the general grouping-sets form; one Expand pass)
     "orders_grouping_sets" -> ((s, dir) => Relational.ordersGroupingSets(s, dir)),
     // deterministic arg-min per group (min + join-back + min-key tiebreak)
@@ -1143,6 +1157,129 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_price
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS bp_partkey, min(unit_price) AS best_price
+        |         FROM pp GROUP BY 1),
+        |winner AS (
+        |  SELECT l_partkey, min(l_suppkey) AS best_suppkey,
+        |    round(min(best_price), 9) AS best_price
+        |  FROM pp JOIN best ON l_partkey = bp_partkey AND unit_price = best_price
+        |  GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, r_name, p_partkey, p_name, best_price
+        |FROM winner
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON best_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_type = 'STANDARD' AND p_size <= 25
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q9_product_type_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_extendedprice FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_1'))
+        |SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM li
+        |GROUP BY 1
+        |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+        |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.001 FROM li)
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+    "q12_returnflag_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 8
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    "q20_excess_suppliers" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 40.0)
+        |ORDER BY s_name""".stripMargin,
+    "q21_suppliers_kept_waiting" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
+    "q22_global_sales_opportunity" ->
+      """WITH cust AS (
+        |  SELECT * FROM customer WHERE c_nationkey IN (0, 1, 2, 3, 4)),
+        |avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM cust WHERE c_acctbal > 0.0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |  count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1
+        |ORDER BY cntrycode""".stripMargin,
     "orders_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,

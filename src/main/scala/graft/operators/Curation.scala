@@ -81,13 +81,29 @@ object Curation {
     *
     * `expectedItems` sizes the bitset (overestimating costs bits, not
     * correctness; underestimating raises the false-positive rate, which
-    * costs exact-join work, never answers). */
+    * costs exact-join work, never answers).
+    *
+    * EAGER NOTE: building the bitset runs two jobs at DataFrame-
+    * CONSTRUCTION time (the `head()` below) — the returned frame is not a
+    * fully lazy plan. The blob also embeds in the plan as a literal, which
+    * is fine at eval-set scale (~1 byte/item, capped below) but NOT the
+    * shape for a billions-of-items filter — that path should ship the
+    * bitset as a broadcast variable consumed by a custom predicate, not a
+    * plan literal. The cap makes the limit explicit instead of letting a
+    * huge `expectedItems` degrade into a multi-GB plan. */
   def decontaminateBloom(
       training: DataFrame,
       benchmark: DataFrame,
       n: Int = 3,
       flagRatio: Double = 0.05,
       expectedItems: Long = 100000L): DataFrame = {
+    // ~1.2 bytes/item at the default fpp — 64M items ≈ 80 MB literal,
+    // already generous for an eval set; beyond that the plan-literal
+    // design itself is wrong (see scaladoc), so fail with the real reason
+    require(expectedItems > 0 && expectedItems <= 64000000L,
+      s"expectedItems=$expectedItems out of range (1, 64M]: eval-set Bloom " +
+        "filters embed in the plan; a filter this large needs the broadcast-" +
+        "variable path, not a plan literal")
     // both gram tables feed two consumers each (bench: bitset build + exact
     // join; train: candidates branch + per-doc totals) — persist so the
     // corpus tokenizes/explodes ONCE, same rationale as duplicateSpans

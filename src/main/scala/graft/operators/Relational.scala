@@ -428,25 +428,264 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q2 shape: min-cost supplier per part with full dimension
+    * decoration — the correlated-min-subquery classic. The fixture has no
+    * `partsupp`, so the "offer" table is lineitem's quantity-weighted unit
+    * price per (part, supplier) (same pair grain as `partsupp`); the
+    * correlated `min(ps_supplycost)` decorrelates to an aggregate +
+    * join-back exactly as Catalyst rewrites the subquery form. Ties on
+    * best price resolve to the smallest supplier key (deterministic), then
+    * supplier/nation/region decorate via broadcast. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String,
+      ptype: String = "STANDARD", maxSize: Int = 25, k: Int = 100): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .where(col("p_type") === ptype && col("p_size") <= maxSize)
+    val perPair = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("unit_price"))
+    val best = perPair.groupBy(col("l_partkey").as("bp_partkey"))
+      .agg(min("unit_price").as("best_price"))
+    perPair
+      .join(best, col("l_partkey") === col("bp_partkey") &&
+        col("unit_price") === col("best_price"))
+      .groupBy("l_partkey")
+      .agg(min("l_suppkey").as("best_suppkey"),
+        round(min("best_price"), 9).as("best_price"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("best_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("r_name"),
+        col("p_partkey"), col("p_name"), col("best_price"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q4 shape: order-priority counts over a quarter, restricted to
+    * orders with at least one line shipped after the order date (EXISTS →
+    * left-semi; the fixture has no commit/receipt dates, so "late line" is
+    * ship-after-order). The semi join probes with the pre-filtered quarter
+    * of orders; the date bound is a residual predicate on the equi-join. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp"))
+      .where(col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q9 shape: profit by supplier nation and order year for one part
+    * family — the five-way star join with an arithmetic measure. No
+    * `partsupp` in the fixture, so unit cost is proxied from the part
+    * dimension (0.6 × retail price), keeping the amount = revenue − cost
+    * expression shape. Part/supplier/nation broadcast; the one fact-fact
+    * join (lineitem ⨝ orders) shuffles on the order key. */
+  def q9ProductTypeProfit(spark: SparkSession, dir: String,
+      nameContains: String = "red"): DataFrame = {
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .where(col("p_name").contains(nameContains))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(decSum(amount).as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q11 shape: parts whose stocked value for one nation's suppliers
+    * exceeds a fraction of the nation-wide total — per-group aggregate
+    * compared against a broadcast scalar of the SAME measure (the
+    * HAVING-scalar-subquery form). Value is lineitem revenue (no
+    * `partsupp`); the total aggregates the base rows directly (one exact
+    * DECIMAL sum), never the per-part doubles, so the threshold is
+    * order-independent. */
+  def q11ImportantParts(spark: SparkSession, dir: String,
+      nation: String = "NATION_1", fraction: Double = 0.001): DataFrame = {
+    val nationSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).where(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(nationSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("value"))
+    val threshold = li.agg(
+      (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") * lit(fraction))
+        .as("threshold"))
+    perPart.crossJoin(broadcast(threshold))
+      .where(col("value") > col("threshold"))
+      .select("l_partkey", "value")
+      .orderBy(desc("value"), asc("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape: high/low-priority line counts per category over a
+    * ship-year — join + dual conditional aggregation (sum-CASE twice). The
+    * fixture has no ship mode, so lines categorize by return flag. */
+  def q12ReturnflagPriority(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .where(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q13 shape: the customer order-count distribution — a left outer
+    * join with the filter in the JOIN CONDITION (not a WHERE, which would
+    * drop order-less customers), then two stacked aggregations. The first
+    * groupBy keys on the customer (fine-grained, spreads), the second on
+    * the tiny count domain. */
+  def q13CustomerOrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count() skips the null-extended rows
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q16 shape: distinct-supplier counts per part attribute triple,
+    * excluding an attribute value pair and a "complaints" supplier set
+    * (NOT IN → left-anti; the stand-in for the comment scan is a negative
+    * account balance). The anti join runs BEFORE the distinct count so
+    * excluded suppliers never inflate a group. */
+  def q16SupplierCounts(spark: SparkSession, dir: String,
+      excludeBrand: String = "Brand#1", excludeType: String = "PROMO",
+      maxSize: Int = 8): DataFrame = {
+    val complainers = Tables.supplier(spark, dir)
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    val parts = Tables.part(spark, dir)
+      .where(col("p_brand") =!= excludeBrand)
+      .where(col("p_type") =!= excludeType)
+      .where(col("p_size") <= maxSize)
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(complainers), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  /** TPC-H Q20 shape: suppliers of one nation who shipped "excess" volume
+    * of one part family in a year — two nested IN subqueries (part-family
+    * membership, then a HAVING-grouped supplier set), each a semi join.
+    * The grouped subquery aggregates the narrow (supplier, part, qty)
+    * projection; survivors are few, so the outer semi join is cheap. */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String,
+      namePrefix: String = "red", minQty: Double = 40.0,
+      nation: String = "NATION_1"): DataFrame = {
+    val partFamily = Tables.part(spark, dir)
+      .where(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val bigShippers = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .where(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(partFamily), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .where(col("qty") > minQty)
+      .select("l_suppkey")
+    Tables.supplier(spark, dir)
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir).where(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
+  /** TPC-H Q21 shape: suppliers who alone held up multi-supplier orders —
+    * the EXISTS + NOT-EXISTS double self-join on the fact table. "Late" is
+    * ship > 60 days after order (no receipt/commit dates in the fixture).
+    * Both subqueries join on the order key with a supplier-inequality
+    * residual: EXISTS(another supplier in the order) as a semi join,
+    * NOT EXISTS(another LATE supplier) as an anti join over the same late
+    * set. Counts are per waiting ORDER (the late pair table is distinct). */
+  def q21SuppliersKeptWaiting(spark: SparkSession, dir: String,
+      lateDays: Int = 60, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = li
+      .join(Tables.orders(spark, dir).where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val anyOther = li.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key"))
+    val lateOther = late.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("s3_key"))
+    late
+      .join(anyOther,
+        col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("s2_key"),
+        "left_semi")
+      .join(lateOther,
+        col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("s3_key"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(k)
+  }
+
+  /** TPC-H Q22 shape: well-funded customers with untapped demand, by
+    * country — a scalar AVG subquery (positive balances only) gating the
+    * customer scan, then a NOT-EXISTS anti join and a tiny final rollup.
+    * Fixture adaptations: "country code" is the nation key (no phone
+    * column), and the anti join excludes customers with an URGENT order
+    * (every fixture customer has SOME order, so the literal no-orders
+    * predicate would be vacuously empty — the urgent variant keeps the
+    * filtered-anti-join shape with non-trivial survivors). The average
+    * routes through one exact DECIMAL sum and ONE double division
+    * (order-independent both engines). */
+  def q22GlobalSalesOpportunity(spark: SparkSession, dir: String,
+      codes: Seq[Int] = Seq(0, 1, 2, 3, 4)): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .where(col("c_nationkey").isin(codes.map(Integer.valueOf): _*))
+    val avgBal = cust.where(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
     * per-priority totals, per-status totals, and the grand total in ONE
     * pass (Expand + a single aggregate, not three jobs). The two
     * `grouping()` flags disambiguate "NULL because aggregated away" from a
     * genuine NULL key, spelled per-column for engine parity (grouping_id
     * bit order is engine-specific). */
-  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs_v")
-    spark.sql("""
-      SELECT o_orderpriority, o_orderstatus,
-        CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
-        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-        count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-      FROM orders_gs_v
-      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-      ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
-    """)
-  }
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    // Dataset-API grouping sets (no temp view, no session-state mutation)
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("g_priority", "g_status", "o_orderpriority", "o_orderstatus")
 
   /** Arg-min per group, engine-deterministic: the cheapest supplier of
     * each part by quantity-weighted unit price (total revenue / total
@@ -504,26 +743,29 @@ object Relational {
     * DuckDB oracle agrees (parquet nanos truncate there). */
   def eventFunnel(spark: SparkSession, dir: String,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(steps.length == 3, "eventFunnel is specified for exactly three steps")
+    require(steps.nonEmpty, "eventFunnel needs at least one step")
     val ev = Tables.events(spark, dir)
       .withColumn("ts_us", expr("ts_ns div 1000"))
-    def firstAfter(tpe: String, prev: DataFrame, prevCol: String, outCol: String) =
-      ev.where(col("event_type") === tpe)
-        .select(col("user_id").as("u"), col("ts_us"))
-        .join(prev, col("u") === col("user_id") && col("ts_us") > col(prevCol))
-        .groupBy("user_id").agg(min("ts_us").as(outCol))
-        .join(prev, "user_id")
     val s1 = ev.where(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("ts_us").as("t1_us"))
-    val s2 = firstAfter(steps(1), s1, "t1_us", "t2_us")
-      .select("user_id", "t1_us", "t2_us")
-    val s3 = firstAfter(steps(2), s2, "t2_us", "t3_us")
-      .select("user_id", "t1_us", "t2_us", "t3_us")
-    s1.join(s2.select(col("user_id"), col("t2_us")), Seq("user_id"), "left")
-      .join(s3.select(col("user_id"), col("t3_us")), Seq("user_id"), "left")
-      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
-        (lit(1L) + when(col("t2_us").isNotNull, 1L).otherwise(0L)
-          + when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("stage_reached"))
+    // fold the remaining steps: each adds t{i}_us = earliest occurrence of
+    // step i strictly after the previous step's time (users who never
+    // reached the previous step carry NULL forward — the join predicate is
+    // null-rejecting, so they can't "reach" a later step either)
+    val (funnel, tCols) = steps.zipWithIndex.drop(1)
+      .foldLeft((s1, Seq("t1_us"))) { case ((prev, cols), (tpe, i)) =>
+        val outCol = s"t${i + 1}_us"
+        val next = ev.where(col("event_type") === tpe)
+          .select(col("user_id").as("u"), col("ts_us"))
+          .join(prev, col("u") === col("user_id") && col("ts_us") > col(cols.last))
+          .groupBy("user_id").agg(min("ts_us").as(outCol))
+        (prev.join(next, Seq("user_id"), "left"), cols :+ outCol)
+      }
+    val stages = tCols.tail.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col(c).isNotNull, 1L).otherwise(0L)
+    }
+    funnel
+      .select(col("user_id") +: tCols.map(col) :+ stages.as("stage_reached"): _*)
       .orderBy("user_id")
   }
 

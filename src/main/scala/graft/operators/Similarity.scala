@@ -67,7 +67,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"), col("norm").as("qnorm"))
     broadcast(q)
-      .join(e, col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
+      // the label inequality alone excludes the self-pair (a vector cannot
+      // differ in label from itself) — no vec_id conjunct needed
+      .join(e, col("q_label") =!= col("label"))
       .withColumn("cos",
         round(expr(dot.format("qv", "v") + " / (qnorm * norm)"), 6))
       .withColumn("rnk", row_number().over(

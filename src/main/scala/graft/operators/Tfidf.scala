@@ -276,12 +276,7 @@ object Tfidf {
     val top = freq.orderBy(col("freq").desc, col("term").asc).limit(k)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(top.nonEmpty, "CMS gate has no terms — corpus unsuitable")
-    // occurrence-weighted: CMS must see each token occurrence, which the
-    // (term, doc) counts can't weight through the SQL aggregate — feed it
-    // the re-expanded term stream (explode of per-row sequence; narrow)
-    val sketchBytes = tc
-      .select(explode(expr("array_repeat(term, cast(cnt as int))")).as("term"))
-      .agg(expr(s"count_min_sketch(term, ${eps}d, ${confidence}d, 42)").as("cms"))
+    val sketchBytes = cmsSketchFrame(tc, eps, confidence)
       .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
@@ -302,6 +297,21 @@ object Tfidf {
       BigDecimal(errs.sum / errs.length).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
       cms.totalCount()))
       .toDF("n_checked", "max_rel_err", "avg_rel_err", "sketch_total")
+  }
+
+  /** One-row frame holding the serialized occurrence-weighted CMS over a
+    * term-counts table — [[graft.functions.CmsWeightedAgg]] adds each
+    * term with its count directly (`CountMinSketch.add(term, cnt)`), so
+    * the pre-aggregated counts feed the sketch with NO re-expansion of
+    * the token stream (the former `explode(array_repeat(term, cnt))`
+    * materialized every occurrence and silently capped cnt at
+    * Int.MaxValue). Exposed for the plan spec: the build must contain no
+    * Generate (explode) node. */
+  private[graft] def cmsSketchFrame(tc: DataFrame, eps: Double,
+      confidence: Double): DataFrame = {
+    val cmsAgg = udaf(new graft.functions.CmsWeightedAgg(eps, confidence, 42))
+    tc.select(col("term"), col("cnt").cast("long").as("cnt"))
+      .agg(cmsAgg(col("term"), col("cnt")).as("cms"))
   }
 
   /** Per-document keyword extraction: the top-`k` terms of each document by

@@ -138,6 +138,28 @@ class TfidfSpec extends SparkSpec {
     assert(ex.getMessage.contains("off by") || ex.getMessage.contains("undercounts"))
   }
 
+  test("weighted CMS aggregator equals the expanded-stream sketch, no explode") {
+    // literal counts table so the lineage carries no tokenize-side explode —
+    // the plan assertion below then isolates the sketch build itself
+    val tc = Seq(
+      ("alpha", 1L, 7L), ("beta", 1L, 3L), ("alpha", 2L, 5L),
+      ("gamma", 2L, 1L), ("delta", 3L, 11L))
+      .toDF("term", "doc_id", "cnt")
+    val weighted = Tfidf.cmsSketchFrame(tc, 0.0001, 0.99)
+    // CMS counters are order-independent sums → feeding (term, cnt) once
+    // with weight cnt must produce the BIT-IDENTICAL sketch to the SQL
+    // aggregate over the re-expanded occurrence stream (same eps/conf/seed)
+    val expanded = tc
+      .select(explode(expr("array_repeat(term, cast(cnt as int))")).as("term"))
+      .agg(expr("count_min_sketch(term, 0.0001d, 0.99d, 42)").as("cms"))
+    val wBytes = weighted.head().getAs[Array[Byte]](0)
+    val eBytes = expanded.head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(wBytes, eBytes))
+    // the whole point: the weighted build's plan re-expands nothing
+    val plan = weighted.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("array_repeat"))
+  }
+
   test("mergeCounts: disjoint shards concatenate, re-ingest adds") {
     val base = Tfidf.termCounts(Tfidf.tokenizePortable(
       Seq((1L, "aa bb"), (2L, "aa")).toDF("doc_id", "text")))
