@@ -96,18 +96,82 @@ object SparkEntry {
   private val corpusAssetCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
+  /** Cross-session asset root (env `SPARK_GRAFT_ASSET_DIR`, test-overridable):
+    * when set, assets live under it keyed by dataset CONTENT fingerprint
+    * instead of a per-JVM nonce, so a fresh driver run reuses the previous
+    * run's deterministic builds (~tens of seconds of tokenize/pair/window
+    * work per dataset) instead of rebuilding. Opt-in because sharing trades
+    * the nonce's absolute isolation for fingerprint-based staleness
+    * detection: a dataset regenerated IN PLACE with identical file sizes
+    * AND mtimes would wrongly reuse assets — impossible for the driver's
+    * parquet writers (fresh mtimes), but a caller who time-travels mtimes
+    * owns the consequence. */
+  private[graft] var assetRootOverride: Option[String] = None
+  private def sharedAssetRoot: Option[String] =
+    assetRootOverride.orElse(sys.env.get("SPARK_GRAFT_ASSET_DIR"))
+
+  /** Content fingerprint of a dataset dir: SHA-256 over every file's
+    * (relative path, size, mtime), walked in sorted order. O(#files) stat
+    * calls — never reads data bytes, so it stays cheap at any scale. */
+  private[graft] def contentDigest(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+      else md.update(
+        s"${root.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}\n".getBytes("UTF-8"))
+    walk(root)
+    md.digest().map("%02x".format(_)).mkString.take(32)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   private def corpusAsset(s: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame = {
     pruneStopped(corpusAssetCache, (k: (SparkSession, String, String)) => k._1)
     pruneStopped(docsCountCache, (k: (SparkSession, String)) => k._1)
     corpusAssetCache.getOrElseUpdate((s, dir, kind), {
-      val path = sessionScopedPath(s, s"graft_asset_$kind", dir)
-      // the scope releases every builder-internal cache (gram rows, LSH
-      // signatures, iteration frames) once the asset is on disk
-      operators.CacheScope {
-        val b = build
-        b.write.mode("overwrite").parquet(path)
-        b.unpersist() // builders may return persisted frames; the parquet is the asset
+      val path = sharedAssetRoot match {
+        case Some(rootDir) =>
+          val target = new java.io.File(rootDir, s"graft_asset_${kind}_${contentDigest(dir)}")
+          // _SUCCESS is parquet's own completion marker: present iff a
+          // writer finished. Writers build into a private temp dir and
+          // RENAME into place — atomic on one filesystem, and the rename
+          // fails (instead of merging) if a concurrent writer won.
+          if (new java.io.File(target, "_SUCCESS").exists()) target.getAbsolutePath
+          else {
+            val tmp = new java.io.File(rootDir,
+              s"${target.getName}.build_${jvmNonce}_" +
+                java.lang.Integer.toHexString(System.identityHashCode(s)))
+            operators.CacheScope {
+              val b = build
+              b.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+              b.unpersist()
+            }
+            if (tmp.renameTo(target)) target.getAbsolutePath
+            else if (new java.io.File(target, "_SUCCESS").exists()) {
+              // lost the race — the winner's asset is bit-identical
+              // (deterministic builders), serve it
+              deleteRecursively(tmp)
+              target.getAbsolutePath
+            } else
+              // target occupied but incomplete (foreign partial dir):
+              // serve our finished build from the temp path, don't guess
+              tmp.getAbsolutePath
+          }
+        case None =>
+          val p = sessionScopedPath(s, s"graft_asset_$kind", dir)
+          // the scope releases every builder-internal cache (gram rows, LSH
+          // signatures, iteration frames) once the asset is on disk
+          operators.CacheScope {
+            val b = build
+            b.write.mode("overwrite").parquet(p)
+            b.unpersist() // builders may return persisted frames; the parquet is the asset
+          }
+          p
       }
       s.read.parquet(path)
     })

@@ -53,4 +53,33 @@ class DeterminismSpec extends SparkSpec {
       assert(runWith(13, q) == runWith(1, q))
     }
   }
+
+  test("shared asset dir: second consumer reuses the parquet, same answers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_asset_share").toFile
+    SparkEntry.clearAssetCaches()
+    val baseline = SparkEntry.queries("term_counts")(spark, dir)
+      .collect().map(_.toString).toSeq
+    SparkEntry.assetRootOverride = Some(root.getAbsolutePath)
+    try {
+      SparkEntry.clearAssetCaches()
+      val first = SparkEntry.queries("term_counts")(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(first == baseline)
+      val assetDirs = root.listFiles().filter(_.getName.startsWith("graft_asset_"))
+      assert(assetDirs.nonEmpty)
+      // no in-progress temp dirs left behind
+      assert(assetDirs.forall(d => !d.getName.contains(".build_")))
+      val stamps = assetDirs.flatMap(_.listFiles()).map(f => (f.getName, f.lastModified)).toSet
+      // simulate a fresh session/JVM: in-memory caches gone, disk remains
+      SparkEntry.clearAssetCaches()
+      val second = SparkEntry.queries("term_counts")(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(second == baseline)
+      val after = assetDirs.flatMap(_.listFiles()).map(f => (f.getName, f.lastModified)).toSet
+      assert(after == stamps, "reuse must not rewrite the shared asset files")
+    } finally {
+      SparkEntry.assetRootOverride = None
+      SparkEntry.clearAssetCaches()
+    }
+  }
 }
