@@ -90,12 +90,18 @@ object Multimodal {
 
   /** Fixed-width feature vector per asset (16-bin byte histogram, L1
     * normalized — a stand-in for an embedding model's output with the same
-    * dataflow shape: binary in, small dense vector out). */
+    * dataflow shape: binary in, small dense vector out). The histogram is
+    * computed over the DECODABLE payload — real PPM pixel bytes, BMP
+    * raster, WAV PCM data ([[HeaderCodecs.payloadBytes]]) — so for the
+    * uncompressed formats the feature describes actual content, not
+    * container headers; compressed/raw payloads histogram whole (the
+    * documented stub stance: no codec library in this environment). */
   def extractFeatures(assets: DataFrame, bins: Int = 16): Dataset[AssetFeature] = {
     import assets.sparkSession.implicits._
     assets.select("asset_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (id, bytes) =>
+        batch.map { case (id, raw) =>
+          val bytes = HeaderCodecs.payloadBytes(raw)
           val hist = new Array[Double](bins)
           var i = 0
           while (i < bytes.length) { hist((bytes(i) & 0xFF) * bins / 256) += 1.0; i += 1 }
@@ -107,11 +113,14 @@ object Multimodal {
 
   case class ResizedAsset(asset_id: Long, width: Int, height: Int, pixels: Array[Byte])
 
-  /** Resize image assets to `targetW`×`targetH` (stub codec: nearest-
-    * neighbor over the payload bytes treated as a w×h byte raster). The
+  /** Resize image assets to `targetW`×`targetH` grayscale: for
+    * uncompressed containers (P6 PPM, 24-bit BMP) this is a REAL
+    * nearest-neighbor resample of the actual pixel raster — 3-byte RGB
+    * pixels reduced to luma ((r+g+b)/3) — so the output derives from
+    * payload pixels; unrecognized/compressed payloads keep the
+    * deterministic byte-sampler stub (no codec library here). The
     * plumbing — decode dims, per-partition batch transform, fixed-size
-    * typed output — is the real deliverable; swap the sampler for a real
-    * scaler and nothing else changes. */
+    * typed output — is identical on both paths. */
   def resizeImages(assets: DataFrame, targetW: Int = 8, targetH: Int = 8): Dataset[ResizedAsset] = {
     import assets.sparkSession.implicits._
     assets.where(col("kind") === "image")
@@ -120,6 +129,7 @@ object Multimodal {
         val codec = HeaderCodecs
         batch.map { case (id, kind, bytes) =>
           val (w, h, _) = codec.decodeHeader(kind, bytes)
+          val raster = codec.ppmRaster(bytes).orElse(codec.bmpRaster(bytes))
           val out = new Array[Byte](targetW * targetH)
           var y = 0
           while (y < targetH) {
@@ -128,8 +138,15 @@ object Multimodal {
               val sx = x * w / targetW
               val sy = y * h / targetH
               val idx = sy * w + sx
-              out(y * targetW + x) =
-                if (bytes.nonEmpty) bytes(math.abs(idx) % bytes.length) else 0
+              out(y * targetW + x) = raster match {
+                case Some(px) if 3 * idx + 2 < px.length =>
+                  // real pixels: RGB → luma byte
+                  (((px(3 * idx) & 0xFF) + (px(3 * idx + 1) & 0xFF) +
+                    (px(3 * idx + 2) & 0xFF)) / 3).toByte
+                case Some(_) => 0 // truncated raster: black, never garbage
+                case None =>
+                  if (bytes.nonEmpty) bytes(math.abs(idx) % bytes.length) else 0
+              }
               x += 1
             }
             y += 1
@@ -141,10 +158,13 @@ object Multimodal {
 
   case class AudioFrame(asset_id: Long, frame_idx: Int, rms: Double, peak: Double)
 
-  /** Per-frame audio energy: treat the payload as signed 8-bit PCM (stub —
-    * a real pipeline decodes via a codec first), frame it into `frameBytes`
-    * windows, and emit RMS + peak per frame — the feature extraction that
-    * feeds VAD/silence trimming in an audio training pipeline.
+  /** Per-frame audio energy over REAL decoded samples: WAV payloads
+    * decode via [[HeaderCodecs.pcmSamples]] honoring the header's sample
+    * width (8-bit unsigned offset-128 per the RIFF spec, 16-bit signed
+    * LE); raw payloads degrade to the deterministic signed-byte stub.
+    * Samples frame into `frameSamples` windows and emit RMS + peak per
+    * frame — the feature extraction that feeds VAD/silence trimming in an
+    * audio training pipeline.
     *
     * Batching shape: rows are processed in groups of `rowBatch` via a
     * chunked iterator — the JVM analog of Arrow record-batch processing
@@ -152,23 +172,22 @@ object Multimodal {
     * not the partition, and a real vectorized DSP kernel would run once per
     * chunk. The grouping is lazy (Iterator.grouped), so the partition
     * never materializes. */
-  def audioFrameEnergy(assets: DataFrame, frameBytes: Int = 32,
+  def audioFrameEnergy(assets: DataFrame, frameSamples: Int = 32,
       rowBatch: Int = 64): Dataset[AudioFrame] = {
     import assets.sparkSession.implicits._
     assets.where(col("kind") === "audio")
       .select("asset_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(rowBatch).flatMap { chunk =>
-          // per-chunk "kernel" invocation over a bounded batch; WAV payloads
-          // contribute only their PCM data chunk, raw payloads pass whole
+          // per-chunk "kernel" invocation over a bounded batch
           chunk.iterator.flatMap { case (id, raw) =>
-            val bytes = HeaderCodecs.pcmData(raw)
-            bytes.grouped(frameBytes).zipWithIndex.map { case (frame, idx) =>
+            val samples = HeaderCodecs.pcmSamples(raw)
+            samples.grouped(frameSamples).zipWithIndex.map { case (frame, idx) =>
               var sumSq = 0.0
               var peak = 0.0
               var i = 0
               while (i < frame.length) {
-                val s = frame(i).toDouble / 128.0 // signed PCM8 → [-1, 1)
+                val s = frame(i)
                 sumSq += s * s
                 if (math.abs(s) > peak) peak = math.abs(s)
                 i += 1
@@ -539,6 +558,82 @@ object HeaderCodecs {
     bytes
   }
 
+  /** Pixel raster of a binary PPM (P6): the bytes after the header — by
+    * spec exactly ONE whitespace byte follows maxval, then w·h·3 RGB
+    * bytes. Truncated payloads yield the available prefix (degraded, not
+    * thrown). */
+  def ppmRaster(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (parsePpm(bytes).isEmpty || bytes(1) != '6') return None
+    // re-walk the header exactly as parsePpm does to find the pixel offset
+    var pos = 2
+    var ints = 0
+    while (ints < 3 && pos < bytes.length) {
+      while (pos < bytes.length &&
+          (Character.isWhitespace(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      while (pos < bytes.length && Character.isDigit(bytes(pos))) pos += 1
+      ints += 1
+    }
+    if (pos >= bytes.length) None
+    else Some(java.util.Arrays.copyOfRange(bytes, pos + 1, bytes.length))
+  }
+
+  /** Pixel raster of a 24-bit BMP in top-down row order with the 4-byte
+    * row padding stripped: real pixel statistics need the w·3 payload of
+    * each row, not the alignment bytes, and BMP stores rows bottom-up. */
+  def bmpRaster(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val meta = parseBmp(bytes).getOrElse(return None)
+    if (meta.bitsPerSample != 24) return None
+    val offset = i32le(bytes, 10)
+    val w = meta.width
+    val h = meta.height
+    val stride = (w * 3 + 3) & ~3
+    if (offset < 54 || offset.toLong + stride.toLong * h > bytes.length) return None
+    val topDown = i32le(bytes, 22) < 0
+    val out = new Array[Byte](w * 3 * h)
+    var row = 0
+    while (row < h) {
+      val src = offset + (if (topDown) row else h - 1 - row) * stride
+      System.arraycopy(bytes, src, out, row * w * 3, w * 3)
+      row += 1
+    }
+    Some(out)
+  }
+
+  /** The DECODABLE payload region of a container: WAV → PCM data chunk,
+    * P6 PPM → pixel raster, 24-bit BMP → padded-row-stripped raster;
+    * compressed or unrecognized payloads pass through whole (the stub
+    * stance — feature math then sees container bytes, which is exactly
+    * what a pipeline without the codec library can honestly compute). */
+  def payloadBytes(bytes: Array[Byte]): Array[Byte] =
+    ppmRaster(bytes)
+      .orElse(bmpRaster(bytes))
+      .getOrElse(if (parseWav(bytes).isDefined) pcmData(bytes) else bytes)
+
+  /** Normalized PCM samples in [-1, 1) honoring the WAV header's sample
+    * width: 8-bit WAV PCM is UNSIGNED (offset-128 per the RIFF spec),
+    * 16-bit is signed little-endian. Non-WAV payloads keep the historical
+    * stub reading (signed bytes) so raw assets degrade deterministically. */
+  def pcmSamples(bytes: Array[Byte]): Array[Double] =
+    parseWav(bytes) match {
+      case Some(m) if m.bitsPerSample == 16 =>
+        val pcm = pcmData(bytes)
+        val out = new Array[Double](pcm.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort / 32768.0
+          i += 1
+        }
+        out
+      case Some(_) =>
+        pcmData(bytes).map(b => ((b & 0xFF) - 128) / 128.0)
+      case None =>
+        bytes.map(_.toDouble / 128.0)
+    }
+
   // --- builders (fixture generation + specs): valid minimal containers ---
 
   /** Minimal 24-bit BMP with deterministic pixel bytes. */
@@ -559,20 +654,23 @@ object HeaderCodecs {
     out
   }
 
-  /** Minimal mono PCM8 WAV with deterministic samples. */
-  def makeWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+  /** Minimal mono PCM WAV with deterministic samples (8- or 16-bit). */
+  def makeWav(sampleRate: Int, nSamples: Int, seed: Long, bits: Int = 8): Array[Byte] = {
     import graft.functions.MinHash.mix64
-    val out = new Array[Byte](44 + nSamples)
+    require(bits == 8 || bits == 16, s"PCM bits must be 8 or 16, got $bits")
+    val bytesPerSample = bits / 8
+    val dataBytes = nSamples * bytesPerSample
+    val out = new Array[Byte](44 + dataBytes)
     def putU16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
     def putU32(o: Int, v: Long): Unit = { putU16(o, (v & 0xFFFF).toInt); putU16(o + 2, ((v >> 16) & 0xFFFF).toInt) }
     def putTag(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s(i).toByte; i += 1 } }
-    putTag(0, "RIFF"); putU32(4, (36 + nSamples).toLong); putTag(8, "WAVE")
+    putTag(0, "RIFF"); putU32(4, (36 + dataBytes).toLong); putTag(8, "WAVE")
     putTag(12, "fmt "); putU32(16, 16L); putU16(20, 1); putU16(22, 1)
-    putU32(24, sampleRate.toLong); putU32(28, sampleRate.toLong)
-    putU16(32, 1); putU16(34, 8)
-    putTag(36, "data"); putU32(40, nSamples.toLong)
+    putU32(24, sampleRate.toLong); putU32(28, sampleRate.toLong * bytesPerSample)
+    putU16(32, bytesPerSample); putU16(34, bits)
+    putTag(36, "data"); putU32(40, dataBytes.toLong)
     var i = 0
-    while (i < nSamples) { out(44 + i) = mix64(seed * 37 + i).toByte; i += 1 }
+    while (i < dataBytes) { out(44 + i) = mix64(seed * 37 + i).toByte; i += 1 }
     out
   }
 

@@ -92,8 +92,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("features for PPM/BMP/WAV derive from the REAL payload bytes") {
+    import spark.implicits._
+    val ppm = HeaderCodecs.makePpm(6, 4, 9L)
+    val bmp = HeaderCodecs.makeBmp(5, 3, 10L)
+    val wav = HeaderCodecs.makeWav(8000, 40, 11L)
+    val df = Seq((1L, "image", ppm), (2L, "image", bmp), (3L, "audio", wav))
+      .toDF("asset_id", "kind", "content")
+    val feats = Multimodal.extractFeatures(df).collect()
+      .map(f => f.asset_id -> f.feature).toMap
+    def hist(payload: Array[Byte]): Seq[Double] = {
+      val h = new Array[Double](16)
+      payload.foreach(b => h((b & 0xFF) / 16) += 1.0)
+      h.map(_ / payload.length).toSeq
+    }
+    // golden by construction: the histogram of exactly the pixel raster /
+    // PCM chunk, headers excluded
+    val ppmPixels = ppm.drop(ppm.length - 6 * 4 * 3)
+    assert(feats(1L).toSeq == hist(ppmPixels))
+    // BMP 5px rows pad 15 → 16 bytes; raster strips padding: 45 bytes
+    assert(HeaderCodecs.bmpRaster(bmp).get.length == 5 * 3 * 3)
+    assert(feats(2L).toSeq == hist(HeaderCodecs.bmpRaster(bmp).get))
+    assert(feats(3L).toSeq == hist(wav.drop(44)))
+  }
+
+  test("resizeImages resamples REAL PPM pixels to luma bytes") {
+    import spark.implicits._
+    // 2x2 RGB image with known colors, resized to 2x2 → identity sampling
+    val px = Array[Byte](
+      10, 20, 30,   60, 60, 60,
+      0, 0, 0,      -1, -1, -1) // (255,255,255) as signed bytes
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val img = header ++ px
+    val df = Seq((7L, "image", img)).toDF("asset_id", "kind", "content")
+    val out = Multimodal.resizeImages(df, targetW = 2, targetH = 2).collect().head
+    assert(out.pixels.toSeq == Seq[Byte](20, 60, 0, -1))
+  }
+
+  test("pcmSamples honors the WAV sample width (8-bit unsigned, 16-bit signed)") {
+    val w8 = HeaderCodecs.makeWav(8000, 4, 12L)
+    val expected8 = w8.drop(44).map(b => ((b & 0xFF) - 128) / 128.0).toSeq
+    assert(HeaderCodecs.pcmSamples(w8).toSeq == expected8)
+    val w16 = HeaderCodecs.makeWav(8000, 4, 13L, bits = 16)
+    assert(HeaderCodecs.parseWav(w16).get.bitsPerSample == 16)
+    assert(HeaderCodecs.parseWav(w16).get.nFrames == 4)
+    val pcm = w16.drop(44)
+    val expected16 = (0 until 4)
+      .map(i => ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort / 32768.0)
+    assert(HeaderCodecs.pcmSamples(w16).toSeq == expected16)
+    // raw payloads keep the deterministic signed-byte stub reading
+    val raw = Array[Byte](-128, 0, 127)
+    assert(HeaderCodecs.pcmSamples(raw).toSeq == Seq(-1.0, 0.0, 127.0 / 128.0))
+  }
+
   test("audioFrameEnergy: bounded rms/peak per frame, audio assets only, batch-size invariant") {
-    val frames = Multimodal.audioFrameEnergy(assets, frameBytes = 32).collect()
+    val frames = Multimodal.audioFrameEnergy(assets, frameSamples = 32).collect()
     assert(frames.nonEmpty)
     frames.foreach { f =>
       assert(f.rms >= 0.0 && f.rms <= 1.0 && f.peak >= f.rms)
@@ -102,7 +155,7 @@ class MultimodalSpec extends SparkSpec {
       .select("asset_id").collect().map(_.getLong(0)).toSet
     assert(frames.map(_.asset_id).toSet == audioIds)
     // chunked iteration must not change results (rowBatch is a memory knob)
-    val single = Multimodal.audioFrameEnergy(assets, frameBytes = 32, rowBatch = 1)
+    val single = Multimodal.audioFrameEnergy(assets, frameSamples = 32, rowBatch = 1)
       .collect().sortBy(f => (f.asset_id, f.frame_idx))
     assert(single.sameElements(frames.sortBy(f => (f.asset_id, f.frame_idx))))
   }
