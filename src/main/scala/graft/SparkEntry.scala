@@ -929,9 +929,15 @@ object SparkEntry {
       Similarity.knnLabelAccuracy(Tables.embeddings(s, dir), 0L to 9L, 10)),
     "ann_cosine_lsh" -> ((s, dir) =>
       Similarity.annCosineLsh(Tables.embeddings(s, dir), 0L to 9L, 10)),
+    // IVF with zero-iteration md5-seeded centroids: every stage — centroid
+    // choice, list assignment, probe selection, in-list ranking — is
+    // engine-portable, so the WHOLE inverted-file search hash-checks
+    // against DuckDB (the Lloyd-refined path stays exercised and recall-
+    // gated via ivf_recall / ann_index_build below)
     "ivf_cosine_top10" -> ((s, dir) =>
       Similarity.ivfSearch(Tables.embeddings(s, dir), 0L to 9L, 10,
-        prebuiltCents = Some(annIndex(s, dir).cents))),
+        nCentroids = 16, nprobe = 4, lloydIters = 0)
+        .withColumn("rank", col("rank").cast("long"))),
     // Recall gates: THROW (→ driver `err`) if ANN recall vs brute force
     // drops under 0.9; rows-only output (q_id, n_matched, k_exact).
     "ann_recall" -> ((s, dir) =>
@@ -2112,6 +2118,62 @@ object SparkEntry {
         |)
         |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+    // the full inverted-file search, engine-portably seeded: md5-ordered
+    // centroid sample → rounded-cosine argmax assignment → top-nprobe
+    // probes → exact cosine rank within probed lists. Every ranking
+    // compares round(·,6) values with explicit id tiebreaks, so the chain
+    // is deterministic in both engines.
+    "ivf_cosine_top10" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+        |  FROM ex GROUP BY 1
+        |), cents AS (
+        |  SELECT vec_id AS c_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cx AS (
+        |  SELECT c.c_id, e.i, e.x, n.nrm AS cnorm
+        |  FROM cents c JOIN ex e ON e.vec_id = c.c_id JOIN norms n ON n.vec_id = c.c_id
+        |), sims AS (
+        |  SELECT a.vec_id, c.c_id,
+        |    round(CAST(sum(CAST(a.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / (an.nrm * any_value(c.cnorm)), 6) AS c_sim
+        |  FROM ex a JOIN cx c ON a.i = c.i JOIN norms an ON an.vec_id = a.vec_id
+        |  GROUP BY a.vec_id, c.c_id, an.nrm
+        |), assigned AS (
+        |  SELECT vec_id, c_id AS list_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+        |    FROM sims) t WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS q_id, c_id AS list_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+        |    FROM sims WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)) t WHERE rn <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+        |  WHERE a.vec_id <> p.q_id
+        |), dots AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    CAST(sum(CAST(qa.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS d
+        |  FROM cand c
+        |  JOIN ex qa ON qa.vec_id = c.q_id
+        |  JOIN ex b ON b.vec_id = c.vec_id AND b.i = qa.i
+        |  GROUP BY 1, 2
+        |), cosd AS (
+        |  SELECT q_id, dots.vec_id AS vec_id, round(d / (na.nrm * nb.nrm), 6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = dots.vec_id
+        |), ranked AS (
+        |  SELECT q_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
+        |    vec_id, cos
+        |  FROM cosd
+        |)
+        |SELECT q_id, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
+        |ORDER BY q_id, "rank"""".stripMargin,
     // the streaming encoder's SQL-expressible column: exact vector norms.
     // Spark sums squares index-ordered in the JVM loop; the oracle sums
     // exactly via DECIMAL — both round(·, 6), per the float-parity rules.

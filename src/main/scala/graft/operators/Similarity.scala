@@ -189,8 +189,12 @@ object Similarity {
     * rounded to 9 so merge-order ulps can't leak into assignments. */
   def trainCentroids(
       e: DataFrame, nCentroids: Int, lloydIters: Int): DataFrame = {
-    var cents = e.withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h").limit(nCentroids)
+    // md5 of the decimal id string: uniform AND engine-portable (DuckDB
+    // computes the identical hex), so a zero-iteration centroid set — and
+    // therefore list assignment — is reproducible in the SQL oracle;
+    // xxhash64 ordering was Spark-only
+    var cents = e.withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy("h", "vec_id").limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
     for (_ <- 1 to lloydIters) {
       val assigned0 = e.join(broadcast(cents))
@@ -215,7 +219,11 @@ object Similarity {
     * (the row_number window this replaced shuffled corpus×C rows). */
   def assignToLists(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents))
-      .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
+      // rounded BEFORE the argmax so assignment ranks on a value both
+      // engines agree on bit-for-bit (ulp-level dot differences otherwise
+      // flip near-tied centroids); ties then break on c_id
+      .withColumn("c_sim",
+        round(expr(dot.format("v", "cv") + " / (norm * cnorm)"), 6))
       .groupBy("vec_id")
       .agg(max_by(struct(col("c_id"), col("v"), col("norm")),
         struct(col("c_sim"), -col("c_id"))).as("best"))
@@ -229,7 +237,8 @@ object Similarity {
     e.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
       .join(broadcast(cents))
-      .withColumn("c_sim", expr(dot.format("qv", "cv") + " / (qnorm * cnorm)"))
+      .withColumn("c_sim",
+        round(expr(dot.format("qv", "cv") + " / (qnorm * cnorm)"), 6))
       .groupBy("q_id")
       .agg(any_value(col("qv")).as("qv"), any_value(col("qnorm")).as("qnorm"),
         slice(array_sort(collect_list(
