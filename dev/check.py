@@ -8,6 +8,48 @@ import glob, json, math, sys
 
 import duckdb
 
+
+def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
+               floor_s: float = 5.0) -> int:
+    """Scale-rehearsal gate: every query's cold time at the scaled fixture
+    must stay within `factor`x its cold time at the base fixture (linear
+    scaling for a `factor`x corpus), with an absolute `floor_s` allowance so
+    sub-second overhead-dominated baselines (where the ratio is mostly
+    page-cache noise) don't fire spuriously: fail iff
+    scaled > max(factor * base, floor_s). Errors at either scale fail.
+    Usage: python3 dev/check.py --scale bench_base.json bench_scaled.json
+    """
+    base = json.load(open(base_path))
+    scaled = json.load(open(scaled_path))
+    bad = 0
+    for name, errs in sorted({**base.get("errors", {}),
+                              **scaled.get("errors", {})}.items()):
+        print(f"FAIL {name}: bench error at one scale: {errs}")
+        bad += 1
+    common = sorted(set(base["queries"]) & set(scaled["queries"]))
+    missing = sorted(set(base["queries"]) ^ set(scaled["queries"]))
+    for name in missing:
+        print(f"WARN {name}: present at only one scale, not gated")
+    worst = (None, 0.0)
+    for name in common:
+        b, s = base["queries"][name], scaled["queries"][name]
+        ratio = s / b if b > 0 else float("inf")
+        if ratio > worst[1]:
+            worst = (name, ratio)
+        if s > max(factor * b, floor_s):
+            print(f"FAIL {name}: cold {s:.2f}s at scale vs {b:.2f}s base "
+                  f"(ratio {ratio:.1f}x > {factor:.0f}x, floor {floor_s}s)")
+            bad += 1
+        else:
+            print(f"PASS {name}: {b:.2f}s -> {s:.2f}s (ratio {ratio:.1f}x)")
+    print(f"scale gate: {len(common)} gated, {bad} failures; "
+          f"worst ratio {worst[1]:.1f}x ({worst[0]})")
+    return 1 if bad else 0
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--scale":
+    sys.exit(scale_gate(*sys.argv[2:4]))
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
