@@ -664,7 +664,10 @@ object SparkEntry {
         .orderBy("l_partkey")
     }),
     // --- Text analysis ---
-    "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
+    // every portable-tokenizer aggregate below reads the term-counts ASSET
+    // (derived once from the token-array asset) instead of re-tokenizing
+    "token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStatsFromCounts(termCountsAsset(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     // provenance dashboard: one tiny groupBy(source) over per-doc map work
     "source_quality_rollup" -> ((s, dir) =>
@@ -672,18 +675,20 @@ object SparkEntry {
     // vocabSize = 20 of the fixture's ~31 distinct terms so the OOV side is
     // exercised (a vocab covering every term would oracle-check trivially)
     "vocab_oov_rate" -> ((s, dir) =>
-      TextAnalysis.vocabCoverage(Tables.documents(s, dir), vocabSize = 20)),
+      TextAnalysis.vocabCoverageFromCounts(termCountsAsset(s, dir), vocabSize = 20)),
     // engine-internal (JVM deflate — no DuckDB equivalent): rows-only
     "compression_stats" -> ((s, dir) => TextAnalysis.compressionStats(Tables.documents(s, dir))),
-    "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langIdFromCounts(termCountsAsset(s, dir))),
     // classifier eval: ground-truth lang column × langId prediction
     "lang_id_confusion" -> ((s, dir) =>
-      TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
+      TextAnalysis.langIdConfusion(Tables.documents(s, dir),
+        precomputedCounts = Some(termCountsAsset(s, dir)))),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // Per-shard packing (shardCol = source): the global-cumsum variant
     // funnels the corpus through one partition; sharded is the 100 TB path.
     "sequence_packing" -> ((s, dir) =>
-      TextAnalysis.sequencePacking(Tables.documents(s, dir), shardCol = Some("source"))),
+      TextAnalysis.sequencePacking(Tables.documents(s, dir), shardCol = Some("source"),
+        precomputedCounts = Some(termCountsAsset(s, dir)))),
     "token_counts_bpeish" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     // collocations: adjacent-bigram counts + PMI; BOTH sides from shared
     // corpus assets (adjacency slices the token-array asset, unigrams from
@@ -715,29 +720,36 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
     // --- Corpus curation ---
+    // the whole gram-based curation family reads the token-array ASSET
+    // (one tokenize per dataset); train/bench splits are doc_id filters
+    // pushed into the asset scan
     "decontaminate_overlap" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Curation.decontaminate(
-        docs.where(col("doc_id") % 53 =!= 0), docs.where(col("doc_id") % 53 === 0))
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      Curation.decontaminateFromTokens(
+        toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
     }),
     // the 100 TB staging of the same check: Bloom bitset prefilter, exact
     // verify only on bloom-positive grams — no false negatives, so the
     // result is identical (shares decontaminate_overlap's oracle)
     "decontaminate_bloom" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Curation.decontaminateBloom(
-        docs.where(col("doc_id") % 53 =!= 0), docs.where(col("doc_id") % 53 === 0))
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      Curation.decontaminateBloomFromTokens(
+        toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
     }),
-    "repetition_stats" -> ((s, dir) => Curation.repetitionStats(Tables.documents(s, dir))),
+    "repetition_stats" -> ((s, dir) =>
+      Curation.repetitionStatsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)))),
     // two eval sets screened in one pass (one conditional-distinct agg)
     "decontaminate_multi" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Curation.decontaminateMulti(
-        docs.where(col("doc_id") % 53 =!= 0 && col("doc_id") % 47 =!= 0),
-        Map("a" -> docs.where(col("doc_id") % 53 === 0),
-          "b" -> docs.where(col("doc_id") % 47 === 0)))
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      Curation.decontaminateMultiFromTokens(
+        toks.where(col("doc_id") % 53 =!= 0 && col("doc_id") % 47 =!= 0),
+        Map("a" -> toks.where(col("doc_id") % 53 === 0),
+          "b" -> toks.where(col("doc_id") % 47 === 0)))
     }),
-    "boilerplate_grams" -> ((s, dir) => Curation.boilerplateGrams(Tables.documents(s, dir))),
+    "boilerplate_grams" -> ((s, dir) =>
+      Curation.boilerplateGramsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)))),
     // Lee-et-al-style exact substring dedup: duplicated windows + coverage.
     // The whole family consumes the span-window ASSET (one tokenize+window
     // pass per dataset, not per query — values unchanged, deterministic).

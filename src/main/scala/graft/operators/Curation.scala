@@ -27,9 +27,18 @@ object Curation {
     * distinct equals global (doc_id, gram) distinct, so this is the same
     * result as explode-then-distinct WITHOUT the corpus-wide string
     * shuffle that a post-explode `.distinct()` would plan. */
-  private def gramRows(docs: DataFrame, n: Int): DataFrame = {
+  private def gramRows(docs: DataFrame, n: Int): DataFrame =
+    gramRowsOver(docs.select(col("doc_id"), tokenArray.as("a")), n)
+
+  /** [[gramRows]] over prebuilt token arrays `(doc_id, tokens)` — the
+    * shared token-array corpus asset; gram slicing is identical, the
+    * regex-heavy tokenize is skipped. */
+  private[graft] def gramRowsFromTokens(toks: DataFrame, n: Int): DataFrame =
+    gramRowsOver(toks.select(col("doc_id"), col("tokens").as("a")), n)
+
+  private def gramRowsOver(rows: DataFrame, n: Int): DataFrame = {
     val mk = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
-    docs.select(col("doc_id"), tokenArray.as("a"))
+    rows
       .where(size(col("a")) >= n)
       .select(col("doc_id"),
         explode(expr(
@@ -51,9 +60,25 @@ object Curation {
       training: DataFrame,
       benchmark: DataFrame,
       n: Int = 3,
-      flagRatio: Double = 0.05): DataFrame = {
-    val trainGrams = gramRows(training, n)
-    val benchGrams = gramRows(benchmark, n).select("gram").distinct()
+      flagRatio: Double = 0.05): DataFrame =
+    decontaminateGrams(gramRows(training, n),
+      gramRows(benchmark, n).select("gram").distinct(), flagRatio)
+
+  /** [[decontaminate]] with both sides supplied as prebuilt token arrays
+    * `(doc_id, tokens)` — e.g. filtered slices of the shared token-array
+    * corpus asset; neither side re-tokenizes. */
+  def decontaminateFromTokens(
+      trainToks: DataFrame,
+      benchToks: DataFrame,
+      n: Int = 3,
+      flagRatio: Double = 0.05): DataFrame =
+    decontaminateGrams(gramRowsFromTokens(trainToks, n),
+      gramRowsFromTokens(benchToks, n).select("gram").distinct(), flagRatio)
+
+  private def decontaminateGrams(
+      trainGrams: DataFrame,
+      benchGrams: DataFrame,
+      flagRatio: Double): DataFrame = {
     trainGrams
       .join(broadcast(benchGrams.withColumn("_hit", lit(1L))), Seq("gram"), "left")
       .groupBy("doc_id")
@@ -96,7 +121,25 @@ object Curation {
       benchmark: DataFrame,
       n: Int = 3,
       flagRatio: Double = 0.05,
-      expectedItems: Long = 100000L): DataFrame = {
+      expectedItems: Long = 100000L): DataFrame =
+    decontaminateBloomGrams(gramRows(training, n), gramRows(benchmark, n),
+      flagRatio, expectedItems)
+
+  /** [[decontaminateBloom]] over prebuilt token arrays (both sides). */
+  def decontaminateBloomFromTokens(
+      trainToks: DataFrame,
+      benchToks: DataFrame,
+      n: Int = 3,
+      flagRatio: Double = 0.05,
+      expectedItems: Long = 100000L): DataFrame =
+    decontaminateBloomGrams(gramRowsFromTokens(trainToks, n),
+      gramRowsFromTokens(benchToks, n), flagRatio, expectedItems)
+
+  private def decontaminateBloomGrams(
+      trainGramRows: DataFrame,
+      benchGramRows: DataFrame,
+      flagRatio: Double,
+      expectedItems: Long): DataFrame = {
     // ~1.2 bytes/item at the default fpp — 64M items ≈ 80 MB literal,
     // already generous for an eval set; beyond that the plan-literal
     // design itself is wrong (see scaladoc), so fail with the real reason
@@ -107,7 +150,7 @@ object Curation {
     // both gram tables feed two consumers each (bench: bitset build + exact
     // join; train: candidates branch + per-doc totals) — persist so the
     // corpus tokenizes/explodes ONCE, same rationale as duplicateSpans
-    val benchGrams = gramRows(benchmark, n).select("gram").distinct().scopedPersist()
+    val benchGrams = benchGramRows.select("gram").distinct().scopedPersist()
     // the bitset collects to the driver and ships as a LITERAL — the same
     // trained-model broadcast as the PQ codebooks (might_contain requires a
     // constant bloom, and the blob is ~1 byte/item); an empty benchmark
@@ -115,7 +158,7 @@ object Curation {
     val bfBytes = benchGrams
       .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedItems}L)").as("bf"))
       .head().getAs[Array[Byte]](0)
-    val trainGrams = gramRows(training, n).scopedPersist()
+    val trainGrams = trainGramRows.scopedPersist()
     val candidates =
       if (bfBytes == null) trainGrams.where(lit(false)).select("doc_id", "gram")
       else trainGrams
@@ -144,18 +187,32 @@ object Curation {
   def decontaminateMulti(
       training: DataFrame,
       benchmarks: Map[String, DataFrame],
-      n: Int = 3): DataFrame = {
-    require(benchmarks.nonEmpty, "need at least one benchmark set")
-    val names = benchmarks.keys.toSeq.sorted
+      n: Int = 3): DataFrame =
+    decontaminateMultiGrams(gramRows(training, n),
+      benchmarks.view.mapValues(gramRows(_, n)).toMap)
+
+  /** [[decontaminateMulti]] over prebuilt token arrays (all sides). */
+  def decontaminateMultiFromTokens(
+      trainToks: DataFrame,
+      benchmarks: Map[String, DataFrame],
+      n: Int = 3): DataFrame =
+    decontaminateMultiGrams(gramRowsFromTokens(trainToks, n),
+      benchmarks.view.mapValues(gramRowsFromTokens(_, n)).toMap)
+
+  private def decontaminateMultiGrams(
+      trainGrams: DataFrame,
+      benchmarkGrams: Map[String, DataFrame]): DataFrame = {
+    require(benchmarkGrams.nonEmpty, "need at least one benchmark set")
+    val names = benchmarkGrams.keys.toSeq.sorted
     val benchGrams = names.map { name =>
-      gramRows(benchmarks(name), n).select("gram").distinct()
+      benchmarkGrams(name).select("gram").distinct()
         .withColumn("set_name", lit(name))
     }.reduce(_ unionByName _)
     val overlapCols = names.map { name =>
       countDistinct(when(col("set_name") === name, col("gram")))
         .as(s"overlap_$name")
     }
-    gramRows(training, n)
+    trainGrams
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_grams"), overlapCols: _*)
@@ -172,14 +229,24 @@ object Curation {
     * All per-doc map work off one tokenized pass + one narrow (doc, term)
     * aggregation — no cross-document shuffle at all, so it runs at corpus
     * scan speed regardless of corpus size. */
-  def repetitionStats(docs: DataFrame): DataFrame = {
-    val tf = Tfidf.tokenizePortable(docs)
+  def repetitionStats(docs: DataFrame): DataFrame =
+    repetitionStatsOver(docs.select(col("doc_id"), tokenArray.as("a")))
+
+  /** [[repetitionStats]] over prebuilt token arrays `(doc_id, tokens)`. */
+  def repetitionStatsFromTokens(toks: DataFrame): DataFrame =
+    repetitionStatsOver(toks.select(col("doc_id"), col("tokens").as("a")))
+
+  private def repetitionStatsOver(arrays: DataFrame): DataFrame = {
+    // one array pass feeds both sides: the term counts explode the SAME
+    // arrays the positional stats slice (no second tokenize)
+    val arr = arrays.scopedPersist()
+    val tf = arr.select(col("doc_id"), explode(col("a")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     val byDoc = tf.groupBy("doc_id")
       .agg(sum("c").as("n_tokens"), max("c").as("max_c"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("max_c").cast("double") / col("n_tokens"), 9).as("top_word_ratio"))
-    val arrStats = docs.select(col("doc_id"), tokenArray.as("a"))
+    val arrStats = arr
       .where(size(col("a")) >= 1)
       .select(col("doc_id"),
         expr("size(filter(zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
@@ -205,7 +272,16 @@ object Curation {
     * TakeOrderedAndProject top-k (no global sort). */
   def boilerplateGrams(docs: DataFrame, n: Int = 3, minDocs: Int = 5,
       topK: Int = 100): DataFrame =
-    gramRows(docs, n)
+    boilerplateFromGramRows(gramRows(docs, n), minDocs, topK)
+
+  /** [[boilerplateGrams]] over prebuilt token arrays `(doc_id, tokens)`. */
+  def boilerplateGramsFromTokens(toks: DataFrame, n: Int = 3, minDocs: Int = 5,
+      topK: Int = 100): DataFrame =
+    boilerplateFromGramRows(gramRowsFromTokens(toks, n), minDocs, topK)
+
+  private def boilerplateFromGramRows(grams: DataFrame, minDocs: Int,
+      topK: Int): DataFrame =
+    grams
       .groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .orderBy(desc("n_docs"), asc("gram"))

@@ -18,12 +18,18 @@ object TextAnalysis {
   /** Per-document token statistics over the portable tokenizer:
     * token count, distinct terms, type-token ratio, mean token length. */
   def tokenStats(docs: DataFrame): DataFrame =
-    Tfidf.tokenizePortable(docs)
-      .groupBy("doc_id")
+    tokenStatsFromCounts(Tfidf.termCounts(Tfidf.tokenizePortable(docs)))
+
+  /** [[tokenStats]] from a prebuilt term-counts table `(term, doc_id, cnt)`
+    * — the shared corpus asset; the stream aggregates are recovered exactly
+    * (occurrences = sum(cnt), distinct = row count, length sum weighted by
+    * cnt), so no tokenize pass at query time. */
+  def tokenStatsFromCounts(tc: DataFrame): DataFrame =
+    tc.groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct("term").as("n_distinct"),
-        sum(length(col("term"))).as("sum_len"))
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(length(col("term")).cast("long") * col("cnt")).as("sum_len"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         round(col("n_distinct").cast("double") / col("n_tokens"), 9).as("ttr"),
         round(col("sum_len").cast("double") / col("n_tokens"), 9).as("avg_token_len"))
@@ -79,13 +85,18 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("compress_ratio"))
       .orderBy("doc_id")
 
-  def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
+  def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame =
+    langIdFromCounts(Tfidf.termCounts(Tfidf.tokenizePortable(docs)), threshold)
+
+  /** [[langId]] from a prebuilt term-counts table: stop-word hits weight
+    * each term row by its count — identical totals, no tokenize pass. */
+  def langIdFromCounts(tc: DataFrame, threshold: Double = 0.05): DataFrame = {
     val stopSet = TextFunctions.EnglishStopwords
-    Tfidf.tokenizePortable(docs)
-      .groupBy("doc_id")
+    tc.groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("term").isInCollection(stopSet), 1L).otherwise(0L)).as("en_hits"))
+        sum("cnt").as("n_tokens"),
+        sum(when(col("term").isInCollection(stopSet), col("cnt")).otherwise(0L))
+          .as("en_hits"))
       .select(col("doc_id"), col("n_tokens"), col("en_hits"),
         round(col("en_hits").cast("double") / col("n_tokens"), 9).as("en_density"),
         when(col("en_hits").cast("double") / col("n_tokens") >= threshold, "en")
@@ -100,9 +111,11 @@ object TextAnalysis {
     * prediction and drop out via the inner join (they are unroutable
     * either way). One tiny |langs|·|preds| aggregate after the per-doc
     * classify pass. */
-  def langIdConfusion(docs: DataFrame, threshold: Double = 0.05): DataFrame =
+  def langIdConfusion(docs: DataFrame, threshold: Double = 0.05,
+      precomputedCounts: Option[DataFrame] = None): DataFrame =
     docs.select(col("doc_id"), col("lang"))
-      .join(langId(docs, threshold).select("doc_id", "lang_pred"), "doc_id")
+      .join(precomputedCounts.map(langIdFromCounts(_, threshold))
+        .getOrElse(langId(docs, threshold)).select("doc_id", "lang_pred"), "doc_id")
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "lang_pred")
@@ -147,10 +160,13 @@ object TextAnalysis {
     * `"source"`) to pack independently per shard, which is how packing is
     * actually run at scale (bins never span shards anyway). */
   def sequencePacking(docs: DataFrame, targetTokens: Int = 256,
-      shardCol: Option[String] = None): DataFrame = {
+      shardCol: Option[String] = None,
+      precomputedCounts: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts0 = Tfidf.tokenizePortable(docs)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val counts0 = precomputedCounts
+      .map(_.groupBy("doc_id").agg(sum("cnt").as("n_tokens")))
+      .getOrElse(Tfidf.tokenizePortable(docs)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens")))
     val counts = shardCol match {
       case Some(c) => counts0.join(docs.select(col("doc_id"), col(c).as("_shard")), "doc_id")
       case None    => counts0.withColumn("_shard", lit(0))
@@ -459,8 +475,11 @@ object TextAnalysis {
     * partial-aggregates map-side. The corpus is never shuffled by term
     * beyond the narrow (term, doc_id, cnt) aggregation it already shares
     * with TF-IDF. */
-  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
-    val tc = Tfidf.termCounts(Tfidf.tokenizePortable(docs))
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame =
+    vocabCoverageFromCounts(Tfidf.termCounts(Tfidf.tokenizePortable(docs)), vocabSize)
+
+  /** [[vocabCoverage]] from a prebuilt term-counts table (shared asset). */
+  def vocabCoverageFromCounts(tc: DataFrame, vocabSize: Int = 1000): DataFrame = {
     val vocab = tc.groupBy("term").agg(sum("cnt").as("freq"))
       .orderBy(desc("freq"), asc("term")).limit(vocabSize)
       .select(col("term"), lit(1L).as("_v"))
