@@ -669,6 +669,9 @@ object SparkEntry {
     "token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStatsFromCounts(termCountsAsset(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    // model-free repetitiveness signal: per-doc term-distribution entropy
+    "token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropyFromCounts(termCountsAsset(s, dir))),
     // provenance dashboard: one tiny groupBy(source) over per-doc map work
     "source_quality_rollup" -> ((s, dir) =>
       TextAnalysis.sourceQualityRollup(Tables.documents(s, dir))),
@@ -941,6 +944,12 @@ object SparkEntry {
       Similarity.knnLabelAccuracy(Tables.embeddings(s, dir), 0L to 9L, 10)),
     "ann_cosine_lsh" -> ((s, dir) =>
       Similarity.annCosineLsh(Tables.embeddings(s, dir), 0L to 9L, 10)),
+    // int8 embedding store: per-vector quantization audit (oracle-exact)
+    // and a dequantized-kNN recall gate (THROWS under the bar)
+    "embedding_int8_stats" -> ((s, dir) =>
+      Similarity.int8QuantizeStats(Tables.embeddings(s, dir))),
+    "int8_knn_recall" -> ((s, dir) =>
+      Similarity.int8KnnRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10)),
     // IVF with zero-iteration md5-seeded centroids: every stage — centroid
     // choice, list assignment, probe selection, in-list ranking — is
     // engine-portable, so the WHOLE inverted-file search hash-checks
@@ -2186,6 +2195,43 @@ object SparkEntry {
         |)
         |SELECT q_id, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
         |ORDER BY q_id, "rank"""".stripMargin,
+    "token_entropy" ->
+      s"""WITH $toksCte,
+         |ent AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+         |    sum(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)), 9)
+         |      AS DECIMAL(28,9))) AS clnc
+         |  FROM tc GROUP BY 1),
+         |e2 AS (
+         |  SELECT doc_id, n_tokens, n_distinct,
+         |    round(ln(CAST(n_tokens AS DOUBLE))
+         |      - CAST(clnc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS entropy
+         |  FROM ent)
+         |SELECT doc_id, n_tokens, n_distinct, entropy,
+         |  CASE WHEN n_distinct > 1
+         |    THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 9)
+         |    ELSE 0.0 END AS norm_entropy
+         |FROM e2 ORDER BY doc_id""".stripMargin,
+    "embedding_int8_stats" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM ex GROUP BY 1),
+        |qq AS (
+        |  SELECT e.vec_id, x, scale,
+        |    CAST(CASE WHEN scale > 0 THEN floor(x * 127.0 / scale + 0.5)
+        |      ELSE 0.0 END AS BIGINT) AS q
+        |  FROM ex e JOIN sc ON sc.vec_id = e.vec_id),
+        |er AS (
+        |  SELECT vec_id, scale, q,
+        |    abs(x - CASE WHEN scale > 0 THEN q * scale / 127.0 ELSE 0.0 END) AS err
+        |  FROM qq)
+        |SELECT vec_id, round(max(scale), 9) AS scale,
+        |  min(q) AS q_min, max(q) AS q_max,
+        |  round(max(err), 9) AS max_abs_err,
+        |  round(CAST(sum(CAST(round(err * err, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 9) AS mse
+        |FROM er GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // the streaming encoder's SQL-expressible column: exact vector norms.
     // Spark sums squares index-ordered in the JVM loop; the oracle sums
     // exactly via DECIMAL — both round(·, 6), per the float-parity rules.

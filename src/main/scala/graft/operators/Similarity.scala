@@ -103,6 +103,71 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Symmetric scalar int8 quantization report — the 4×-compression step a
+    * production embedding store applies before ANN indexing: per vector,
+    * scale = max |x|, code_i = floor(x_i·127/scale + 0.5) ∈ [−127, 127].
+    * Output: per-vector scale, code range, and dequantization error
+    * (max abs + MSE) — the audit a pipeline runs before committing to the
+    * quantized store.
+    *
+    * Float parity: codes use floor(·+0.5) (identical in both engines — no
+    * round-half mode split); squared errors round to 12 then sum through
+    * DECIMAL (order-independent); outputs round to 9. Scale shape: one
+    * narrow posexplode + two aggregations keyed by vec_id — linear, no
+    * vector-pair work. */
+  def int8QuantizeStats(embeddings: DataFrame): DataFrame = {
+    val ex = embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+    val scales = ex.groupBy("vec_id").agg(max(abs(col("x"))).as("scale"))
+    ex.join(scales, "vec_id")
+      .withColumn("q",
+        when(col("scale") > 0, floor(col("x") * 127.0 / col("scale") + 0.5))
+          .otherwise(0.0).cast("long"))
+      .withColumn("err",
+        abs(col("x") - when(col("scale") > 0, col("q") * col("scale") / 127.0)
+          .otherwise(0.0)))
+      .groupBy("vec_id")
+      .agg(round(max("scale"), 9).as("scale"),
+        min("q").as("q_min"), max("q").as("q_max"),
+        round(max("err"), 9).as("max_abs_err"),
+        round(sum(round(col("err") * col("err"), 12).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)), 9).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  /** Driver-visible recall gate for the quantized store: brute-force kNN
+    * over int8-dequantized vectors vs the exact float kNN, THROWING if
+    * aggregate recall drops under `minRecall` — quantization clipping or a
+    * codec bug surfaces as a hard error, not a silently degraded index.
+    * (Same contract as [[annRecallGate]].) */
+  def int8KnnRecallGate(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 10, minRecall: Double = 0.9): DataFrame = {
+    val deq = embeddings
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("scale",
+        expr("aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("embedding", expr(
+        "transform(v, x -> CASE WHEN scale > 0 THEN " +
+          "floor(x * 127.0 / scale + 0.5) * scale / 127.0 " +
+          "ELSE CAST(0.0 AS DOUBLE) END)"))
+      .select("vec_id", "embedding")
+    val exact = knnBruteForce(embeddings, queryIds, k).select("q_id", "vec_id")
+    val approx = knnBruteForce(deq, queryIds, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val perQuery = exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_matched"),
+        count(lit(1)).as("k_exact"))
+      .orderBy("q_id")
+      .scopedPersist()
+    val totals = perQuery.agg(
+      sum("n_matched").cast("double"), sum("k_exact").cast("double")).head()
+    val recall = totals.getDouble(0) / totals.getDouble(1)
+    require(recall >= minRecall,
+      f"int8-dequantized kNN recall $recall%.3f below gate $minRecall%.2f")
+    perQuery
+  }
+
   /** All-pairs near-dup by cosine: LSH-bucket self-join (two vectors are
     * candidates iff they share a full band of sign bits), exact cosine on
     * candidates, threshold filter before the pair dedup. */

@@ -475,6 +475,33 @@ object TextAnalysis {
     * partial-aggregates map-side. The corpus is never shuffled by term
     * beyond the narrow (term, doc_id, cnt) aggregation it already shares
     * with TF-IDF. */
+  /** Per-document token-distribution entropy — the repetitiveness signal a
+    * perplexity-style quality filter approximates without a model: low
+    * entropy = few terms dominate (boilerplate, stutter, generated spam),
+    * high = diverse vocabulary. `entropy` is Shannon H over the document's
+    * term distribution in nats, via H = ln(n) − (Σ c·ln c)/n;
+    * `norm_entropy` divides by the document's maximum possible H
+    * (ln n_distinct) into [0, 1].
+    *
+    * Float parity: each per-term c·ln(c) rounds to 9 then sums through
+    * DECIMAL (order-independent — a raw double Σ would differ across
+    * partition merge orders and engines); ln is per-row, never summed raw.
+    * Scale shape: one narrow aggregate over the shared term-counts asset —
+    * no tokenize, no shuffle beyond the (doc) rollup. */
+  def tokenEntropyFromCounts(tc: DataFrame): DataFrame =
+    tc.groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(round(col("cnt").cast("double") * log(col("cnt").cast("double")), 9)
+          .cast("decimal(28,9)")).as("_clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) -
+          col("_clnc").cast("double") / col("n_tokens").cast("double"), 9).as("entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("entropy"),
+        when(col("n_distinct") > 1,
+          round(col("entropy") / log(col("n_distinct").cast("double")), 9))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+      .orderBy("doc_id")
+
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame =
     vocabCoverageFromCounts(Tfidf.termCounts(Tfidf.tokenizePortable(docs)), vocabSize)
 

@@ -109,4 +109,28 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("recall"))
   }
+
+  test("int8 quantization: codes bounded, extremes exact, zero vector safe") {
+    val emb = Seq(
+      (0L, Array(1f, -1f, 0.5f, 0f), 0),
+      (1L, Array(0f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.int8QuantizeStats(emb)
+      .as[(Long, Double, Long, Long, Double, Double)].collect().toSeq
+    val (id0, scale0, qmin0, qmax0, maxErr0, mse0) = got.head
+    assert(id0 == 0L && scale0 == 1.0 && qmin0 == -127L && qmax0 == 127L)
+    // ±scale quantize exactly; the 0.5 component carries the only error
+    assert(maxErr0 < 1.0 / 127.0 && mse0 < maxErr0 * maxErr0)
+    // the all-zero vector must not divide by zero: zero codes, zero error
+    assert(got(1) == ((1L, 0.0, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("int8 recall gate: exact at a toy scale, throws at an unreachable bar") {
+    val perQ = Similarity.int8KnnRecallGate(vecs, Seq(0L), k = 2, minRecall = 1.0)
+      .as[(Long, Long, Long)].collect()
+    assert(perQ.toSeq == Seq((0L, 2L, 2L)))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.int8KnnRecallGate(vecs, Seq(0L), k = 4, minRecall = 1.01).collect()
+    }
+    assert(ex.getMessage.contains("recall"))
+  }
 }

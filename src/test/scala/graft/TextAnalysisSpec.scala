@@ -256,6 +256,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cut == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5))) // 'aaa' wins the tie
   }
 
+  test("tokenEntropy: golden values, uniform doc maximal, repeated doc zero") {
+    import graft.operators.Tfidf
+    val docs = Seq(
+      (1L, "aa bb cc dd"),   // uniform over 4 → H = ln 4, norm 1
+      (2L, "aa aa aa aa"),   // single term → H = 0, norm 0 (n_distinct = 1)
+      (3L, "aa aa bb")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropyFromCounts(
+      Tfidf.termCounts(Tfidf.tokenizePortable(docs)))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h3 = r9(math.log(3.0) - r9(2.0 * math.log(2.0)) / 3.0)
+    assert(got == Seq(
+      (1L, 4L, 4L, r9(math.log(4.0)), 1.0),
+      (2L, 4L, 1L, 0.0, 0.0),
+      (3L, 3L, 2L, h3, r9(h3 / math.log(2.0)))))
+  }
+
   test("epochShuffle: total deterministic order, epoch changes the order") {
     val docs = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val e0 = TextAnalysis.epochShuffle(docs, 0).select("doc_id").as[Long].collect().toSeq
