@@ -292,6 +292,10 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) =>
       Tfidf.searchByTermsBm25FromCounts(termCountsAsset(s, dir), docsCount(s, dir),
         Seq("table", "query", "spark"), 20)),
+    // intrinsic search-quality eval: each probe doc queries with its own
+    // tf-idf keywords and must retrieve ITSELF near rank 1 (rr -> MRR)
+    "self_retrieval_ranks" -> ((s, dir) =>
+      Tfidf.selfRetrievalEvalFromCounts(termCountsAsset(s, dir), docsCount(s, dir))),
     // per-source stratified stable sample (content-keyed, reproducible)
     "documents_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stableSample(Tables.documents(s, dir), "doc_id", 0.2)
@@ -2195,6 +2199,43 @@ object SparkEntry {
         |)
         |SELECT q_id, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
         |ORDER BY q_id, "rank"""".stripMargin,
+    "self_retrieval_ranks" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
+         |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT CAST(CAST(sum(doc_total) AS BIGINT) AS DOUBLE) FROM dt) /
+         |    (SELECT count(*) FROM documents) AS avgdl),
+         |tfidf_scored AS (
+         |  SELECT tc.term, tc.doc_id,
+         |    round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
+         |  FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
+         |kws AS (
+         |  SELECT doc_id AS q_doc, term FROM (
+         |    SELECT doc_id, term,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+         |    FROM tfidf_scored) r
+         |  WHERE rnk <= 3 AND q_doc % 10 = 0),
+         |bm AS (
+         |  SELECT tc.term, tc.doc_id,
+         |    round(round(ln((CAST(n_docs AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 9)
+         |      * (tc.cnt * (1.2 + 1.0))
+         |      / (tc.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dt.doc_total / avgdl)), 9) AS score
+         |  FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN consts),
+         |cand AS (
+         |  SELECT kws.q_doc, bm.doc_id,
+         |    round(CAST(sum(CAST(bm.score AS DECIMAL(28,14))) AS DOUBLE), 9) AS score
+         |  FROM kws JOIN bm USING (term)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_doc, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, doc_id ASC) AS BIGINT)
+         |      AS self_rank
+         |  FROM cand)
+         |SELECT q_doc, self_rank, round(1.0 / self_rank, 9) AS rr, score AS self_score
+         |FROM ranked WHERE q_doc = doc_id
+         |ORDER BY q_doc""".stripMargin,
     "token_entropy" ->
       s"""WITH $toksCte,
          |ent AS (

@@ -380,6 +380,38 @@ object Tfidf {
     searchByTermsBm25FromCounts(termCounts(tokenizePortable(docs)).scopedPersist(),
       docs.count(), queryTerms, k)
 
+  /** Self-retrieval evaluation — the intrinsic search-quality check a
+    * pipeline runs on its index: every probe document queries the corpus
+    * with its own top-`kwPerDoc` tf-idf keywords and records the BM25 rank
+    * of ITSELF (rank 1 = the index retrieves the document its keywords
+    * describe; `rr` = 1/rank aggregates to MRR). Probes are the
+    * deterministic `doc_id % probeMod == 0` slice.
+    *
+    * Scale shape: keywords are high-tfidf (rare) terms, so each probe's
+    * candidate set is the union of a few SHORT posting lists — the
+    * keyword⨝postings join is output-bound, never |probes|×|corpus|; the
+    * per-candidate window partitions by probe (bounded by those postings).
+    * Score sums route through DECIMAL (order-free), ranks tiebreak on
+    * doc_id. */
+  def selfRetrievalEvalFromCounts(tc: DataFrame, totalDocs: Long,
+      probeMod: Long = 10L, kwPerDoc: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = bm25FromCounts(tc, totalDocs).select("term", "doc_id", "score")
+    val kws = keywordsPerDocFromCounts(tc, totalDocs, kwPerDoc)
+      .where(col("doc_id") % probeMod === 0)
+      .select(col("doc_id").as("q_doc"), col("term"))
+    kws.join(scores, "term")
+      .groupBy("q_doc", "doc_id")
+      .agg(round(sum(col("score").cast("decimal(28,14)")).cast("double"), 9).as("score"))
+      .withColumn("self_rank", row_number().over(
+        Window.partitionBy("q_doc").orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .where(col("q_doc") === col("doc_id"))
+      .select(col("q_doc"), col("self_rank"),
+        round(lit(1.0) / col("self_rank"), 9).as("rr"),
+        col("score").as("self_score"))
+      .orderBy("q_doc")
+  }
+
   /** [[searchByTermsBm25]] over a prebuilt term-counts table + corpus size. */
   def searchByTermsBm25FromCounts(tc: DataFrame, totalDocs: Long,
       queryTerms: Seq[String], k: Int = 20): DataFrame =

@@ -160,6 +160,20 @@ class TfidfSpec extends SparkSpec {
     assert(!plan.contains("Generate") && !plan.contains("array_repeat"))
   }
 
+  test("selfRetrievalEval: distinctive docs retrieve themselves at rank 1") {
+    // doc 0 and doc 10 are probes (doc_id % 10 == 0); each carries a unique
+    // term, so its own keyword query must rank it first with rr = 1
+    val docs = Seq(
+      (0L, "unicorn common common"),
+      (10L, "dragon common common"),
+      (1L, "common filler words here"),
+      (2L, "more common filler text")).toDF("doc_id", "text")
+    val got = Tfidf.selfRetrievalEvalFromCounts(
+      Tfidf.termCounts(Tfidf.tokenizePortable(docs)), 4L)
+      .select("q_doc", "self_rank", "rr").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1.0), (10L, 1L, 1.0)))
+  }
+
   test("mergeCounts: disjoint shards concatenate, re-ingest adds") {
     val base = Tfidf.termCounts(Tfidf.tokenizePortable(
       Seq((1L, "aa bb"), (2L, "aa")).toDF("doc_id", "text")))
