@@ -147,6 +147,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "q6 is scan+aggregate only:\n" + p.take(2000))
   }
 
+  test("q4 plans the EXISTS as a semi join, never materializing line detail") {
+    val df = Relational.q4OrderPriority(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join:\n" + p.take(2000))
+  }
+
+  test("q21 plans semi + anti self-joins, no cartesian product") {
+    val df = Relational.q21SuppliersKeptWaiting(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS must plan as semi/anti joins:\n" + p.take(2500))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "supplier-inequality must ride the order-key equi-join as a residual:\n" +
+        p.take(2500))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must heap:\n" + p.take(2000))
+  }
+
+  test("q16 excludes complainers with a broadcast anti join before the count") {
+    val df = Relational.q16SupplierCounts(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), "NOT IN must plan as an anti join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the tiny supplier/part sides must broadcast:\n" + p.take(2000))
+  }
+
+  test("q2 winner decoration broadcasts dims and heaps the top-100") {
+    val df = Relational.q2MinCostSupplier(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must heap:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "part/supplier/nation/region must broadcast:\n" + p.take(2000))
+    assert(!p.contains("Window"), "arg-min must stay agg+join-back:\n" + p.take(2000))
+  }
+
   test("native normalizer stays inside WholeStageCodegen") {
     val toks = Tfidf.tokenizePortable(Tables.documents(spark, dir))
     toks.collect() // finalize THIS dataset's adaptive plan (count() would plan separately)
