@@ -24,7 +24,12 @@ class DeterminismSpec extends SparkSpec {
     // round-4 additions: PMI ln-chain, arg-min double-equality join-back,
     // rank-exact quantile drop, bloom prefilter, incremental counts merge
     "bigram_pmi", "part_min_cost_supplier", "quality_rank_filter",
-    "decontaminate_bloom", "tfidf_incremental_merge")) {
+    "decontaminate_bloom", "tfidf_incremental_merge",
+    // round-5 additions: decimal-routed entropy, floor-quantized codes,
+    // posting-bounded retrieval ranks, md5-seeded IVF, EXISTS/NOT-EXISTS
+    // self-joins, grouping-set Expand
+    "token_entropy", "embedding_int8_stats", "self_retrieval_ranks",
+    "q21_suppliers_kept_waiting", "orders_grouping_sets")) {
     test(s"$q is identical under 3 vs 13 shuffle partitions") {
       assert(runWith(3, q) == runWith(13, q))
     }
