@@ -896,6 +896,13 @@ object SparkEntry {
         .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("format"), col("width"), col("height"), col("n_bytes"))
         .orderBy("asset_id", "frame_idx")),
+    // real-raster color profile: rows ONLY for honestly decodable images
+    "multimodal_channel_stats" -> ((s, _) =>
+      graft.multimodal.Multimodal.channelStats(
+        graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
+        .select(col("asset_id"), col("channel"), col("n_pixels"),
+          round(col("mean"), 9).as("mean"), round(col("std"), 9).as("std"))
+        .orderBy("asset_id", "channel")),
     "multimodal_audio_energy" -> ((s, _) =>
       graft.multimodal.Multimodal.audioFrameEnergy(
         graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()

@@ -156,6 +156,45 @@ object Multimodal {
       }
   }
 
+  case class ChannelStats(asset_id: Long, channel: String, n_pixels: Long,
+      mean: Double, std: Double)
+
+  /** Per-channel pixel statistics (mean + population std of the 0-255
+    * values) from REAL rasters — the color/exposure profile an image
+    * pipeline uses for normalization constants and outlier filtering.
+    * Only honestly decodable payloads emit rows: P6 PPM (RGB order) and
+    * 24-bit BMP (stored BGR — channel names follow the format's byte
+    * order, so "r" is always the red channel). Compressed or unrecognized
+    * payloads emit NOTHING rather than header-byte pseudo-statistics. */
+  def channelStats(assets: DataFrame): Dataset[ChannelStats] = {
+    import assets.sparkSession.implicits._
+    assets.where(col("kind") === "image")
+      .select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val rgb = HeaderCodecs.ppmRaster(bytes).map((_, Array("r", "g", "b")))
+            .orElse(HeaderCodecs.bmpRaster(bytes).map((_, Array("b", "g", "r"))))
+          rgb.toSeq.flatMap { case (px, names) =>
+            val n = px.length / 3
+            if (n == 0) Nil
+            else (0 until 3).map { c =>
+              var sum = 0.0
+              var sumSq = 0.0
+              var i = c
+              while (i < n * 3) {
+                val v = (px(i) & 0xFF).toDouble
+                sum += v; sumSq += v * v
+                i += 3
+              }
+              val mean = sum / n
+              ChannelStats(id, names(c), n.toLong, mean,
+                math.sqrt(math.max(0.0, sumSq / n - mean * mean)))
+            }
+          }
+        }
+      }
+  }
+
   case class AudioFrame(asset_id: Long, frame_idx: Int, rms: Double, peak: Double)
 
   /** Per-frame audio energy over REAL decoded samples: WAV payloads

@@ -129,6 +129,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out.pixels.toSeq == Seq[Byte](20, 60, 0, -1))
   }
 
+  test("channelStats: exact per-channel moments, BMP BGR order honored") {
+    import spark.implicits._
+    // 2x1 PPM, pixels (10,20,30) and (30,40,50): r mean 20 std 10, etc.
+    val ppm = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 30, 40, 50)
+    // 1x1 BMP stores BGR: bytes (1,2,3) must report b=1, g=2, r=3
+    val bmp = HeaderCodecs.makeBmp(1, 1, 0L)
+    bmp(54) = 1; bmp(55) = 2; bmp(56) = 3
+    val jpeg = HeaderCodecs.makeJpeg(4, 4, 1L) // compressed → no rows
+    val df = Seq((1L, "image", ppm), (2L, "image", bmp), (3L, "image", jpeg))
+      .toDF("asset_id", "kind", "content")
+    val got = Multimodal.channelStats(df).collect()
+      .map(s => (s.asset_id, s.channel) -> ((s.n_pixels, s.mean, s.std))).toMap
+    assert(got((1L, "r")) == ((2L, 20.0, 10.0)))
+    assert(got((1L, "g")) == ((2L, 30.0, 10.0)))
+    assert(got((1L, "b")) == ((2L, 40.0, 10.0)))
+    assert(got((2L, "b")) == ((1L, 1.0, 0.0)))
+    assert(got((2L, "g")) == ((1L, 2.0, 0.0)))
+    assert(got((2L, "r")) == ((1L, 3.0, 0.0)))
+    assert(!got.keys.exists(_._1 == 3L), "compressed payloads emit no rows")
+  }
+
   test("pcmSamples honors the WAV sample width (8-bit unsigned, 16-bit signed)") {
     val w8 = HeaderCodecs.makeWav(8000, 4, 12L)
     val expected8 = w8.drop(44).map(b => ((b & 0xFF) - 128) / 128.0).toSeq
