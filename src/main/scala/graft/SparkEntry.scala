@@ -2218,12 +2218,15 @@ object SparkEntry {
          |  SELECT tc.term, tc.doc_id,
          |    round((CAST(tc.cnt AS DOUBLE) / dt.doc_total) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
          |  FROM tc JOIN dt USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
+         |probes AS (
+         |  SELECT DISTINCT doc_id AS q_doc FROM tc WHERE doc_id % 10 = 0
+         |  ORDER BY q_doc LIMIT 500),
          |kws AS (
          |  SELECT doc_id AS q_doc, term FROM (
          |    SELECT doc_id, term,
          |      row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
          |    FROM tfidf_scored) r
-         |  WHERE rnk <= 3 AND q_doc % 10 = 0),
+         |  WHERE rnk <= 3 AND doc_id IN (SELECT q_doc FROM probes)),
          |bm AS (
          |  SELECT tc.term, tc.doc_id,
          |    round(round(ln((CAST(n_docs AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 9)

@@ -387,18 +387,26 @@ object Tfidf {
     * describe; `rr` = 1/rank aggregates to MRR). Probes are the
     * deterministic `doc_id % probeMod == 0` slice.
     *
-    * Scale shape: keywords are high-tfidf (rare) terms, so each probe's
-    * candidate set is the union of a few SHORT posting lists — the
-    * keyword⨝postings join is output-bound, never |probes|×|corpus|; the
-    * per-candidate window partitions by probe (bounded by those postings).
-    * Score sums route through DECIMAL (order-free), ranks tiebreak on
-    * doc_id. */
+    * Scale shape: the probe set is CAPPED at `maxProbes` (the first
+    * eligible ids — an MRR estimate converges with a fixed sample, so
+    * probe count must NOT grow with the corpus: an uncapped `% probeMod`
+    * slice makes total work probes×postings ≈ quadratic when the
+    * vocabulary is small relative to the corpus, which the sf1 rehearsal
+    * measured as 23× cost at 10× data). With the cap, work is
+    * maxProbes × posting length — linear in the corpus. Keywords are
+    * high-tfidf terms, so on realistic vocabularies the posting lists are
+    * short as well. Score sums route through DECIMAL (order-free), ranks
+    * tiebreak on doc_id. */
   def selfRetrievalEvalFromCounts(tc: DataFrame, totalDocs: Long,
-      probeMod: Long = 10L, kwPerDoc: Int = 3): DataFrame = {
+      probeMod: Long = 10L, kwPerDoc: Int = 3, maxProbes: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scores = bm25FromCounts(tc, totalDocs).select("term", "doc_id", "score")
-    val kws = keywordsPerDocFromCounts(tc, totalDocs, kwPerDoc)
+    val probes = tc.select("doc_id").distinct()
       .where(col("doc_id") % probeMod === 0)
+      .orderBy("doc_id").limit(maxProbes)
+      .select(col("doc_id").as("q_doc"))
+    val kws = keywordsPerDocFromCounts(tc, totalDocs, kwPerDoc)
+      .join(broadcast(probes), col("doc_id") === col("q_doc"), "left_semi")
       .select(col("doc_id").as("q_doc"), col("term"))
     kws.join(scores, "term")
       .groupBy("q_doc", "doc_id")
