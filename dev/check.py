@@ -42,8 +42,25 @@ def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
             bad += 1
         else:
             print(f"PASS {name}: {b:.2f}s -> {s:.2f}s (ratio {ratio:.1f}x)")
-    print(f"scale gate: {len(common)} gated, {bad} failures; "
-          f"worst ratio {worst[1]:.1f}x ({worst[0]})")
+    # Warm ratios get the same linearity gate when both files carry them:
+    # warm time is per-plan execution with caches hot, so a superlinear warm
+    # ratio is a REAL plan problem (cold can at least blame asset builds and
+    # page-cache misses). Floor stays: sub-second warm baselines are
+    # overhead-dominated and their ratios are noise.
+    warm_common = sorted(set(base.get("queries_warm", {}))
+                         & set(scaled.get("queries_warm", {}))
+                         & set(common))
+    for name in warm_common:
+        b, s = base["queries_warm"][name], scaled["queries_warm"][name]
+        ratio = s / b if b > 0 else float("inf")
+        if ratio > worst[1]:
+            worst = (name, ratio)
+        if s > max(factor * b, floor_s):
+            print(f"FAIL {name}: warm {s:.2f}s at scale vs {b:.2f}s base "
+                  f"(ratio {ratio:.1f}x > {factor:.0f}x, floor {floor_s}s)")
+            bad += 1
+    print(f"scale gate: {len(common)} cold + {len(warm_common)} warm gated, "
+          f"{bad} failures; worst ratio {worst[1]:.1f}x ({worst[0]})")
     return 1 if bad else 0
 
 

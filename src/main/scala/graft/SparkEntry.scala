@@ -112,14 +112,32 @@ object SparkEntry {
 
   /** Content fingerprint of a dataset dir: SHA-256 over every file's
     * (relative path, size, mtime), walked in sorted order. O(#files) stat
-    * calls — never reads data bytes, so it stays cheap at any scale. */
+    * calls — never reads data bytes, so it stays cheap at any scale.
+    *
+    * Paranoid mode (env `SPARK_GRAFT_ASSET_PARANOID=1`): additionally
+    * hashes each file's first 64 KiB, closing the "regenerated in place
+    * with identical sizes AND time-travelled mtimes" hole the stat-only
+    * fingerprint documents. Costs one bounded read per file — still
+    * corpus-size-independent per file, opt-in because the stat-only mode
+    * is already safe against every writer that doesn't forge mtimes. */
   private[graft] def contentDigest(dir: String): String = {
+    val paranoid = sys.env.get("SPARK_GRAFT_ASSET_PARANOID").contains("1")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val root = new java.io.File(dir)
     def walk(f: java.io.File): Unit =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
-      else md.update(
-        s"${root.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}\n".getBytes("UTF-8"))
+      else {
+        md.update(
+          s"${root.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}\n".getBytes("UTF-8"))
+        if (paranoid) {
+          val in = new java.io.FileInputStream(f)
+          try {
+            val buf = new Array[Byte](65536)
+            val n = in.read(buf)
+            if (n > 0) md.update(buf, 0, n)
+          } finally in.close()
+        }
+      }
     walk(root)
     md.digest().map("%02x".format(_)).mkString.take(32)
   }
@@ -618,6 +636,11 @@ object SparkEntry {
     // --- embedding near-dup (LSH bucket logic → rows-only check) ---
     "embedding_near_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.5)),
+    // SemDeDup: md5-seeded portable clusters, keep the most-central member
+    // of every within-cluster near-dup neighborhood — fully oracle-checked
+    // (assignment, precedence, and drop decisions replay in DuckDB)
+    "semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(Tables.embeddings(s, dir), nClusters = 16, tau = 0.4)),
     // --- scalar-function surface: dates, strings, nulls, distinct, having ---
     "orders_by_month" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -704,6 +727,19 @@ object SparkEntry {
       TextAnalysis.bigramPmiFromTokens(
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         termCountsAsset(s, dir), minCount = 5L, k = 100)),
+    // tokenizer training: BPE merge-rule induction over the vocabulary
+    // derived from the term-counts asset. Iterative argmax (one rule per
+    // round) has no tractable single-statement SQL twin → rows-only here;
+    // the rule sequence itself is golden-tested against the worked example
+    // from the BPE paper (TextAnalysisSpec)
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMergesFromCounts(termCountsAsset(s, dir), nMerges = 8)),
+    // corpus-as-its-own-LM fluency filter: add-one-smoothed bigram
+    // transition log-probs, per-doc decimal-routed mean; adjacency slices
+    // the token-array asset (no tokenize at query time)
+    "lm_doc_scores" -> ((s, dir) =>
+      TextAnalysis.lmDocScoresFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)))),
     // corpus-driven stop list: terms covering >= 50% of documents
     "stopword_candidates" -> ((s, dir) =>
       TextAnalysis.stopwordCandidatesFromCounts(
@@ -935,6 +971,20 @@ object SparkEntry {
         .groupBy("doc_id", "dup_of")
         .agg(min("band").as("first_band"), round(max("jaccard_est"), 9).as("jaccard_est"))
         .orderBy("doc_id", "dup_of")),
+    // stream-stream self-join variant (engine-managed watermark state): in
+    // batch the watermarks are no-ops — a bucketed self-join inside a
+    // synthetic ±2 h corridor (ts = epoch + doc_id minutes); band hashes /
+    // signature agreement are engine-internal → rows-only check
+    "streams_near_dup_join_batch" -> ((s, dir) =>
+      graft.streaming.Streams.nearDupPairsJoin(
+        Tables.documents(s, dir).select(col("doc_id"),
+          expr("timestampadd(MINUTE, cast(doc_id AS int), TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+          col("text")),
+        threshold = 0.5, horizon = "2 hours").toDF()
+        .groupBy("doc_a", "doc_b")
+        .agg(min("band").as("first_band"),
+          round(max("jaccard_est"), 9).as("jaccard_est"))
+        .orderBy("doc_a", "doc_b")),
     // batch run of the streaming gram store = every occurrence except the
     // corpus-first (oracle-checked against that relational definition)
     "streams_span_dedup_batch" -> ((s, dir) =>
@@ -969,6 +1019,14 @@ object SparkEntry {
     "ivf_cosine_top10" -> ((s, dir) =>
       Similarity.ivfSearch(Tables.embeddings(s, dir), 0L to 9L, 10,
         nCentroids = 16, nprobe = 4, lloydIters = 0)
+        .withColumn("rank", col("rank").cast("long"))),
+    // ONE Lloyd refinement, still hash-checked end to end: the assignment
+    // argmax ranks on the 6-rounded cosine and the centroid means route
+    // through exact DECIMAL sums, so even the REFINED centroid set — and
+    // the search over it — replays row-for-row in DuckDB
+    "ivf_lloyd_top10" -> ((s, dir) =>
+      Similarity.ivfSearch(Tables.embeddings(s, dir), 0L to 9L, 10,
+        nCentroids = 16, nprobe = 4, lloydIters = 1)
         .withColumn("rank", col("rank").cast("long"))),
     // Recall gates: THROW (→ driver `err`) if ANN recall vs brute force
     // drops under 0.9; rows-only output (q_id, n_matched, k_exact).
@@ -2206,6 +2264,121 @@ object SparkEntry {
         |)
         |SELECT q_id, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
         |ORDER BY q_id, "rank"""".stripMargin,
+    "ivf_lloyd_top10" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+        |  FROM ex GROUP BY 1
+        |), cents AS (
+        |  SELECT vec_id AS c_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cx0 AS (
+        |  SELECT c.c_id, e.i, e.x, n.nrm AS cnorm
+        |  FROM cents c JOIN ex e ON e.vec_id = c.c_id JOIN norms n ON n.vec_id = c.c_id
+        |), sims0 AS (
+        |  SELECT a.vec_id, c.c_id,
+        |    round(CAST(sum(CAST(a.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / (an.nrm * any_value(c.cnorm)), 6) AS c_sim
+        |  FROM ex a JOIN cx0 c ON a.i = c.i JOIN norms an ON an.vec_id = a.vec_id
+        |  GROUP BY a.vec_id, c.c_id, an.nrm
+        |), assign0 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+        |    FROM sims0) t WHERE rn = 1
+        |), means AS (
+        |  SELECT a0.c_id, e.i,
+        |    round(CAST(sum(CAST(e.x AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9) AS m
+        |  FROM assign0 a0 JOIN ex e ON e.vec_id = a0.vec_id
+        |  GROUP BY a0.c_id, e.i
+        |), cnorms AS (
+        |  SELECT c_id, sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,20))) AS DOUBLE)) AS cnorm
+        |  FROM means GROUP BY c_id
+        |), cx AS (
+        |  SELECT means.c_id, i, m AS x, cnorm FROM means JOIN cnorms USING (c_id)
+        |), sims AS (
+        |  SELECT a.vec_id, c.c_id,
+        |    round(CAST(sum(CAST(a.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / (an.nrm * any_value(c.cnorm)), 6) AS c_sim
+        |  FROM ex a JOIN cx c ON a.i = c.i JOIN norms an ON an.vec_id = a.vec_id
+        |  GROUP BY a.vec_id, c.c_id, an.nrm
+        |), assigned AS (
+        |  SELECT vec_id, c_id AS list_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+        |    FROM sims) t WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS q_id, c_id AS list_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+        |    FROM sims WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)) t WHERE rn <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+        |  WHERE a.vec_id <> p.q_id
+        |), dots AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    CAST(sum(CAST(qa.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS d
+        |  FROM cand c
+        |  JOIN ex qa ON qa.vec_id = c.q_id
+        |  JOIN ex b ON b.vec_id = c.vec_id AND b.i = qa.i
+        |  GROUP BY 1, 2
+        |), cosd AS (
+        |  SELECT q_id, dots.vec_id AS vec_id, round(d / (na.nrm * nb.nrm), 6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = dots.vec_id
+        |), ranked AS (
+        |  SELECT q_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
+        |    vec_id, cos
+        |  FROM cosd
+        |)
+        |SELECT q_id, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
+        |ORDER BY q_id, "rank"""".stripMargin,
+    "semantic_dedup" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+        |  FROM ex GROUP BY 1
+        |), cents AS (
+        |  SELECT vec_id AS c_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), cx AS (
+        |  SELECT c.c_id, e.i, e.x, n.nrm AS cnorm
+        |  FROM cents c JOIN ex e ON e.vec_id = c.c_id JOIN norms n ON n.vec_id = c.c_id
+        |), sims AS (
+        |  SELECT a.vec_id, c.c_id,
+        |    round(CAST(sum(CAST(a.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / (an.nrm * any_value(c.cnorm)), 6) AS c_sim
+        |  FROM ex a JOIN cx c ON a.i = c.i JOIN norms an ON an.vec_id = a.vec_id
+        |  GROUP BY a.vec_id, c.c_id, an.nrm
+        |), assigned AS (
+        |  SELECT vec_id, c_id AS list_id, c_sim FROM (
+        |    SELECT vec_id, c_id, c_sim,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+        |    FROM sims) t WHERE rn = 1
+        |), pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM assigned a JOIN assigned b ON a.list_id = b.list_id
+        |  WHERE a.c_sim > b.c_sim OR (a.c_sim = b.c_sim AND a.vec_id < b.vec_id)
+        |), pc AS (
+        |  SELECT p.a_id, p.b_id,
+        |    round(CAST(sum(CAST(xa.x * xb.x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / (na.nrm * nb.nrm), 6) AS cos
+        |  FROM pairs p
+        |  JOIN ex xa ON xa.vec_id = p.a_id
+        |  JOIN ex xb ON xb.vec_id = p.b_id AND xb.i = xa.i
+        |  JOIN norms na ON na.vec_id = p.a_id
+        |  JOIN norms nb ON nb.vec_id = p.b_id
+        |  GROUP BY p.a_id, p.b_id, na.nrm, nb.nrm
+        |), dropped AS (SELECT DISTINCT b_id AS vec_id FROM pc WHERE cos >= 0.4)
+        |SELECT a.vec_id, a.list_id, a.c_sim,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM assigned a LEFT JOIN dropped d USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
     "self_retrieval_ranks" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
@@ -2517,6 +2690,22 @@ object SparkEntry {
          |WHERE n_ab >= 5
          |ORDER BY n_ab DESC, w1 ASC, w2 ASC
          |LIMIT 100""".stripMargin,
+    "lm_doc_scores" ->
+      s"""WITH $toksArrCte,
+         |bg AS (
+         |  SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
+         |        FROM toksarr WHERE len(a) >= 2) u
+         |), pc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+         |cc AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_ctx FROM pc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tkn) AS v_size
+         |      FROM (SELECT unnest(a) AS tkn FROM toksarr) z)
+         |SELECT doc_id, count(*) AS n_transitions,
+         |  round(CAST(sum(CAST(round(ln(CAST(pc.n_ab + 1 AS DOUBLE) / (cc.n_ctx + v.v_size)), 9)
+         |    AS DECIMAL(18,9))) AS DOUBLE) / count(*), 9) AS avg_logprob
+         |FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "stopword_candidates" ->
       s"""WITH $toksCte,
          |n AS (SELECT count(*) AS n_docs FROM documents)

@@ -156,6 +156,70 @@ object Dedup {
       bands: Int = 4): DataFrame =
     Similarity.cosinePairsLsh(embeddings, threshold, planes, bands)
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster embeddings around portable md5-seeded centroids
+    * ([[Similarity.trainCentroids]], zero Lloyd iterations so assignment is
+    * engine-reproducible), then within each cluster keep the most-central
+    * representative of every near-duplicate neighborhood — a vector is
+    * DROPPED iff some cluster-mate ranking ahead of it (higher centroid
+    * similarity, ties broken to the lower id) lies within cosine `tau` of
+    * it. The rank-ordered EXISTS is the deterministic, set-expressible
+    * reading of the paper's "keep one per duplicate group" greedy sweep.
+    *
+    * Output: one row per vector `(vec_id, list_id, c_sim, keep)` — an audit
+    * table, not just the survivors, so the drop rate per cluster is
+    * directly inspectable.
+    *
+    * Scale shape: centroid training is a deterministic md5-ordered sample;
+    * assignment is a broadcast-centroid map pass with a map-side `max_by`
+    * partial (no corpus×C shuffle); the pair test self-joins ON `list_id`,
+    * so candidate volume is Σ|cluster|², never |corpus|² — `nClusters` is
+    * the production knob (∝ corpus size / target cluster size, e.g. 100k
+    * clusters for 100M docs keeps clusters ~1k). No driver-side collect
+    * anywhere; the cosine is the codegen'd `graft_dot`, rounded to 6 before
+    * every comparison so rank and drop decisions replay identically in the
+    * SQL oracle. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      nClusters: Int = 16,
+      tau: Double = 0.7): DataFrame = {
+    val e = Similarity.prepared(embeddings, "embedding")
+      .select("vec_id", "v", "norm").scopedPersist()
+    val cents = Similarity.trainCentroids(e, nClusters, lloydIters = 0)
+    // assignment with the centroid similarity kept (the within-cluster
+    // precedence key), same rounded-argmax shape as Similarity.assignToLists
+    val assigned = e.join(broadcast(cents))
+      .withColumn("c_sim",
+        round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("c_id"), col("c_sim"), col("v"), col("norm")),
+        struct(col("c_sim"), -col("c_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("list_id"),
+        col("best.c_sim").as("c_sim"), col("best.v").as("v"),
+        col("best.norm").as("norm"))
+      .scopedPersist()
+    val ahead = assigned.select(col("list_id"), col("vec_id").as("a_id"),
+      col("c_sim").as("a_sim"), col("v").as("av"), col("norm").as("anorm"))
+    val behind = assigned.select(col("list_id"), col("vec_id").as("b_id"),
+      col("c_sim").as("b_sim"), col("v").as("bv"), col("norm").as("bnorm"))
+    val dropped = ahead.join(behind, "list_id")
+      .where(col("a_sim") > col("b_sim") ||
+        (col("a_sim") === col("b_sim") && col("a_id") < col("b_id")))
+      .withColumn("cos",
+        round(expr("graft_dot(av, bv)") / (col("anorm") * col("bnorm")), 6))
+      .where(col("cos") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select("vec_id", "list_id", "c_sim")
+      .join(dropped, Seq("vec_id"), "left")
+      // 1/0 BIGINT rather than a boolean: numeric flags hash identically
+      // across engines in the driver's comparison
+      .select(col("vec_id"), col("list_id"), col("c_sim"),
+        when(col("is_dup"), lit(0L)).otherwise(lit(1L)).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Driver-visible sketch-quality gate, mirroring
     * [[Similarity.annRecallGate]]: measures the LSH text sketches against
     * the exact n-gram verifier and THROWS (→ driver `err`) on regression,

@@ -250,8 +250,17 @@ object Similarity {
     * v, norm) rows. Each iteration is map-side assignment (broadcast
     * centroids, partial max_by before the exchange) + a (c_id, dim) mean
     * whose partial agg collapses to C×dims rows per partition — index-
-    * build cost, linear in the corpus, no corpus×C shuffle. Means are
-    * rounded to 9 so merge-order ulps can't leak into assignments. */
+    * build cost, linear in the corpus, no corpus×C shuffle.
+    *
+    * ENGINE-PORTABLE at any iteration count: the assignment argmax ranks
+    * on the 6-rounded cosine (same contract as [[assignToLists]] — an
+    * unrounded dot would let last-ulp libm/order differences flip
+    * near-tied centroids between engines), and each mean routes through
+    * an exact DECIMAL(38,20) sum before the double division (a plain
+    * double `avg` is partition-order-dependent; the 9-round alone cannot
+    * mask a flip landing ON a rounding boundary). A refined centroid set
+    * — and therefore every downstream list assignment — is reproducible
+    * row-for-row in the DuckDB oracle. */
   def trainCentroids(
       e: DataFrame, nCentroids: Int, lloydIters: Int): DataFrame = {
     // md5 of the decimal id string: uniform AND engine-portable (DuckDB
@@ -263,14 +272,17 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
     for (_ <- 1 to lloydIters) {
       val assigned0 = e.join(broadcast(cents))
-        .withColumn("c_sim", expr(dot.format("v", "cv") + " / (norm * cnorm)"))
+        .withColumn("c_sim",
+          round(expr(dot.format("v", "cv") + " / (norm * cnorm)"), 6))
         .groupBy("vec_id")
         .agg(max_by(struct(col("c_id"), col("v")),
           struct(col("c_sim"), -col("c_id"))).as("best"))
         .select(col("best.c_id").as("c_id"), col("best.v").as("v"))
       cents = assigned0
         .select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("c_id", "i").agg(round(avg("x"), 9).as("m"))
+        .groupBy("c_id", "i")
+        .agg(round(sum(col("x").cast("decimal(38,20)")).cast("double")
+          / count(lit(1)), 9).as("m"))
         .groupBy("c_id")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
         .select(col("c_id"), expr("transform(pairs, p -> p.m)").as("cv"))

@@ -388,6 +388,134 @@ object TextAnalysis {
       "n_ab", k, Seq("w1", "w2"))
   }
 
+  /** Bigram language-model document scoring — the CCNet/KenLM-style fluency
+    * signal: train add-one-smoothed bigram conditional probabilities on the
+    * corpus itself, then score every document by its mean per-transition
+    * log-probability. Fluent, corpus-typical text scores high; garbled,
+    * boilerplate-shuffled, or off-domain text scores low — the standard
+    * "perplexity filter" of a pretraining pipeline, with the corpus as its
+    * own reference model (no external LM download).
+    *
+    * {{{ score(d) = mean over adjacent (w1,w2) in d of
+    *                ln( (C(w1,w2) + 1) / (ctx(w1) + V) ) }}}
+    * where `C` is the corpus bigram count, `ctx(w1) = Σ_w C(w1,w)` the
+    * bigram-context count, and `V` the corpus vocabulary size (add-one
+    * denominator). Documents with fewer than two tokens have no
+    * transitions and are excluded (no score is the honest answer, not 0).
+    *
+    * Scale shape: transitions are per-row array slicing over the shared
+    * token-array asset (no re-tokenize, no window function); the model
+    * tables are narrow (term-pair, count) aggregates with map-side
+    * partials; scoring joins the transition stream to them keyed by pair
+    * then head — both plain shuffle joins whose skew (stop-word heads) is
+    * AQE-splittable; `V` rides along as a broadcast one-row frame. No
+    * driver-side collect.
+    *
+    * Float parity: the smoothed probability is a BIGINT/BIGINT double
+    * division spelled identically in the oracle, `ln` rounds to 9, and the
+    * per-doc mean routes through DECIMAL(18,9) so partition summation
+    * order can't flip the 9th digit. */
+  def lmDocScoresFromTokens(toks: DataFrame): DataFrame = {
+    val transitions = toks.where(size(col("tokens")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tokens) - 1), " +
+          "i -> struct(element_at(tokens, i) AS w1, element_at(tokens, i + 1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .scopedPersist()
+    val pairCounts = transitions.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val ctxCounts = pairCounts.groupBy("w1").agg(sum("n_ab").as("n_ctx"))
+    val vocab = toks.select(explode(col("tokens")).as("t"))
+      .agg(count_distinct(col("t")).as("v_size"))
+    transitions
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", round(log(
+        (col("n_ab") + lit(1L)).cast("double") / (col("n_ctx") + col("v_size"))), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("logp").cast("decimal(18,9)")).as("lp_sum"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(col("lp_sum").cast("double") / col("n_transitions"), 9).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE merge-rule induction — the tokenizer-TRAINING step of an LLM
+    * pipeline (Sennrich et al. 2016, "Neural machine translation of rare
+    * words with subword units"): start from characters (plus an `</w>`
+    * end-of-word marker), repeatedly count adjacent symbol pairs across
+    * the frequency-weighted word vocabulary and merge the most frequent
+    * pair, leftmost-greedy. Output: the learned merge table
+    * `(merge_rank, left, right, merged, pair_freq)` — the artifact a
+    * tokenizer ships.
+    *
+    * Determinism: argmax ties break on (left, right) ascending, so the
+    * rule sequence is unique; merge application is a left-to-right
+    * `aggregate` fold, which IS the standard greedy non-overlapping
+    * semantics (`aaa` under merge (a,a) → `[aa, a]`).
+    *
+    * Scale shape: the working set is the WORD VOCABULARY (term, freq,
+    * symbol array) — vocabulary-sized, not corpus-sized; each round is a
+    * narrow pair-count aggregate (map-side partials) plus a map-only fold
+    * applying one rule. The driver loop iterates over MERGE RULES (a real
+    * tokenizer run is tens of thousands of rounds — each O(vocab) work
+    * regardless of corpus size), and the only collect is the single
+    * winning pair per round. Lineage is cut per round so the plan stays
+    * flat instead of nesting `nMerges` deep. */
+  def bpeTrainMergesFromCounts(tc: DataFrame, nMerges: Int = 12): DataFrame =
+    bpeTrainMerges(tc.groupBy("term").agg(sum("cnt").as("freq")), nMerges)
+
+  /** [[bpeTrainMergesFromCounts]] over a prebuilt `(term, freq)` vocabulary. */
+  def bpeTrainMerges(termFreqs: DataFrame, nMerges: Int = 12): DataFrame = {
+    val spark = termFreqs.sparkSession
+    // `cached` owns the round's persisted blocks; `words` is a flat-plan
+    // wrapper over its RDD (reads the cache, carries no nested SQL plan)
+    var cached = termFreqs
+      .select(col("freq").cast("long").as("freq"),
+        concat(split(col("term"), ""), array(lit("</w>"))).as("syms"))
+      .scopedPersist()
+    cached.count()
+    var words = cached
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val top = words.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("pair_freq"))
+        .orderBy(desc("pair_freq"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        rules += ((r, l, rr, l + rr, pf))
+        // literals via lit(), never string-spliced SQL: symbols may contain
+        // quotes (the portable tokenizer keeps inner punctuation)
+        // try_element_at: ANSI-safe on the empty initial accumulator (null
+        // compares to false in the `when`), where element_at would throw
+        val applied = words.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(
+              try_element_at(acc, lit(-1)) === lit(l) && s === lit(rr),
+              concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(l + rr))))
+              .otherwise(concat(acc, array(s)))))
+          .scopedPersist()
+        applied.count() // materialize before releasing the parent round
+        cached.unpersist(false)
+        cached = applied
+        // cut lineage: nMerges chained folds would otherwise nest the whole
+        // history into every subsequent round's plan
+        words = spark.createDataFrame(applied.rdd, applied.schema)
+      }
+    }
+    import spark.implicits._
+    rules.result()
+      .toDF("merge_rank", "left", "right", "merged", "pair_freq")
+      .orderBy("merge_rank")
+  }
+
   /** Corpus-driven stopword candidates: terms whose document frequency
     * covers at least `minDfRatio` of the corpus — what a pipeline derives
     * its language-specific stop list from instead of shipping a fixed one.

@@ -172,6 +172,58 @@ object Streams {
         })
   }
 
+  /** Stream-stream SELF-join near-dup pairs — the symmetric-join
+    * alternative to the keyed signature store ([[streamingNearDups]]):
+    * band rows derived from the SAME document stream meet on
+    * (band, band_hash) under an event-time bound, and the built-in
+    * stream-stream join manages all state — each side buffers rows only
+    * until the other side's watermark passes the time bound, so state is
+    * evicted by the engine, not by hand-rolled timeout code.
+    *
+    * Semantics vs the store variant: the join is symmetric (BOTH orders of
+    * arrival pair up, deduplicated to `doc_a < doc_b`) and the time bound
+    * is two-sided (`|ts_b - ts_a| <= horizon`), so it finds near-dups in a
+    * sliding corridor of stream time — the shape for "flag re-posts within
+    * a day", where the store variant's keep-earliest cap is instead the
+    * shape for "dedup against the first occurrence ever". A pair colliding
+    * in several bands emits once per band; collapse downstream if
+    * exact-once pairs matter.
+    *
+    * Scale: candidates are band-bucket collisions only (never |corpus|²),
+    * per-side state is watermark-bounded to the horizon window, and the
+    * signature ride-along is k longs per band row. Input schema:
+    * (doc_id, ts timestamp, text). In batch mode the watermarks are
+    * no-ops and this is a plain bucketed self-join — the oracle-checkable
+    * twin. */
+  def nearDupPairsJoin(
+      docs: DataFrame,
+      k: Int = 64,
+      shingleLen: Int = 5,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      watermarkDelay: String = "10 minutes",
+      horizon: String = "1 hour"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def side(suffix: String): DataFrame = docs
+      .selectExpr("doc_id", "ts",
+        s"graft_minhash(trim(regexp_replace(lower(text), '\\\\s+', ' ')), $shingleLen, $k) AS sig")
+      .select(col("doc_id").as(s"doc_$suffix"), col("ts").as(s"ts_$suffix"),
+        col("sig").as(s"sig_$suffix"), posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+          .as(Seq(s"band_$suffix", s"hash_$suffix")))
+      .withWatermark(s"ts_$suffix", watermarkDelay)
+    side("a").join(side("b"),
+        col("band_a") === col("band_b") && col("hash_a") === col("hash_b") &&
+          col("doc_a") < col("doc_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+      .withColumn("jaccard_est", expr("graft_sig_match(sig_a, sig_b)"))
+      .where(col("jaccard_est") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("band_a").as("band"),
+        col("jaccard_est"))
+  }
+
   case class DocBandSigTs(doc_id: Long, sig: Array[Long], band: Int,
       band_hash: Long, ts: java.sql.Timestamp)
 

@@ -29,7 +29,11 @@ class DeterminismSpec extends SparkSpec {
     // posting-bounded retrieval ranks, md5-seeded IVF, EXISTS/NOT-EXISTS
     // self-joins, grouping-set Expand
     "token_entropy", "embedding_int8_stats", "self_retrieval_ranks",
-    "q21_suppliers_kept_waiting", "orders_grouping_sets")) {
+    "q21_suppliers_kept_waiting", "orders_grouping_sets",
+    // late round-5 additions: decimal-routed LM transition means,
+    // cluster-precedence drop decisions, stream-stream band self-join
+    "lm_doc_scores", "semantic_dedup", "streams_near_dup_join_batch",
+    "ivf_lloyd_top10")) {
     test(s"$q is identical under 3 vs 13 shuffle partitions") {
       assert(runWith(3, q) == runWith(13, q))
     }

@@ -49,6 +49,18 @@ class SimilaritySpec extends SparkSpec {
     assert(wrong == 0)
   }
 
+  test("semanticDedup keeps the precedence-ranked representative of a near-dup pair") {
+    // one cluster (nClusters = 1) so every vector is a candidate pair;
+    // vectors 0 and 1 are collinear (cos = 1): exactly one survives, and
+    // the tie on centroid similarity (identical direction) breaks to the
+    // LOWER id — 0 kept, 1 dropped. Everything else is below tau = 0.9.
+    val out = graft.operators.Dedup.semanticDedup(vecs, nClusters = 1, tau = 0.9)
+      .select("vec_id", "keep").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // audit shape: one row per input vector, never a filtered survivor list
+    assert(out.size == 5)
+  }
+
   test("ann lsh finds the collinear vector (same-bucket guarantee)") {
     // identical-direction vectors share all sign bits → always candidates
     val got = Similarity.annCosineLsh(vecs, Seq(0L), k = 4, planes = 16, bands = 4)

@@ -206,6 +206,44 @@ class StreamingSpec extends SparkSpec {
     assert(!hits.exists(h => h._1 == 2L || h._2 == 2L))
   }
 
+  test("stream-stream near-dup self-join pairs in-corridor docs, excludes out-of-horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    val textX = "the quick brown fox jumps over the lazy dog and keeps jumping " * 2
+    val q = Streams.nearDupPairsJoin(docs, threshold = 0.5,
+        watermarkDelay = "0 seconds", horizon = "1 hour")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), textX))
+      q.processAllAvailable()
+      // 5 min later, near-identical: inside the ±1 h corridor → pair
+      in.addData((2L, ts(5), textX))
+      q.processAllAvailable()
+      // unrelated vocabulary inside the corridor → no pair
+      in.addData((3L, ts(30), "completely different vocabulary with nothing shared at all"))
+      q.processAllAvailable()
+      // near-identical again but 2.5 h after doc 1: outside the corridor
+      // for both 1 and 2 → no pair
+      in.addData((4L, Timestamp.valueOf("2024-01-01 12:30:00"), textX))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_out")
+        .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    } finally q.stop()
+
+    // batch execution of the SAME plan (watermarks are no-ops) must agree
+    val batch = Streams.nearDupPairsJoin(
+        Seq((1L, ts(0), textX), (2L, ts(5), textX),
+          (3L, ts(30), "completely different vocabulary with nothing shared at all"),
+          (4L, Timestamp.valueOf("2024-01-01 12:30:00"), textX))
+          .toDF("doc_id", "ts", "text"),
+        threshold = 0.5, horizon = "1 hour")
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 2L)), s"batch got $batch")
+  }
+
   test("event-time near-dup store: in-horizon hits, eviction driven by stream time") {
     // EventTimeTimeout is watermark-driven, so unlike the processing-time
     // variant this IS MemoryStream-testable: no wall clock is involved —

@@ -67,6 +67,53 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(("new", "york"), ("is", "big"), ("york", "is"), ("york", "new")))
   }
 
+  test("lmDocScores: hand-computed add-one bigram log-probs on a micro corpus") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = Seq(
+      (1L, Seq("a", "b", "a", "b")),
+      (2L, Seq("a", "b")),
+      (3L, Seq("c"))).toDF("doc_id", "tokens")
+    val out = TextAnalysis.lmDocScoresFromTokens(toks)
+      .as[(Long, Long, Double)].collect().toSeq
+    // corpus model: C(a,b)=3, C(b,a)=1; ctx(a)=3, ctx(b)=1; V=3 (a,b,c —
+    // c has no transitions but is vocabulary). doc 3 has none → excluded.
+    val lab = r9(math.log((3.0 + 1) / (3 + 3))) // ln(4/6)
+    val lba = r9(math.log((1.0 + 1) / (1 + 3))) // ln(2/4)
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 3L), (2L, 1L)))
+    assert(out(0)._3 == r9((lab + lba + lab) / 3))
+    assert(out(1)._3 == lab)
+  }
+
+  test("bpeTrainMerges learns the classic Sennrich merge sequence") {
+    // the worked example from the BPE paper: vocabulary
+    // low×5, lower×2, newest×6, widest×3 (with </w> markers).
+    // Hand-tallied rounds: (e,s):9 ties (s,t):9 and (t,</w>):9 → left-asc
+    // tie-break picks (e,s); then (es,t):9; (est,</w>):9; (l,o):7 ties
+    // (o,w):7 → (l,o); then (lo,w):7.
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("term", "freq")
+    val got = TextAnalysis.bpeTrainMerges(vocab, nMerges = 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L),
+      (4, "l", "o", "lo", 7L),
+      (5, "lo", "w", "low", 7L)))
+    // merged symbol is always the concatenation of the pair
+    assert(got.forall(r => r._4 == r._2 + r._3))
+  }
+
+  test("bpeTrainMerges stops early once no pairs remain") {
+    val vocab = Seq(("ab", 3L)).toDF("term", "freq")
+    // ab</w> has 2 pairs; afterwards the word is one symbol — rounds past
+    // exhaustion must not emit rules or loop forever
+    val got = TextAnalysis.bpeTrainMerges(vocab, nMerges = 10)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq(("a", "b"), ("ab", "</w>")))
+  }
+
   test("stopwordCandidates keeps only terms above the df-ratio floor") {
     val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the bird"), (4L, "fish"))
       .toDF("doc_id", "text")
