@@ -128,6 +128,31 @@ class PlanSpec extends SparkSpec {
       "bigrams come from array slicing, never a token self-join:\n" + p.take(2000))
   }
 
+  test("semanticDedup: broadcast centroids, list-keyed pair join, no cartesian") {
+    val df = graft.operators.Dedup.semanticDedup(
+      Tables.embeddings(spark, dir), nClusters = 16, tau = 0.4)
+    df.collect()
+    val p = plan(df)
+    // centroid attach is a broadcast (C rows), never a shuffled join of the
+    // corpus against itself; the only pair join is ON list_id
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "pair candidates come from the list_id equi-join, never all-pairs:\n" + p.take(2000))
+    assert(!p.contains("Window"), "assignment argmax is max_by, not a window:\n" + p.take(2000))
+  }
+
+  test("lmDocScores: array-sliced transitions, no window, one-row vocab broadcast") {
+    val df = graft.operators.TextAnalysis.lmDocScoresFromTokens(
+      graft.operators.Tfidf.tokenArrays(Tables.documents(spark, dir)))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"), "no window over transition keys:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "transitions are per-row slices; the only loose join is the one-row vocab:\n" +
+        p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("partMinCostSupplier: agg + join-back, no window over part keys") {
     val df = Relational.partMinCostSupplier(spark, dir)
     df.collect()
