@@ -260,6 +260,15 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir))
     }
 
+  /** Learned BPE merge table (8 rules over the term-counts vocabulary) —
+    * a trained tokenizer model, persisted like the ANN index so the
+    * training loop runs once per (session, dataset) and both the merge
+    * query and the segmenter read the same artifact. */
+  private def bpeMergesAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "bpe_merges") {
+      TextAnalysis.bpeTrainMergesFromCounts(termCountsAsset(s, dir), nMerges = 8)
+    }
+
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
     * whole span-dedup family (detect/stats/strip, exact + hashed) marks
     * back against; as an asset the corpus tokenizes + windows ONCE per
@@ -636,6 +645,10 @@ object SparkEntry {
     // --- embedding near-dup (LSH bucket logic → rows-only check) ---
     "embedding_near_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.5)),
+    // LSH banding planner: the S-curve table behind every (bands, rows)
+    // choice in the MinHash dedup family — corpus-independent math,
+    // oracle-exact
+    "lsh_plan" -> ((_, _) => Dedup.lshPlan(64, 19)),
     // SemDeDup: md5-seeded portable clusters, keep the most-central member
     // of every within-cluster near-dup neighborhood — fully oracle-checked
     // (assignment, precedence, and drop decisions replay in DuckDB)
@@ -733,7 +746,19 @@ object SparkEntry {
     // the rule sequence itself is golden-tested against the worked example
     // from the BPE paper (TextAnalysisSpec)
     "bpe_merges" -> ((s, dir) =>
-      TextAnalysis.bpeTrainMergesFromCounts(termCountsAsset(s, dir), nMerges = 8)),
+      bpeMergesAsset(s, dir).orderBy("merge_rank")),
+    // BPE encoding with the trained rules: the merge table collects to the
+    // driver (8 rows — a tokenizer model is a broadcast-sized artifact)
+    // and the vocabulary segments through the chained greedy folds
+    "bpe_vocab_segments" -> ((s, dir) => {
+      val rules = bpeMergesAsset(s, dir).orderBy("merge_rank")
+        .select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.bpeSegmentVocab(
+        termCountsAsset(s, dir).select("term").distinct(), rules)
+        .select(col("term"), concat_ws(" ", col("subwords")).as("segmentation"),
+          col("n_subwords"))
+    }),
     // corpus-as-its-own-LM fluency filter: add-one-smoothed bigram
     // transition log-probs, per-doc decimal-routed mean; adjacency slices
     // the token-array asset (no tokenize at query time)
@@ -778,6 +803,51 @@ object SparkEntry {
       val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
       Curation.decontaminateBloomFromTokens(
         toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
+    }),
+    // THE END-TO-END COMPOSITION: one auditable manifest of the training
+    // split, intersecting every curation stage this library provides —
+    // exact dedup (fingerprint keeper), near-dup clusters (labels asset),
+    // benchmark decontamination (3-gram overlap vs the held-out split),
+    // and the per-source bottom-quartile quality drop. Flags are computed
+    // over the full corpus exactly as their standalone queries do (audit
+    // columns, not a shrinking sequential rerun), and `kept` is their
+    // conjunction — the row set a pipeline would hand to packing/sampling.
+    "training_data_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fp = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+      val exactDup = fp
+        .join(Dedup.exact(docs).select("fingerprint", "keeper"), "fingerprint")
+        .select(col("doc_id"), (col("doc_id") =!= col("keeper")).cast("long").as("exact_dup"))
+      val nearDup = dedupLabelsAsset(s, dir)
+        .where(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id"), lit(1L).as("near_dup"))
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      val contaminated = Curation.decontaminateFromTokens(
+          toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
+        .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
+      val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+      val qualityKept = TextAnalysis.qualityRankFilter(docs, dropFraction = 0.25)
+        .select(col("doc_id"), lit(0L).as("low_quality"))
+      val nTok = toks.select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+      docs.where(col("doc_id") % 53 =!= 0)
+        .select("doc_id", "source")
+        .join(exactDup, "doc_id")
+        .join(quality, "doc_id")
+        .join(nearDup, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .join(qualityKept, Seq("doc_id"), "left")
+        .join(nTok, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("quality"), col("exact_dup"),
+          coalesce(col("near_dup"), lit(0L)).as("near_dup"),
+          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+          coalesce(col("low_quality"), lit(1L)).as("low_quality"))
+        .withColumn("kept",
+          (col("exact_dup") === 0 && col("near_dup") === 0 &&
+            col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
+        .orderBy("doc_id")
     }),
     "repetition_stats" -> ((s, dir) =>
       Curation.repetitionStatsFromTokens(
@@ -2101,6 +2171,64 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster)
          |ORDER BY d.doc_id""".stripMargin,
+    "training_data_manifest" ->
+      s"""$clusterLabelsCte,
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0),
+         |tr AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_overlap
+         |  FROM grams WHERE doc_id % 53 <> 0 GROUP BY 1),
+         |ct AS (
+         |  SELECT doc_id,
+         |    CASE WHEN round(CAST(n_overlap AS DOUBLE) / n_grams, 9) >= 0.05 THEN 1 ELSE 0 END
+         |      AS contaminated
+         |  FROM tr),
+         |fpk AS (
+         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |  FROM documents),
+         |keepers AS (SELECT f, min(doc_id) AS keeper FROM fpk GROUP BY 1),
+         |nd AS (SELECT doc_id, 1 AS near_dup FROM labels WHERE doc_id <> cluster),
+         |q AS (
+         |  SELECT doc_id,
+         |    round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+         |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+         |      + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.1
+         |      + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+         |              / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT d.doc_id, q.quality,
+         |    CAST(row_number() OVER (PARTITION BY d.source ORDER BY q.quality ASC, d.doc_id ASC) AS BIGINT)
+         |      AS quality_rank,
+         |    count(*) OVER (PARTITION BY d.source) AS n_in_source
+         |  FROM documents d JOIN q USING (doc_id)),
+         |lq AS (
+         |  SELECT doc_id,
+         |    CASE WHEN quality_rank > floor(0.25 * n_in_source) THEN 0 ELSE 1 END AS low_quality
+         |  FROM r),
+         |ntok AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM toksarr),
+         |base AS (
+         |  SELECT d.doc_id, d.source,
+         |    coalesce(nt.n_tokens, 0) AS n_tokens, q.quality,
+         |    CAST(CASE WHEN d.doc_id <> kk.keeper THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+         |    CAST(coalesce(nd.near_dup, 0) AS BIGINT) AS near_dup,
+         |    CAST(coalesce(ct.contaminated, 0) AS BIGINT) AS contaminated,
+         |    CAST(coalesce(lq.low_quality, 1) AS BIGINT) AS low_quality
+         |  FROM documents d
+         |  JOIN fpk ON fpk.doc_id = d.doc_id
+         |  JOIN keepers kk ON kk.f = fpk.f
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  LEFT JOIN nd ON nd.doc_id = d.doc_id
+         |  LEFT JOIN ct ON ct.doc_id = d.doc_id
+         |  LEFT JOIN lq ON lq.doc_id = d.doc_id
+         |  LEFT JOIN ntok nt ON nt.doc_id = d.doc_id
+         |  WHERE d.doc_id % 53 <> 0)
+         |SELECT doc_id, source, n_tokens, quality, exact_dup, near_dup, contaminated,
+         |  low_quality,
+         |  CAST(CASE WHEN exact_dup = 0 AND near_dup = 0 AND contaminated = 0
+         |    AND low_quality = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM base ORDER BY doc_id""".stripMargin,
     "events_interval_join_batch" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id,
         |  epoch_us(e.ts) - epoch_us(p.ts) AS delta_us
@@ -2336,6 +2464,16 @@ object SparkEntry {
         |)
         |SELECT q_id, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
         |ORDER BY q_id, "rank"""".stripMargin,
+    "lsh_plan" ->
+      """WITH b AS (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS bands),
+        |bd AS (SELECT bands, CAST(64 // bands AS BIGINT) AS rows_per_band
+        |       FROM b WHERE 64 % bands = 0),
+        |g AS (SELECT CAST(unnest(range(1, 20)) AS DOUBLE) / 20 AS jaccard)
+        |SELECT bands, rows_per_band, round(jaccard, 9) AS jaccard,
+        |  round(1.0 - pow(1.0 - pow(jaccard, rows_per_band), bands), 9) AS p_collide,
+        |  round(pow(1.0 / bands, 1.0 / rows_per_band), 9) AS threshold
+        |FROM bd CROSS JOIN g
+        |ORDER BY bands, jaccard""".stripMargin,
     "semantic_dedup" ->
       """WITH ex AS (
         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,34 @@ object Dedup {
     shingles(docs, shingleLen)
       .groupBy("doc_id")
       .agg(agg(col("shingle_hash")).as("sig"))
+  }
+
+  /** LSH banding PLANNER: the S-curve table an engineer reads before
+    * picking (bands, rows) for [[minhashPairs]] — for every banding of a
+    * `k`-permutation signature and every Jaccard value on a grid, the
+    * probability that a pair at that similarity collides in at least one
+    * band, {{{ P(collide) = 1 - (1 - J^r)^b }}}, plus the banding's
+    * threshold (the S-curve's steep point, `(1/b)^(1/r)`). Driver-less
+    * construction: the grid is `spark.range` cross products, the math is
+    * codegen'd column expressions — the same shape at any cluster size
+    * (the output is bands×grid rows, independent of any corpus).
+    * `pow` may differ in the last ulp across libms → both engines round
+    * to 9 (the established `ln` treatment). */
+  def lshPlan(k: Int = 64, jSteps: Int = 19): DataFrame = {
+    val spark = SparkSession.active
+    val bandings = spark.range(1, k + 1).withColumnRenamed("id", "bands")
+      .where(lit(k) % col("bands") === 0)
+      .withColumn("rows_per_band", (lit(k) / col("bands")).cast("long"))
+    val grid = spark.range(1, jSteps + 1)
+      .select((col("id").cast("double") / (jSteps + 1)).as("jaccard"))
+    bandings.crossJoin(grid)
+      .select(col("bands"), col("rows_per_band"),
+        round(col("jaccard"), 9).as("jaccard"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), col("rows_per_band")),
+          col("bands")), 9).as("p_collide"),
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 9)
+          .as("threshold"))
+      .orderBy("bands", "jaccard")
   }
 
   /** Banded LSH over MinHash signatures → candidate pairs with estimated

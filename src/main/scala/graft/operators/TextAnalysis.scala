@@ -516,6 +516,30 @@ object TextAnalysis {
       .orderBy("merge_rank")
   }
 
+  /** BPE ENCODING — apply a learned merge table to segment every
+    * vocabulary word into subword units: the rules (a tokenizer model is
+    * a small driver-side artifact, like a PQ codebook) chain as
+    * `merges.length` leftmost-greedy folds in merge_rank order, which is
+    * exactly the standard BPE encoder. Segmenting the VOCABULARY (not the
+    * token stream) is the production shape: each distinct word encodes
+    * once, and a stream joins against the result. Output:
+    * (term, subwords, n_subwords). */
+  def bpeSegmentVocab(terms: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val base = terms.select(col("term"),
+      concat(split(col("term"), ""), array(lit("</w>"))).as("syms"))
+    val applied = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, s) => when(
+            try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(l + r))))
+            .otherwise(concat(acc, array(s)))))
+    }
+    applied.select(col("term"), col("syms").as("subwords"),
+      size(col("syms")).cast("long").as("n_subwords"))
+      .orderBy("term")
+  }
+
   /** Corpus-driven stopword candidates: terms whose document frequency
     * covers at least `minDfRatio` of the corpus — what a pipeline derives
     * its language-specific stop list from instead of shipping a fixed one.

@@ -33,7 +33,7 @@ class DeterminismSpec extends SparkSpec {
     // late round-5 additions: decimal-routed LM transition means,
     // cluster-precedence drop decisions, stream-stream band self-join
     "lm_doc_scores", "semantic_dedup", "streams_near_dup_join_batch",
-    "ivf_lloyd_top10")) {
+    "ivf_lloyd_top10", "training_data_manifest", "bpe_vocab_segments")) {
     test(s"$q is identical under 3 vs 13 shuffle partitions") {
       assert(runWith(3, q) == runWith(13, q))
     }

@@ -105,6 +105,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.forall(r => r._4 == r._2 + r._3))
   }
 
+  test("bpeSegmentVocab encodes with the learned rules, leftmost-greedy") {
+    // the 5 rules learned in the Sennrich test: es, est, est</w>, lo, low
+    val rules = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
+    val got = TextAnalysis.bpeSegmentVocab(
+        Seq("low", "lower", "newest", "widest").toDF("term"), rules)
+      .select("term", "subwords").as[(String, Seq[String])].collect().toMap
+    assert(got("low") == Seq("low", "</w>"))
+    assert(got("lower") == Seq("low", "e", "r", "</w>"))
+    assert(got("newest") == Seq("n", "e", "w", "est</w>"))
+    assert(got("widest") == Seq("w", "i", "d", "est</w>"))
+  }
+
   test("bpeTrainMerges stops early once no pairs remain") {
     val vocab = Seq(("ab", 3L)).toDF("term", "freq")
     // ab</w> has 2 pairs; afterwards the word is one symbol — rounds past
