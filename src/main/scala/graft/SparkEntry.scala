@@ -645,6 +645,10 @@ object SparkEntry {
     // --- embedding near-dup (LSH bucket logic → rows-only check) ---
     "embedding_near_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.5)),
+    // join-key skew diagnostic: the report read before salting a join
+    "events_key_skew" -> ((s, dir) =>
+      operators.Scaling.skewReport(
+        Tables.events(s, dir).select("user_id"), "user_id", 20)),
     // LSH banding planner: the S-curve table behind every (bands, rows)
     // choice in the MinHash dedup family — corpus-independent math,
     // oracle-exact
@@ -2464,6 +2468,17 @@ object SparkEntry {
         |)
         |SELECT q_id, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
         |ORDER BY q_id, "rank"""".stripMargin,
+    "events_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows, count(*) AS n_keys,
+        |             max(n_rows) AS max_rows FROM c)
+        |SELECT key, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / total_rows, 9) AS share,
+        |  round(CAST(max_rows AS DOUBLE) / (CAST(total_rows AS DOUBLE) / n_keys), 9)
+        |    AS skew_ratio
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, key ASC
+        |LIMIT 20""".stripMargin,
     "lsh_plan" ->
       """WITH b AS (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS bands),
         |bd AS (SELECT bands, CAST(64 // bands AS BIGINT) AS rows_per_band

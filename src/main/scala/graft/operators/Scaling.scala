@@ -7,6 +7,31 @@ import org.apache.spark.sql.functions._
 /** Parallelism helpers shared by expansion-heavy operators. */
 object Scaling {
 
+  /** Join-key skew report — the diagnostic an engineer reads BEFORE
+    * reaching for [[saltedJoin]] or trusting AQE: per hot key its row
+    * count and share of the table, plus the table-wide skew ratio
+    * (hottest key ÷ mean rows per key). One narrow (key, count)
+    * aggregate with map-side partials and a `TakeOrderedAndProject`
+    * top-k; the two scalar totals ride along as a broadcast one-row
+    * frame — no driver action, corpus-size-independent output.
+    *
+    * Reading it: share ≈ 1/partitions for the top key means one reducer
+    * owns that key's whole row set — AQE can split oversized partitions
+    * but never a single monster key; that is [[saltedJoin]] territory. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(
+      sum("n_rows").as("total_rows"), count(lit(1)).as("n_keys"),
+      max("n_rows").as("max_rows"))
+    Tfidf.topKByValue(
+      counts.crossJoin(broadcast(totals))
+        .select(col("key"), col("n_rows"),
+          round(col("n_rows").cast("double") / col("total_rows"), 9).as("share"),
+          round(col("max_rows").cast("double") /
+            (col("total_rows").cast("double") / col("n_keys")), 9).as("skew_ratio")),
+      "n_rows", topK, Seq("key"))
+  }
+
   /** Skew-salted inner equi-join: the build side is replicated `salts`
     * times, the probe side is deterministically salted by row hash, so one
     * hot key's rows spread over `salts` reducers instead of one. Result

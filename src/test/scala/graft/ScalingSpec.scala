@@ -21,6 +21,17 @@ class ScalingSpec extends SparkSpec {
     assert(salted.count(_._1 == 7L) == 5001) // 5000 hot rows + "cold7"
   }
 
+  test("skewReport surfaces the monster key with exact share and ratio") {
+    // 60 rows on key 7, one row each on 1..4: total 64, 5 keys,
+    // mean 12.8, skew_ratio 60/12.8 = 4.6875
+    val df = ((1 to 60).map(_ => 7L) ++ (1L to 4L)).toDF("k")
+    val got = Scaling.skewReport(df, "k", topK = 3)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.head == ((7L, 60L, 0.9375, 4.6875)))
+    // ties on n_rows = 1 break to key ascending; topK caps the output
+    assert(got.map(_._1) == Seq(7L, 1L, 2L))
+  }
+
   test("AQE splits a skewed join partition when thresholds are met") {
     val conf = spark.conf
     val saved = Seq(
