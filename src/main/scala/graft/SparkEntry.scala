@@ -744,6 +744,11 @@ object SparkEntry {
       TextAnalysis.bigramPmiFromTokens(
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         termCountsAsset(s, dir), minCount = 5L, k = 100)),
+    // mergeable per-source HLL vocabulary sketches + sketch-union total
+    // (DataSketches estimates are engine-internal → rows-only; the spec
+    // gates estimate-vs-exact error)
+    "source_term_hll" -> ((s, dir) =>
+      TextAnalysis.sourceTermHll(Tables.documents(s, dir), termCountsAsset(s, dir))),
     // tokenizer training: BPE merge-rule induction over the vocabulary
     // derived from the term-counts asset. Iterative argmax (one rule per
     // round) has no tractable single-statement SQL twin → rows-only here;

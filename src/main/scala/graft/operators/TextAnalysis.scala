@@ -540,6 +540,39 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** Mergeable-sketch vocabulary inventory — the architecture that
+    * replaces re-scans at 100 TB: each source (shard / day / provenance
+    * bucket) aggregates ONE compact HLL sketch of its distinct term set
+    * (Spark's built-in DataSketches `hll_sketch_agg`), and the corpus-wide
+    * distinct estimate comes from UNIONING the sketches
+    * (`hll_union_agg`), never from re-scanning the union of the data.
+    * Any slice's cardinality is a merge of per-shard sketches — the
+    * pattern a production pipeline stores alongside its partitions.
+    *
+    * Output: one row per source plus an `__all__` union row, each with
+    * the sketch estimate AND the exact distinct count (the honest check:
+    * at small cardinalities HLL answers exactly; at scale the exact side
+    * is what you stop being able to afford). Estimates are
+    * engine-internal (DataSketches) → rows-only driver check; the spec
+    * gates estimate-vs-exact error. */
+  def sourceTermHll(docs: DataFrame, tc: DataFrame, lgK: Int = 12): DataFrame = {
+    val bySource = tc.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("term"), lit(lgK)).as("sketch"),
+        count_distinct(col("term")).as("exact_distinct"))
+      .scopedPersist()
+    val all = bySource.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("approx_distinct"))
+    val allExact = tc.agg(count_distinct(col("term")).as("exact_distinct"))
+    bySource.select(col("source"),
+        hll_sketch_estimate(col("sketch")).as("approx_distinct"),
+        col("exact_distinct"))
+      .unionByName(all.crossJoin(allExact).select(
+        lit("__all__").as("source"), col("approx_distinct"), col("exact_distinct")))
+      .orderBy("source")
+  }
+
   /** Corpus-driven stopword candidates: terms whose document frequency
     * covers at least `minDfRatio` of the corpus — what a pipeline derives
     * its language-specific stop list from instead of shipping a fixed one.

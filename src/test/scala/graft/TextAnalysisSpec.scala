@@ -105,6 +105,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.forall(r => r._4 == r._2 + r._3))
   }
 
+  test("sourceTermHll: per-source sketches and their union track exact counts") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    // source a: terms {x, y, z}; source b: {y, z, w} — union {x, y, z, w}
+    val tc = Seq((1L, "x", 1L), (1L, "y", 2L), (2L, "z", 1L),
+      (3L, "y", 1L), (3L, "z", 3L), (3L, "w", 1L))
+      .toDF("doc_id", "term", "cnt")
+    val got = TextAnalysis.sourceTermHll(docs, tc)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._3)) ==
+      Seq(("__all__", 4L), ("a", 3L), ("b", 3L)))
+    // HLL is exact at these cardinalities (sparse mode); the union row's
+    // estimate must come from MERGED per-source sketches, not a re-scan
+    got.foreach { case (src, approx, exact) =>
+      assert(math.abs(approx - exact) / exact < 0.05, s"$src: $approx vs $exact")
+    }
+  }
+
   test("bpeSegmentVocab encodes with the learned rules, leftmost-greedy") {
     // the 5 rules learned in the Sennrich test: es, est, est</w>, lo, low
     val rules = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
