@@ -46,21 +46,27 @@ def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
     # warm time is per-plan execution with caches hot, so a superlinear warm
     # ratio is a REAL plan problem (cold can at least blame asset builds and
     # page-cache misses). Floor stays: sub-second warm baselines are
-    # overhead-dominated and their ratios are noise.
-    warm_common = sorted(set(base.get("queries_warm", {}))
-                         & set(scaled.get("queries_warm", {}))
-                         & set(common))
+    # overhead-dominated and their ratios are noise. Reporting mirrors the
+    # cold loop exactly (PASS lines, one-file WARNs, labeled worst entry)
+    # so the log shows warm WAS exercised.
+    warm_base, warm_scaled = base.get("queries_warm", {}), scaled.get("queries_warm", {})
+    warm_common = sorted(set(warm_base) & set(warm_scaled) & set(common))
+    for name in sorted((set(warm_base) ^ set(warm_scaled)) & set(common)):
+        print(f"WARN {name}: warm timing present at only one scale, not gated")
+    worst = (worst[0], worst[1], "cold")
     for name in warm_common:
-        b, s = base["queries_warm"][name], scaled["queries_warm"][name]
+        b, s = warm_base[name], warm_scaled[name]
         ratio = s / b if b > 0 else float("inf")
         if ratio > worst[1]:
-            worst = (name, ratio)
+            worst = (name, ratio, "warm")
         if s > max(factor * b, floor_s):
             print(f"FAIL {name}: warm {s:.2f}s at scale vs {b:.2f}s base "
                   f"(ratio {ratio:.1f}x > {factor:.0f}x, floor {floor_s}s)")
             bad += 1
+        else:
+            print(f"PASS {name}: warm {b:.2f}s -> {s:.2f}s (ratio {ratio:.1f}x)")
     print(f"scale gate: {len(common)} cold + {len(warm_common)} warm gated, "
-          f"{bad} failures; worst ratio {worst[1]:.1f}x ({worst[0]})")
+          f"{bad} failures; worst ratio {worst[1]:.1f}x ({worst[2]} {worst[0]})")
     return 1 if bad else 0
 
 

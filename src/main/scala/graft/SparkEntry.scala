@@ -131,11 +131,11 @@ object SparkEntry {
           s"${root.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}\n".getBytes("UTF-8"))
         if (paranoid) {
           val in = new java.io.FileInputStream(f)
-          try {
-            val buf = new Array[Byte](65536)
-            val n = in.read(buf)
-            if (n > 0) md.update(buf, 0, n)
-          } finally in.close()
+          // readNBytes loops until 64 KiB or EOF — a single read() may
+          // legally return a short chunk (NFS/fuse), which would make the
+          // digest depend on I/O chunking instead of file content
+          try md.update(in.readNBytes(65536))
+          finally in.close()
         }
       }
     walk(root)
@@ -652,7 +652,7 @@ object SparkEntry {
     // LSH banding planner: the S-curve table behind every (bands, rows)
     // choice in the MinHash dedup family — corpus-independent math,
     // oracle-exact
-    "lsh_plan" -> ((_, _) => Dedup.lshPlan(64, 19)),
+    "lsh_plan" -> ((s, _) => Dedup.lshPlan(s, 64, 19)),
     // SemDeDup: md5-seeded portable clusters, keep the most-central member
     // of every within-cluster near-dup neighborhood — fully oracle-checked
     // (assignment, precedence, and drop decisions replay in DuckDB)
@@ -822,12 +822,17 @@ object SparkEntry {
     // columns, not a shrinking sequential rerun), and `kept` is their
     // conjunction — the row set a pipeline would hand to packing/sampling.
     "training_data_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
+      // one fingerprint pass feeds BOTH the per-doc flag and the keeper
+      // groupBy (calling Dedup.exact separately would normalize+md5 the
+      // corpus a second time); same min-doc_id keeper policy
       val fp = docs.select(col("doc_id"),
           graft.functions.TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
-      val exactDup = fp
-        .join(Dedup.exact(docs).select("fingerprint", "keeper"), "fingerprint")
-        .select(col("doc_id"), (col("doc_id") =!= col("keeper")).cast("long").as("exact_dup"))
+        .withColumn("keeper",
+          min("doc_id").over(Window.partitionBy("fingerprint")))
+      val exactDup = fp.select(col("doc_id"),
+        (col("doc_id") =!= col("keeper")).cast("long").as("exact_dup"))
       val nearDup = dedupLabelsAsset(s, dir)
         .where(col("doc_id") =!= col("cluster"))
         .select(col("doc_id"), lit(1L).as("near_dup"))
@@ -835,24 +840,33 @@ object SparkEntry {
       val contaminated = Curation.decontaminateFromTokens(
           toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
         .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
+      // one qualityScore pass feeds the audit column AND the per-source
+      // bottom-quartile cut (qualityRankFilter would recompute the
+      // multi-regex projection; the rank predicate here is its exact twin)
       val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
-      val qualityKept = TextAnalysis.qualityRankFilter(docs, dropFraction = 0.25)
-        .select(col("doc_id"), lit(0L).as("low_quality"))
+      val lowQuality = docs.select("doc_id", "source").join(quality, "doc_id")
+        .withColumn("quality_rank", row_number().over(
+          Window.partitionBy("source").orderBy(asc("quality"), asc("doc_id"))).cast("long"))
+        .withColumn("n_in_source",
+          count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+        .select(col("doc_id"),
+          (col("quality_rank") <= floor(lit(0.25) * col("n_in_source")))
+            .cast("long").as("low_quality"))
       val nTok = toks.select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
       docs.where(col("doc_id") % 53 =!= 0)
         .select("doc_id", "source")
         .join(exactDup, "doc_id")
         .join(quality, "doc_id")
+        .join(lowQuality, "doc_id")
         .join(nearDup, Seq("doc_id"), "left")
         .join(contaminated, Seq("doc_id"), "left")
-        .join(qualityKept, Seq("doc_id"), "left")
         .join(nTok, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
           col("quality"), col("exact_dup"),
           coalesce(col("near_dup"), lit(0L)).as("near_dup"),
           coalesce(col("contaminated"), lit(0L)).as("contaminated"),
-          coalesce(col("low_quality"), lit(1L)).as("low_quality"))
+          col("low_quality"))
         .withColumn("kept",
           (col("exact_dup") === 0 && col("near_dup") === 0 &&
             col("contaminated") === 0 && col("low_quality") === 0).cast("long"))

@@ -77,8 +77,7 @@ object Dedup {
     * (the output is bands×grid rows, independent of any corpus).
     * `pow` may differ in the last ulp across libms → both engines round
     * to 9 (the established `ln` treatment). */
-  def lshPlan(k: Int = 64, jSteps: Int = 19): DataFrame = {
-    val spark = SparkSession.active
+  def lshPlan(spark: SparkSession, k: Int = 64, jSteps: Int = 19): DataFrame = {
     val bandings = spark.range(1, k + 1).withColumnRenamed("id", "bands")
       .where(lit(k) % col("bands") === 0)
       .withColumn("rows_per_band", (lit(k) / col("bands")).cast("long"))

@@ -80,18 +80,26 @@ object ProductQuantization {
       .select(col("sub"), (col("rn") - 1).cast("int").as("code"), col("subv").as("cv"))
     for (_ <- 1 to lloydIters) {
       // assign: nearest centroid per (vec, sub) by L2 — map-side max_by on
-      // negated distance, broadcast codebook (m×codes rows — tiny)
+      // negated distance, broadcast codebook (m×codes rows — tiny). Same
+      // determinism contract as Similarity.trainCentroids: the argmax
+      // ranks on a ROUNDED distance (an unrounded one lets last-ulp
+      // summation differences flip near-tied assignments between physical
+      // layouts), ties to the lower code.
       val assigned = sub.join(broadcast(cents), "sub")
-        .withColumn("d2", expr(
-          "graft_sqdist(subv, cv)"))
+        .withColumn("d2", round(expr("graft_sqdist(subv, cv)"), 9))
         .groupBy("vec_id", "sub")
         .agg(max_by(struct(col("code"), col("subv")),
           struct(-col("d2"), -col("code"))).as("best"))
         .select(col("sub"), col("best.code").as("code"), col("best.subv").as("subv"))
-      // recenter: per-dimension means (m×codes×subDim rows after partial agg)
+      // recenter: per-dimension means (m×codes×subDim rows after partial
+      // agg), routed through an exact DECIMAL sum — a plain double avg is
+      // partition-order-dependent and the 9-round alone cannot mask a
+      // flip landing exactly on a rounding boundary
       cents = assigned
         .select(col("sub"), col("code"), posexplode(col("subv")).as(Seq("i", "x")))
-        .groupBy("sub", "code", "i").agg(round(avg("x"), 9).as("mu"))
+        .groupBy("sub", "code", "i")
+        .agg(round(sum(col("x").cast("decimal(38,20)")).cast("double")
+          / count(lit(1)), 9).as("mu"))
         .groupBy("sub", "code")
         .agg(array_sort(collect_list(struct(col("i"), col("mu")))).as("pairs"))
         .select(col("sub"), col("code"), expr("transform(pairs, p -> p.mu)").as("cv"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -362,14 +362,23 @@ object TextAnalysis {
       minCount: Long = 5L, k: Int = 100): DataFrame =
     bigramPmiFromArrays(toks.select(col("tokens").as("a")), tc, minCount, k)
 
+  /** Adjacent-pair extraction from a token-array column: one row per
+    * (w1, w2) transition, `carry` columns preserved — per-row array
+    * slicing, no window, no self-join. THE single spelling of the bigram
+    * contract (shared by PMI and the LM scorer; mirrors the oracle's
+    * `toksArrCte` adjacency). */
+  private def adjacentPairs(arrays: DataFrame, arrCol: String,
+      carry: Seq[String]): DataFrame =
+    arrays.where(size(col(arrCol)) >= 2)
+      .select(carry.map(col) :+ explode(expr(
+        s"transform(sequence(1, size($arrCol) - 1), " +
+          s"i -> struct(element_at($arrCol, i) AS w1, element_at($arrCol, i + 1) AS w2))"))
+        .as("bg"): _*)
+      .select(carry.map(col) :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+
   private def bigramPmiFromArrays(arrays: DataFrame, tc: DataFrame,
       minCount: Long, k: Int): DataFrame = {
-    val bigrams = arrays
-      .where(size(col("a")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(a) - 1), " +
-          "i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))")).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = adjacentPairs(arrays, "a", Seq.empty)
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
     val uni = tc.groupBy("term").agg(sum("cnt").as("n_t"))
     val uniTotal = uni.agg(sum("n_t").cast("double").as("t_total"))
@@ -416,11 +425,7 @@ object TextAnalysis {
     * per-doc mean routes through DECIMAL(18,9) so partition summation
     * order can't flip the 9th digit. */
   def lmDocScoresFromTokens(toks: DataFrame): DataFrame = {
-    val transitions = toks.where(size(col("tokens")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tokens) - 1), " +
-          "i -> struct(element_at(tokens, i) AS w1, element_at(tokens, i + 1) AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val transitions = adjacentPairs(toks, "tokens", Seq("doc_id"))
       .scopedPersist()
     val pairCounts = transitions.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
     val ctxCounts = pairCounts.groupBy("w1").agg(sum("n_ab").as("n_ctx"))
@@ -465,6 +470,19 @@ object TextAnalysis {
   def bpeTrainMergesFromCounts(tc: DataFrame, nMerges: Int = 12): DataFrame =
     bpeTrainMerges(tc.groupBy("term").agg(sum("cnt").as("freq")), nMerges)
 
+  /** THE leftmost-greedy merge fold — the one spelling both the trainer
+    * and the encoder apply, so they can never disagree on merge
+    * semantics. Rules enter as `lit()` columns, never string-spliced SQL
+    * (symbols may contain quotes); `try_element_at` is ANSI-safe on the
+    * empty initial accumulator (null compares to false in the `when`),
+    * where `element_at` would throw. */
+  private def applyMergeRule(symsCol: Column, l: String, r: String): Column =
+    aggregate(symsCol, array().cast("array<string>"),
+      (acc, s) => when(
+        try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
   /** [[bpeTrainMergesFromCounts]] over a prebuilt `(term, freq)` vocabulary. */
   def bpeTrainMerges(termFreqs: DataFrame, nMerges: Int = 12): DataFrame = {
     val spark = termFreqs.sparkSession
@@ -491,16 +509,8 @@ object TextAnalysis {
       else {
         val (l, rr, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         rules += ((r, l, rr, l + rr, pf))
-        // literals via lit(), never string-spliced SQL: symbols may contain
-        // quotes (the portable tokenizer keeps inner punctuation)
-        // try_element_at: ANSI-safe on the empty initial accumulator (null
-        // compares to false in the `when`), where element_at would throw
-        val applied = words.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, s) => when(
-              try_element_at(acc, lit(-1)) === lit(l) && s === lit(rr),
-              concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(l + rr))))
-              .otherwise(concat(acc, array(s)))))
+        val applied = words
+          .withColumn("syms", applyMergeRule(col("syms"), l, rr))
           .scopedPersist()
         applied.count() // materialize before releasing the parent round
         cached.unpersist(false)
@@ -528,12 +538,7 @@ object TextAnalysis {
     val base = terms.select(col("term"),
       concat(split(col("term"), ""), array(lit("</w>"))).as("syms"))
     val applied = merges.foldLeft(base) { case (df, (l, r)) =>
-      df.withColumn("syms",
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, s) => when(
-            try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
-            concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(l + r))))
-            .otherwise(concat(acc, array(s)))))
+      df.withColumn("syms", applyMergeRule(col("syms"), l, r))
     }
     applied.select(col("term"), col("syms").as("subwords"),
       size(col("syms")).cast("long").as("n_subwords"))
