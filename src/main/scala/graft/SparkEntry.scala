@@ -120,8 +120,10 @@ object SparkEntry {
     * fingerprint documents. Costs one bounded read per file — still
     * corpus-size-independent per file, opt-in because the stat-only mode
     * is already safe against every writer that doesn't forge mtimes. */
+  private[graft] var paranoidOverride: Option[Boolean] = None // test hook
   private[graft] def contentDigest(dir: String): String = {
-    val paranoid = sys.env.get("SPARK_GRAFT_ASSET_PARANOID").contains("1")
+    val paranoid = paranoidOverride
+      .getOrElse(sys.env.get("SPARK_GRAFT_ASSET_PARANOID").contains("1"))
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val root = new java.io.File(dir)
     def walk(f: java.io.File): Unit =
@@ -278,6 +280,60 @@ object SparkEntry {
       operators.Curation.windowRowsFromTokens(
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 5)
     }
+
+  /** The end-to-end curation manifest (shared by `training_data_manifest`
+    * and `manifest_quality_calibration`): per train-split document, audit
+    * flags from every curation stage — exact dedup (ONE fingerprint pass
+    * feeds both the flag and the window-min keeper), near-dup cluster
+    * labels (asset), 3-gram decontamination vs the held-out split, and
+    * the per-source bottom-quartile quality cut (ONE qualityScore pass;
+    * the rank predicate is qualityRankFilter's exact twin) — plus the
+    * `kept` conjunction a pipeline hands to packing/sampling. */
+  private def manifestFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val fp = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+      .withColumn("keeper",
+        min("doc_id").over(Window.partitionBy("fingerprint")))
+    val exactDup = fp.select(col("doc_id"),
+      (col("doc_id") =!= col("keeper")).cast("long").as("exact_dup"))
+    val nearDup = dedupLabelsAsset(s, dir)
+      .where(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), lit(1L).as("near_dup"))
+    val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+    val contaminated = Curation.decontaminateFromTokens(
+        toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
+      .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
+    val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+    val lowQuality = docs.select("doc_id", "source").join(quality, "doc_id")
+      .withColumn("quality_rank", row_number().over(
+        Window.partitionBy("source").orderBy(asc("quality"), asc("doc_id"))).cast("long"))
+      .withColumn("n_in_source",
+        count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+      .select(col("doc_id"),
+        (col("quality_rank") <= floor(lit(0.25) * col("n_in_source")))
+          .cast("long").as("low_quality"))
+    val nTok = toks.select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+    docs.where(col("doc_id") % 53 =!= 0)
+      .select("doc_id", "source")
+      .join(exactDup, "doc_id")
+      .join(quality, "doc_id")
+      .join(lowQuality, "doc_id")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(nTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("quality"), col("exact_dup"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        col("low_quality"))
+      .withColumn("kept",
+        (col("exact_dup") === 0 && col("near_dup") === 0 &&
+          col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
+      .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------------------
   // Declared queries. Each (SparkSession, sfDir) => DataFrame, hash-compared
@@ -821,57 +877,27 @@ object SparkEntry {
     // over the full corpus exactly as their standalone queries do (audit
     // columns, not a shrinking sequential rerun), and `kept` is their
     // conjunction — the row set a pipeline would hand to packing/sampling.
-    "training_data_manifest" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-      // one fingerprint pass feeds BOTH the per-doc flag and the keeper
-      // groupBy (calling Dedup.exact separately would normalize+md5 the
-      // corpus a second time); same min-doc_id keeper policy
-      val fp = docs.select(col("doc_id"),
-          graft.functions.TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
-        .withColumn("keeper",
-          min("doc_id").over(Window.partitionBy("fingerprint")))
-      val exactDup = fp.select(col("doc_id"),
-        (col("doc_id") =!= col("keeper")).cast("long").as("exact_dup"))
-      val nearDup = dedupLabelsAsset(s, dir)
-        .where(col("doc_id") =!= col("cluster"))
-        .select(col("doc_id"), lit(1L).as("near_dup"))
-      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-      val contaminated = Curation.decontaminateFromTokens(
-          toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
-        .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
-      // one qualityScore pass feeds the audit column AND the per-source
-      // bottom-quartile cut (qualityRankFilter would recompute the
-      // multi-regex projection; the rank predicate here is its exact twin)
-      val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
-      val lowQuality = docs.select("doc_id", "source").join(quality, "doc_id")
-        .withColumn("quality_rank", row_number().over(
-          Window.partitionBy("source").orderBy(asc("quality"), asc("doc_id"))).cast("long"))
-        .withColumn("n_in_source",
-          count(lit(1)).over(Window.partitionBy("source")).cast("long"))
-        .select(col("doc_id"),
-          (col("quality_rank") <= floor(lit(0.25) * col("n_in_source")))
-            .cast("long").as("low_quality"))
-      val nTok = toks.select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
-      docs.where(col("doc_id") % 53 =!= 0)
-        .select("doc_id", "source")
-        .join(exactDup, "doc_id")
-        .join(quality, "doc_id")
-        .join(lowQuality, "doc_id")
-        .join(nearDup, Seq("doc_id"), "left")
-        .join(contaminated, Seq("doc_id"), "left")
-        .join(nTok, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          col("quality"), col("exact_dup"),
-          coalesce(col("near_dup"), lit(0L)).as("near_dup"),
-          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
-          col("low_quality"))
-        .withColumn("kept",
-          (col("exact_dup") === 0 && col("near_dup") === 0 &&
-            col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
-        .orderBy("doc_id")
-    }),
+    "training_data_manifest" -> ((s, dir) => manifestFrame(s, dir)),
+    // calibration analytics over the manifest: fixed-width quality
+    // buckets (VALUE-bucketed, a map-side groupBy — a global ntile would
+    // funnel the corpus through one partition) × per-reason drop counts.
+    // The curve an engineer reads to sanity-check that the quality score
+    // actually separates the dup/contaminated mass before trusting the cut.
+    "manifest_quality_calibration" -> ((s, dir) =>
+      manifestFrame(s, dir)
+        // 0.02-wide value buckets (floor(q*50), capped): the fixture's
+        // quality mass sits in [0.7, 0.84], so 0.1-wide deciles collapse
+        // to two bins — same map-side shape, finer curve
+        .groupBy(least(floor(col("quality") * 50), lit(49L)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("exact_dup").as("n_exact_dup"),
+          sum("near_dup").as("n_near_dup"),
+          sum("contaminated").as("n_contaminated"),
+          sum("low_quality").as("n_low_quality"),
+          sum("kept").as("n_kept"))
+        .withColumn("kept_rate",
+          round(col("n_kept").cast("double") / col("n_docs"), 9))
+        .orderBy("bucket")),
     "repetition_stats" -> ((s, dir) =>
       Curation.repetitionStatsFromTokens(
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)))),
@@ -1262,6 +1288,70 @@ object SparkEntry {
        |labels AS (
        |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
        |  FROM reach GROUP BY a)""".stripMargin
+
+  /** Shared CTE chain for the end-to-end manifest oracles: every curation
+    * stage's flags as SQL (the same shared `clusterLabelsCte` the dedup
+    * oracles use), ending in a `manifest` CTE with the `kept`
+    * conjunction — `training_data_manifest` selects its rows,
+    * `manifest_quality_calibration` aggregates its buckets. */
+  private lazy val manifestOracleCtes =
+    s"""$clusterLabelsCte,
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0),
+       |tr AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_overlap
+       |  FROM grams WHERE doc_id % 53 <> 0 GROUP BY 1),
+       |ct AS (
+       |  SELECT doc_id,
+       |    CASE WHEN round(CAST(n_overlap AS DOUBLE) / n_grams, 9) >= 0.05 THEN 1 ELSE 0 END
+       |      AS contaminated
+       |  FROM tr),
+       |fpk AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       |  FROM documents),
+       |keepers AS (SELECT f, min(doc_id) AS keeper FROM fpk GROUP BY 1),
+       |nd AS (SELECT doc_id, 1 AS near_dup FROM labels WHERE doc_id <> cluster),
+       |q AS (
+       |  SELECT doc_id,
+       |    round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+       |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+       |      + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.1
+       |      + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+       |              / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
+       |  FROM documents),
+       |r AS (
+       |  SELECT d.doc_id, q.quality,
+       |    CAST(row_number() OVER (PARTITION BY d.source ORDER BY q.quality ASC, d.doc_id ASC) AS BIGINT)
+       |      AS quality_rank,
+       |    count(*) OVER (PARTITION BY d.source) AS n_in_source
+       |  FROM documents d JOIN q USING (doc_id)),
+       |lq AS (
+       |  SELECT doc_id,
+       |    CASE WHEN quality_rank > floor(0.25 * n_in_source) THEN 0 ELSE 1 END AS low_quality
+       |  FROM r),
+       |ntok AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM toksarr),
+       |base AS (
+       |  SELECT d.doc_id, d.source,
+       |    coalesce(nt.n_tokens, 0) AS n_tokens, q.quality,
+       |    CAST(CASE WHEN d.doc_id <> kk.keeper THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+       |    CAST(coalesce(nd.near_dup, 0) AS BIGINT) AS near_dup,
+       |    CAST(coalesce(ct.contaminated, 0) AS BIGINT) AS contaminated,
+       |    CAST(coalesce(lq.low_quality, 1) AS BIGINT) AS low_quality
+       |  FROM documents d
+       |  JOIN fpk ON fpk.doc_id = d.doc_id
+       |  JOIN keepers kk ON kk.f = fpk.f
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |  LEFT JOIN ct ON ct.doc_id = d.doc_id
+       |  LEFT JOIN lq ON lq.doc_id = d.doc_id
+       |  LEFT JOIN ntok nt ON nt.doc_id = d.doc_id
+       |  WHERE d.doc_id % 53 <> 0),
+       |manifest AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN exact_dup = 0 AND near_dup = 0 AND contaminated = 0
+       |      AND low_quality = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |  FROM base)""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val m = baseOracleSql
@@ -2195,63 +2285,21 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster)
          |ORDER BY d.doc_id""".stripMargin,
     "training_data_manifest" ->
-      s"""$clusterLabelsCte,
-         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0),
-         |tr AS (
-         |  SELECT doc_id, count(*) AS n_grams,
-         |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_overlap
-         |  FROM grams WHERE doc_id % 53 <> 0 GROUP BY 1),
-         |ct AS (
-         |  SELECT doc_id,
-         |    CASE WHEN round(CAST(n_overlap AS DOUBLE) / n_grams, 9) >= 0.05 THEN 1 ELSE 0 END
-         |      AS contaminated
-         |  FROM tr),
-         |fpk AS (
-         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-         |  FROM documents),
-         |keepers AS (SELECT f, min(doc_id) AS keeper FROM fpk GROUP BY 1),
-         |nd AS (SELECT doc_id, 1 AS near_dup FROM labels WHERE doc_id <> cluster),
-         |q AS (
-         |  SELECT doc_id,
-         |    round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
-         |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
-         |      + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.1
-         |      + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
-         |              / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
-         |  FROM documents),
-         |r AS (
-         |  SELECT d.doc_id, q.quality,
-         |    CAST(row_number() OVER (PARTITION BY d.source ORDER BY q.quality ASC, d.doc_id ASC) AS BIGINT)
-         |      AS quality_rank,
-         |    count(*) OVER (PARTITION BY d.source) AS n_in_source
-         |  FROM documents d JOIN q USING (doc_id)),
-         |lq AS (
-         |  SELECT doc_id,
-         |    CASE WHEN quality_rank > floor(0.25 * n_in_source) THEN 0 ELSE 1 END AS low_quality
-         |  FROM r),
-         |ntok AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM toksarr),
-         |base AS (
-         |  SELECT d.doc_id, d.source,
-         |    coalesce(nt.n_tokens, 0) AS n_tokens, q.quality,
-         |    CAST(CASE WHEN d.doc_id <> kk.keeper THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
-         |    CAST(coalesce(nd.near_dup, 0) AS BIGINT) AS near_dup,
-         |    CAST(coalesce(ct.contaminated, 0) AS BIGINT) AS contaminated,
-         |    CAST(coalesce(lq.low_quality, 1) AS BIGINT) AS low_quality
-         |  FROM documents d
-         |  JOIN fpk ON fpk.doc_id = d.doc_id
-         |  JOIN keepers kk ON kk.f = fpk.f
-         |  JOIN q ON q.doc_id = d.doc_id
-         |  LEFT JOIN nd ON nd.doc_id = d.doc_id
-         |  LEFT JOIN ct ON ct.doc_id = d.doc_id
-         |  LEFT JOIN lq ON lq.doc_id = d.doc_id
-         |  LEFT JOIN ntok nt ON nt.doc_id = d.doc_id
-         |  WHERE d.doc_id % 53 <> 0)
-         |SELECT doc_id, source, n_tokens, quality, exact_dup, near_dup, contaminated,
-         |  low_quality,
-         |  CAST(CASE WHEN exact_dup = 0 AND near_dup = 0 AND contaminated = 0
-         |    AND low_quality = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM base ORDER BY doc_id""".stripMargin,
+      s"""$manifestOracleCtes
+         |SELECT doc_id, source, n_tokens, quality, exact_dup, near_dup,
+         |  contaminated, low_quality, kept
+         |FROM manifest ORDER BY doc_id""".stripMargin,
+    "manifest_quality_calibration" ->
+      s"""$manifestOracleCtes
+         |SELECT CAST(least(floor(quality * 50), 49) AS BIGINT) AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(exact_dup) AS BIGINT) AS n_exact_dup,
+         |  CAST(sum(near_dup) AS BIGINT) AS n_near_dup,
+         |  CAST(sum(contaminated) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(low_quality) AS BIGINT) AS n_low_quality,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(kept) AS DOUBLE) / count(*), 9) AS kept_rate
+         |FROM manifest GROUP BY 1 ORDER BY bucket""".stripMargin,
     "events_interval_join_batch" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id,
         |  epoch_us(e.ts) - epoch_us(p.ts) AS delta_us

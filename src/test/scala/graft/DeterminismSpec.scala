@@ -33,7 +33,8 @@ class DeterminismSpec extends SparkSpec {
     // late round-5 additions: decimal-routed LM transition means,
     // cluster-precedence drop decisions, stream-stream band self-join
     "lm_doc_scores", "semantic_dedup", "streams_near_dup_join_batch",
-    "ivf_lloyd_top10", "training_data_manifest", "bpe_vocab_segments")) {
+    "ivf_lloyd_top10", "training_data_manifest", "bpe_vocab_segments",
+    "lsh_plan", "events_key_skew", "source_term_hll")) {
     test(s"$q is identical under 3 vs 13 shuffle partitions") {
       assert(runWith(3, q) == runWith(13, q))
     }
@@ -90,5 +91,30 @@ class DeterminismSpec extends SparkSpec {
       SparkEntry.assetRootOverride = None
       SparkEntry.clearAssetCaches()
     }
+  }
+
+  test("contentDigest: paranoid mode sees a byte flip that stat-only cannot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_digest").toFile
+    val f = new java.io.File(tmp, "part-0000.parquet")
+    java.nio.file.Files.write(f.toPath, "hello world".getBytes("UTF-8"))
+    val mtime = f.lastModified
+    try {
+      SparkEntry.paranoidOverride = Some(false)
+      val statBefore = SparkEntry.contentDigest(tmp.getAbsolutePath)
+      SparkEntry.paranoidOverride = Some(true)
+      val paranoidBefore = SparkEntry.contentDigest(tmp.getAbsolutePath)
+      // stable across repeated calls
+      assert(paranoidBefore == SparkEntry.contentDigest(tmp.getAbsolutePath))
+      // same length, same forced mtime, different content — the documented
+      // hole in the stat-only fingerprint
+      java.nio.file.Files.write(f.toPath, "hellp world".getBytes("UTF-8"))
+      assert(f.setLastModified(mtime))
+      SparkEntry.paranoidOverride = Some(false)
+      assert(SparkEntry.contentDigest(tmp.getAbsolutePath) == statBefore,
+        "stat-only digest cannot see a size/mtime-preserving rewrite (by design)")
+      SparkEntry.paranoidOverride = Some(true)
+      assert(SparkEntry.contentDigest(tmp.getAbsolutePath) != paranoidBefore,
+        "paranoid digest must change when file heads change")
+    } finally SparkEntry.paranoidOverride = None
   }
 }
