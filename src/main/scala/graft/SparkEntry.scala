@@ -1167,6 +1167,19 @@ object SparkEntry {
         .withColumn("m", lit(idx.m))
         .withColumn("dim", lit(idx.dim))
     }),
+    // PQ ENCODING hash-checked end to end (the IVF treatment applied to
+    // the codebook side): md5-seeded zero-iteration codebooks + rounded
+    // argmin assignment — every (vector, sub-space) code replays in DuckDB
+    "pq_codes_portable" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = operators.ProductQuantization.trainCodebooks(
+        emb, m = 8, codes = 16, lloydIters = 0)
+      operators.ProductQuantization.encode(emb, cb, m = 8)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"))
+        .orderBy("vec_id", "sub")
+    }),
     // PQ: 8x32 codebooks (8 bytes/vector), ADC scoring against the prebuilt
     // index, exact re-rank — the memory-bounded ANN path; gate at 0.9
     "pq_cosine_top10" -> ((s, dir) =>
@@ -2463,6 +2476,39 @@ object SparkEntry {
         |)
         |SELECT q_id, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
         |ORDER BY q_id, "rank"""".stripMargin,
+    "pq_codes_portable" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), sv AS (
+        |  SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS sub,
+        |    (i - 1) % 8 AS j, x
+        |  FROM ex
+        |), init AS (
+        |  SELECT sub, vec_id,
+        |    row_number() OVER (PARTITION BY sub
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR) || '|' || CAST(sub AS VARCHAR)), vec_id)
+        |      AS rn
+        |  FROM (SELECT DISTINCT vec_id, sub FROM sv) u
+        |), cbsel AS (
+        |  SELECT sub, vec_id AS cb_vec, CAST(rn - 1 AS BIGINT) AS code
+        |  FROM init WHERE rn <= 16
+        |), cb AS (
+        |  SELECT c.sub, c.code, s.j, s.x AS cx
+        |  FROM cbsel c JOIN sv s ON s.vec_id = c.cb_vec AND s.sub = c.sub
+        |), d2 AS (
+        |  SELECT v.vec_id, v.sub, c.code,
+        |    round(CAST(sum(CAST((v.x - c.cx) * (v.x - c.cx) AS DECIMAL(38,20))) AS DOUBLE), 6)
+        |      AS dd
+        |  FROM sv v JOIN cb c ON c.sub = v.sub AND c.j = v.j
+        |  GROUP BY v.vec_id, v.sub, c.code
+        |)
+        |SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, code ASC) AS rn
+        |  FROM d2) t
+        |WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin,
     "ivf_lloyd_top10" ->
       """WITH ex AS (
         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

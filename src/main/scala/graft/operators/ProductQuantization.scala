@@ -72,8 +72,14 @@ object ProductQuantization {
     val subDim = checkDim(embeddingDim(embeddings), m)
     val sub = subVectors(e, m, subDim)
       .scopedPersist()
-    // init: per sub-space, the `codes` sub-vectors with lowest row hash
-    var cents = sub.withColumn("h", xxhash64(col("vec_id"), col("sub")))
+    // init: per sub-space, the `codes` sub-vectors with the lowest
+    // md5(vec_id|sub) — uniform AND engine-portable (DuckDB computes the
+    // identical hex, same reasoning as Similarity.trainCentroids' seed),
+    // so a zero-iteration codebook — and therefore every code assignment
+    // — is reproducible in the SQL oracle; xxhash64 ordering was Spark-only
+    var cents = sub.withColumn("h",
+        md5(concat(col("vec_id").cast("string"), lit("|"),
+          col("sub").cast("string")).cast("binary")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("sub").orderBy("h", "vec_id")))
       .where(col("rn") <= codes)
@@ -122,8 +128,10 @@ object ProductQuantization {
       s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
       .as(Seq("sub", "subv")))
       .join(broadcast(codebooks), "sub")
-      .withColumn("d2", expr(
-        "graft_sqdist(subv, cv)"))
+      // rounded BEFORE the argmin (same contract as Similarity.
+      // assignToLists): last-ulp summation differences must not flip
+      // near-tied code assignments between engines or physical layouts
+      .withColumn("d2", round(expr("graft_sqdist(subv, cv)"), 6))
       .groupBy("vec_id", "sub")
       .agg(any_value(col("norm")).as("norm"),
         max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))

@@ -34,7 +34,7 @@ class DeterminismSpec extends SparkSpec {
     // cluster-precedence drop decisions, stream-stream band self-join
     "lm_doc_scores", "semantic_dedup", "streams_near_dup_join_batch",
     "ivf_lloyd_top10", "training_data_manifest", "bpe_vocab_segments",
-    "lsh_plan", "events_key_skew", "source_term_hll")) {
+    "lsh_plan", "events_key_skew", "source_term_hll", "pq_codes_portable")) {
     test(s"$q is identical under 3 vs 13 shuffle partitions") {
       assert(runWith(3, q) == runWith(13, q))
     }
