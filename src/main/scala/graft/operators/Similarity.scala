@@ -337,6 +337,12 @@ object Similarity {
       lshBands: Int = 8,
       ivfNprobe: Int = 12,
       ivfCentroids: Int = 16,
+      // 500 (was 300): the md5-portable codebook seed shifted whole-set
+      // recall at sf0.1 from 0.90x to 0.880 at rerank=300 — the gate
+      // caught it; a deeper exact re-rank recalibrates the parameter
+      // point without touching the guarded code paths (rerank is a
+      // corpus-size-independent constant either way)
+      pqRerank: Int = 500,
       index: Option[ProductQuantization.AnnIndex] = None): DataFrame = {
     // Gate parameters are tuned to the synthetic corpus' cosine regime
     // (near-random vectors, top-10 neighbors at cos≈0.3): 16 planes in 8
@@ -353,8 +359,9 @@ object Similarity {
           nprobe = ivfNprobe, prebuiltCents = index.map(_.cents))
       case "pq" => index match {
         case Some(idx) =>
-          ProductQuantization.pqSearch(idx, embeddings, queryIds, k, rerank = 300)
-        case None => ProductQuantization.pqSearch(embeddings, queryIds, k)
+          ProductQuantization.pqSearch(idx, embeddings, queryIds, k, rerank = pqRerank)
+        case None =>
+          ProductQuantization.pqSearch(embeddings, queryIds, k, rerank = pqRerank)
       }
       case other => throw new IllegalArgumentException(s"unknown ANN mode: $other")
     }).select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
