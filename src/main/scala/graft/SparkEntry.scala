@@ -271,6 +271,16 @@ object SparkEntry {
       TextAnalysis.bpeTrainMergesFromCounts(termCountsAsset(s, dir), nMerges = 8)
     }
 
+  /** Corpus adjacent-bigram counts `(w1, w2, n_ab)` — the shared LM/
+    * collocation model table; `bigram_pmi` and `lm_doc_scores` both
+    * aggregated it from the token arrays per execution before it became an
+    * asset (r5 VERDICT item 5). */
+  private def bigramCountsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "bigram_counts") {
+      TextAnalysis.bigramCountsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)))
+    }
+
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
     * whole span-dedup family (detect/stats/strip, exact + hashed) marks
     * back against; as an asset the corpus tokenizes + windows ONCE per
@@ -334,6 +344,15 @@ object SparkEntry {
           col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** The manifest as a persisted corpus asset: [[manifestFrame]] re-derives
+    * exact-dup fingerprints, decontamination, and two per-source quality
+    * windows on every execution — the most expensive recompute in the
+    * registry (r5: 15.4 s cold, shared by two queries). Built ONCE per
+    * (session, dataset) like every other shared intermediate; consumers
+    * re-sort after the parquet read (row order is not an asset property). */
+  private def manifestAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "manifest") { manifestFrame(s, dir) }
 
   // ---------------------------------------------------------------------------
   // Declared queries. Each (SparkSession, sfDir) => DataFrame, hash-compared
@@ -797,8 +816,8 @@ object SparkEntry {
     // corpus assets (adjacency slices the token-array asset, unigrams from
     // term-counts) — zero tokenize passes at query time
     "bigram_pmi" -> ((s, dir) =>
-      TextAnalysis.bigramPmiFromTokens(
-        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+      TextAnalysis.bigramPmiFromBigramCounts(
+        bigramCountsAsset(s, dir),
         termCountsAsset(s, dir), minCount = 5L, k = 100)),
     // mergeable per-source HLL vocabulary sketches + sketch-union total
     // (DataSketches estimates are engine-internal → rows-only; the spec
@@ -825,11 +844,13 @@ object SparkEntry {
           col("n_subwords"))
     }),
     // corpus-as-its-own-LM fluency filter: add-one-smoothed bigram
-    // transition log-probs, per-doc decimal-routed mean; adjacency slices
-    // the token-array asset (no tokenize at query time)
+    // transition log-probs, per-doc decimal-routed mean; the MODEL tables
+    // (pair counts, vocab size) come from the bigram-counts + term-counts
+    // assets — only the per-doc transition stream is sliced at query time
     "lm_doc_scores" -> ((s, dir) =>
-      TextAnalysis.lmDocScoresFromTokens(
-        operators.Scaling.fanOut(tokenArraysAsset(s, dir)))),
+      TextAnalysis.lmDocScoresFromModel(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+        bigramCountsAsset(s, dir), termCountsAsset(s, dir))),
     // corpus-driven stop list: terms covering >= 50% of documents
     "stopword_candidates" -> ((s, dir) =>
       TextAnalysis.stopwordCandidatesFromCounts(
@@ -877,14 +898,15 @@ object SparkEntry {
     // over the full corpus exactly as their standalone queries do (audit
     // columns, not a shrinking sequential rerun), and `kept` is their
     // conjunction — the row set a pipeline would hand to packing/sampling.
-    "training_data_manifest" -> ((s, dir) => manifestFrame(s, dir)),
+    "training_data_manifest" -> ((s, dir) =>
+      manifestAsset(s, dir).orderBy("doc_id")),
     // calibration analytics over the manifest: fixed-width quality
     // buckets (VALUE-bucketed, a map-side groupBy — a global ntile would
     // funnel the corpus through one partition) × per-reason drop counts.
     // The curve an engineer reads to sanity-check that the quality score
     // actually separates the dup/contaminated mass before trusting the cut.
     "manifest_quality_calibration" -> ((s, dir) =>
-      manifestFrame(s, dir)
+      manifestAsset(s, dir)
         // 0.02-wide value buckets (floor(q*50), capped): the fixture's
         // quality mass sits in [0.7, 0.84], so 0.1-wide deciles collapse
         // to two bins — same map-side shape, finer curve

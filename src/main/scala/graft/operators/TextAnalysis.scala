@@ -376,10 +376,31 @@ object TextAnalysis {
         .as("bg"): _*)
       .select(carry.map(col) :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
 
-  private def bigramPmiFromArrays(arrays: DataFrame, tc: DataFrame,
-      minCount: Long, k: Int): DataFrame = {
-    val bigrams = adjacentPairs(arrays, "a", Seq.empty)
+  /** Corpus adjacent-bigram count table `(w1, w2, n_ab)` — the shared model
+    * intermediate BOTH collocation mining ([[bigramPmiFromBigramCounts]])
+    * and the bigram-LM scorer ([[lmDocScoresFromModel]]) aggregate from.
+    * Built once per dataset as a corpus asset: adjacency is per-row array
+    * slicing over the stored token arrays (no window, no self-join) and the
+    * groupBy shuffles narrow (pair, count) rows with map-side partials, so
+    * the asset build is one cheap pass and every consumer afterwards reads
+    * a vocabulary-sized parquet instead of re-expanding the corpus. */
+  def bigramCountsFromTokens(toks: DataFrame): DataFrame =
+    adjacentPairs(toks.select(col("tokens").as("a")), "a", Seq.empty)
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+
+  private def bigramPmiFromArrays(arrays: DataFrame, tc: DataFrame,
+      minCount: Long, k: Int): DataFrame =
+    bigramPmiFromBigramCounts(
+      adjacentPairs(arrays, "a", Seq.empty)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")),
+      tc, minCount, k)
+
+  /** [[bigramPmi]] with BOTH model sides prebuilt: `bigrams` is the
+    * `(w1, w2, n_ab)` corpus asset ([[bigramCountsFromTokens]]), `tc` the
+    * term-counts asset — the query-time plan aggregates two narrow
+    * vocabulary-sized tables and never touches the corpus. */
+  def bigramPmiFromBigramCounts(bigrams: DataFrame, tc: DataFrame,
+      minCount: Long = 5L, k: Int = 100): DataFrame = {
     val uni = tc.groupBy("term").agg(sum("cnt").as("n_t"))
     val uniTotal = uni.agg(sum("n_t").cast("double").as("t_total"))
     val bgTotal = bigrams.agg(sum("n_ab").cast("double").as("b_total"))
@@ -427,10 +448,27 @@ object TextAnalysis {
   def lmDocScoresFromTokens(toks: DataFrame): DataFrame = {
     val transitions = adjacentPairs(toks, "tokens", Seq("doc_id"))
       .scopedPersist()
-    val pairCounts = transitions.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    lmDocScoresImpl(transitions,
+      transitions.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")),
+      toks.select(explode(col("tokens")).as("t"))
+        .agg(count_distinct(col("t")).as("v_size")))
+  }
+
+  /** [[lmDocScoresFromTokens]] with the MODEL prebuilt: `bigrams` is the
+    * `(w1, w2, n_ab)` corpus asset and the vocabulary size comes from the
+    * term-counts asset (distinct terms — the same token stream, so the same
+    * V). Only the per-doc transition stream is derived at query time
+    * (per-row array slicing over the token-array asset, used exactly once —
+    * no persist needed); the counting passes the single-argument form pays
+    * per execution are already on disk. */
+  def lmDocScoresFromModel(toks: DataFrame, bigrams: DataFrame,
+      tc: DataFrame): DataFrame =
+    lmDocScoresImpl(adjacentPairs(toks, "tokens", Seq("doc_id")), bigrams,
+      tc.agg(count_distinct(col("term")).as("v_size")))
+
+  private def lmDocScoresImpl(transitions: DataFrame, pairCounts: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val ctxCounts = pairCounts.groupBy("w1").agg(sum("n_ab").as("n_ctx"))
-    val vocab = toks.select(explode(col("tokens")).as("t"))
-      .agg(count_distinct(col("t")).as("v_size"))
     transitions
       .join(pairCounts, Seq("w1", "w2"))
       .join(ctxCounts, Seq("w1"))
