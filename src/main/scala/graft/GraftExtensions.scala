@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SigAgreement, SignBits, SquaredDistance, TrimNonAlpha}
+import graft.functions.{DotProduct, I8Dot, I8Encode, MinHashSignature, ShingleHashes, SigAgreement, SignBits, SquaredDistance, TrimNonAlpha}
 
 /** Engine extensions installed via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): registers the
@@ -33,6 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_sig_match takes exactly two arguments")
         SigAgreement(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_i8_encode"),
+      new ExpressionInfo(classOf[I8Encode].getName, "graft_i8_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_i8_encode takes (vector, scale)")
+        I8Encode(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_i8_dot"),
+      new ExpressionInfo(classOf[I8Dot].getName, "graft_i8_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_i8_dot takes (codes, codes)")
+        I8Dot(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_sqdist"),

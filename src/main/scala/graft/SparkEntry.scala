@@ -733,6 +733,14 @@ object SparkEntry {
     // (assignment, precedence, and drop decisions replay in DuckDB)
     "semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedup(Tables.embeddings(s, dir), nClusters = 16, tau = 0.4)),
+    // int8-coded SemDeDup recall gate (THROWS on regression): the pair
+    // join shuffles int8 codes (~8× narrower than the float vectors), the
+    // survivors re-rank exactly — this gate runs BOTH paths and requires
+    // the coded drop set to reproduce ≥95% of the float path's with zero
+    // false drops. Engine-internal comparison → rows-only for the driver.
+    "semantic_dedup_coded" -> ((s, dir) =>
+      Dedup.semanticDedupCodedGate(Tables.embeddings(s, dir),
+        nClusters = 16, tau = 0.4, minRecall = 0.95)),
     // --- scalar-function surface: dates, strings, nulls, distinct, having ---
     "orders_by_month" -> ((s, dir) => {
       Tables.orders(s, dir)

@@ -247,6 +247,122 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** [[semanticDedup]] with an int8-CODED pair test — the 100 TB shape.
+    * The float path's one scale risk is the Σ|cluster|² pair join
+    * shuffling full `array<double>` vectors (dim·8 bytes per row, twice).
+    * Here the pair join moves int8 codes instead (dim bytes + two doubles
+    * — [[graft.functions.VectorUtil.i8Encode]], the exact
+    * [[Similarity.int8QuantizeStats]] codec), cutting pair-join shuffle
+    * bytes ~8×; candidate pairs whose CODED cosine clears `tau - guard`
+    * are then re-ranked EXACTLY by joining the full vectors back per
+    * surviving pair (candidate-bounded work keyed by vec_id, not
+    * Σ|cluster|²), so every final drop decision uses the same rounded
+    * float cosine as the float path. `guard` absorbs the quantization
+    * error of the coded estimate (≈0.01 at realistic dims; 0.05 default
+    * is ~4σ) — only a true pair whose coded estimate fell more than
+    * `guard` below `tau` can be missed, which the recall gate
+    * ([[semanticDedupCodedGate]]) watches. */
+  def semanticDedupCoded(
+      embeddings: DataFrame,
+      nClusters: Int = 16,
+      tau: Double = 0.7,
+      guard: Double = 0.05): DataFrame = {
+    val e = Similarity.prepared(embeddings, "embedding")
+      .select("vec_id", "v", "norm").scopedPersist()
+    val cents = Similarity.trainCentroids(e, nClusters, lloydIters = 0)
+    val assigned = e.join(broadcast(cents))
+      .withColumn("c_sim",
+        round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("c_id"), col("c_sim"), col("v"), col("norm")),
+        struct(col("c_sim"), -col("c_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("list_id"),
+        col("best.c_sim").as("c_sim"), col("best.v").as("v"),
+        col("best.norm").as("norm"))
+      .scopedPersist()
+    // the NARROW pair-side projection: codes + scalars only — the full
+    // vector column must never reach the list_id shuffle (PlanSpec-gated)
+    val coded = assigned
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), col("list_id"), col("c_sim"), col("norm"),
+        col("scale"), expr("graft_i8_encode(v, scale)").as("code"))
+    val ahead = coded.select(col("list_id"), col("vec_id").as("a_id"),
+      col("c_sim").as("a_sim"), col("code").as("acode"),
+      col("scale").as("ascale"), col("norm").as("anorm"))
+    val behind = coded.select(col("list_id"), col("vec_id").as("b_id"),
+      col("c_sim").as("b_sim"), col("code").as("bcode"),
+      col("scale").as("bscale"), col("norm").as("bnorm"))
+    // dequantized dot: a_i ≈ code_a_i·scale_a/127 ⇒
+    // dot(a,b) ≈ scale_a·scale_b/127² · Σ code_a_i·code_b_i
+    val candidates = ahead.join(behind, "list_id")
+      .where(col("a_sim") > col("b_sim") ||
+        (col("a_sim") === col("b_sim") && col("a_id") < col("b_id")))
+      .where(
+        col("ascale") * col("bscale") * expr("graft_i8_dot(acode, bcode)") /
+          (lit(127.0 * 127.0) * col("anorm") * col("bnorm")) >= tau - guard)
+      .select("a_id", "b_id")
+    // exact re-rank of the survivors: full-precision cosine, identical
+    // rounding and threshold to the float path
+    val dropped = candidates
+      .join(assigned.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("ra_norm")), "a_id")
+      .join(assigned.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("rb_norm")), "b_id")
+      .withColumn("cos",
+        round(expr("graft_dot(av, bv)") / (col("ra_norm") * col("rb_norm")), 6))
+      .where(col("cos") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select("vec_id", "list_id", "c_sim")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("c_sim"),
+        when(col("is_dup"), lit(0L)).otherwise(lit(1L)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Driver-visible recall gate for the coded pair test (same THROW
+    * contract as [[Similarity.annRecallGate]]): run BOTH SemDeDup paths
+    * and require the coded path to reproduce at least `minRecall` of the
+    * float path's drop set AND introduce no false drops (the exact
+    * re-rank makes extras impossible by construction — a nonzero count
+    * means the codec broke). One summary row for the driver. */
+  def semanticDedupCodedGate(
+      embeddings: DataFrame,
+      nClusters: Int = 16,
+      tau: Double = 0.7,
+      minRecall: Double = 0.95): DataFrame = {
+    val fl = semanticDedup(embeddings, nClusters, tau)
+      .select(col("vec_id"), col("keep").as("keep_float"))
+    val cd = semanticDedupCoded(embeddings, nClusters, tau)
+      .select(col("vec_id"), col("keep").as("keep_coded"))
+    val row = fl.join(cd, "vec_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("keep_float") === 0, 1L).otherwise(0L)).as("n_drop_float"),
+        sum(when(col("keep_coded") === 0, 1L).otherwise(0L)).as("n_drop_coded"),
+        sum(when(col("keep_float") === 0 && col("keep_coded") === 0, 1L)
+          .otherwise(0L)).as("n_drop_both"),
+        sum(when(col("keep_float") === 1 && col("keep_coded") === 0, 1L)
+          .otherwise(0L)).as("n_false_drops"))
+      .withColumn("drop_recall",
+        when(col("n_drop_float") === 0, lit(1.0))
+          .otherwise(round(col("n_drop_both").cast("double") /
+            col("n_drop_float"), 6)))
+      .head()
+    val recall = row.getAs[Double]("drop_recall")
+    val falseDrops = row.getAs[Long]("n_false_drops")
+    require(row.getAs[Long]("n_drop_float") > 0,
+      "semantic-dedup gate is vacuous: float path dropped nothing")
+    require(recall >= minRecall,
+      f"coded SemDeDup drop recall $recall%.4f below gate $minRecall%.2f")
+    require(falseDrops == 0L,
+      s"coded SemDeDup produced $falseDrops false drops — exact re-rank broken")
+    val s = embeddings.sparkSession
+    import s.implicits._
+    Seq((row.getAs[Long]("n_vectors"), row.getAs[Long]("n_drop_float"),
+      row.getAs[Long]("n_drop_coded"), recall))
+      .toDF("n_vectors", "n_drop_float", "n_drop_coded", "drop_recall")
+  }
+
   /** Driver-visible sketch-quality gate, mirroring
     * [[Similarity.annRecallGate]]: measures the LSH text sketches against
     * the exact n-gram verifier and THROWS (→ driver `err`) on regression,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{HeaderCodecs, Multimodal}
+import graft.multimodal.{HeaderCodecs, Multimodal, PixelCodecs}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -149,6 +149,64 @@ class MultimodalSpec extends SparkSpec {
     assert(got((2L, "g")) == ((1L, 2.0, 0.0)))
     assert(got((2L, "r")) == ((1L, 3.0, 0.0)))
     assert(!got.keys.exists(_._1 == 3L), "compressed payloads emit no rows")
+  }
+
+  test("JPEG pixels decode for REAL via the JDK decoder across the pixel operators") {
+    import spark.implicits._
+    // uniform-color JPEG: lossy compression preserves a solid color to
+    // within a couple of 8-bit levels — a pixel-level golden gate on the
+    // actual decoded content, impossible with header-byte stubs
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    // the container walk and the pixel decode agree on dimensions
+    assert(HeaderCodecs.parseJpeg(jpeg).exists(m => m.width == 8 && m.height == 6))
+    val (w, h, raster) = PixelCodecs.rgbRaster(jpeg).get
+    assert(w == 8 && h == 6 && raster.length == 8 * 6 * 3)
+    val df = Seq((1L, "image", jpeg)).toDF("asset_id", "kind", "content")
+    val stats = Multimodal.channelStats(df).collect().map(s => s.channel -> s).toMap
+    assert(stats.keySet == Set("r", "g", "b"))
+    assert(stats("r").n_pixels == 48L)
+    assert(math.abs(stats("r").mean - 200.0) < 4.0, s"r mean ${stats("r").mean}")
+    assert(math.abs(stats("g").mean - 100.0) < 4.0, s"g mean ${stats("g").mean}")
+    assert(math.abs(stats("b").mean - 50.0) < 4.0, s"b mean ${stats("b").mean}")
+    assert(stats("r").std < 4.0) // solid color → near-zero variance
+    // resize derives from the same pixels: every luma byte ≈ (200+100+50)/3
+    val rz = Multimodal.resizeImages(df, targetW = 4, targetH = 4).collect().head
+    rz.pixels.foreach(p => assert(math.abs((p & 0xFF) - 116) <= 6,
+      s"luma ${p & 0xFF} far from 116"))
+    // features histogram the DECODED raster: a solid (200,100,50) image
+    // concentrates all mass in the three bins those values land in
+    val feats = Multimodal.extractFeatures(df).collect().head.feature
+    assert(feats(200 / 16) + feats(100 / 16) + feats(50 / 16) > 0.99,
+      s"histogram mass not on decoded pixel bins: ${feats.toSeq}")
+  }
+
+  test("undecodable compressed payloads keep the stub degradation seam") {
+    // fixture PNG carries synthetic IDAT bytes: header parses, pixels can't
+    val png = HeaderCodecs.makePng(5, 4, 21L)
+    assert(HeaderCodecs.parsePng(png).isDefined)
+    assert(HeaderCodecs.compressedRaster(png).isEmpty)
+    // synthetic-scan JPEG: SOF walk yields dims, ImageIO rejects the scan
+    val fake = HeaderCodecs.makeJpeg(6, 4, 22L)
+    assert(HeaderCodecs.parseJpeg(fake).isDefined)
+    assert(HeaderCodecs.compressedRaster(fake).isEmpty)
+    // payloadBytes then passes the container through whole, as documented
+    assert(HeaderCodecs.payloadBytes(fake).sameElements(fake))
+    // raw bytes never even attempt a decode
+    assert(HeaderCodecs.compressedRaster(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("makeRealJpeg: deterministic fixture, self-decodable at declared dims") {
+    val a = HeaderCodecs.makeRealJpeg(9, 5, 33L)
+    assert(a.sameElements(HeaderCodecs.makeRealJpeg(9, 5, 33L)))
+    assert(HeaderCodecs.parseJpeg(a).exists(m => m.width == 9 && m.height == 5))
+    val (w, h, raster) = PixelCodecs.rgbRaster(a).get
+    assert(w == 9 && h == 5 && raster.length == 9 * 5 * 3)
   }
 
   test("pcmSamples honors the WAV sample width (8-bit unsigned, 16-bit signed)") {

@@ -141,6 +141,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "assignment argmax is max_by, not a window:\n" + p.take(2000))
   }
 
+  test("coded SemDeDup: the list_id pair join carries codes, never full vectors") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val df = graft.operators.Dedup.semanticDedupCoded(
+      Tables.embeddings(spark, dir), nClusters = 16, tau = 0.4)
+    df.collect()
+    val pairJoins = df.queryExecution.sparkPlan.collect {
+      case j: BaseJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "list_id")) => j
+    }
+    assert(pairJoins.nonEmpty, "expected the list_id-keyed pair join")
+    // the Σ|cluster|² join's inputs must be the NARROW coded projection:
+    // int8 codes + scalars. A full array<double> column here is the exact
+    // shuffle-bytes regression this variant exists to prevent.
+    pairJoins.foreach { j =>
+      val wide = (j.left.output ++ j.right.output).filter(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      assert(wide.isEmpty,
+        s"pair join carries full vectors: ${wide.map(_.name).mkString(", ")}")
+    }
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
   test("lmDocScores: array-sliced transitions, no window, one-row vocab broadcast") {
     val df = graft.operators.TextAnalysis.lmDocScoresFromTokens(
       graft.operators.Tfidf.tokenArrays(Tables.documents(spark, dir)))

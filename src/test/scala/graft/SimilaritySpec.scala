@@ -61,6 +61,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("coded SemDeDup reproduces the float path's decisions; gate passes") {
+    // same scenario as the float-path test: the collinear pair must drop
+    // identically through the int8-coded candidate filter + exact re-rank
+    val coded = graft.operators.Dedup.semanticDedupCoded(vecs, nClusters = 1, tau = 0.9)
+      .select("vec_id", "keep").as[(Long, Long)].collect().toMap
+    assert(coded == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // the driver-visible gate: recall 1.0, zero false drops on this corpus
+    val row = graft.operators.Dedup.semanticDedupCodedGate(vecs, nClusters = 1, tau = 0.9)
+      .select("n_vectors", "n_drop_float", "n_drop_coded", "drop_recall")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(row == ((5L, 1L, 1L, 1.0)))
+  }
+
+  test("int8 codec: i8Encode/i8Dot reproduce the quantizer, estimate within guard") {
+    import graft.functions.VectorUtil
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = Array(0.3, -1.2, 0.0, 0.77)
+    val b = Array(-0.5, 0.9, 1.1, 0.2)
+    def enc(v: Array[Double]): Array[Byte] =
+      VectorUtil.i8Encode(ArrayData.toArrayData(v), v.map(math.abs).max)
+    // codes match the int8QuantizeStats formula exactly
+    assert(enc(a).toSeq == a.map(x => math.floor(x * 127.0 / 1.2 + 0.5).toByte).toSeq)
+    // dequantized cosine within the documented guard of the exact cosine
+    val (sa, sb) = (a.map(math.abs).max, b.map(math.abs).max)
+    val (na, nb) = (math.sqrt(a.map(x => x * x).sum), math.sqrt(b.map(x => x * x).sum))
+    val exact = a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    val approx = sa * sb * VectorUtil.i8Dot(enc(a), enc(b)) / (127.0 * 127.0 * na * nb)
+    assert(math.abs(approx - exact) < 0.05, s"approx $approx vs exact $exact")
+    // zero vector encodes to zero codes, never divides by zero
+    assert(VectorUtil.i8Encode(ArrayData.toArrayData(Array(0.0, 0.0)), 0.0).forall(_ == 0))
+  }
+
   test("ann lsh finds the collinear vector (same-bucket guarantee)") {
     // identical-direction vectors share all sign bits → always candidates
     val got = Similarity.annCosineLsh(vecs, Seq(0L), k = 4, planes = 16, bands = 4)
