@@ -114,16 +114,20 @@ object SparkEntry {
     * (relative path, size, mtime), walked in sorted order. O(#files) stat
     * calls — never reads data bytes, so it stays cheap at any scale.
     *
-    * Paranoid mode (env `SPARK_GRAFT_ASSET_PARANOID=1`): additionally
-    * hashes each file's first 64 KiB, closing the "regenerated in place
-    * with identical sizes AND time-travelled mtimes" hole the stat-only
-    * fingerprint documents. Costs one bounded read per file — still
-    * corpus-size-independent per file, opt-in because the stat-only mode
-    * is already safe against every writer that doesn't forge mtimes. */
-  private[graft] var paranoidOverride: Option[Boolean] = None // test hook
-  private[graft] def contentDigest(dir: String): String = {
-    val paranoid = paranoidOverride
-      .getOrElse(sys.env.get("SPARK_GRAFT_ASSET_PARANOID").contains("1"))
+    * Paranoid mode (env `SPARK_GRAFT_ASSET_PARANOID=1`, or the explicit
+    * parameter — tests pass it directly instead of mutating shared state):
+    * additionally hashes each file's first AND last 64 KiB, narrowing the
+    * "regenerated in place with identical sizes AND time-travelled mtimes"
+    * hole the stat-only fingerprint documents. Parquet puts its footer
+    * metadata (row-group offsets, statistics) in the tail, so head+tail
+    * covers both ends where rewrites show; a rewrite differing ONLY in
+    * untouched middle bytes remains invisible — the mode narrows the
+    * hole, it does not close it. Costs two bounded reads per file — still
+    * corpus-size-independent, opt-in because the stat-only mode is
+    * already safe against every writer that doesn't forge mtimes. */
+  private[graft] def contentDigest(dir: String,
+      paranoid: Boolean =
+        sys.env.get("SPARK_GRAFT_ASSET_PARANOID").contains("1")): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val root = new java.io.File(dir)
     def walk(f: java.io.File): Unit =
@@ -132,12 +136,30 @@ object SparkEntry {
         md.update(
           s"${root.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}\n".getBytes("UTF-8"))
         if (paranoid) {
-          val in = new java.io.FileInputStream(f)
-          // readNBytes loops until 64 KiB or EOF — a single read() may
-          // legally return a short chunk (NFS/fuse), which would make the
-          // digest depend on I/O chunking instead of file content
-          try md.update(in.readNBytes(65536))
-          finally in.close()
+          val in = new java.io.RandomAccessFile(f, "r")
+          try {
+            // readNBytes-style full loops — a single read() may legally
+            // return a short chunk (NFS/fuse), which would make the digest
+            // depend on I/O chunking instead of file content
+            def readFully(at: Long, n: Int): Array[Byte] = {
+              in.seek(at)
+              val buf = new Array[Byte](n)
+              var off = 0
+              var r = 0
+              while (off < n && r >= 0) {
+                r = in.read(buf, off, n - off)
+                if (r > 0) off += r
+              }
+              if (off == n) buf else java.util.Arrays.copyOf(buf, off)
+            }
+            val len = in.length()
+            val head = math.min(len, 65536L).toInt
+            md.update(readFully(0L, head))
+            // tail window, skipping any bytes the head already covered
+            val tailStart = math.max(head.toLong, len - 65536L)
+            if (tailStart < len)
+              md.update(readFully(tailStart, (len - tailStart).toInt))
+          } finally in.close()
         }
       }
     walk(root)
@@ -851,6 +873,19 @@ object SparkEntry {
         .select(col("term"), concat_ws(" ", col("subwords")).as("segmentation"),
           col("n_subwords"))
     }),
+    // BPE round-trip THROW gate: every segmentation must concatenate back
+    // to its term (+marker) and every multi-char subword must be a rule's
+    // merged output — the encoder is self-checking, so a fold or rule-table
+    // regression surfaces as a driver-visible error, not a silently odd
+    // segmentation. Engine-internal property → rows-only summary.
+    "bpe_roundtrip_gate" -> ((s, dir) => {
+      val rules = bpeMergesAsset(s, dir).orderBy("merge_rank")
+        .select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.bpeRoundTripGate(
+        TextAnalysis.bpeSegmentVocab(
+          termCountsAsset(s, dir).select("term").distinct(), rules), rules)
+    }),
     // corpus-as-its-own-LM fluency filter: add-one-smoothed bigram
     // transition log-probs, per-doc decimal-routed mean; the MODEL tables
     // (pair counts, vocab size) come from the bigram-counts + term-counts
@@ -1218,6 +1253,15 @@ object SparkEntry {
     "pq_recall" -> ((s, dir) =>
       Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "pq",
         index = Some(annIndex(s, dir)))),
+    // second PQ gate at the PRE-r5 re-rank depth (300): the md5-portable
+    // codebook seed measurably cost recall (0.90x → 0.880 at rerank=300 on
+    // sf0.1) and the 0.9 gate was re-passed by deepening the re-rank to
+    // 500. Pinning the old depth at the measured operating point (floor
+    // 0.85) means a FUTURE codebook regression must show up here — it can
+    // no longer be absorbed by ever-deeper exact re-ranking.
+    "pq_recall_shallow" -> ((s, dir) =>
+      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.85, "pq",
+        pqRerank = 300, index = Some(annIndex(s, dir)))),
     // composed billion-scale layout: IVF prunes lists, PQ codes shrink the
     // scan; rows-only (two stacked sketches)
     "ivfpq_cosine_top10" -> ((s, dir) =>

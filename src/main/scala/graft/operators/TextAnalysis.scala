@@ -583,6 +583,44 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** Driver-visible BPE ROUND-TRIP gate (THROW contract, like the ANN
+    * recall gates): the segmentation is self-checking — (a) concatenating
+    * each term's subwords must reproduce the term plus the `</w>` marker
+    * exactly (the fold never loses or duplicates a character), and (b)
+    * every multi-character subword other than the marker must literally be
+    * some rule's `merged` output (a segment can only exist because a rule
+    * built it — anything else means the greedy fold and the rule table
+    * disagree). OOV terms therefore segment into single characters +
+    * marker only. Violations throw with counts; the summary row is the
+    * driver-visible artifact. */
+  def bpeRoundTripGate(segments: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val mergedSet = merges.map { case (l, r) => l + r }
+    val isClosed = (s: Column) =>
+      length(s) === 1 || s === lit("</w>") ||
+        (if (mergedSet.isEmpty) lit(false) else s.isin(mergedSet: _*))
+    val row = segments.select(
+        (concat_ws("", col("subwords")) === concat(col("term"), lit("</w>")))
+          .as("roundtrip_ok"),
+        size(filter(col("subwords"), s => !isClosed(s))).as("n_unclosed"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(!col("roundtrip_ok"), 1L).otherwise(0L)).as("n_roundtrip_fail"),
+        sum(when(col("n_unclosed") > 0, 1L).otherwise(0L)).as("n_unclosed_terms"))
+      .head()
+    val (n, rtFail, unclosed) =
+      (row.getAs[Long]("n_terms"), row.getAs[Long]("n_roundtrip_fail"),
+        row.getAs[Long]("n_unclosed_terms"))
+    require(n > 0, "BPE round-trip gate is vacuous: no segmented terms")
+    require(rtFail == 0L,
+      s"$rtFail/$n BPE segmentations do not concatenate back to their term")
+    require(unclosed == 0L,
+      s"$unclosed/$n terms carry a multi-char subword no merge rule built")
+    val s = segments.sparkSession
+    import s.implicits._
+    Seq((n, merges.size.toLong, rtFail, unclosed))
+      .toDF("n_terms", "n_rules", "n_roundtrip_fail", "n_unclosed_terms")
+  }
+
   /** Mergeable-sketch vocabulary inventory — the architecture that
     * replaces re-scans at 100 TB: each source (shard / day / provenance
     * bucket) aggregates ONE compact HLL sketch of its distinct term set

@@ -134,6 +134,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("widest") == Seq("w", "i", "d", "est</w>"))
   }
 
+  test("bpeRoundTripGate passes on real segmentations, throws on corruption") {
+    val rules = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
+    val segs = TextAnalysis.bpeSegmentVocab(
+      Seq("low", "lower", "newest", "widest", "zzz").toDF("term"), rules)
+    val row = TextAnalysis.bpeRoundTripGate(segs, rules)
+      .select("n_terms", "n_rules", "n_roundtrip_fail", "n_unclosed_terms")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row == ((5L, 5L, 0L, 0L)))
+    // a dropped subword breaks the concatenation property
+    val lossy = segs.withColumn("subwords",
+      org.apache.spark.sql.functions.slice(
+        org.apache.spark.sql.functions.col("subwords"), 1, 1))
+    assertThrows[IllegalArgumentException](TextAnalysis.bpeRoundTripGate(lossy, rules))
+    // a multi-char subword no rule built breaks merge-closure (round-trip
+    // still holds: "zz"+"z"+marker concatenates fine)
+    val forged = Seq(("zzz", Seq("zz", "z", "</w>"))).toDF("term", "subwords")
+    assertThrows[IllegalArgumentException](TextAnalysis.bpeRoundTripGate(forged, rules))
+  }
+
   test("bpeTrainMerges stops early once no pairs remain") {
     val vocab = Seq(("ab", 3L)).toDF("term", "freq")
     // ab</w> has 2 pairs; afterwards the word is one symbol — rounds past
