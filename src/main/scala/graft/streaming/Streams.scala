@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -53,6 +53,42 @@ object Streams {
   def termCounts(docs: DataFrame): DataFrame =
     graft.operators.Tfidf.termCounts(
       graft.operators.Tfidf.tokenizePortable(docs))
+
+  /** Rate-limited ingestion source: Spark's built-in `rate` family emits
+    * `(timestamp, value)` at a BOUNDED rows/sec — the ingestion-throttle
+    * knob of a production pipeline (an executor's intake stays capped no
+    * matter how fast upstream produces, so a backfill can't starve the
+    * serving cluster). Values map deterministically to synthetic
+    * documents (`doc_id`, 10 zipf-ish words, event time), so every
+    * downstream operator in this suite — [[termCounts]],
+    * [[streamingDedup]], the near-dup joins — consumes the throttled
+    * stream unchanged.
+    *
+    * `perBatch = Some(n)` switches to the `rate-micro-batch` source
+    * (exactly `n` rows per micro-batch, virtual time): the DETERMINISTIC
+    * variant tests and demos use; `None` is the wall-clock `rate` source
+    * for live throughput work. */
+  def rateDocs(spark: SparkSession, rowsPerSecond: Int = 100,
+      perBatch: Option[Int] = None): DataFrame = {
+    val src = perBatch match {
+      case Some(n) => spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", n.toLong)
+      case None => spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toLong)
+    }
+    src.load()
+      .select(col("value").as("doc_id"),
+        // deterministic pseudo-text: 10 words drawn from a 50-word
+        // vocabulary by a mixed congruential walk of the row value. Digits
+        // transliterate to letters because the reference tokenizer DROPS
+        // digit-bearing words (O5) — "w12" would tokenize to nothing.
+        concat_ws(" ", (0 until 10).map(i =>
+          concat(lit("w"), translate(
+            pmod(col("value") * 31 + lit(i * 7), lit(50)).cast("string"),
+            "0123456789", "abcdefghij"))): _*)
+          .as("text"),
+        col("timestamp").as("ts"))
+  }
 
   /** Stream-static join: enrich a stream with a batch dimension table.
     * The static side is planned per micro-batch (broadcast when small);

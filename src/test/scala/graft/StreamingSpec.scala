@@ -71,6 +71,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rateDocs: rate-limited source feeds the suite; batch-size exact, deterministic text") {
+    // rate-micro-batch: EXACTLY rowsPerBatch rows per micro-batch — the
+    // deterministic twin of the wall-clock rate source, same schema and
+    // throttling contract
+    val docs = Streams.rateDocs(spark, perBatch = Some(15))
+    assert(docs.isStreaming)
+    // a rate source ALWAYS has more data (processAllAvailable would never
+    // return, and Trigger.Once ignores the per-batch limit): poll the sink
+    // until at least one throttled batch committed, then stop — the memory
+    // table then holds ONLY fully committed batches
+    val q = Streams.termCounts(docs)
+      .writeStream.format("memory").queryName("rate_tc_out")
+      .outputMode("update").start()
+    try {
+      val deadline = System.currentTimeMillis + 120000
+      while (spark.table("rate_tc_out").isEmpty &&
+          System.currentTimeMillis < deadline)
+        Thread.sleep(250)
+    } finally q.stop()
+    val updates = spark.table("rate_tc_out")
+      .groupBy("term", "doc_id").agg(max("cnt").as("cnt"))
+    val nDocs = updates.select("doc_id").distinct().count()
+    // whole batches only; doc_ids are the rate values 0..n
+    assert(nDocs >= 15 && nDocs % 15 == 0, s"expected k*15 docs, got $nDocs")
+    // the throttled stream's counts match the batch recompute of the
+    // same deterministic documents — the source adds rate control, not
+    // different data
+    val ids = updates.select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(ids == (0L until nDocs).toSeq)
+    val batchDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(i =>
+        concat(lit("w"), translate(
+          pmod(col("id") * 31 + lit(i * 7), lit(50)).cast("string"),
+          "0123456789", "abcdefghij"))): _*)
+        .as("text"))
+    val batch = graft.operators.Tfidf.termCounts(
+      graft.operators.Tfidf.tokenizePortable(batchDocs))
+      .select("term", "doc_id", "cnt").as[(String, Long, Long)].collect().toSet
+    val got = updates.select("term", "doc_id", "cnt")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
   test("windowed type counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
