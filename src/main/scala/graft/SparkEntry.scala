@@ -666,6 +666,11 @@ object SparkEntry {
     // undercount (CMS is overestimate-only — a negative error is corruption)
     "cms_frequency_gate" -> ((s, dir) =>
       Tfidf.cmsFrequencyGate(termCountsAsset(s, dir))),
+    // gate: approx_percentile answers must sit inside the EXACT p±0.01
+    // band per (event_type, p) — the rank-error guarantee a pipeline
+    // leans on when it swaps exact percentiles for the sketch at scale
+    "percentile_approx_gate" -> ((s, dir) =>
+      Relational.percentileApproxGate(s, dir)),
     "value_percentiles_approx" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
@@ -998,6 +1003,12 @@ object SparkEntry {
     "strip_duplicate_spans_hashed" -> ((s, dir) =>
       Curation.stripDuplicateSpansHashedFromWindows(Tables.documents(s, dir),
         spanWindowsAsset(s, dir), 5)),
+    // gate: the exact and xxhash64-keyed span detectors must mark the SAME
+    // positions (a lost window = broken hash path; an extra = collision —
+    // both zero at gate scale). Strengthens the rows-only
+    // duplicate_spans_hashed with a driver-visible THROW.
+    "span_hash_agreement_gate" -> ((s, dir) =>
+      Curation.spanHashAgreementGate(spanWindowsAsset(s, dir))),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>

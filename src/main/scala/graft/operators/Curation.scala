@@ -396,6 +396,38 @@ object Curation {
       .select(col("doc_id"), col("pos"), col("gh"), col("occ"))
   }
 
+  /** Driver-visible agreement gate for the hashed span path (THROW
+    * contract, like the sketch precision gates): the exact string-keyed
+    * and xxhash64-keyed span detectors must mark the SAME (doc_id, pos)
+    * set. A position only the exact side marks means the hashed path LOST
+    * a true duplicated window (impossible unless broken — hashing is
+    * deterministic); a position only the hashed side marks is a hash
+    * collision (2⁻⁶⁴ birthday noise — tolerated at corpus scale by Lee et
+    * al., but at gate scale any occurrence is overwhelmingly a bug, so
+    * both directions require ZERO). One summary row for the driver. */
+  def spanHashAgreementGate(wins: DataFrame): DataFrame = {
+    val exactSpans = duplicateSpansFromWindows(wins)
+      .select(col("doc_id"), col("pos"), lit(1L).as("in_exact"))
+    val hashedSpans = duplicateSpansHashedFromWindows(wins)
+      .select(col("doc_id"), col("pos"), lit(1L).as("in_hashed"))
+    val row = exactSpans.join(hashedSpans, Seq("doc_id", "pos"), "full_outer")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("in_hashed").isNull, 1L).otherwise(0L)).as("n_only_exact"),
+        sum(when(col("in_exact").isNull, 1L).otherwise(0L)).as("n_only_hashed"))
+      .head()
+    val (n, onlyExact, onlyHashed) = (row.getAs[Long]("n_spans"),
+      row.getAs[Long]("n_only_exact"), row.getAs[Long]("n_only_hashed"))
+    require(n > 0, "span-hash agreement gate is vacuous: no duplicated spans")
+    require(onlyExact == 0L,
+      s"hashed span path LOST $onlyExact/$n true duplicated windows")
+    require(onlyHashed == 0L,
+      s"hashed span path marked $onlyHashed collision-only positions")
+    val s = wins.sparkSession
+    import s.implicits._
+    Seq((n, onlyExact, onlyHashed))
+      .toDF("n_spans", "n_only_exact", "n_only_hashed")
+  }
+
   /** Span-level dedup APPLY — rebuild each document with duplicated spans
     * removed, keeping each gram's canonical occurrence (the corpus-first:
     * lowest doc_id, then lowest position — Lee et al. likewise keep one

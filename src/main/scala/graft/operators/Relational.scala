@@ -220,6 +220,44 @@ object Relational {
         round(element_at(col("ps"), 3), 6).as("p75"))
       .orderBy("event_type")
 
+  /** Driver-visible accuracy gate for the approximate percentile sketch
+    * (THROW contract, like the CMS/HLL gates): per (event_type, p), the
+    * `percentile_approx` (t-digest-style, accuracy 10000) answer must lie
+    * between the EXACT percentiles at p±eps — i.e. the sketch's rank
+    * error stays within eps of the distribution, which is the guarantee a
+    * pipeline relies on when it swaps exact percentiles out at 100 TB. A
+    * violation throws with the worst offender; the per-type rows are the
+    * driver-visible artifact. */
+  def percentileApproxGate(spark: SparkSession, dir: String,
+      eps: Double = 0.01): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75)
+    val exactArr = ps.flatMap(p => Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)))
+      .map(p => s"${p}D").mkString("array(", ", ", ")")
+    val approxArr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val both = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr(s"percentile(value, $exactArr)").as("bounds"),
+        expr(s"approx_percentile(value, $approxArr, 10000)").as("approx"))
+    val checked = both.select(col("event_type") +: ps.zipWithIndex.flatMap {
+        case (p, i) =>
+          val tag = (p * 100).toInt
+          Seq(element_at(col("bounds"), 2 * i + 1).as(s"lo$tag"),
+            element_at(col("bounds"), 2 * i + 2).as(s"hi$tag"),
+            element_at(col("approx"), i + 1).as(s"ap$tag"),
+            (element_at(col("approx"), i + 1) >= element_at(col("bounds"), 2 * i + 1) &&
+              element_at(col("approx"), i + 1) <= element_at(col("bounds"), 2 * i + 2))
+              .as(s"ok$tag"))
+      }: _*)
+      .orderBy("event_type")
+      .scopedPersist()
+    val bad = checked.where(ps.map(p => !col(s"ok${(p * 100).toInt}"))
+      .reduce(_ || _)).count()
+    require(bad == 0L,
+      s"approx_percentile outside the exact p±$eps band for $bad event types")
+    checked.select(col("event_type") +: ps.map(p =>
+      round(col(s"ap${(p * 100).toInt}"), 6).as(s"ap${(p * 100).toInt}")): _*)
+  }
+
   /** Correlated-subquery shape: customers with above-segment-average
     * account balance. Decorrelated as agg + broadcast join — what Catalyst
     * does to the subquery form anyway, written explicitly. */

@@ -166,6 +166,23 @@ class CurationSpec extends SparkSpec {
     assert(hashed == exact)
   }
 
+  test("spanHashAgreementGate: zero disagreement on a real corpus, vacuous throws") {
+    val corpus = docs(
+      1L -> "a b c d e f g",
+      2L -> "x b c d y z w",
+      3L -> "a b c d e q r")
+    val wins = Curation.windowRows(corpus, 3)
+    val row = Curation.spanHashAgreementGate(wins)
+      .select("n_spans", "n_only_exact", "n_only_hashed")
+      .as[(Long, Long, Long)].collect().head
+    assert(row._1 > 0 && row._2 == 0L && row._3 == 0L)
+    // a corpus with no duplicated windows must FAIL FAST, not report
+    // vacuous agreement
+    val unique = docs(1L -> "a b c", 2L -> "d e f")
+    assertThrows[IllegalArgumentException](
+      Curation.spanHashAgreementGate(Curation.windowRows(unique, 3)).collect())
+  }
+
   test("stripDuplicateSpans keeps the corpus-first occurrence, cuts the rest") {
     val corpus = docs(
       1L -> "a b c d e",

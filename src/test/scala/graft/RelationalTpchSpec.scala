@@ -22,6 +22,18 @@ class RelationalTpchSpec extends SparkSpec {
     assert(out.head.getAs[Double]("revenue") > 0.0)
   }
 
+  test("percentileApproxGate: sketch inside the exact band; impossible band throws") {
+    val out = Relational.percentileApproxGate(spark, dir).collect()
+    assert(out.nonEmpty)
+    // the gate's output echoes the approx answers it validated
+    assert(out.forall(r => r.getAs[Double]("ap25") <= r.getAs[Double]("ap50") &&
+      r.getAs[Double]("ap50") <= r.getAs[Double]("ap75")))
+    // a negative eps makes the band degenerate (lo > hi) — every type
+    // violates and the gate must throw, proving the failure path is live
+    assertThrows[IllegalArgumentException](
+      Relational.percentileApproxGate(spark, dir, eps = -0.05).collect())
+  }
+
   test("q10: at most k rows, revenue descending, custkey tiebreak") {
     val out = Relational.q10ReturnedItems(spark, dir, k = 20)
       .select("c_custkey", "revenue").as[(Long, Double)].collect().toSeq
