@@ -470,10 +470,12 @@ object Relational {
     * decoration — the correlated-min-subquery classic. The fixture has no
     * `partsupp`, so the "offer" table is lineitem's quantity-weighted unit
     * price per (part, supplier) (same pair grain as `partsupp`); the
-    * correlated `min(ps_supplycost)` decorrelates to an aggregate +
-    * join-back exactly as Catalyst rewrites the subquery form. Ties on
-    * best price resolve to the smallest supplier key (deterministic), then
-    * supplier/nation/region decorate via broadcast. */
+    * correlated `min(ps_supplycost)` decorrelates to ONE lexicographic
+    * struct-min aggregate per part (the oracle keeps the equivalent
+    * aggregate + join-back spelling Catalyst would produce from the
+    * subquery form). Ties on best price resolve to the smallest supplier
+    * key (deterministic), then supplier/nation/region decorate via
+    * broadcast. */
   def q2MinCostSupplier(spark: SparkSession, dir: String,
       ptype: String = "STANDARD", maxSize: Int = 25, k: Int = 100): DataFrame = {
     val parts = Tables.part(spark, dir)
@@ -482,14 +484,14 @@ object Relational {
       .groupBy("l_partkey", "l_suppkey")
       .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("unit_price"))
-    val best = perPair.groupBy(col("l_partkey").as("bp_partkey"))
-      .agg(min("unit_price").as("best_price"))
+    // arg-min as ONE struct-min aggregation (lexicographic: lowest price,
+    // tie → lowest suppkey) — same answer as the oracle's join-back
+    // spelling with one less shuffle and no self-join of the pair table
     perPair
-      .join(best, col("l_partkey") === col("bp_partkey") &&
-        col("unit_price") === col("best_price"))
       .groupBy("l_partkey")
-      .agg(min("l_suppkey").as("best_suppkey"),
-        round(min("best_price"), 9).as("best_price"))
+      .agg(min(struct(col("unit_price"), col("l_suppkey"))).as("bst"))
+      .select(col("l_partkey"), col("bst.l_suppkey").as("best_suppkey"),
+        round(col("bst.unit_price"), 9).as("best_price"))
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.supplier(spark, dir)),
         col("best_suppkey") === col("s_suppkey"))
@@ -728,9 +730,10 @@ object Relational {
   /** Arg-min per group, engine-deterministic: the cheapest supplier of
     * each part by quantity-weighted unit price (total revenue / total
     * units). `min_by`/`arg_min` leave ties engine-arbitrary, so the
-    * portable form is min-aggregate + join-back + min-key among the tied
-    * best — two narrow aggregations over the same (part, supplier)
-    * rollup, no window over a skewable key.
+    * portable form is a LEXICOGRAPHIC struct-min (price, then suppkey) —
+    * deterministic ties, two chained narrow aggregations, no self-join of
+    * the pair rollup and no window over a skewable key. The oracle spells
+    * the same semantics as min + join-back + min-key.
     *
     * Both sums route through DECIMAL(18,2) — EXACT casts for 2-decimal
     * money and integral quantities (a per-row `price/qty` double cast to
@@ -742,14 +745,14 @@ object Relational {
       .groupBy("l_partkey", "l_suppkey")
       .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("avg_unit_price"))
-    val best = perPair.groupBy(col("l_partkey").as("bp_partkey"))
-      .agg(min("avg_unit_price").as("best_price"))
+    // arg-min as ONE struct-min aggregation (lexicographic: lowest price,
+    // tie → lowest suppkey) — the oracle keeps the equivalent join-back
+    // spelling; this plan is two chained aggregates, no self-join, no window
     perPair
-      .join(best, col("l_partkey") === col("bp_partkey") &&
-        col("avg_unit_price") === col("best_price"))
       .groupBy("l_partkey")
-      .agg(min("l_suppkey").as("best_suppkey"),
-        round(min("best_price"), 9).as("best_price"))
+      .agg(min(struct(col("avg_unit_price"), col("l_suppkey"))).as("bst"))
+      .select(col("l_partkey"), col("bst.l_suppkey").as("best_suppkey"),
+        round(col("bst.avg_unit_price"), 9).as("best_price"))
       .orderBy("l_partkey")
   }
 

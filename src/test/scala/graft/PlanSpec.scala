@@ -178,11 +178,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
-  test("partMinCostSupplier: agg + join-back, no window over part keys") {
+  test("partMinCostSupplier: single struct-min aggregation — no window, no self-join") {
     val df = Relational.partMinCostSupplier(spark, dir)
     df.collect()
     val p = plan(df)
-    assert(!p.contains("Window"), "arg-min must be agg+join-back:\n" + p.take(2000))
+    assert(!p.contains("Window"), "arg-min must not window over part keys:\n" + p.take(2000))
+    assert(!p.contains("Join"),
+      "arg-min is one struct-min aggregate, never a pair-table self-join:\n" + p.take(2000))
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
