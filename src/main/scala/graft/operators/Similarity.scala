@@ -291,6 +291,16 @@ object Similarity {
     cents
   }
 
+  /** [[trainCentroids]] over a raw embeddings table — the asset-builder
+    * entry point (a trained coarse-centroid set is a MODEL artifact,
+    * persisted once per dataset like the PQ codebooks and BPE rules;
+    * training is deterministic, so the stored set is bit-identical to a
+    * recompute). */
+  def trainCentroidsFromEmbeddings(embeddings: DataFrame, nCentroids: Int,
+      lloydIters: Int): DataFrame =
+    trainCentroids(prepared(embeddings, "embedding")
+      .select("vec_id", "v", "norm"), nCentroids, lloydIters)
+
   /** Inverted lists: every vector → nearest centroid. argmax via map-side
     * max_by partial aggregation — no corpus×C shuffle, no per-key sort
     * (the row_number window this replaced shuffled corpus×C rows). */
