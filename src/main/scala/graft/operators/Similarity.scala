@@ -141,7 +141,8 @@ object Similarity {
     * codec bug surfaces as a hard error, not a silently degraded index.
     * (Same contract as [[annRecallGate]].) */
   def int8KnnRecallGate(embeddings: DataFrame, queryIds: Seq[Long],
-      k: Int = 10, minRecall: Double = 0.9): DataFrame = {
+      k: Int = 10, minRecall: Double = 0.9,
+      prebuiltExact: Option[DataFrame] = None): DataFrame = {
     val deq = embeddings
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("scale",
@@ -151,7 +152,8 @@ object Similarity {
           "floor(x * 127.0 / scale + 0.5) * scale / 127.0 " +
           "ELSE CAST(0.0 AS DOUBLE) END)"))
       .select("vec_id", "embedding")
-    val exact = knnBruteForce(embeddings, queryIds, k).select("q_id", "vec_id")
+    val exact = prebuiltExact.getOrElse(knnBruteForce(embeddings, queryIds, k))
+      .select("q_id", "vec_id")
     val approx = knnBruteForce(deq, queryIds, k)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     val perQuery = exact.join(approx, Seq("q_id", "vec_id"), "left")
@@ -353,7 +355,11 @@ object Similarity {
       // point without touching the guarded code paths (rerank is a
       // corpus-size-independent constant either way)
       pqRerank: Int = 500,
-      index: Option[ProductQuantization.AnnIndex] = None): DataFrame = {
+      index: Option[ProductQuantization.AnnIndex] = None,
+      // the exact top-k ground truth is identical across every gate at the
+      // same (queryIds, k) — pass the shared corpus asset instead of
+      // re-running brute force per gate (deterministic either way)
+      prebuiltExact: Option[DataFrame] = None): DataFrame = {
     // Gate parameters are tuned to the synthetic corpus' cosine regime
     // (near-random vectors, top-10 neighbors at cos≈0.3): 16 planes in 8
     // bands puts the LSH S-curve crossing low enough to recall them, and
@@ -361,7 +367,8 @@ object Similarity {
     // gate exercises the identical code paths as the production configs —
     // an assignment/banding/probe code regression craters recall at ANY
     // parameter point, which is what this guards.
-    val exact = knnBruteForce(embeddings, queryIds, k).select("q_id", "vec_id")
+    val exact = prebuiltExact.getOrElse(knnBruteForce(embeddings, queryIds, k))
+      .select("q_id", "vec_id")
     val approx = (mode match {
       case "lsh" => annCosineLsh(embeddings, queryIds, k, bands = lshBands)
       case "ivf" =>
