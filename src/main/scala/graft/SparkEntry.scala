@@ -293,6 +293,18 @@ object SparkEntry {
       TextAnalysis.bpeTrainMergesFromCounts(termCountsAsset(s, dir), nMerges = 8)
     }
 
+  /** BM25 score table `(term, doc_id, cnt, doc_total, df, idf_bm25,
+    * score)` as a corpus asset — the INVERTED INDEX a retrieval stack
+    * stores once and serves from: `bm25_full` re-sorts it, `bm25_search`
+    * prunes postings by term, and the self-retrieval eval reads postings
+    * instead of re-scoring the corpus (the avgdl head action and two
+    * aggregate joins happen once per dataset). Deterministic (9-rounded
+    * doubles round-trip parquet exactly), so values are unchanged. */
+  private def bm25Asset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "bm25_scores") {
+      Tfidf.bm25FromCounts(termCountsAsset(s, dir), docsCount(s, dir))
+    }
+
   /** Exact brute-force kNN ground truth for the standard gate probe set
     * (queries 0-9, k=10) as a corpus asset: five recall gates (`ann_recall`,
     * `ivf_recall`, `pq_recall`, `pq_recall_shallow`, `int8_knn_recall`)
@@ -432,17 +444,19 @@ object SparkEntry {
     // per-doc keyword extraction: top-5 terms of each doc by tf-idf
     "keywords_per_doc" -> ((s, dir) =>
       Tfidf.keywordsPerDocFromCounts(termCountsAsset(s, dir), docsCount(s, dir), 5)),
-    // BM25: the modern ranked-retrieval successor over the same dataflow
+    // BM25: the modern ranked-retrieval successor over the same dataflow;
+    // the score table is the stored-index ASSET all three consumers read
     "bm25_full" -> ((s, dir) =>
-      Tfidf.bm25FromCounts(termCountsAsset(s, dir), docsCount(s, dir))
+      bm25Asset(s, dir)
         .orderBy(desc("score"), asc("term"), asc("doc_id"))),
     "bm25_search" -> ((s, dir) =>
-      Tfidf.searchByTermsBm25FromCounts(termCountsAsset(s, dir), docsCount(s, dir),
+      Tfidf.searchByTermsBm25FromScores(bm25Asset(s, dir),
         Seq("table", "query", "spark"), 20)),
     // intrinsic search-quality eval: each probe doc queries with its own
     // tf-idf keywords and must retrieve ITSELF near rank 1 (rr -> MRR)
     "self_retrieval_ranks" -> ((s, dir) =>
-      Tfidf.selfRetrievalEvalFromCounts(termCountsAsset(s, dir), docsCount(s, dir))),
+      Tfidf.selfRetrievalEvalFromCounts(termCountsAsset(s, dir), docsCount(s, dir),
+        prebuiltScores = Some(bm25Asset(s, dir)))),
     // per-source stratified stable sample (content-keyed, reproducible)
     "documents_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stableSample(Tables.documents(s, dir), "doc_id", 0.2)

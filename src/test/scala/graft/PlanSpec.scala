@@ -166,6 +166,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan(df).contains("CartesianProduct"))
   }
 
+  test("selfRetrievalEval with stored postings: keywords broadcast, postings stream") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // mimic the registered shape: scores as a PARQUET asset (file stats
+    // present — exactly what flipped the optimizer's build side before
+    // the explicit broadcast was spelled)
+    val docs = Tables.documents(spark, dir)
+    val tc = graft.operators.Tfidf.termCounts(
+      graft.operators.Tfidf.tokenizePortable(docs))
+    val n = docs.count()
+    val tmp = java.nio.file.Files.createTempDirectory("plan_bm25").toFile
+    graft.operators.Tfidf.bm25FromCounts(tc, n)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val df = graft.operators.Tfidf.selfRetrievalEvalFromCounts(tc, n,
+      prebuiltScores = Some(spark.read.parquet(tmp.getAbsolutePath)))
+    val postingJoins = df.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "term")) &&
+            (j.left.output ++ j.right.output).exists(_.name == "q_doc") => j
+    }
+    assert(postingJoins.nonEmpty, "expected the keywords×postings term join")
+    postingJoins.foreach { j =>
+      val buildOut = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left.output
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right.output
+      }
+      // the BUILD (broadcast) side must be the probe-keyword rows — at
+      // scale the postings table cannot be broadcast, whatever file
+      // stats claim
+      assert(buildOut.exists(_.name == "q_doc"),
+        s"postings were broadcast instead of keywords: build side ${buildOut.map(_.name)}")
+    }
+  }
+
   test("lmDocScores: array-sliced transitions, no window, one-row vocab broadcast") {
     val df = graft.operators.TextAnalysis.lmDocScoresFromTokens(
       graft.operators.Tfidf.tokenArrays(Tables.documents(spark, dir)))
