@@ -860,6 +860,16 @@ object SparkEntry {
     "token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStatsFromCounts(termCountsAsset(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    // Gopher-style composite rule filter: raw signals + one flag per rule
+    // + the pass conjunction — audit columns, not a survivor list
+    "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    // packing-planner input: doc-length distribution in 32-token bins
+    "token_length_histogram" -> ((s, dir) =>
+      TextAnalysis.tokenLengthHistogramFromCounts(termCountsAsset(s, dir))),
+    // per-doc n-gram novelty vs ingestion order (corpus-first grams) — the
+    // memorization/overlap profile; linear mark-back over the span asset
+    "novelty_scores" -> ((s, dir) =>
+      Curation.noveltyScoresFromWindows(spanWindowsAsset(s, dir))),
     // model-free repetitiveness signal: per-doc term-distribution entropy
     "token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropyFromCounts(termCountsAsset(s, dir))),
@@ -2107,6 +2117,50 @@ object SparkEntry {
          |    + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
          |            / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "gopher_rules" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+         |    round(CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'), w -> length(w))) AS DOUBLE)
+         |      / len(regexp_split_to_array(text, '\\s+')), 9) AS mean_word_len,
+         |    round(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+         |      / len(regexp_split_to_array(text, '\\s+')), 9) AS alpha_word_frac,
+         |    CAST(len(regexp_extract_all(text, '$stopRegex')) AS BIGINT) AS n_stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_stop_hits,
+         |  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_words,
+         |  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS BIGINT) AS r_word_len,
+         |  CAST(alpha_word_frac >= 0.8 AS BIGINT) AS r_alpha,
+         |  CAST(n_stop_hits >= 2 AS BIGINT) AS r_stop,
+         |  CAST(n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+         |    AND mean_word_len <= 10.0 AND alpha_word_frac >= 0.8
+         |    AND n_stop_hits >= 2 AS BIGINT) AS pass
+         |FROM sig ORDER BY doc_id""".stripMargin,
+    "token_length_histogram" ->
+      s"""WITH $toksCte,
+         |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc GROUP BY 1)
+         |SELECT CAST(floor(n_tokens / 32) * 32 AS BIGINT) AS bucket_lo,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 9) AS avg_tokens
+         |FROM tot GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+    "novelty_scores" ->
+      s"""WITH $toksArrCte,
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 3)) AS pos
+         |  FROM toksarr WHERE len(a) >= 5
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    a[pos] || ' ' || a[pos+1] || ' ' || a[pos+2] || ' ' || a[pos+3] || ' ' || a[pos+4] AS gram
+         |  FROM w0
+         |),
+         |firsts AS (SELECT gram, min(doc_id) AS first_doc FROM wins GROUP BY 1)
+         |SELECT w.doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN f.first_doc < w.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before,
+         |  round(1.0 - CAST(sum(CASE WHEN f.first_doc < w.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 9) AS novelty
+         |FROM wins w JOIN firsts f USING (gram)
+         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
     "source_quality_rollup" ->
       s"""WITH q AS (
          |  SELECT doc_id,

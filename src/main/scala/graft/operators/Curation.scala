@@ -396,6 +396,32 @@ object Curation {
       .select(col("doc_id"), col("pos"), col("gh"), col("occ"))
   }
 
+  /** Per-document n-gram NOVELTY — the memorization/overlap profile of a
+    * corpus in ingestion order: for each document, the fraction of its
+    * `n`-token windows whose gram FIRST occurs in an earlier document
+    * (corpus-first = lowest doc_id, the same canonical rule the span
+    * stripper keeps). A low-novelty document is mostly restating content
+    * the corpus already has — the doc-level signal behind dedup-aware
+    * sampling and memorization audits.
+    *
+    * Scale shape: identical to [[duplicateSpansFromWindows]] — gram →
+    * min(doc_id) is one narrow map-side-partial aggregate, the mark-back
+    * is an equi-join on the gram key, and the per-doc rollup is a narrow
+    * count. Linear in corpus tokens, no pair join. Documents with fewer
+    * than `n` tokens have no windows and emit nothing (no score is the
+    * honest answer). */
+  def noveltyScoresFromWindows(wins: DataFrame): DataFrame = {
+    val first = wins.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    wins.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .withColumn("novelty", round(
+        lit(1.0) - col("n_seen_before").cast("double") / col("n_windows"), 9))
+      .orderBy("doc_id")
+  }
+
   /** Driver-visible agreement gate for the hashed span path (THROW
     * contract, like the sketch precision gates): the exact string-keyed
     * and xxhash64-keyed span detectors must mark the SAME (doc_id, pos)

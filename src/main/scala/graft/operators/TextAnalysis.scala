@@ -64,6 +64,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style COMPOSITE quality rules (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 heuristics, adapted to the portable subset):
+    * per document, the raw signals and one 1/0 flag per rule —
+    * word-count bounds, mean-word-length band, minimum fraction of words
+    * containing an alphabetic character, minimum stop-word hits — plus
+    * their conjunction `pass`. Audit columns, not a filtered survivor
+    * list (the [[graft.SparkEntry]] manifest pattern): a pipeline reads
+    * WHY a document failed. Pure per-row expression work, no shuffle
+    * beyond the final sort; every signal is spelled identically in the
+    * DuckDB oracle (integer length sums, one double division, round 9). */
+  def gopherRules(docs: DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Long = 2L): DataFrame = {
+    val words = split(col("text"), "\\s+")
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(transform(words, w => length(w)), lit(0L),
+      (a, x) => a + x)
+    val meanLen = round(sumLen.cast("double") / nWords, 9)
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val alphaFrac = round(alphaWords.cast("double") / nWords, 9)
+    val stopRx = "\\b(" + TextFunctions.EnglishStopwords.mkString("|") + ")\\b"
+    val stopHits = size(regexp_extract_all(col("text"), lit(stopRx), lit(0))).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_word_frac"), stopHits.as("n_stop_hits"))
+      .withColumn("r_words",
+        (col("n_words") >= minWords && col("n_words") <= maxWords).cast("long"))
+      .withColumn("r_word_len",
+        (col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen).cast("long"))
+      .withColumn("r_alpha", (col("alpha_word_frac") >= minAlphaFrac).cast("long"))
+      .withColumn("r_stop", (col("n_stop_hits") >= minStopHits).cast("long"))
+      .withColumn("pass",
+        (col("r_words") === 1 && col("r_word_len") === 1 &&
+          col("r_alpha") === 1 && col("r_stop") === 1).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-length histogram over the term-counts asset — the input a
+    * packing planner reads before choosing `maxLen` (what fraction of
+    * documents truncate, how much padding a bucket costs). Two narrow
+    * aggregations: per-doc totals (the shared doc_totals shuffle), then a
+    * handful of `bucketWidth`-wide bins. */
+  def tokenLengthHistogramFromCounts(tc: DataFrame,
+      bucketWidth: Int = 32): DataFrame =
+    tc.groupBy("doc_id").agg(sum("cnt").as("n_tokens"))
+      .groupBy((floor(col("n_tokens") / bucketWidth) * bucketWidth)
+        .cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .select(col("bucket_lo"), col("n_docs"), col("sum_tokens"),
+        round(col("sum_tokens").cast("double") / col("n_docs"), 9).as("avg_tokens"))
+      .orderBy("bucket_lo")
+
   /** Stopword-profile language ID: density of a fixed English function-word
     * list over the tokens. A real system compares n-gram profiles per
     * language; the operator shape (per-doc classify in one map + agg stage,

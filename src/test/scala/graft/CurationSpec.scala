@@ -166,6 +166,18 @@ class CurationSpec extends SparkSpec {
     assert(hashed == exact)
   }
 
+  test("noveltyScores: repeat of an earlier doc's gram lowers novelty, hand-computed") {
+    val corpus = docs(
+      1L -> "a b c d e f",        // windows: 'a b c d e', 'b c d e f' — all first
+      2L -> "a b c d e x y z w",  // 5 windows; only 'a b c d e' seen before
+      3L -> "p q r s t")          // 1 window, novel
+    val wins = Curation.windowRows(corpus, 5)
+    val got = Curation.noveltyScoresFromWindows(wins)
+      .select("doc_id", "n_windows", "n_seen_before", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L, 1.0), (2L, 5L, 1L, 0.8), (3L, 1L, 0L, 1.0)))
+  }
+
   test("spanHashAgreementGate: zero disagreement on a real corpus, vacuous throws") {
     val corpus = docs(
       1L -> "a b c d e f g",

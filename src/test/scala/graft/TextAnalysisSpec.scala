@@ -162,6 +162,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(r => (r._2, r._3)) == Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("gopherRules: per-rule flags and the pass conjunction, hand-computed") {
+    val docs = Seq(
+      (1L, "the cat and the dog have a nap"),    // 8 words, all alpha, stops
+      (2L, "x1 99 $$ %% !!"),                    // symbols/digits: fails alpha+stop
+      (3L, "supercalifragilistic expialidocious antidisestablishmentarianism of the")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, minWords = 3L, maxWords = 10L,
+        minMeanLen = 2.0, maxMeanLen = 6.0, minAlphaFrac = 0.8, minStopHits = 2L)
+      .select("doc_id", "n_words", "r_words", "r_word_len", "r_alpha", "r_stop", "pass")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 8 words, mean len (3+3+3+3+3+4+1+3)/8 = 2.875, alpha 8/8, stops≥2 → pass
+    assert(got(1L) == ((1L, 8L, 1L, 1L, 1L, 1L, 1L)))
+    // doc 2: 5 words; only x1 has a letter (1/5 < 0.8); no stop hits
+    assert(got(2L)._5 == 0L && got(2L)._6 == 0L && got(2L)._7 == 0L)
+    // doc 3: mean word length way over 6 → r_word_len fails, pass fails
+    assert(got(3L)._4 == 0L && got(3L)._7 == 0L)
+  }
+
+  test("tokenLengthHistogram: hand-computed bins over per-doc totals") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, (1 to 40).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tc = operators.Tfidf.termCounts(operators.Tfidf.tokenizePortable(docs))
+    val got = TextAnalysis.tokenLengthHistogramFromCounts(tc)
+      .select("bucket_lo", "n_docs", "sum_tokens", "avg_tokens")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // docs 1 (3 tokens) and 2 (2 tokens) → bucket 0; doc 3 (40) → bucket 32
+    assert(got == Seq((0L, 2L, 5L, 2.5), (32L, 1L, 40L, 40.0)))
+  }
+
   test("stopwordCandidates keeps only terms above the df-ratio floor") {
     val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the bird"), (4L, "fish"))
       .toDF("doc_id", "text")
