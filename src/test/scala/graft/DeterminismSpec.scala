@@ -34,7 +34,11 @@ class DeterminismSpec extends SparkSpec {
     // cluster-precedence drop decisions, stream-stream band self-join
     "lm_doc_scores", "semantic_dedup", "streams_near_dup_join_batch",
     "ivf_lloyd_top10", "training_data_manifest", "bpe_vocab_segments",
-    "lsh_plan", "events_key_skew", "source_term_hll", "pq_codes_portable")) {
+    "lsh_plan", "events_key_skew", "source_term_hll", "pq_codes_portable",
+    // round-6 additions: coded-pair drop agreement, corpus-first novelty
+    // mark-back, composite rule flags, asset-fed BM25 postings
+    "semantic_dedup_coded", "novelty_scores", "gopher_rules",
+    "token_length_histogram", "bm25_full")) {
     test(s"$q is identical under 3 vs 13 shuffle partitions") {
       assert(runWith(3, q) == runWith(13, q))
     }
