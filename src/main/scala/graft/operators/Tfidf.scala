@@ -403,8 +403,23 @@ object Tfidf {
       // then reads postings instead of re-scoring the corpus
       prebuiltScores: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scores = prebuiltScores.getOrElse(bm25FromCounts(tc, totalDocs))
-      .select("term", "doc_id", "score")
+    val scores = prebuiltScores match {
+      case Some(ps) =>
+        // a stored postings table compresses so hard (narrow numeric rows,
+        // small vocab) that the whole-corpus scan can bin into ONE task
+        // (file-size partitioning with the 4 MB open cost) — which would
+        // serialize the probes×postings fan-out below. Spread postings
+        // ROUND-ROBIN first with an EXPLICIT partition count (AQE cannot
+        // coalesce it away): the keyword join is a broadcast, so any
+        // posting row can process anywhere — partitioning by term instead
+        // would funnel the work through the handful of distinct
+        // high-tfidf keyword terms (measured: term-keyed 31 s warm vs
+        // round-robin wide at sf1; unpartitioned single-task 52 s cold).
+        ps.select("term", "doc_id", "score")
+          .repartition(
+            ps.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      case None => bm25FromCounts(tc, totalDocs).select("term", "doc_id", "score")
+    }
     val probes = tc.select("doc_id").distinct()
       .where(col("doc_id") % probeMod === 0)
       .orderBy("doc_id").limit(maxProbes)
