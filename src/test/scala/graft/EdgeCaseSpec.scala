@@ -72,6 +72,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got.count() == 3)
   }
 
+  test("int8 codec edge cases: empty vectors, length mismatch, null safety") {
+    import graft.functions.VectorUtil
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // empty vector → empty codes → dot 0
+    val empty = VectorUtil.i8Encode(ArrayData.toArrayData(Array.empty[Double]), 0.0)
+    assert(empty.isEmpty && VectorUtil.i8Dot(empty, empty) == 0L)
+    // mismatched code lengths: dot over the shared prefix, never an AIOOBE
+    val a = VectorUtil.i8Encode(ArrayData.toArrayData(Array(1.0, 1.0, 1.0)), 1.0)
+    val b = VectorUtil.i8Encode(ArrayData.toArrayData(Array(1.0)), 1.0)
+    assert(VectorUtil.i8Dot(a, b) == 127L * 127L)
+    // SQL surface: NULL input → NULL output (BinaryExpression null-safety)
+    val row = spark.sql(
+      "SELECT graft_i8_encode(CAST(NULL AS ARRAY<DOUBLE>), CAST(1.0 AS DOUBLE)) AS c, " +
+        "graft_i8_dot(CAST(NULL AS BINARY), X'01') AS d").head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("compressed-pixel decode never throws on truncated or corrupt payloads") {
+    import graft.multimodal.{HeaderCodecs, PixelCodecs}
+    val real = HeaderCodecs.makeRealJpeg(6, 4, 7L)
+    assert(PixelCodecs.rgbRaster(real).isDefined)
+    // truncate INSIDE the entropy-coded scan: ImageIO may throw or return
+    // a partial frame internally — the seam must swallow either (the call
+    // itself completing IS the property; a partial raster stays RGB-shaped)
+    val truncated = HeaderCodecs.compressedRaster(real.take(real.length / 2))
+    truncated.foreach(r => assert(r.length % 3 == 0))
+    // flipped SOI byte: not a JPEG at all → no decode attempt, None
+    val broken = real.clone(); broken(0) = 0
+    assert(HeaderCodecs.compressedRaster(broken).isEmpty)
+    assert(PixelCodecs.rgbRaster(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("streaming near-dup store: sub-shingle docs share the all-empty signature") {
     // docs shorter than the shingle window get the all-MaxValue densified
     // signature → they band-collide with each OTHER (semantically: two
