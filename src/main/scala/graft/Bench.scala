@@ -82,7 +82,13 @@ object Bench {
           val (w2, e3) = once()
           hygiene()
           if (e2.isEmpty && e3.isEmpty) (c2, w2, Some((cold0, warm0)))
-          else (cold0, warm0, None)
+          // the re-measure itself failed (e.g. the same memory pressure
+          // that poisoned warm): keep the original pair but STILL flag it
+          // — a "remeasured" entry whose originals equal the recorded
+          // values tells the auditing reader "detected as poisoned,
+          // substitution unavailable", instead of silently passing the
+          // quarantined timing off as clean
+          else (cold0, warm0, Some((cold0, warm0)))
         }
       (name, cold, warm, errC.orElse(errW), orig)
     }

@@ -372,37 +372,51 @@ object PixelCodecs {
     * raster `(width, height, w·h·3 bytes)`. None when no installed reader
     * accepts the payload (corrupt scan, unknown format) — decode failure
     * is a data property at 100 TB, not an error, so it degrades instead of
-    * throwing. */
+    * throwing. The decompression-bomb bound is checked from the HEADER
+    * dimensions (reader metadata, no pixel decode) BEFORE the full read —
+    * a crafted header declaring huge dims must not allocate a multi-GB
+    * raster on an executor first and get size-checked after. Only
+    * NonFatal failures degrade to None: an OutOfMemoryError or an
+    * interrupt (Spark task cancellation) must propagate. */
   def rgbRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis)
+          // header-only dims — no pixel decode yet
+          if (reader.getWidth(0) <= 0 || reader.getHeight(0) <= 0 ||
+              reader.getWidth(0).toLong * reader.getHeight(0) > (1L << 26)) null
+          else reader.read(0)
+        } finally { reader.dispose(); iis.close() }
       if (img == null) None
       else {
         val w = img.getWidth
         val h = img.getHeight
-        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None // sanity bound
-        else {
-          val out = new Array[Byte](w * h * 3)
-          var y = 0
-          var i = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              // getRGB converts any source color model to sRGB — one
-              // spelling for every BufferedImage type ImageIO can produce
-              val rgb = img.getRGB(x, y)
-              out(i) = ((rgb >> 16) & 0xFF).toByte
-              out(i + 1) = ((rgb >> 8) & 0xFF).toByte
-              out(i + 2) = (rgb & 0xFF).toByte
-              i += 3
-              x += 1
-            }
-            y += 1
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // getRGB converts any source color model to sRGB — one
+            // spelling for every BufferedImage type ImageIO can produce
+            val rgb = img.getRGB(x, y)
+            out(i) = ((rgb >> 16) & 0xFF).toByte
+            out(i + 1) = ((rgb >> 8) & 0xFF).toByte
+            out(i + 2) = (rgb & 0xFF).toByte
+            i += 3
+            x += 1
           }
-          Some((w, h, out))
+          y += 1
         }
+        Some((w, h, out))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** Real pure-JVM container parsing for the header-only formats — BMP /
@@ -808,7 +822,15 @@ object HeaderCodecs {
     * so pixel-level operators ([[Multimodal.channelStats]],
     * [[Multimodal.resizeImages]], feature histograms) work on actual
     * image content. [[makeJpeg]] (synthetic scan bytes) remains the
-    * header-walk fixture; this is the pixel-path fixture. */
+    * header-walk fixture; this is the pixel-path fixture.
+    *
+    * DETERMINISM BOUNDARY: the PIXELS are deterministic, but the encoded
+    * BYTES depend on the JVM's JPEG writer (quantization/Huffman tables
+    * are implementation details that have changed across JDK builds) —
+    * unlike every mix64-byte fixture, this one is byte-stable only
+    * within one JDK. Queries over it are rows-only for the driver, and
+    * the determinism suite asserts within-JVM stability; cross-machine
+    * byte comparisons of multimodal_* outputs are out of contract. */
   def makeRealJpeg(w: Int, h: Int, seed: Long): Array[Byte] = {
     import graft.functions.MinHash.mix64
     val img = new java.awt.image.BufferedImage(
@@ -855,9 +877,11 @@ object HeaderCodecs {
   /** Minimal MJPEG-flavored AVI: RIFF(AVI ) with LIST hdrl (avih + one
     * vids/MJPG stream) and LIST movi holding `nFrames` 00dc chunks of
     * `frameBytes` deterministic payload each — or, with
-    * `jpegFrames = true`, real [[makeJpeg]] frames at the container's
-    * dimensions (the genuine MJPEG layout: each frame an independent
-    * baseline JPEG), which [[parseJpeg]] can then decode per frame. */
+    * `jpegFrames = true`, real [[makeRealJpeg]] frames at the container's
+    * dimensions (the genuine MJPEG layout: each frame an independent,
+    * FULLY DECODABLE baseline JPEG — [[parseJpeg]] reads its dims and
+    * [[PixelCodecs]] its pixels; same single-JDK byte-determinism
+    * boundary as [[makeRealJpeg]]). */
   def makeAvi(w: Int, h: Int, nFrames: Int, seed: Long,
       frameBytes: Int = 24, jpegFrames: Boolean = false): Array[Byte] = {
     import graft.functions.MinHash.mix64

@@ -211,21 +211,7 @@ object Dedup {
       embeddings: DataFrame,
       nClusters: Int = 16,
       tau: Double = 0.7): DataFrame = {
-    val e = Similarity.prepared(embeddings, "embedding")
-      .select("vec_id", "v", "norm").scopedPersist()
-    val cents = Similarity.trainCentroids(e, nClusters, lloydIters = 0)
-    // assignment with the centroid similarity kept (the within-cluster
-    // precedence key), same rounded-argmax shape as Similarity.assignToLists
-    val assigned = e.join(broadcast(cents))
-      .withColumn("c_sim",
-        round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 6))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("c_id"), col("c_sim"), col("v"), col("norm")),
-        struct(col("c_sim"), -col("c_id"))).as("best"))
-      .select(col("vec_id"), col("best.c_id").as("list_id"),
-        col("best.c_sim").as("c_sim"), col("best.v").as("v"),
-        col("best.norm").as("norm"))
-      .scopedPersist()
+    val assigned = semanticAssigned(embeddings, nClusters)
     val ahead = assigned.select(col("list_id"), col("vec_id").as("a_id"),
       col("c_sim").as("a_sim"), col("v").as("av"), col("norm").as("anorm"))
     val behind = assigned.select(col("list_id"), col("vec_id").as("b_id"),
@@ -238,14 +224,42 @@ object Dedup {
       .where(col("cos") >= tau)
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
+    semanticKeepAudit(assigned, dropped)
+  }
+
+  /** THE shared SemDeDup cluster assignment — the ONE spelling both the
+    * float and the int8-coded pair tests build on, so their assignment and
+    * precedence semantics can never diverge (the coded path's recall gate
+    * compares exactly these decisions): md5-seeded centroids, rounded-
+    * cosine argmax with the centroid similarity kept as the within-cluster
+    * precedence key (same shape as Similarity.assignToLists). Output
+    * `(vec_id, list_id, c_sim, v, norm)`, persisted for the pair sides. */
+  private def semanticAssigned(embeddings: DataFrame, nClusters: Int): DataFrame = {
+    val e = Similarity.prepared(embeddings, "embedding")
+      .select("vec_id", "v", "norm").scopedPersist()
+    val cents = Similarity.trainCentroids(e, nClusters, lloydIters = 0)
+    e.join(broadcast(cents))
+      .withColumn("c_sim",
+        round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("c_id"), col("c_sim"), col("v"), col("norm")),
+        struct(col("c_sim"), -col("c_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("list_id"),
+        col("best.c_sim").as("c_sim"), col("best.v").as("v"),
+        col("best.norm").as("norm"))
+      .scopedPersist()
+  }
+
+  /** Shared SemDeDup audit assembly: one row per input vector with the
+    * 1/0 BIGINT `keep` flag (numeric flags hash identically across
+    * engines in the driver's comparison), never a filtered survivor
+    * list. */
+  private def semanticKeepAudit(assigned: DataFrame, dropped: DataFrame): DataFrame =
     assigned.select("vec_id", "list_id", "c_sim")
       .join(dropped, Seq("vec_id"), "left")
-      // 1/0 BIGINT rather than a boolean: numeric flags hash identically
-      // across engines in the driver's comparison
       .select(col("vec_id"), col("list_id"), col("c_sim"),
         when(col("is_dup"), lit(0L)).otherwise(lit(1L)).as("keep"))
       .orderBy("vec_id")
-  }
 
   /** [[semanticDedup]] with an int8-CODED pair test — the 100 TB shape.
     * The float path's one scale risk is the Σ|cluster|² pair join
@@ -267,19 +281,7 @@ object Dedup {
       nClusters: Int = 16,
       tau: Double = 0.7,
       guard: Double = 0.05): DataFrame = {
-    val e = Similarity.prepared(embeddings, "embedding")
-      .select("vec_id", "v", "norm").scopedPersist()
-    val cents = Similarity.trainCentroids(e, nClusters, lloydIters = 0)
-    val assigned = e.join(broadcast(cents))
-      .withColumn("c_sim",
-        round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 6))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("c_id"), col("c_sim"), col("v"), col("norm")),
-        struct(col("c_sim"), -col("c_id"))).as("best"))
-      .select(col("vec_id"), col("best.c_id").as("list_id"),
-        col("best.c_sim").as("c_sim"), col("best.v").as("v"),
-        col("best.norm").as("norm"))
-      .scopedPersist()
+    val assigned = semanticAssigned(embeddings, nClusters)
     // the NARROW pair-side projection: codes + scalars only — the full
     // vector column must never reach the list_id shuffle (PlanSpec-gated)
     val coded = assigned
@@ -313,11 +315,7 @@ object Dedup {
       .where(col("cos") >= tau)
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
-    assigned.select("vec_id", "list_id", "c_sim")
-      .join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("list_id"), col("c_sim"),
-        when(col("is_dup"), lit(0L)).otherwise(lit(1L)).as("keep"))
-      .orderBy("vec_id")
+    semanticKeepAudit(assigned, dropped)
   }
 
   /** Driver-visible recall gate for the coded pair test (same THROW

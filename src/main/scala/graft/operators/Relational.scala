@@ -222,38 +222,47 @@ object Relational {
 
   /** Driver-visible accuracy gate for the approximate percentile sketch
     * (THROW contract, like the CMS/HLL gates): per (event_type, p), the
-    * `percentile_approx` (t-digest-style, accuracy 10000) answer must lie
-    * between the EXACT percentiles at p±eps — i.e. the sketch's rank
-    * error stays within eps of the distribution, which is the guarantee a
-    * pipeline relies on when it swaps exact percentiles out at 100 TB. A
-    * violation throws with the worst offender; the per-type rows are the
-    * driver-visible artifact. */
+    * RANK the `percentile_approx` answer occupies must overlap the rank
+    * window [n·(p−eps), n·(p+eps)] — which is the sketch's ACTUAL
+    * guarantee (rank error, not value error). Comparing against
+    * value-interpolated exact percentiles instead would false-alarm on
+    * small or gappy groups, where the sketch returns a real data value
+    * but linear interpolation lands between values. The approx value's
+    * rank interval is [count(value < a), count(value ≤ a)] — an interval
+    * because of ties — and the gate passes iff it intersects the window.
+    * One broadcast of the per-type sketch answers + one conditional-count
+    * pass over the events; the per-type rows are the driver-visible
+    * artifact. */
   def percentileApproxGate(spark: SparkSession, dir: String,
       eps: Double = 0.01): DataFrame = {
     val ps = Seq(0.25, 0.5, 0.75)
-    val exactArr = ps.flatMap(p => Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)))
-      .map(p => s"${p}D").mkString("array(", ", ", ")")
     val approxArr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
-    val both = Tables.events(spark, dir)
+    val approx = Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(expr(s"percentile(value, $exactArr)").as("bounds"),
-        expr(s"approx_percentile(value, $approxArr, 10000)").as("approx"))
-    val checked = both.select(col("event_type") +: ps.zipWithIndex.flatMap {
-        case (p, i) =>
-          val tag = (p * 100).toInt
-          Seq(element_at(col("bounds"), 2 * i + 1).as(s"lo$tag"),
-            element_at(col("bounds"), 2 * i + 2).as(s"hi$tag"),
-            element_at(col("approx"), i + 1).as(s"ap$tag"),
-            (element_at(col("approx"), i + 1) >= element_at(col("bounds"), 2 * i + 1) &&
-              element_at(col("approx"), i + 1) <= element_at(col("bounds"), 2 * i + 2))
-              .as(s"ok$tag"))
-      }: _*)
+      .agg(expr(s"approx_percentile(value, $approxArr, 10000)").as("approx"))
+    val aggCols = ps.zipWithIndex.flatMap { case (p, i) =>
+      val tag = (p * 100).toInt
+      val a = element_at(col("approx"), i + 1)
+      Seq(sum(when(col("value") < a, 1L).otherwise(0L)).as(s"lt$tag"),
+        sum(when(col("value") <= a, 1L).otherwise(0L)).as(s"le$tag"),
+        first(a).as(s"ap$tag"))
+    }
+    val checked = Tables.events(spark, dir).select("event_type", "value")
+      .join(broadcast(approx), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .select((col("event_type") +: col("n") +: ps.flatMap { p =>
+        val tag = (p * 100).toInt
+        Seq(col(s"ap$tag"),
+          (col(s"le$tag").cast("double") >= col("n") * (p - eps) &&
+            col(s"lt$tag").cast("double") <= col("n") * (p + eps)).as(s"ok$tag"))
+      }): _*)
       .orderBy("event_type")
       .scopedPersist()
     val bad = checked.where(ps.map(p => !col(s"ok${(p * 100).toInt}"))
       .reduce(_ || _)).count()
     require(bad == 0L,
-      s"approx_percentile outside the exact p±$eps band for $bad event types")
+      s"approx_percentile rank outside n*(p±$eps) for $bad event types")
     checked.select(col("event_type") +: ps.map(p =>
       round(col(s"ap${(p * 100).toInt}"), 6).as(s"ap${(p * 100).toInt}")): _*)
   }
