@@ -985,6 +985,18 @@ object SparkEntry {
       Curation.decontaminateBloomFromTokens(
         toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
     }),
+    // DSIR importance resampling (hashed unigram log-ratio vs the SAME
+    // held-out target split the decontamination family uses): the "pull
+    // raw data TOWARD the eval domain" counterpart of "flag raw data that
+    // leaks the eval set". Model side is bucket-bounded and broadcast.
+    "dsir_logratio_weights" -> ((s, dir) =>
+      Curation.dsirWeights(termCountsAsset(s, dir), col("doc_id") % 53 === 0)
+        .orderBy("doc_id")),
+    // the deterministic SELECTION step: top-64 raw-pool docs by weight
+    // (doc_id tiebreak) — plans as one TakeOrderedAndProject, no full sort
+    "dsir_select_top64" -> ((s, dir) =>
+      Curation.dsirWeights(termCountsAsset(s, dir), col("doc_id") % 53 === 0)
+        .orderBy(desc("dsir_logratio"), asc("doc_id")).limit(64)),
     // THE END-TO-END COMPOSITION: one auditable manifest of the training
     // split, intersecting every curation stage this library provides —
     // exact dedup (fingerprint keeper), near-dup clusters (labels asset),
@@ -2280,6 +2292,63 @@ object SparkEntry {
          |  count(DISTINCT CASE WHEN gram IN (SELECT gram FROM bb) THEN gram END) AS overlap_b
          |FROM grams WHERE doc_id % 53 <> 0 AND doc_id % 47 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DSIR hashed importance weights: md5-prefix feature buckets, +1
+    // smoothing, per-bucket ln ratio rounded 9, per-doc sum routed
+    // through DECIMAL — the exact arithmetic the Spark side performs
+    "dsir_logratio_weights" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096 AS bucket,
+         |    CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM tc GROUP BY 1, 2),
+         |byb AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN doc_id % 53 = 0 THEN n ELSE 0 END) AS BIGINT) AS tgt_b,
+         |    CAST(sum(CASE WHEN doc_id % 53 <> 0 THEN n ELSE 0 END) AS BIGINT) AS raw_b
+         |  FROM feat GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tgt_b) AS BIGINT) AS tgt_tot,
+         |               CAST(sum(raw_b) AS BIGINT) AS raw_tot FROM byb),
+         |lam AS (
+         |  SELECT bucket, round(ln(
+         |    (CAST(tgt_b + 1 AS DOUBLE) / CAST(tgt_tot + 4096 AS DOUBLE)) /
+         |    (CAST(raw_b + 1 AS DOUBLE) / CAST(raw_tot + 4096 AS DOUBLE))), 9) AS lam
+         |  FROM byb CROSS JOIN tot),
+         |doc AS (
+         |  SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_tokens,
+         |    sum(CAST(round(f.n * l.lam, 9) AS DECIMAL(28,9))) AS w_sum
+         |  FROM feat f JOIN lam l USING (bucket)
+         |  WHERE f.doc_id % 53 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(w_sum AS DOUBLE), 9) AS dsir_logratio,
+         |  round(CAST(w_sum AS DOUBLE) / n_tokens, 9) AS per_token
+         |FROM doc ORDER BY doc_id""".stripMargin,
+    "dsir_select_top64" ->
+      s"""WITH $toksCte,
+         |feat AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096 AS bucket,
+         |    CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM tc GROUP BY 1, 2),
+         |byb AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN doc_id % 53 = 0 THEN n ELSE 0 END) AS BIGINT) AS tgt_b,
+         |    CAST(sum(CASE WHEN doc_id % 53 <> 0 THEN n ELSE 0 END) AS BIGINT) AS raw_b
+         |  FROM feat GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tgt_b) AS BIGINT) AS tgt_tot,
+         |               CAST(sum(raw_b) AS BIGINT) AS raw_tot FROM byb),
+         |lam AS (
+         |  SELECT bucket, round(ln(
+         |    (CAST(tgt_b + 1 AS DOUBLE) / CAST(tgt_tot + 4096 AS DOUBLE)) /
+         |    (CAST(raw_b + 1 AS DOUBLE) / CAST(raw_tot + 4096 AS DOUBLE))), 9) AS lam
+         |  FROM byb CROSS JOIN tot),
+         |doc AS (
+         |  SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_tokens,
+         |    sum(CAST(round(f.n * l.lam, 9) AS DECIMAL(28,9))) AS w_sum
+         |  FROM feat f JOIN lam l USING (bucket)
+         |  WHERE f.doc_id % 53 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(w_sum AS DOUBLE), 9) AS dsir_logratio,
+         |  round(CAST(w_sum AS DOUBLE) / n_tokens, 9) AS per_token
+         |FROM doc ORDER BY dsir_logratio DESC, doc_id LIMIT 64""".stripMargin,
     // windows = 5-grams with 1-based start positions; `a` rides along the
     // unnest CTE because DuckDB range() is not lateral-correlatable
     "duplicate_spans" ->

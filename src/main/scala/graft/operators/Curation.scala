@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for a training-data pipeline: benchmark
@@ -217,6 +217,61 @@ object Curation {
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_grams"), overlapCols: _*)
       .orderBy("doc_id")
+  }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every RAW-pool document by how much its hashed unigram features look
+    * drawn from the TARGET distribution rather than the raw distribution.
+    * The weight is the classic log importance ratio
+    * `Σ_b n_b(d) · ln(p_target(b) / p_raw(b))` over `buckets` hashed
+    * feature buckets with Laplace (+1) smoothing — the paper's bag-of-
+    * hashed-ngrams model with unigram features.
+    *
+    * Inputs: the `(term, doc_id, cnt)` term-counts corpus asset plus a
+    * doc_id predicate naming the target split (here the same held-out
+    * benchmark slice the decontamination family uses, so "select raw data
+    * that looks like the eval domain" composes with "flag raw data that
+    * LEAKS the eval set" — the two sides of the same pipeline stage).
+    *
+    * Engine-portable: buckets come from the md5-prefix hash (the
+    * [[graft.operators.TextAnalysis.stableSample]] idiom), the per-bucket
+    * log-ratio is rounded to 9 decimals, and the per-doc sum routes
+    * through DECIMAL so partition-order float drift cannot move a weight.
+    *
+    * Scale shape: one narrow (doc_id, bucket) aggregate over the counts
+    * asset, a bucket-bounded (≤ `buckets` rows) λ table BROADCAST back,
+    * then a per-doc aggregate — the corpus is never shuffled by term, and
+    * the model side is constant-size no matter how large the corpus. */
+  def dsirWeights(tc: DataFrame, isTarget: Column, buckets: Int = 4096): DataFrame = {
+    val bucket = (conv(substring(md5(col("term").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets).as("bucket")
+    // one pass to per-(doc, bucket) counts; feeds BOTH the bucket model
+    // aggregate and the per-doc scoring join
+    val feat = tc.select(col("doc_id"), bucket, col("cnt"))
+      .groupBy("doc_id", "bucket").agg(sum("cnt").as("n"))
+      .scopedPersist()
+    val byBucket = feat
+      .groupBy("bucket")
+      .agg(
+        sum(when(isTarget, col("n")).otherwise(0L)).as("tgt_b"),
+        sum(when(isTarget, 0L).otherwise(col("n"))).as("raw_b"))
+    val totals = byBucket.agg(
+      sum("tgt_b").as("tgt_tot"), sum("raw_b").as("raw_tot"))
+    val lam = byBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"), round(log(
+        ((col("tgt_b") + lit(1L)).cast("double") / (col("tgt_tot") + lit(buckets.toLong)).cast("double")) /
+          ((col("raw_b") + lit(1L)).cast("double") / (col("raw_tot") + lit(buckets.toLong)).cast("double"))), 9)
+        .as("lam"))
+    feat.where(!isTarget)
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_tokens"),
+        sum(round(col("n") * col("lam"), 9).cast("decimal(28,9)")).as("w_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("w_sum").cast("double"), 9).as("dsir_logratio"),
+        round(col("w_sum").cast("double") / col("n_tokens"), 9).as("per_token"))
   }
 
   /** Repetition quality stats (Gopher-style filter inputs), one row per
