@@ -1,14 +1,82 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+
 object Bench {
+
+  /** Canonicalize a physical plan dump into a layout-stable fingerprint
+    * input: expression ids, plan ids, file paths/sizes, and every literal
+    * digit are normalized away so the SAME plan SHAPE hashes identically
+    * across runs, while a structural regression (a lost broadcast, a new
+    * Exchange, a join strategy flip) changes the hash. Counts of the
+    * load-bearing node kinds ride along so a fingerprint DIFF is readable
+    * without the full dump. */
+  private[graft] def canonicalPlan(text: String): String =
+    text
+      .replaceAll("#\\d+L?", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("(?m)Location:.*$", "Location: x")
+      .replaceAll("file:[^\\s,()\\[\\]]+", "path")
+      .replaceAll("/[\\w./-]*(?:tmp|testdata)[\\w./-]*", "path")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+      .replaceAll("\\d+", "N")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
+
+    // Per-pass executor metrics, attributed via job groups: onJobStart maps
+    // the group's stages, onTaskEnd accumulates executorRunTime + jvmGCTime
+    // per group. Listener delivery is async — the end-of-run drain below
+    // waits before reading. Metrics are DIAGNOSTIC (why did wall time
+    // move: GC? executor work? scheduling?), never substituted for the
+    // recorded wall times.
+    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val taskAgg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) js.stageIds.foreach(id => stageGroup.put(id, g))
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val g = stageGroup.get(te.stageId)
+        if (g != null && te.taskMetrics != null) {
+          val a = taskAgg.computeIfAbsent(g, _ => Array(0L, 0L, 0L))
+          a.synchronized {
+            a(0) += te.taskMetrics.executorRunTime
+            a(1) += te.taskMetrics.jvmGCTime
+            a(2) += 1
+          }
+        }
+      }
+    })
+    def driverGcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
 
     // Warm the session once (parquet reader, codegen framework, JIT) so
     // per-query timings measure the operator, not JVM initialization.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // ASSET PHASE (r6 VERDICT item 2): force every shared corpus asset /
+    // trained index build FIRST, timed under its own name. Build cost no
+    // longer lands on whichever query runs first alphabetically — every
+    // query timing below is SERVING-ONLY, so a serving regression can't
+    // hide behind (or be faked by) build-attribution noise.
+    val assetTimes = SparkEntry.assetBuilders.map { case (name, force) =>
+      spark.sparkContext.setJobGroup(s"asset|$name", s"asset build: $name")
+      val t0 = System.nanoTime()
+      force(spark, sfDir)
+      spark.sparkContext.clearJobGroup()
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
 
     // Each query runs twice: cold (fresh cache — includes plan compile,
     // codegen, and any per-query persists) and warm (immediately after,
@@ -26,6 +94,8 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    val planFps = scala.collection.mutable.LinkedHashMap[String, String]()
+    val passMetrics = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]() // group -> (wallPassDriverGcMs, unused)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -35,15 +105,30 @@ object Bench {
       // left-join re-assembly in strip_duplicate_spans collapses to a
       // bare scan), which under-measures exactly the work a real
       // consumer pays for.
-      def once(): (Double, Option[String]) = {
+      def once(pass: String): (Double, Option[String]) = {
+        val group = s"$name|$pass"
+        taskAgg.remove(group) // re-measure overwrites the poisoned attempt
+        spark.sparkContext.setJobGroup(group, s"$name $pass")
+        val gc0 = driverGcMs()
         val t0 = System.nanoTime()
         val err =
-          try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+          try {
+            val df = fn(spark, sfDir)
+            df.queryExecution.toRdd.count()
+            // fingerprint the EXECUTED (AQE-final) physical plan — cheap
+            // string work, outside no timing-critical path long enough to
+            // matter, and the warm pass's fingerprint wins (steady state)
+            planFps(name) = canonicalPlan(df.queryExecution.executedPlan.toString)
+            None
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val dt = (System.nanoTime() - t0) / 1e9
+        passMetrics(group) = (driverGcMs() - gc0, 0L)
+        spark.sparkContext.clearJobGroup()
+        (dt, err)
       }
       def hygiene(): Unit = {
         spark.catalog.clearCache()
@@ -57,8 +142,8 @@ object Bench {
         System.gc()
         Thread.sleep(150)
       }
-      val (cold0, errC) = once()
-      val (warm0, errW) = once()
+      val (cold0, errC) = once("cold")
+      val (warm0, errW) = once("warm")
       hygiene()
       // Outlier guard (r5): a WARM pass that costs over twice its own cold
       // pass is a measurement artifact, not a property of the plan — warm
@@ -78,8 +163,8 @@ object Bench {
       val (cold, warm, orig) =
         if (!poisoned) (cold0, warm0, None)
         else {
-          val (c2, e2) = once()
-          val (w2, e3) = once()
+          val (c2, e2) = once("cold")
+          val (w2, e3) = once("warm")
           hygiene()
           if (e2.isEmpty && e3.isEmpty) (c2, w2, Some((cold0, warm0)))
           // the re-measure itself failed (e.g. the same memory pressure
@@ -92,6 +177,9 @@ object Bench {
         }
       (name, cold, warm, errC.orElse(errW), orig)
     }
+    // drain the async listener bus before reading task metrics: a bounded
+    // settle (the last query's events are in flight for milliseconds)
+    Thread.sleep(2000)
     def jsStr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
@@ -112,17 +200,53 @@ object Bench {
         math.round(r._5.get._1 * 10000) / 10000.0 + ",\"warm_orig\":" +
         math.round(r._5.get._2 * 10000) / 10000.0 + "}")
       .mkString("{", ",", "}")
+    val assetsObj = assetTimes
+      .map { case (n, t) => "\"" + n + "\":" + math.round(t * 10000) / 10000.0 }
+      .mkString("{", ",", "}")
+    val assetsTotal = assetTimes.map(_._2).sum
+    // Per-pass diagnostics: summed executor run / task GC (listener), task
+    // count, and driver GC delta — the "why" behind a wall-time move.
+    def metricsObj(rs: Seq[Row]): String =
+      rs.map { r =>
+        def side(pass: String): String = {
+          val a = Option(taskAgg.get(s"${r._1}|$pass")).getOrElse(Array(0L, 0L, 0L))
+          val drv = passMetrics.getOrElse(s"${r._1}|$pass", (0L, 0L))._1
+          s""""${pass}_run_ms":${a(0)},"${pass}_task_gc_ms":${a(1)},""" +
+            s""""${pass}_tasks":${a(2)},"${pass}_drv_gc_ms":$drv"""
+        }
+        "\"" + r._1 + "\":{" + side("cold") + "," + side("warm") + "}"
+      }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val totalWarm = ok.map(_._3).sum
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""value_warm":$totalWarm,"n_queries":${results.size},""" +
       s""""n_errors":${failed.size},"errors":$errorsObj,""" +
       s""""remeasured":$remeasuredObj,""" +
+      s""""assets":$assetsObj,"assets_total":$assetsTotal,""" +
       s""""queries":${timesObj(ok, _._2)},""" +
-      s""""queries_warm":${timesObj(ok, _._3)},"sf":"$sfDir"}"""
+      s""""queries_warm":${timesObj(ok, _._3)},""" +
+      s""""metrics":${metricsObj(ok)},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
+    // Plan fingerprints (r6 VERDICT item 7): query -> md5 of the
+    // canonicalized AQE-final physical plan + counts of the load-bearing
+    // node kinds. Diffing two rounds' files surfaces a plan regression (a
+    // lost broadcast, a new Exchange) even when timings are noisy.
+    val plansJson = planFps.toSeq.sortBy(_._1).map { case (name, canon) =>
+      def n(pat: String): Int = pat.r.findAllMatchIn(canon).length
+      "\"" + name + "\":{\"fp\":\"" + md5Hex(canon).take(16) + "\"" +
+        s""","exchanges":${n("Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)")}""" +
+        s""","broadcasts":${n("BroadcastExchange")}""" +
+        s""","bhj":${n("BroadcastHashJoin")},"smj":${n("SortMergeJoin")}""" +
+        // plan dumps mark codegen'd operators with the `*(id)` star prefix
+        // (never the literal WholeStageCodegen); after digit
+        // normalization every marker is `*(N)` — this counts codegen'd
+        // NODES, a coarse but diffable codegen-coverage signal
+        s""","cartesian":${n("CartesianProduct")},"codegen_nodes":${n("\\*\\(N\\)")}}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/plans.json"),
+      (plansJson + "\n").getBytes("UTF-8"))
     println(fullJson)
     spark.stop()
     // The driver parses a bounded TAIL of stdout (~2000 chars) — a
@@ -137,7 +261,8 @@ object Bench {
     var compact = ""
     do {
       compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""value_warm":$totalWarm,"n_queries":${results.size},""" +
+        s""""value_warm":$totalWarm,"assets_total":$assetsTotal,""" +
+        s""""n_queries":${results.size},""" +
         s""""n_errors":${failed.size},""" +
         s""""queries":${timesObj(headline, _._2)},"sf":"$sfDir"}"""
       headline = headline.dropRight(1)

@@ -22,6 +22,23 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
+  /** Golden aggregates of the decoded-raster digests over the
+    * deterministic 200-asset multimodal fixture (CRC32 per decoded PPM /
+    * BMP / JPEG / PNG raster; order-free count/sum/xor/byte-total). Any
+    * decoder change — header walk, row un-padding, JDK decode, sRGB
+    * conversion — flips at least one value and `multimodal_digest_gate`
+    * THROWS. Measured once from the fixture (see MultimodalSpec, which
+    * recomputes them independently). */
+  private[graft] object MultimodalGolden {
+    // 58 decodable images in the fixture: 42 BMP, 8 PPM, 8 JDK (JPEG/PNG).
+    // Repin via `runMain graft.DevRasterGolden` ONLY for an intended
+    // decoder/fixture change.
+    val nDecoded: Long = 58L
+    val crcSum: Long = 127702474297L
+    val crcXor: Long = 2111896303L
+    val rasterBytes: Long = 3489L
+  }
+
   /** Flagship: reference-exact TF-IDF ranking (the reference's whole program,
     * `TfidfMapReduce.java`) on sf0.001, with the exact `WordCount.java:61-85`
     * normalizer chain. Driver smoke-checks rows > 0. */
@@ -227,6 +244,7 @@ object SparkEntry {
     corpusAssetCache.clear()
     annIndexCache.clear()
     docsCountCache.clear()
+    servedPostingsCache.clear()
   }
 
   /** Token-position corpus asset `(doc_id, tokens: array<string>)` — the
@@ -304,6 +322,37 @@ object SparkEntry {
     corpusAsset(s, dir, "bm25_scores") {
       Tfidf.bm25FromCounts(termCountsAsset(s, dir), docsCount(s, dir))
     }
+
+  /** The SERVED form of the BM25 postings index: the asset's narrow
+    * (term, doc_id, score) projection, spread round-robin across the full
+    * shuffle width ONCE and kept persisted — the in-memory index replica a
+    * serving tier holds hot. The spread is a property of the served index,
+    * not of any query plan: before this existed the spread was a
+    * per-execution `repartition` inside the self-retrieval plan, so every
+    * warm query re-paid the postings shuffle (r6: warm 15.7 s > cold
+    * 9.4 s). Now the pin pays one shuffle; every serving query after it is
+    * exchange-free above the cached scan (PlanSpec-pinned). Round-robin,
+    * not term-keyed: consumers broadcast their keyword side, so any
+    * posting row can process anywhere; term-keyed spreading funnels work
+    * through the few distinct high-tfidf terms. */
+  private val servedPostingsCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private[graft] def bm25ServedPostings(s: SparkSession, dir: String): DataFrame = {
+    pruneStopped(servedPostingsCache, (k: (SparkSession, String)) => k._1)
+    val df = servedPostingsCache.getOrElseUpdate((s, dir), {
+      bm25Asset(s, dir).select("term", "doc_id", "score")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    })
+    // A harness clearCache() between queries drops the blocks out from
+    // under the cached frame; re-pin and re-materialize whenever that
+    // happened, so consumers ALWAYS read pre-spread cached blocks (one
+    // shuffle per pin, zero per serving query).
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+    }
+    df
+  }
 
   /** Exact brute-force kNN ground truth for the standard gate probe set
     * (queries 0-9, k=10) as a corpus asset: five recall gates (`ann_recall`,
@@ -411,6 +460,33 @@ object SparkEntry {
   private def manifestAsset(s: SparkSession, dir: String): DataFrame =
     corpusAsset(s, dir, "manifest") { manifestFrame(s, dir) }
 
+  /** Every shared corpus asset / trained index, in dependency order, with
+    * the name its parquet directory carries. The bench harness forces each
+    * build ONCE up front and times it under a separate `assets` key, so
+    * per-query timings are SERVING-ONLY (r6: `bigram_pmi`'s 45 s cold was
+    * the token-array + bigram-counts builds landing on whichever query ran
+    * first, masking real serving regressions). Forcing an accessor twice
+    * is idempotent — the second call returns the cached frame — so a
+    * pre-built entry times at ~0 s and the map stays honest about where
+    * build cost actually landed. */
+  private[graft] def assetBuilders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "token_arrays" -> ((s, d) => { tokenArraysAsset(s, d); () }),
+    "term_counts" -> ((s, d) => { termCountsAsset(s, d); () }),
+    "docs_count" -> ((s, d) => { docsCount(s, d); () }),
+    "ngram_pairs" -> ((s, d) => { exactPairsAsset(s, d); () }),
+    "dedup_labels" -> ((s, d) => { dedupLabelsAsset(s, d); () }),
+    "minhash_pairs" -> ((s, d) => { minhashPairsAsset(s, d); () }),
+    "simhash_pairs" -> ((s, d) => { simhashPairsAsset(s, d); () }),
+    "bpe_merges" -> ((s, d) => { bpeMergesAsset(s, d); () }),
+    "bm25_scores" -> ((s, d) => { bm25Asset(s, d); () }),
+    "bm25_served_postings" -> ((s, d) => { bm25ServedPostings(s, d); () }),
+    "knn_exact" -> ((s, d) => { knnExactAsset(s, d); () }),
+    "ivf_lloyd_cents" -> ((s, d) => { lloydCentroidsAsset(s, d); () }),
+    "bigram_counts" -> ((s, d) => { bigramCountsAsset(s, d); () }),
+    "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
+    "manifest" -> ((s, d) => { manifestAsset(s, d); () }),
+    "ann_index" -> ((s, d) => { annIndex(s, d); () }))
+
   // ---------------------------------------------------------------------------
   // Declared queries. Each (SparkSession, sfDir) => DataFrame, hash-compared
   // against `oracleSql` by the driver (DuckDB on the same parquet).
@@ -450,13 +526,13 @@ object SparkEntry {
       bm25Asset(s, dir)
         .orderBy(desc("score"), asc("term"), asc("doc_id"))),
     "bm25_search" -> ((s, dir) =>
-      Tfidf.searchByTermsBm25FromScores(bm25Asset(s, dir),
+      Tfidf.searchByTermsBm25FromScores(bm25ServedPostings(s, dir),
         Seq("table", "query", "spark"), 20)),
     // intrinsic search-quality eval: each probe doc queries with its own
     // tf-idf keywords and must retrieve ITSELF near rank 1 (rr -> MRR)
     "self_retrieval_ranks" -> ((s, dir) =>
       Tfidf.selfRetrievalEvalFromCounts(termCountsAsset(s, dir), docsCount(s, dir),
-        prebuiltScores = Some(bm25Asset(s, dir)))),
+        prebuiltScores = Some(bm25ServedPostings(s, dir)))),
     // per-source stratified stable sample (content-keyed, reproducible)
     "documents_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stableSample(Tables.documents(s, dir), "doc_id", 0.2)
@@ -1199,6 +1275,20 @@ object SparkEntry {
         .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
           round(col("rms"), 9).as("rms"), round(col("peak"), 9).as("peak"))
         .orderBy("asset_id", "frame_idx")),
+    // golden digest of the REAL decoded rasters over the deterministic
+    // multimodal fixture — THROWS (→ driver `err`) on any drift in the
+    // PPM/BMP/JPEG/PNG decode path (r6 VERDICT item 6: the decode outputs
+    // were rows-only; this is the sketch-gate pattern applied to pixels).
+    // Constants measured from the fixture; MultimodalSpec re-derives them
+    // from first principles so a legitimate fixture change is a one-line
+    // repin with a failing spec pointing at it.
+    "multimodal_digest_gate" -> ((s, _) =>
+      graft.multimodal.Multimodal.rasterDigestGate(
+        graft.multimodal.Multimodal.syntheticAssets(s, 200),
+        expectedCount = MultimodalGolden.nDecoded,
+        expectedCrcSum = MultimodalGolden.crcSum,
+        expectedCrcXor = MultimodalGolden.crcXor,
+        expectedBytes = MultimodalGolden.rasterBytes)),
     // Pure-SQL surface over the custom ShingleHashes GENERATOR (TVF shape:
     // LATERAL VIEW graft_shingle_hashes(...)): distinct 5-byte shingles per
     // doc — oracle = distinct 5-char substrings (ASCII corpus: byte==char;
@@ -1406,6 +1496,34 @@ object SparkEntry {
       |  WHERE NOT regexp_matches(t, '[0-9]')
       |), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
       |tc AS (SELECT term, doc_id, count(*) AS cnt FROM toks2 GROUP BY 1, 2)""".stripMargin
+
+  /** Shared DSIR CTE chain (hashed feature buckets → per-split bucket
+    * counts → totals → +1-smoothed ln-ratio λ per bucket → per-doc
+    * DECIMAL-routed weight sum) — the weight query and the top-64 selection
+    * differ ONLY in their final ORDER BY/LIMIT, so both interpolate this
+    * one definition (a second verbatim copy is a parity-bug hazard). */
+  private val dsirDocCte =
+    """feat AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096 AS bucket,
+      |    CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM tc GROUP BY 1, 2),
+      |byb AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN doc_id % 53 = 0 THEN n ELSE 0 END) AS BIGINT) AS tgt_b,
+      |    CAST(sum(CASE WHEN doc_id % 53 <> 0 THEN n ELSE 0 END) AS BIGINT) AS raw_b
+      |  FROM feat GROUP BY 1),
+      |tot AS (SELECT CAST(sum(tgt_b) AS BIGINT) AS tgt_tot,
+      |               CAST(sum(raw_b) AS BIGINT) AS raw_tot FROM byb),
+      |lam AS (
+      |  SELECT bucket, round(ln(
+      |    (CAST(tgt_b + 1 AS DOUBLE) / CAST(tgt_tot + 4096 AS DOUBLE)) /
+      |    (CAST(raw_b + 1 AS DOUBLE) / CAST(raw_tot + 4096 AS DOUBLE))), 9) AS lam
+      |  FROM byb CROSS JOIN tot),
+      |doc AS (
+      |  SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_tokens,
+      |    sum(CAST(round(f.n * l.lam, 9) AS DECIMAL(28,9))) AS w_sum
+      |  FROM feat f JOIN lam l USING (bucket)
+      |  WHERE f.doc_id % 53 <> 0 GROUP BY 1)""".stripMargin
 
   private val stopList =
     graft.functions.TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
@@ -2297,57 +2415,17 @@ object SparkEntry {
     // through DECIMAL — the exact arithmetic the Spark side performs
     "dsir_logratio_weights" ->
       s"""WITH $toksCte,
-         |feat AS (
-         |  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096 AS bucket,
-         |    CAST(sum(cnt) AS BIGINT) AS n
-         |  FROM tc GROUP BY 1, 2),
-         |byb AS (
-         |  SELECT bucket,
-         |    CAST(sum(CASE WHEN doc_id % 53 = 0 THEN n ELSE 0 END) AS BIGINT) AS tgt_b,
-         |    CAST(sum(CASE WHEN doc_id % 53 <> 0 THEN n ELSE 0 END) AS BIGINT) AS raw_b
-         |  FROM feat GROUP BY 1),
-         |tot AS (SELECT CAST(sum(tgt_b) AS BIGINT) AS tgt_tot,
-         |               CAST(sum(raw_b) AS BIGINT) AS raw_tot FROM byb),
-         |lam AS (
-         |  SELECT bucket, round(ln(
-         |    (CAST(tgt_b + 1 AS DOUBLE) / CAST(tgt_tot + 4096 AS DOUBLE)) /
-         |    (CAST(raw_b + 1 AS DOUBLE) / CAST(raw_tot + 4096 AS DOUBLE))), 9) AS lam
-         |  FROM byb CROSS JOIN tot),
-         |doc AS (
-         |  SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_tokens,
-         |    sum(CAST(round(f.n * l.lam, 9) AS DECIMAL(28,9))) AS w_sum
-         |  FROM feat f JOIN lam l USING (bucket)
-         |  WHERE f.doc_id % 53 <> 0 GROUP BY 1)
+         |$dsirDocCte
          |SELECT doc_id, n_tokens,
          |  round(CAST(w_sum AS DOUBLE), 9) AS dsir_logratio,
-         |  round(CAST(w_sum AS DOUBLE) / n_tokens, 9) AS per_token
+         |  CAST(w_sum AS DOUBLE) / n_tokens AS per_token
          |FROM doc ORDER BY doc_id""".stripMargin,
     "dsir_select_top64" ->
       s"""WITH $toksCte,
-         |feat AS (
-         |  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096 AS bucket,
-         |    CAST(sum(cnt) AS BIGINT) AS n
-         |  FROM tc GROUP BY 1, 2),
-         |byb AS (
-         |  SELECT bucket,
-         |    CAST(sum(CASE WHEN doc_id % 53 = 0 THEN n ELSE 0 END) AS BIGINT) AS tgt_b,
-         |    CAST(sum(CASE WHEN doc_id % 53 <> 0 THEN n ELSE 0 END) AS BIGINT) AS raw_b
-         |  FROM feat GROUP BY 1),
-         |tot AS (SELECT CAST(sum(tgt_b) AS BIGINT) AS tgt_tot,
-         |               CAST(sum(raw_b) AS BIGINT) AS raw_tot FROM byb),
-         |lam AS (
-         |  SELECT bucket, round(ln(
-         |    (CAST(tgt_b + 1 AS DOUBLE) / CAST(tgt_tot + 4096 AS DOUBLE)) /
-         |    (CAST(raw_b + 1 AS DOUBLE) / CAST(raw_tot + 4096 AS DOUBLE))), 9) AS lam
-         |  FROM byb CROSS JOIN tot),
-         |doc AS (
-         |  SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_tokens,
-         |    sum(CAST(round(f.n * l.lam, 9) AS DECIMAL(28,9))) AS w_sum
-         |  FROM feat f JOIN lam l USING (bucket)
-         |  WHERE f.doc_id % 53 <> 0 GROUP BY 1)
+         |$dsirDocCte
          |SELECT doc_id, n_tokens,
          |  round(CAST(w_sum AS DOUBLE), 9) AS dsir_logratio,
-         |  round(CAST(w_sum AS DOUBLE) / n_tokens, 9) AS per_token
+         |  CAST(w_sum AS DOUBLE) / n_tokens AS per_token
          |FROM doc ORDER BY dsir_logratio DESC, doc_id LIMIT 64""".stripMargin,
     // windows = 5-grams with 1-based start positions; `a` rides along the
     // unnest CTE because DuckDB range() is not lateral-correlatable

@@ -205,6 +205,61 @@ object Multimodal {
       }
   }
 
+  case class RasterDigest(asset_id: Long, fmt: String, n_bytes: Long, crc: Long)
+
+  /** Per-asset CRC32 digest of the REAL decoded raster bytes — the drift
+    * detector for the whole pixel-decode path (PPM walk, BMP row
+    * un-padding, JDK JPEG/PNG decode + sRGB conversion). Decode here is
+    * bit-exact, not approximate: identical payload bytes must yield
+    * identical rasters on every executor and every round, so the digests
+    * are golden-pinnable the same way the sketch/recall gates pin their
+    * bars. Undecodable payloads emit NOTHING (their degradation is covered
+    * by the stub-path queries). */
+  def rasterDigests(assets: DataFrame): Dataset[RasterDigest] = {
+    import assets.sparkSession.implicits._
+    assets.where(col("kind") === "image")
+      .select("asset_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          HeaderCodecs.ppmRaster(bytes).map(("ppm", _))
+            .orElse(HeaderCodecs.bmpRaster(bytes).map(("bmp", _)))
+            .orElse(HeaderCodecs.compressedRaster(bytes).map(("jdk", _)))
+            .map { case (fmt, px) =>
+              val crc = new java.util.zip.CRC32()
+              crc.update(px)
+              RasterDigest(id, fmt, px.length.toLong, crc.getValue)
+            }
+        }
+      }
+  }
+
+  /** Driver-visible THROW gate over [[rasterDigests]]: order-free
+    * aggregates (count, CRC sum/xor, total raster bytes) compared against
+    * golden constants measured from the deterministic fixture — any drift
+    * in any decoder stage flips at least one aggregate and the gate
+    * throws, surfacing as a hard `err` in the correctness report instead
+    * of passing a rows-only check silently (the pattern every
+    * sketch/recall gate already follows). The digest frame is bounded
+    * (one narrow row per decodable image), and only four scalars reach
+    * the driver. */
+  def rasterDigestGate(assets: DataFrame, expectedCount: Long,
+      expectedCrcSum: Long, expectedCrcXor: Long, expectedBytes: Long): DataFrame = {
+    val row = rasterDigests(assets).toDF().agg(
+      count(lit(1)).as("n_decoded"),
+      sum(col("crc")).as("crc_sum"),
+      expr("bit_xor(crc)").as("crc_xor"),
+      sum(col("n_bytes")).as("raster_bytes")).head()
+    val (n, s, x, b) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    require(n == expectedCount && s == expectedCrcSum &&
+        x == expectedCrcXor && b == expectedBytes,
+      s"decoded-raster digest drift: got (n=$n, crc_sum=$s, crc_xor=$x, " +
+        s"bytes=$b), expected (n=$expectedCount, crc_sum=$expectedCrcSum, " +
+        s"crc_xor=$expectedCrcXor, bytes=$expectedBytes)")
+    assets.sparkSession.range(1).select(
+      lit(n).as("n_decoded"), lit(s).as("crc_sum"),
+      lit(x).as("crc_xor"), lit(b).as("raster_bytes"))
+  }
+
   case class AudioFrame(asset_id: Long, frame_idx: Int, rms: Double, peak: Double)
 
   /** Per-frame audio energy over REAL decoded samples: WAV payloads

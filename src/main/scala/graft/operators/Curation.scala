@@ -271,7 +271,14 @@ object Curation {
         sum(round(col("n") * col("lam"), 9).cast("decimal(28,9)")).as("w_sum"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("w_sum").cast("double"), 9).as("dsir_logratio"),
-        round(col("w_sum").cast("double") / col("n_tokens"), 9).as("per_token"))
+        // NO round on the per-token ratio: w_sum is a scale-9 DECIMAL, so
+        // w_sum/n is a TERMINATING decimal that can land exactly on a
+        // half-ulp of the 9th digit (sf0.01 doc 172: -2.0893699905) where
+        // Spark's HALF_UP and another engine's binary half-even disagree.
+        // IEEE division of identical doubles is bit-exact in every engine
+        // — the file-level parity rule round(·,9) exists for
+        // transcendental (nonterminating) outputs only.
+        (col("w_sum").cast("double") / col("n_tokens")).as("per_token"))
   }
 
   /** Repetition quality stats (Gopher-style filter inputs), one row per

@@ -405,19 +405,21 @@ object Tfidf {
     import org.apache.spark.sql.expressions.Window
     val scores = prebuiltScores match {
       case Some(ps) =>
-        // a stored postings table compresses so hard (narrow numeric rows,
-        // small vocab) that the whole-corpus scan can bin into ONE task
-        // (file-size partitioning with the 4 MB open cost) — which would
-        // serialize the probes×postings fan-out below. Spread postings
-        // ROUND-ROBIN first with an EXPLICIT partition count (AQE cannot
-        // coalesce it away): the keyword join is a broadcast, so any
-        // posting row can process anywhere — partitioning by term instead
-        // would funnel the work through the handful of distinct
-        // high-tfidf keyword terms (measured: term-keyed 31 s warm vs
-        // round-robin wide at sf1; unpartitioned single-task 52 s cold).
+        // CALLER CONTRACT: `ps` must already be well-partitioned (and
+        // ideally cached). A stored postings table compresses so hard
+        // (narrow numeric rows, small vocab) that a raw parquet scan can
+        // bin into ONE task (file-size partitioning with the 4 MB open
+        // cost), serializing the probes×postings fan-out below — but the
+        // round-robin spread that fixes it belongs to the SERVED INDEX,
+        // not to this plan: a per-execution `repartition` here re-paid
+        // the postings shuffle on every warm query (r6: warm 15.7 s >
+        // cold 9.4 s). [[graft.SparkEntry]] passes a spread+persisted
+        // frame, so warm serving is exchange-free. (Round-robin, not
+        // term-keyed: the keyword join is a broadcast, so any posting
+        // row can process anywhere; term-keyed funnels the work through
+        // the handful of distinct high-tfidf keyword terms — measured
+        // 31 s warm vs wide at sf1; unpartitioned single-task 52 s cold.)
         ps.select("term", "doc_id", "score")
-          .repartition(
-            ps.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       case None => bm25FromCounts(tc, totalDocs).select("term", "doc_id", "score")
     }
     val probes = tc.select("doc_id").distinct()

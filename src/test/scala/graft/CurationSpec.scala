@@ -241,4 +241,46 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 5L, 3L, 3L, 5L, 1.0), (2L, 5L, 3L, 3L, 5L, 1.0)))
   }
+
+  test("dsirWeights: hand-computed log-ratio on a one-bucket corpus") {
+    // ONE term → all mass in one hashed bucket, so the whole formula is
+    // hand-checkable: tgt_b=2, raw_b=3, totals (2,3), B=4 buckets →
+    // λ = ln((2+1)/(2+4) / ((3+1)/(3+4))) = ln(0.875) = -0.133531393 (r9).
+    // Raw doc 1 has n=3 → w_sum = round(3·λ, 9) = -0.400594179,
+    // per_token = w_sum/3 as an UNROUNDED IEEE division (the scale-9
+    // decimal ratio can tie exactly at the 9th digit, where engines'
+    // rounding rules split — so the operator doesn't round it).
+    val tc = Seq(("w", 0L, 2L), ("w", 1L, 3L)).toDF("term", "doc_id", "cnt")
+    val got = Curation.dsirWeights(tc, col("doc_id") === 0L, buckets = 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, -0.400594179, -0.400594179 / 3.0)))
+  }
+
+  test("dsirWeights: empty target split degrades to smoothing-only ratios") {
+    // No target docs: tgt_b=0 / tgt_tot=0 everywhere, so λ is finite (the
+    // +1 Laplace numerator) and identical across buckets of equal raw
+    // mass: λ = ln((1/B) / ((raw_b+1)/(raw_tot+B))). With one term, B=4,
+    // raw (2,3): λ = ln(0.25 / (6/9)) = ln(0.375) = -0.980829253 (r9).
+    val tc = Seq(("w", 0L, 2L), ("w", 1L, 3L)).toDF("term", "doc_id", "cnt")
+    val got = Curation.dsirWeights(tc, col("doc_id") < 0L, buckets = 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (0L, 2L, -1.961658506, -1.961658506 / 2.0),
+      (1L, 3L, -2.942487759, -2.942487759 / 3.0)))
+  }
+
+  test("dsirWeights: non-default bucket count changes hashing, not totals") {
+    // Same corpus scored at two bucket widths: per-doc token totals are a
+    // bucket-invariant (they sum the same counts), and every raw doc gets
+    // exactly one row — target docs never appear in the output.
+    val tc = Seq(("alpha", 0L, 2L), ("beta", 1L, 3L), ("gamma", 2L, 5L),
+      ("alpha", 2L, 1L)).toDF("term", "doc_id", "cnt")
+    for (b <- Seq(16, 4096)) {
+      val rows = Curation.dsirWeights(tc, col("doc_id") === 0L, buckets = b)
+        .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+      assert(rows.map(r => (r._1, r._2)) == Seq((1L, 3L), (2L, 6L)),
+        s"buckets=$b")
+      rows.foreach(r => assert(!r._3.isNaN && !r._4.isNaN))
+    }
+  }
 }

@@ -353,4 +353,53 @@ class MultimodalSpec extends SparkSpec {
     val plain = fm.filter(f => f.asset_id % 5 != 4 && f.asset_id % 2 == 1)
     assert(plain.nonEmpty && plain.forall(f => f.format == "raw" && f.width == 0))
   }
+
+  test("rasterDigests: independent driver-side recompute matches the Spark path") {
+    import org.apache.spark.sql.functions.col
+    val fixture = Multimodal.syntheticAssets(spark, 200)
+    // recompute every digest WITHOUT Spark: same decoders, driver-local
+    // loop — a disagreement means the distributed path (partitioning,
+    // batching, encoder round-trip) corrupted payloads
+    val local = fixture.where(col("kind") === "image")
+      .select("asset_id", "content").collect()
+      .flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        HeaderCodecs.ppmRaster(bytes)
+          .orElse(HeaderCodecs.bmpRaster(bytes))
+          .orElse(HeaderCodecs.compressedRaster(bytes))
+          .map { px =>
+            val c = new java.util.zip.CRC32(); c.update(px)
+            (r.getLong(0), px.length.toLong, c.getValue)
+          }
+      }.sortBy(_._1).toSeq
+    val dist = Multimodal.rasterDigests(fixture).collect()
+      .map(d => (d.asset_id, d.n_bytes, d.crc)).sortBy(_._1).toSeq
+    assert(dist == local)
+    // and the aggregates equal the pinned gate constants — if THIS fails
+    // after an intended decoder/fixture change, repin via DevRasterGolden
+    val n = local.size.toLong
+    val crcSum = local.map(_._3).sum
+    val crcXor = local.map(_._3).foldLeft(0L)(_ ^ _)
+    val bytes = local.map(_._2).sum
+    assert((n, crcSum, crcXor, bytes) ==
+      ((SparkEntry.MultimodalGolden.nDecoded, SparkEntry.MultimodalGolden.crcSum,
+        SparkEntry.MultimodalGolden.crcXor, SparkEntry.MultimodalGolden.rasterBytes)))
+  }
+
+  test("rasterDigestGate passes on the pinned constants and THROWS on drift") {
+    val fixture = Multimodal.syntheticAssets(spark, 200)
+    val ok = Multimodal.rasterDigestGate(fixture,
+      SparkEntry.MultimodalGolden.nDecoded, SparkEntry.MultimodalGolden.crcSum,
+      SparkEntry.MultimodalGolden.crcXor, SparkEntry.MultimodalGolden.rasterBytes)
+      .collect()
+    assert(ok.length == 1 &&
+      ok.head.getLong(0) == SparkEntry.MultimodalGolden.nDecoded)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.rasterDigestGate(fixture,
+        SparkEntry.MultimodalGolden.nDecoded,
+        SparkEntry.MultimodalGolden.crcSum + 1,
+        SparkEntry.MultimodalGolden.crcXor, SparkEntry.MultimodalGolden.rasterBytes)
+    }
+    assert(ex.getMessage.contains("digest drift"))
+  }
 }

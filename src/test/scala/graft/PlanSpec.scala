@@ -199,6 +199,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("served BM25 postings: warm serving is exchange-free above the cached scan") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // first access pins the served index (ONE round-robin spread shuffle +
+    // persist — a property of the index, not of any query)
+    SparkEntry.bm25ServedPostings(spark, dir)
+    // a warm serving query must read the cached, pre-spread blocks with NO
+    // Exchange between the postings scan and the keyword join — the r6
+    // regression was a per-execution repartition re-paying the postings
+    // shuffle on every warm query
+    val df = SparkEntry.queries("self_retrieval_ranks")(spark, dir)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "term")) &&
+            (j.left.output ++ j.right.output).exists(_.name == "q_doc") => j
+    }
+    assert(joins.nonEmpty, "expected the keywords×postings term join")
+    joins.foreach { j =>
+      val stream = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+      }
+      assert(stream.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+        s"postings side is not the cached served index:\n${stream.toString.take(1500)}")
+      assert(stream.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"warm serving re-pays a postings shuffle:\n${stream.toString.take(1500)}")
+    }
+  }
+
   test("lmDocScores: array-sliced transitions, no window, one-row vocab broadcast") {
     val df = graft.operators.TextAnalysis.lmDocScoresFromTokens(
       graft.operators.Tfidf.tokenArrays(Tables.documents(spark, dir)))
