@@ -72,8 +72,28 @@ def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
             bad += 1
         else:
             print(f"PASS {name}: warm {b:.2f}s -> {s:.2f}s (ratio {ratio:.1f}x)")
-    print(f"scale gate: {len(common)} cold + {len(warm_common)} warm gated, "
-          f"{bad} failures; worst ratio {worst[1]:.1f}x ({worst[2]} {worst[0]})")
+    # Asset-build times (present since the bench split builds out of query
+    # attribution) get the same linearity gate: a build whose cost explodes
+    # superlinearly at 10x data is a real scale problem even though no
+    # serving query shows it. Same floor reasoning as queries.
+    a_base, a_scaled = base.get("assets", {}), scaled.get("assets", {})
+    asset_common = sorted(set(a_base) & set(a_scaled))
+    for name in sorted(set(a_base) ^ set(a_scaled)):
+        print(f"WARN asset {name}: present at only one scale, not gated")
+    for name in asset_common:
+        b, s = a_base[name], a_scaled[name]
+        ratio = s / b if b > 0 else float("inf")
+        if ratio > worst[1]:
+            worst = (name, ratio, "asset")
+        if s > max(factor * b, floor_s):
+            print(f"FAIL asset {name}: build {s:.2f}s at scale vs {b:.2f}s base "
+                  f"(ratio {ratio:.1f}x > {factor:.0f}x, floor {floor_s}s)")
+            bad += 1
+        else:
+            print(f"PASS asset {name}: {b:.2f}s -> {s:.2f}s (ratio {ratio:.1f}x)")
+    print(f"scale gate: {len(common)} cold + {len(warm_common)} warm + "
+          f"{len(asset_common)} asset gated, {bad} failures; "
+          f"worst ratio {worst[1]:.1f}x ({worst[2]} {worst[0]})")
     return 1 if bad else 0
 
 

@@ -19,6 +19,11 @@ object Bench {
       .replaceAll("file:[^\\s,()\\[\\]]+", "path")
       .replaceAll("/[\\w./-]*(?:tmp|testdata)[\\w./-]*", "path")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+      // JVM-assigned identities: hidden-class lambda names
+      // (Lambda$123/0x00007f...@5ccf) and object identity hashes vary per
+      // process — a fingerprint must survive a JVM restart
+      .replaceAll("Lambda\\$[^,\\s)]+", "Lambda")
+      .replaceAll("@[0-9a-fA-F]+", "@x")
       .replaceAll("\\d+", "N")
 
   private def md5Hex(s: String): String =
@@ -115,10 +120,14 @@ object Bench {
           try {
             val df = fn(spark, sfDir)
             df.queryExecution.toRdd.count()
-            // fingerprint the EXECUTED (AQE-final) physical plan — cheap
-            // string work, outside no timing-critical path long enough to
-            // matter, and the warm pass's fingerprint wins (steady state)
-            planFps(name) = canonicalPlan(df.queryExecution.executedPlan.toString)
+            // fingerprint the INITIAL physical plan (pre-AQE): the
+            // AQE-final plan embeds runtime shuffle-size decisions
+            // (local/coalesced reads, borderline broadcast flips) that
+            // flap run-to-run on small fixtures — a regression artifact
+            // must be deterministic given the same code and data, and a
+            // lost broadcast / new Exchange / join-strategy change shows
+            // in the static plan. Warm pass's fingerprint wins.
+            planFps(name) = canonicalPlan(df.queryExecution.sparkPlan.toString)
             None
           }
           catch { case e: Throwable =>

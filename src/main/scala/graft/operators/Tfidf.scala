@@ -432,19 +432,33 @@ object Tfidf {
     // BROADCAST THE KEYWORDS, STREAM THE POSTINGS — spelled explicitly:
     // with a stored score table the optimizer's stats say "broadcast the
     // (small file) postings instead", which streams the 1500 keyword rows
-    // and fuses the whole probes×postings fan-out + aggregate + window
-    // into one exchange-free stage (measured 6× slower at sf0.1, and at
-    // 100 TB broadcasting postings is impossible outright). Keyword side
-    // is maxProbes×kwPerDoc rows — always the broadcast side.
-    scores.join(broadcast(kws), "term")
+    // through the probes×postings fan-out (measured 6× slower at sf0.1,
+    // and at 100 TB broadcasting postings is impossible outright).
+    // Keyword side is maxProbes×kwPerDoc rows — always the broadcast side.
+    val pairScores = scores.join(broadcast(kws), "term")
       .groupBy("q_doc", "doc_id")
       .agg(round(sum(col("score").cast("decimal(28,14)")).cast("double"), 9).as("score"))
-      .withColumn("self_rank", row_number().over(
-        Window.partitionBy("q_doc").orderBy(desc("score"), asc("doc_id"))).cast("long"))
-      .where(col("q_doc") === col("doc_id"))
+      .scopedPersist()
+    // RANK WITHOUT SORTING: the eval needs only the rank of the SELF pair,
+    // which is 1 + |{candidates scoring strictly better, ties to the lower
+    // doc_id}| — a broadcast of the ≤ maxProbes self-scores plus one
+    // counting aggregate. The former ranking window sorted EVERY
+    // (probe, candidate) pair per probe (probes × corpus rows at a small
+    // vocabulary — 25M sorted rows at sf1, the #1 rehearsal cost); the
+    // count formulation scans the same pairs once, exactly reproducing
+    // row_number's (score DESC, doc_id ASC) placement.
+    val selfScores = pairScores.where(col("q_doc") === col("doc_id"))
+      .select(col("q_doc"), col("score").as("self_score"))
+    pairScores.join(broadcast(selfScores), "q_doc")
+      .groupBy("q_doc")
+      .agg(
+        (sum(when(col("score") > col("self_score") ||
+            (col("score") === col("self_score") && col("doc_id") < col("q_doc")),
+          1L).otherwise(0L)) + lit(1L)).as("self_rank"),
+        any_value(col("self_score")).as("self_score"))
       .select(col("q_doc"), col("self_rank"),
         round(lit(1.0) / col("self_rank"), 9).as("rr"),
-        col("score").as("self_score"))
+        col("self_score"))
       .orderBy("q_doc")
   }
 

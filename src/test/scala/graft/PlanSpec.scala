@@ -166,6 +166,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan(df).contains("CartesianProduct"))
   }
 
+  /** Flatten a physical plan INCLUDING the cached plans behind any
+    * InMemoryTableScan: operator-internal persists (e.g. the
+    * self-retrieval pair table) move their upstream join/agg subtree into
+    * an InMemoryRelation, and a plan-shape assertion must still see it. */
+  private def flattenWithCached(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p.collect { case n => n }.flatMap {
+      case s: InMemoryTableScanExec => s +: flattenWithCached(s.relation.cachedPlan)
+      // AQE wrappers are LEAF nodes — collect stops at them; recurse into
+      // the current physical plan underneath
+      case a: AdaptiveSparkPlanExec => a +: flattenWithCached(a.executedPlan)
+      case n => Seq(n)
+    }
+  }
+
   test("selfRetrievalEval with stored postings: keywords broadcast, postings stream") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     // mimic the registered shape: scores as a PARQUET asset (file stats
@@ -180,7 +197,7 @@ class PlanSpec extends SparkSpec {
       .write.mode("overwrite").parquet(tmp.getAbsolutePath)
     val df = graft.operators.Tfidf.selfRetrievalEvalFromCounts(tc, n,
       prebuiltScores = Some(spark.read.parquet(tmp.getAbsolutePath)))
-    val postingJoins = df.queryExecution.sparkPlan.collect {
+    val postingJoins = flattenWithCached(df.queryExecution.sparkPlan).collect {
       case j: BroadcastHashJoinExec
           if j.leftKeys.exists(_.references.exists(_.name == "term")) &&
             (j.left.output ++ j.right.output).exists(_.name == "q_doc") => j
@@ -211,7 +228,7 @@ class PlanSpec extends SparkSpec {
     // regression was a per-execution repartition re-paying the postings
     // shuffle on every warm query
     val df = SparkEntry.queries("self_retrieval_ranks")(spark, dir)
-    val joins = df.queryExecution.sparkPlan.collect {
+    val joins = flattenWithCached(df.queryExecution.sparkPlan).collect {
       case j: BroadcastHashJoinExec
           if j.leftKeys.exists(_.references.exists(_.name == "term")) &&
             (j.left.output ++ j.right.output).exists(_.name == "q_doc") => j
