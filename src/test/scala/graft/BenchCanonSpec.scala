@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit contract for the plan-fingerprint canonicalizer: every
+  * JVM-assigned or data-dependent token must normalize away (two runs of
+  * the same code on the same data must hash identically), while plan
+  * STRUCTURE — node kinds, join strategies, exchange placement — must
+  * survive (a lost broadcast must change the hash). */
+class BenchCanonSpec extends AnyFunSuite {
+
+  test("expression ids, plan ids, paths, sizes, and literals normalize away") {
+    val a = Bench.canonicalPlan(
+      "Exchange hashpartitioning(doc_id#123L, 32), ENSURE_REQUIREMENTS, [plan_id=908]\n" +
+        "+- FileScan parquet [term#87,score#93] Batched: true, " +
+        "Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_asset_x_abc12...\n" +
+        "   Statistics(sizeInBytes=12.3 MiB, rowCount=456)")
+    val b = Bench.canonicalPlan(
+      "Exchange hashpartitioning(doc_id#999L, 32), ENSURE_REQUIREMENTS, [plan_id=17]\n" +
+        "+- FileScan parquet [term#11,score#2] Batched: true, " +
+        "Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_asset_x_def98...\n" +
+        "   Statistics(sizeInBytes=999.9 GiB, rowCount=1)")
+    assert(a == b)
+  }
+
+  test("JVM lambda names and identity hashes normalize away") {
+    val a = Bench.canonicalPlan(
+      "MapPartitions graft.multimodal.Multimodal$$$Lambda$4479/0x00007f1d2fd19ba8@5ccf, obj#423")
+    val b = Bench.canonicalPlan(
+      "MapPartitions graft.multimodal.Multimodal$$$Lambda$991/0x00007aaa2fc11fa0@91b2, obj#7")
+    assert(a == b)
+  }
+
+  test("structural changes survive: a lost broadcast changes the canonical form") {
+    val broadcastJoin = Bench.canonicalPlan(
+      "BroadcastHashJoin [term#87], [term#23], Inner, BuildRight, false")
+    val mergeJoin = Bench.canonicalPlan(
+      "SortMergeJoin [term#87], [term#23], Inner")
+    assert(broadcastJoin != mergeJoin)
+    val withExchange = Bench.canonicalPlan(
+      "Exchange hashpartitioning(q_doc#1L, 32)\n+- HashAggregate(keys=[q_doc#1L])")
+    val withoutExchange = Bench.canonicalPlan(
+      "HashAggregate(keys=[q_doc#1L])")
+    assert(withExchange != withoutExchange)
+  }
+}
