@@ -103,6 +103,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[graft.functions.TextSurfaceStats].getName,
+        "graft_text_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_text_stats takes exactly one argument")
+        graft.functions.TextSurfaceStats(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[graft.functions.DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => {

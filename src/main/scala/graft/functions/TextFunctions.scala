@@ -81,6 +81,16 @@ object TextFunctions {
     GraftColumnBridge.column(DeflateLen(GraftColumnBridge.expression(text), level))
   }
 
+  /** One-pass surface statistics over raw text (see [[TextSurfaceStats]]):
+    * a 9-field struct of counters replacing the per-signal regex passes in
+    * the quality scorer and the Gopher rules. Reference the struct ONCE in
+    * a projection and read fields off it — codegen subexpression
+    * elimination keeps it a single scan. */
+  def surfaceStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(TextSurfaceStats(GraftColumnBridge.expression(text)))
+  }
+
   /** Small English stopword list used by the language-ID heuristic and the
     * quality scorer. Deliberately tiny and fixed so the DuckDB oracle can
     * spell the identical list. */

@@ -41,14 +41,17 @@ object TextAnalysis {
     * fixed; the operator's value is the shape (cheap per-doc scoring that
     * filters a 100 TB corpus in one codegen'd map stage). */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val n = length(col("text")).cast("double")
-    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-    val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
-    val punct = length(regexp_replace(col("text"), "[^.,;:!?'\"()-]", "")).cast("double")
-    val ws = length(regexp_replace(col("text"), "[^ \\t\\n]", "")).cast("double")
-    val stopRx = "\\b(" + TextFunctions.EnglishStopwords.mkString("|") + ")\\b"
-    val nTokens = size(split(col("text"), "\\s+")).cast("double")
-    val stopHits = size(regexp_extract_all(col("text"), lit(stopRx), lit(0))).cast("double")
+    // one-pass native scan (TextSurfaceStats) replacing four regexp_replace
+    // passes + split + a 20-way \b alternation — value-identical by the
+    // TextSurfaceStatsSpec parity property, so the oracle rows are unchanged
+    val st = TextFunctions.surfaceStats(col("text"))
+    val n = st.getField("n_chars").cast("double")
+    val alpha = st.getField("n_alpha").cast("double")
+    val digit = st.getField("n_digit").cast("double")
+    val punct = st.getField("n_punct").cast("double")
+    val ws = st.getField("n_ws").cast("double")
+    val nTokens = st.getField("n_tokens").cast("double")
+    val stopHits = st.getField("n_stop_hits").cast("double")
     docs.select(
       col("doc_id"),
       round(alpha / n, 9).as("alpha_ratio"),
@@ -78,15 +81,15 @@ object TextAnalysis {
       minWords: Long = 50L, maxWords: Long = 100000L,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       minAlphaFrac: Double = 0.8, minStopHits: Long = 2L): DataFrame = {
-    val words = split(col("text"), "\\s+")
-    val nWords = size(words).cast("long")
-    val sumLen = aggregate(transform(words, w => length(w)), lit(0L),
-      (a, x) => a + x)
+    // same one-pass scan as qualityScore (parity-tested vs the original
+    // split/aggregate/alternation spelling — TextSurfaceStatsSpec)
+    val st = TextFunctions.surfaceStats(col("text"))
+    val nWords = st.getField("n_tokens")
+    val sumLen = st.getField("sum_word_len")
     val meanLen = round(sumLen.cast("double") / nWords, 9)
-    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val alphaWords = st.getField("n_alpha_words")
     val alphaFrac = round(alphaWords.cast("double") / nWords, 9)
-    val stopRx = "\\b(" + TextFunctions.EnglishStopwords.mkString("|") + ")\\b"
-    val stopHits = size(regexp_extract_all(col("text"), lit(stopRx), lit(0))).cast("long")
+    val stopHits = st.getField("n_stop_hits")
     docs.select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
         alphaFrac.as("alpha_word_frac"), stopHits.as("n_stop_hits"))
       .withColumn("r_words",
