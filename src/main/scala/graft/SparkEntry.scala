@@ -1061,6 +1061,23 @@ object SparkEntry {
       Curation.decontaminateBloomFromTokens(
         toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
     }),
+    // SEMANTIC decontamination: embedding-cosine leakage vs the held-out
+    // benchmark split (vec_id % 53, mirroring the gram family's doc_id
+    // split) — benchmark broadcast, one map pass over the corpus
+    "decontaminate_semantic" -> ((s, dir) =>
+      Curation.decontaminateSemantic(Tables.embeddings(s, dir),
+        col("vec_id") % 53 === 0, tau = 0.3)),
+    // CCNet head/middle/tail perplexity terciles per source, scored by
+    // the corpus-trained bigram LM (asset-fed model joins)
+    "perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, dir),
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+        bigramCountsAsset(s, dir), termCountsAsset(s, dir))),
+    // topic-rebalancing cap over the SemDeDup cluster assignment: at most
+    // `cap` representatives per semantic cluster, rank-exact
+    "cluster_balanced_sample" -> ((s, dir) =>
+      Dedup.clusterBalancedSample(Tables.embeddings(s, dir),
+        nClusters = 16, cap = 16)),
     // DSIR importance resampling (hashed unigram log-ratio vs the SAME
     // held-out target split the decontamination family uses): the "pull
     // raw data TOWARD the eval domain" counterpart of "flag raw data that
@@ -1539,6 +1556,63 @@ object SparkEntry {
       |    t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '', 'g')), t -> t <> '') AS a
       |  FROM documents
       |)""".stripMargin
+
+  /** Shared embedding expansion: per-dimension doubles + exact-DECIMAL
+    * norms — the base of every cosine oracle. */
+  private val embExCte =
+    """ex AS (
+      |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, range(1, 65) t(i)
+      |), norms AS (
+      |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+      |  FROM ex GROUP BY 1
+      |)""".stripMargin
+
+  /** Shared SemDeDup cluster-assignment CTE chain (md5-seeded centroids →
+    * rounded-cosine argmax). `semantic_dedup` and `cluster_balanced_sample`
+    * differ only in what they do AFTER assignment, so both interpolate this
+    * one definition (the Spark side likewise shares `Dedup.semanticAssigned`
+    * — one spelling per engine, no parity-bug hazard). */
+  private val semAssignCte =
+    s"""$embExCte, cents AS (
+       |  SELECT vec_id AS c_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+       |), cx AS (
+       |  SELECT c.c_id, e.i, e.x, n.nrm AS cnorm
+       |  FROM cents c JOIN ex e ON e.vec_id = c.c_id JOIN norms n ON n.vec_id = c.c_id
+       |), sims AS (
+       |  SELECT a.vec_id, c.c_id,
+       |    round(CAST(sum(CAST(a.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+       |      / (an.nrm * any_value(c.cnorm)), 6) AS c_sim
+       |  FROM ex a JOIN cx c ON a.i = c.i JOIN norms an ON an.vec_id = a.vec_id
+       |  GROUP BY a.vec_id, c.c_id, an.nrm
+       |), assigned AS (
+       |  SELECT vec_id, c_id AS list_id, c_sim FROM (
+       |    SELECT vec_id, c_id, c_sim,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+       |    FROM sims) t WHERE rn = 1
+       |)""".stripMargin
+
+  /** Shared bigram-LM per-doc score CTE (`lm` = doc_id, n_transitions,
+    * avg_logprob) — the LM scorer and the CCNet perplexity buckets read the
+    * same model, so both interpolate this one definition. */
+  private val lmDocCte =
+    s"""$toksArrCte,
+       |bg AS (
+       |  SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
+       |        FROM toksarr WHERE len(a) >= 2) u
+       |), pc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+       |cc AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_ctx FROM pc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tkn) AS v_size
+       |      FROM (SELECT unnest(a) AS tkn FROM toksarr) z),
+       |lm AS (
+       |  SELECT doc_id, count(*) AS n_transitions,
+       |    round(CAST(sum(CAST(round(ln(CAST(pc.n_ab + 1 AS DOUBLE) / (cc.n_ctx + v.v_size)), 9)
+       |      AS DECIMAL(18,9))) AS DOUBLE) / count(*), 9) AS avg_logprob
+       |  FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+       |  GROUP BY doc_id
+       |)""".stripMargin
 
   // near-dup cluster labels via recursive reachability over the capped
   // exact-verifier pairs — shared by the cluster and apply-dedup oracles
@@ -2933,30 +3007,7 @@ object SparkEntry {
         |FROM bd CROSS JOIN g
         |ORDER BY bands, jaccard""".stripMargin,
     "semantic_dedup" ->
-      """WITH ex AS (
-        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-        |  FROM embeddings, range(1, 65) t(i)
-        |), norms AS (
-        |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
-        |  FROM ex GROUP BY 1
-        |), cents AS (
-        |  SELECT vec_id AS c_id FROM embeddings
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-        |), cx AS (
-        |  SELECT c.c_id, e.i, e.x, n.nrm AS cnorm
-        |  FROM cents c JOIN ex e ON e.vec_id = c.c_id JOIN norms n ON n.vec_id = c.c_id
-        |), sims AS (
-        |  SELECT a.vec_id, c.c_id,
-        |    round(CAST(sum(CAST(a.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
-        |      / (an.nrm * any_value(c.cnorm)), 6) AS c_sim
-        |  FROM ex a JOIN cx c ON a.i = c.i JOIN norms an ON an.vec_id = a.vec_id
-        |  GROUP BY a.vec_id, c.c_id, an.nrm
-        |), assigned AS (
-        |  SELECT vec_id, c_id AS list_id, c_sim FROM (
-        |    SELECT vec_id, c_id, c_sim,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
-        |    FROM sims) t WHERE rn = 1
-        |), pairs AS (
+      s"""WITH $semAssignCte, pairs AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM assigned a JOIN assigned b ON a.list_id = b.list_id
         |  WHERE a.c_sim > b.c_sim OR (a.c_sim = b.c_sim AND a.vec_id < b.vec_id)
@@ -2975,6 +3026,34 @@ object SparkEntry {
         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM assigned a LEFT JOIN dropped d USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
+    "cluster_balanced_sample" ->
+      s"""WITH $semAssignCte
+         |SELECT vec_id, list_id, c_sim,
+         |  CAST(row_number() OVER (PARTITION BY list_id
+         |    ORDER BY c_sim DESC, vec_id ASC) AS BIGINT) AS cluster_rank,
+         |  CAST(CASE WHEN row_number() OVER (PARTITION BY list_id
+         |    ORDER BY c_sim DESC, vec_id ASC) <= 16 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM assigned
+         |ORDER BY vec_id""".stripMargin,
+    "decontaminate_semantic" ->
+      s"""WITH $embExCte, sims AS (
+         |  SELECT a.vec_id, b.vec_id AS b_id,
+         |    round(CAST(sum(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE)
+         |      / (na.nrm * nb.nrm), 6) AS cos
+         |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id % 53 = 0 AND a.vec_id % 53 <> 0
+         |  JOIN norms na ON na.vec_id = a.vec_id
+         |  JOIN norms nb ON nb.vec_id = b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+         |), best AS (
+         |  SELECT vec_id, b_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, b_id ASC) AS rn,
+         |    max(cos) OVER (PARTITION BY vec_id) AS max_cos
+         |  FROM sims
+         |)
+         |SELECT vec_id, b_id AS nearest_bench, max_cos,
+         |  CAST(CASE WHEN max_cos >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM best WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     "self_retrieval_ranks" ->
       s"""WITH $toksCte,
          |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doc_total FROM tc GROUP BY 1),
@@ -3287,21 +3366,23 @@ object SparkEntry {
          |ORDER BY n_ab DESC, w1 ASC, w2 ASC
          |LIMIT 100""".stripMargin,
     "lm_doc_scores" ->
-      s"""WITH $toksArrCte,
-         |bg AS (
-         |  SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
-         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
-         |        FROM toksarr WHERE len(a) >= 2) u
-         |), pc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
-         |cc AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_ctx FROM pc GROUP BY 1),
-         |v AS (SELECT count(DISTINCT tkn) AS v_size
-         |      FROM (SELECT unnest(a) AS tkn FROM toksarr) z)
-         |SELECT doc_id, count(*) AS n_transitions,
-         |  round(CAST(sum(CAST(round(ln(CAST(pc.n_ab + 1 AS DOUBLE) / (cc.n_ctx + v.v_size)), 9)
-         |    AS DECIMAL(18,9))) AS DOUBLE) / count(*), 9) AS avg_logprob
-         |FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
-         |GROUP BY doc_id
+      s"""WITH $lmDocCte
+         |SELECT doc_id, n_transitions, avg_logprob FROM lm
          |ORDER BY doc_id""".stripMargin,
+    "perplexity_buckets" ->
+      s"""WITH $lmDocCte,
+         |j AS (
+         |  SELECT d.doc_id, d.source, lm.avg_logprob,
+         |    CAST(row_number() OVER (PARTITION BY d.source
+         |      ORDER BY lm.avg_logprob DESC, d.doc_id ASC) AS BIGINT) AS ppl_rank,
+         |    count(*) OVER (PARTITION BY d.source) AS n_in_source
+         |  FROM documents d JOIN lm ON lm.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, source, avg_logprob, ppl_rank,
+         |  CASE WHEN ppl_rank * 3 <= n_in_source THEN 'head'
+         |       WHEN ppl_rank * 3 <= n_in_source * 2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM j ORDER BY doc_id""".stripMargin,
     "stopword_candidates" ->
       s"""WITH $toksCte,
          |n AS (SELECT count(*) AS n_docs FROM documents)

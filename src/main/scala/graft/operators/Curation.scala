@@ -219,6 +219,47 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of the n-gram
+    * overlap checks above: flag corpus documents whose embedding is
+    * near-identical to a held-out benchmark document even when the surface
+    * n-grams were paraphrased away (the leakage mode the gram joins cannot
+    * see). For every non-benchmark vector: the max cosine against the
+    * benchmark split, the benchmark id achieving it (smallest id on ties),
+    * and a 1/0 BIGINT `contaminated` flag at `tau` — audit columns like
+    * the rest of the family, never a filtered survivor list.
+    *
+    * Scale shape: a benchmark set is eval-suite-sized (thousands), so it
+    * broadcasts whole; the corpus side is ONE map pass with a map-side
+    * `max`/`max_by` partial — no shuffle of the corpus at all, unlike the
+    * SemDeDup cluster self-join (corpus×corpus needs clustering; corpus×
+    * benchmark does not). A benchmark too large to broadcast would reuse
+    * the IVF machinery (assign both sides to coarse lists, compare within
+    * list) — same shape as [[Dedup.semanticDedup]].
+    *
+    * Float parity: identical cosine spelling to the ANN/SemDeDup family —
+    * codegen'd `graft_dot`, norms from exact DECIMAL sums on the oracle
+    * side, cosine rounded to 6 before every comparison. */
+  def decontaminateSemantic(
+      embeddings: DataFrame,
+      isBenchmark: Column,
+      tau: Double = 0.3): DataFrame = {
+    val e = Similarity.prepared(embeddings, "embedding")
+      .select("vec_id", "v", "norm")
+    val bench = e.where(isBenchmark)
+      .select(col("vec_id").as("b_id"), col("v").as("bv"), col("norm").as("bnorm"))
+    e.where(!isBenchmark)
+      .join(broadcast(bench))
+      .withColumn("cos",
+        round(expr("graft_dot(v, bv)") / (col("norm") * col("bnorm")), 6))
+      .groupBy("vec_id")
+      .agg(
+        max(col("cos")).as("max_cos"),
+        max_by(col("b_id"), struct(col("cos"), -col("b_id"))).as("nearest_bench"))
+      .select(col("vec_id"), col("nearest_bench"), col("max_cos"),
+        (col("max_cos") >= tau).cast("long").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every RAW-pool document by how much its hashed unigram features look

@@ -261,6 +261,37 @@ object Dedup {
         when(col("is_dup"), lit(0L)).otherwise(lit(1L)).as("keep"))
       .orderBy("vec_id")
 
+  /** Cluster-balanced subsample — the topic-rebalancing sibling of
+    * [[semanticDedup]]: cap every semantic cluster at `cap` members so
+    * over-represented topics (boilerplate genres, scraped duplicates of a
+    * popular theme) cannot dominate the training mix, while rare topics
+    * survive whole. Reuses the SAME md5-seeded assignment as SemDeDup
+    * (one spelling, one oracle CTE chain); within a cluster, rank by
+    * centroid similarity DESC (vec_id tiebreak) so the kept `cap` are the
+    * cluster's most representative members — flip the ordering to keep
+    * the most peripheral instead when pruning for diversity à la Sorscher
+    * et al. 2022 ("Beyond neural scaling laws": prototype-ranked pruning).
+    * Output: every vector with its cluster, similarity, within-cluster
+    * rank, and a 1/0 BIGINT `keep` — audit columns, not a survivor list.
+    *
+    * Scale shape: assignment is the broadcast-centroid map pass; the only
+    * shuffle is BY CLUSTER for the ranking window, and a cluster is
+    * bounded by construction (`nClusters` scales with the corpus — the
+    * SemDeDup sizing rule), so no window partition can run away the way a
+    * corpus-wide sort would. */
+  def clusterBalancedSample(
+      embeddings: DataFrame,
+      nClusters: Int = 16,
+      cap: Int = 16): DataFrame =
+    semanticAssigned(embeddings, nClusters)
+      .select("vec_id", "list_id", "c_sim")
+      .withColumn("cluster_rank", row_number().over(
+        Window.partitionBy("list_id").orderBy(desc("c_sim"), asc("vec_id")))
+        .cast("long"))
+      .select(col("vec_id"), col("list_id"), col("c_sim"), col("cluster_rank"),
+        (col("cluster_rank") <= cap).cast("long").as("keep"))
+      .orderBy("vec_id")
+
   /** [[semanticDedup]] with an int8-CODED pair test — the 100 TB shape.
     * The float path's one scale risk is the Σ|cluster|² pair join
     * shuffling full `array<double>` vectors (dim·8 bytes per row, twice).

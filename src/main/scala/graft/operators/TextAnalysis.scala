@@ -539,6 +539,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data"):
+    * per SOURCE, split documents into `head` / `middle` / `tail` terciles
+    * by language-model fluency — CCNet's selection signal, with the
+    * corpus-trained bigram LM of [[lmDocScoresFromTokens]] standing in
+    * for its external KenLM (higher avg log-prob = lower perplexity =
+    * `head`). Rank-exact terciles (`3·rank ≤ n`, `3·rank ≤ 2n`) with a
+    * doc_id tiebreak, so the cut replays identically in the oracle;
+    * documents with <2 tokens have no LM score and drop out (the honest
+    * answer, as in the LM scorer itself).
+    *
+    * Scale shape: scoring inherits the LM scorer's shape (asset-fed
+    * narrow model joins); the bucketing shuffle is BY SOURCE for the
+    * ranking window — the CCNet per-shard sort. A pathologically large
+    * single source would switch to sampled tercile THRESHOLDS broadcast
+    * back (the same model-broadcast idiom as DSIR); rank-exact is kept
+    * here because it is oracle-replayable. */
+  def perplexityBuckets(docs: DataFrame, toks: DataFrame, bigrams: DataFrame,
+      tc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = lmDocScoresFromModel(toks, bigrams, tc)
+      .select("doc_id", "avg_logprob")
+    docs.select(col("doc_id"), col("source")).join(lm, "doc_id")
+      .withColumn("ppl_rank", row_number().over(
+        Window.partitionBy("source").orderBy(desc("avg_logprob"), asc("doc_id")))
+        .cast("long"))
+      .withColumn("n_in_source",
+        count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+      .select(col("doc_id"), col("source"), col("avg_logprob"), col("ppl_rank"),
+        when(col("ppl_rank") * 3 <= col("n_in_source"), "head")
+          .when(col("ppl_rank") * 3 <= col("n_in_source") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** BPE merge-rule induction — the tokenizer-TRAINING step of an LLM
     * pipeline (Sennrich et al. 2016, "Neural machine translation of rare
     * words with subword units"): start from characters (plus an `</w>`

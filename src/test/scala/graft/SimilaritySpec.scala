@@ -74,6 +74,43 @@ class SimilaritySpec extends SparkSpec {
     assert(row == ((5L, 1L, 1L, 1.0)))
   }
 
+  test("decontaminateSemantic flags corpus vectors near a benchmark vector") {
+    // benchmark = {0, 1} (both on e1, collinear): corpus 2/3/4 score their
+    // cosine against that direction; ties on cos pick the SMALLER bench id
+    val out = graft.operators.Curation.decontaminateSemantic(
+      vecs, isBenchmark = $"vec_id" <= 1, tau = 0.7)
+      .select("vec_id", "nearest_bench", "max_cos", "contaminated")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L, 3L, 4L))
+    // identical cosine vs both benchmark vectors → nearest is id 0
+    assert(out.map(_._2) == Seq(0L, 0L, 0L))
+    assert(math.abs(out(0)._3 - 0.707107) < 1e-9)
+    assert(out(1)._3 == 0.0)
+    assert(out(2)._3 == -1.0)
+    // only the 45-degree vector clears tau = 0.7
+    assert(out.map(_._4) == Seq(1L, 0L, 0L))
+    // audit shape: one row per NON-benchmark vector
+    assert(out.size == 3)
+  }
+
+  test("clusterBalancedSample caps each cluster at `cap`, rank-exact") {
+    val out = graft.operators.Dedup.clusterBalancedSample(vecs, nClusters = 1, cap = 2)
+      .select("vec_id", "list_id", "c_sim", "cluster_rank", "keep")
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    // audit shape: every vector appears, ranks are a permutation of 1..5
+    assert(out.size == 5)
+    assert(out.map(_._4).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    // exactly `cap` kept, and they are precisely ranks 1..cap
+    assert(out.filter(_._5 == 1L).map(_._4).sorted == Seq(1L, 2L))
+    // ranking is (c_sim DESC, vec_id ASC) within the single cluster
+    val byRank = out.sortBy(_._4)
+    assert(byRank.map(r => (-r._3, r._1)) == byRank.map(r => (-r._3, r._1)).sorted)
+    // a cap >= cluster size keeps everything
+    val all = graft.operators.Dedup.clusterBalancedSample(vecs, nClusters = 1, cap = 10)
+      .select("keep").as[Long].collect()
+    assert(all.forall(_ == 1L))
+  }
+
   test("int8 codec: i8Encode/i8Dot reproduce the quantizer, estimate within guard") {
     import graft.functions.VectorUtil
     import org.apache.spark.sql.catalyst.util.ArrayData

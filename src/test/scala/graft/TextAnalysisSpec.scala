@@ -85,6 +85,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._3 == lab)
   }
 
+  test("perplexityBuckets: per-source rank-exact terciles over LM scores") {
+    val toks = Seq(
+      (1L, Seq("a", "b", "a", "b")), (2L, Seq("a", "b")), (3L, Seq("b", "a")),
+      (4L, Seq("a", "b", "a")), (5L, Seq("b", "a", "b")), (6L, Seq("a", "a")),
+      (7L, Seq("c"))).toDF("doc_id", "tokens")
+    val docs = Seq((1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s2"), (5L, "s2"),
+      (6L, "s2"), (7L, "s2")).toDF("doc_id", "source")
+    // model assets built from the same token stream
+    val typed = toks.as[(Long, Seq[String])]
+    val bigrams = typed.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .toDF("w1", "w2").groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val tc = typed.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .toDF("term", "doc_id").groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("cnt"))
+    val out = TextAnalysis.perplexityBuckets(docs, toks, bigrams, tc)
+      .as[(Long, String, Double, Long, String)].collect().toSeq
+    // doc 7 has no transitions → no LM score → excluded (as in lmDocScores)
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // each source has 3 scored docs → exactly one head/middle/tail each
+    for (src <- Seq("s1", "s2")) {
+      val inSrc = out.filter(_._2 == src).sortBy(_._4)
+      assert(inSrc.map(_._5) == Seq("head", "middle", "tail"))
+      // rank order must follow (avg_logprob DESC, doc_id ASC)
+      assert(inSrc.map(r => (-r._3, r._1)) == inSrc.map(r => (-r._3, r._1)).sorted)
+    }
+    // bucket scores agree with the standalone LM scorer (FromModel parity)
+    val lm = TextAnalysis.lmDocScoresFromTokens(toks)
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(out.forall(r => lm(r._1) == r._3))
+  }
+
   test("bpeTrainMerges learns the classic Sennrich merge sequence") {
     // the worked example from the BPE paper: vocabulary
     // low×5, lower×2, newest×6, widest×3 (with </w> markers).
