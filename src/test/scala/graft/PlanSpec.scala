@@ -317,6 +317,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "arg-min must stay agg+join-back:\n" + p.take(2000))
   }
 
+  test("qualityScore plans ONE native text scan: no regex, stats computed once") {
+    val df = graft.operators.TextAnalysis.qualityScore(Tables.documents(spark, dir))
+    df.collect() // finalize THIS dataset's adaptive plan so codegen stages exist
+    val p = plan(df)
+    assert(p.contains("graft_text_stats"), p.take(2000))
+    // the signals the one-pass scan replaced must not reappear
+    for (bad <- Seq("regexp_replace", "regexp_extract_all", "split("))
+      assert(!p.contains(bad), s"regex pass '$bad' crept back:\n" + p.take(2000))
+    // subexpression elimination must evaluate the struct ONCE per row even
+    // though seven output columns read fields off it
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    val calls = "TextStatsUtil\\.compute\\(".r.findAllIn(code).size
+    assert(calls == 1, s"expected one native scan call in codegen, got $calls")
+  }
+
+  test("decontaminateSemantic broadcasts the benchmark; corpus shuffles only to aggregate") {
+    val df = graft.operators.Curation.decontaminateSemantic(
+      Tables.embeddings(spark, dir),
+      isBenchmark = org.apache.spark.sql.functions.col("vec_id") % 53 === 0)
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "benchmark side must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus must never shuffle for the join:\n" + p.take(2000))
+    // allowed exchanges: the per-vec_id aggregate and the output sort —
+    // never a join-side repartition of the corpus
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l =>
+      l.contains("hashpartitioning(vec_id") || l.contains("rangepartitioning") ||
+        l.contains("BroadcastExchange")),
+      s"unexpected exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("native normalizer stays inside WholeStageCodegen") {
     val toks = Tfidf.tokenizePortable(Tables.documents(spark, dir))
     toks.collect() // finalize THIS dataset's adaptive plan (count() would plan separately)
