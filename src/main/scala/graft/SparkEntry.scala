@@ -1166,6 +1166,21 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, dir) =>
       exactPairsAsset(s, dir).where(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")),
+    // WHERE the near-duplication lives: near-dup pair counts per unordered
+    // source pair, off the shared pair-table asset (corpus never re-read)
+    "dedup_cross_source" -> ((s, dir) =>
+      Dedup.crossSourceDupMatrix(exactPairsAsset(s, dir),
+        Tables.documents(s, dir).select("doc_id", "source"))),
+    // dataset-acquisition audit: one-row containment of the incoming
+    // split's 3-gram set in the already-ingested split
+    "corpus_containment" -> ((s, dir) =>
+      Dedup.corpusContainment(Tables.documents(s, dir), col("doc_id") % 2 === 0)),
+    // sketch staging of the same number (mergeable per-split HLLs +
+    // inclusion-exclusion), THROWs on drift from exact — engine-internal
+    // estimates → rows-only driver check
+    "corpus_containment_hll" -> ((s, dir) =>
+      Dedup.corpusContainmentHllGate(Tables.documents(s, dir),
+        col("doc_id") % 2 === 0)),
     // what the boilerplate-gram cap removed from the verifier's view
     "gram_cap_coverage" -> ((s, dir) => Dedup.gramCapCoverage(Tables.documents(s, dir))),
     // idempotent ingestion: which incoming docs are content-NEW vs the
@@ -1556,6 +1571,29 @@ object SparkEntry {
       |    t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '', 'g')), t -> t <> '') AS a
       |  FROM documents
       |)""".stripMargin
+
+  /** Shared exact-pair CTE chain (capped distinct 3-grams → shared-gram
+    * self-join → `pairsj` with the rounded Jaccard) — the pair list, the
+    * cross-source matrix, and any future pair consumer interpolate this
+    * one definition. */
+  private val gramPairsCte =
+    s"""$toksArrCte,
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+       |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+       |  FROM toksarr WHERE len(a) >= 3
+       |), okg AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 64),
+       |kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN okg USING (gram)),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
+       |shared AS (
+       |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+       |  GROUP BY 1, 2),
+       |pairsj AS (
+       |  SELECT doc_a, doc_b, n_shared, sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+       |    round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) AS jaccard
+       |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
 
   /** Shared embedding expansion: per-dimension doubles + exact-DECIMAL
     * norms — the base of every cosine oracle. */
@@ -2653,24 +2691,47 @@ object SparkEntry {
         |  count(*) AS n_docs, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "ngram_jaccard_pairs" ->
+      s"""WITH $gramPairsCte
+         |SELECT doc_a, doc_b, n_shared, grams_a, grams_b, jaccard
+         |FROM pairsj WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH $gramPairsCte,
+         |lab AS (SELECT doc_id, source FROM documents)
+         |SELECT least(la.source, lb.source) AS source_a,
+         |  greatest(la.source, lb.source) AS source_b,
+         |  count(*) AS n_pairs,
+         |  round(CAST(sum(CAST(jaccard AS DECIMAL(18,9))) AS DOUBLE) / count(*), 9)
+         |    AS avg_jaccard,
+         |  max(jaccard) AS max_jaccard
+         |FROM pairsj
+         |JOIN lab la ON la.doc_id = doc_a
+         |JOIN lab lb ON lb.doc_id = doc_b
+         |WHERE jaccard >= 0.5
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "corpus_containment" ->
       s"""WITH $toksArrCte,
          |grams AS (
          |  SELECT DISTINCT doc_id,
          |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
          |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
          |  FROM toksarr WHERE len(a) >= 3
-         |), okg AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 64),
-         |kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN okg USING (gram)),
-         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
-         |shared AS (
-         |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, n_shared, sa.n_grams AS grams_a, sb.n_grams AS grams_b,
-         |  round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) AS jaccard
-         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |), fl AS (
+         |  SELECT gram,
+         |    max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS in_b
+         |  FROM grams GROUP BY 1)
+         |SELECT CAST(sum(in_a) AS BIGINT) AS n_grams_ingested,
+         |  CAST(sum(in_b) AS BIGINT) AS n_grams_incoming,
+         |  CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+         |  CASE WHEN sum(in_b) > 0
+         |       THEN round(CAST(sum(in_a * in_b) AS DOUBLE) / sum(in_b), 9)
+         |       ELSE 0.0 END AS containment,
+         |  CASE WHEN sum(in_a) + sum(in_b) > sum(in_a * in_b)
+         |       THEN round(CAST(sum(in_a * in_b) AS DOUBLE)
+         |         / (sum(in_a) + sum(in_b) - sum(in_a * in_b)), 9)
+         |       ELSE 0.0 END AS jaccard
+         |FROM fl""".stripMargin,
     "dedup_incremental" ->
       """WITH f AS (
         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -612,6 +612,125 @@ object Dedup {
   private def tokenArray = expr(
     "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
       "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
+
+  /** Cross-source duplication matrix — WHERE the near-duplication lives:
+    * per unordered source pair, how many near-dup pairs cross it and how
+    * strong they are. The audit a pipeline reads before deciding which
+    * provenance to drop when two feeds mirror each other (the within-
+    * source diagonal is mostly boilerplate; a hot off-diagonal cell is a
+    * mirrored crawl). Input is the PRE-BUILT exact pair table (the shared
+    * `ngram_pairs` corpus asset) plus the narrow `(doc_id, source)`
+    * projection.
+    *
+    * Scale shape: the pair table is collision-bounded (Σ|bucket|², never
+    * |corpus|²) and therefore far smaller than the corpus, so both
+    * source-lookup joins keep the PAIR side as the small build side
+    * against the narrow doc projection — the corpus text is never read;
+    * the final aggregate is |sources|²-bounded. */
+  def crossSourceDupMatrix(pairs: DataFrame, docSources: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val la = docSources.select(col("doc_id").as("doc_a"), col("source").as("src_a"))
+    val lb = docSources.select(col("doc_id").as("doc_b"), col("source").as("src_b"))
+    pairs.where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .join(la, "doc_a").join(lb, "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jaccard").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 9).as("avg_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Corpus-level containment — the dataset-acquisition audit number:
+    * what fraction of the INCOMING split's distinct 3-grams the INGESTED
+    * split already holds (plus the symmetric Jaccard). Per-doc
+    * decontamination ([[graft.operators.Curation.decontaminate]]) answers
+    * "which documents leak"; this answers "is the new feed worth
+    * ingesting at all" with one row.
+    *
+    * Scale shape: one gram-keyed aggregate carrying two 0/1 flags (the
+    * same shuffle family as the boilerplate-gram scan), then a one-row
+    * total — no pair join anywhere. At 100 TB the exact gram aggregate is
+    * the expensive-but-linear path; [[corpusContainmentHllGate]] is the
+    * sketch staging of the same number. */
+  def corpusContainment(docs: DataFrame, isIngested: Column): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokenArray.as("a"), isIngested.as("ing"))
+      .where(size(col("a")) >= 3)
+      .select(col("ing"), explode(expr(
+        "array_distinct(transform(sequence(1, size(a) - 2), i -> " +
+          "concat_ws(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2))))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(max(when(col("ing"), 1L).otherwise(0L)).as("in_a"),
+        max(when(!col("ing"), 1L).otherwise(0L)).as("in_b"))
+    grams.agg(
+        sum("in_a").as("n_grams_ingested"),
+        sum("in_b").as("n_grams_incoming"),
+        sum(col("in_a") * col("in_b")).as("n_shared"))
+      .select(col("n_grams_ingested"), col("n_grams_incoming"), col("n_shared"),
+        when(col("n_grams_incoming") > 0,
+          round(col("n_shared").cast("double") / col("n_grams_incoming"), 9))
+          .otherwise(lit(0.0)).as("containment"),
+        when(col("n_grams_ingested") + col("n_grams_incoming") > col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("n_grams_ingested") + col("n_grams_incoming") - col("n_shared")), 9))
+          .otherwise(lit(0.0)).as("jaccard"))
+  }
+
+  /** Sketch staging of [[corpusContainment]] (driver-visible THROW gate):
+    * per-split HLL sketches of the gram sets — mergeable, constant-size,
+    * buildable shard-by-shard without ever co-shuffling the two corpora —
+    * with the shared-gram count recovered by inclusion–exclusion
+    * (|A∩B| = |A| + |B| − |A∪B|). THROWs when the sketch containment
+    * drifts more than `tol` (absolute) from the exact number, the same
+    * honest-comparison pattern as every other sketch gate here. Note the
+    * error bar: inclusion–exclusion amplifies the HLL relative error when
+    * the overlap is small relative to the union — `tol` is absolute for
+    * exactly that reason. */
+  def corpusContainmentHllGate(docs: DataFrame, isIngested: Column,
+      lgK: Int = 14, tol: Double = 0.05): DataFrame = CacheScope {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val sk = docs
+      .select(col("doc_id"), tokenArray.as("a"), isIngested.as("ing"))
+      .where(size(col("a")) >= 3)
+      .select(col("ing"), explode(expr(
+        "array_distinct(transform(sequence(1, size(a) - 2), i -> " +
+          "concat_ws(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2))))"))
+        .as("gram"))
+      .groupBy("ing").agg(hll_sketch_agg(col("gram"), lit(lgK)).as("sketch"))
+      .scopedPersist()
+    val est = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("n_union"))
+      .crossJoin(sk.where(col("ing"))
+        .select(hll_sketch_estimate(col("sketch")).as("n_a")))
+      .crossJoin(sk.where(!col("ing"))
+        .select(hll_sketch_estimate(col("sketch")).as("n_b")))
+      .select(col("n_a"), col("n_b"),
+        greatest(col("n_a") + col("n_b") - col("n_union"), lit(0L)).as("n_shared_est"))
+      .select(col("n_a"), col("n_b"), col("n_shared_est"),
+        when(col("n_b") > 0,
+          round(col("n_shared_est").cast("double") / col("n_b"), 9))
+          .otherwise(lit(0.0)).as("containment_est"))
+    val row = est.crossJoin(
+      corpusContainment(docs, isIngested).select("containment")).head()
+    val (cEst, cExact) = (row.getDouble(3), row.getDouble(4))
+    require(math.abs(cEst - cExact) <= tol,
+      f"HLL containment $cEst%.4f drifts more than $tol%.2f from exact $cExact%.4f " +
+        f"(lgK=$lgK, |A|=${row.getLong(0)}, |B|=${row.getLong(1)})")
+    docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        row.getLong(0), row.getLong(1), row.getLong(2), cEst, cExact)),
+      StructType(Seq(
+        StructField("n_a_est", LongType, nullable = false),
+        StructField("n_b_est", LongType, nullable = false),
+        StructField("n_shared_est", LongType, nullable = false),
+        StructField("containment_est", DoubleType, nullable = false),
+        StructField("containment_exact", DoubleType, nullable = false))))
+  }
 
   /** Coverage accounting for [[ngramJaccardExact]]'s boilerplate-gram cap:
     * one summary row of how many distinct grams (and how many (doc, gram)

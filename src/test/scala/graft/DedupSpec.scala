@@ -182,6 +182,53 @@ class DedupSpec extends SparkSpec {
     assert(oph.contains((1L, 2L)) && oph.contains((1L, 4L)) && oph.contains((2L, 4L)))
   }
 
+  test("crossSourceDupMatrix normalizes source order and decimal-averages jaccard") {
+    val pairs = Seq(
+      (1L, 2L, 0.8), (1L, 4L, 1.0),   // srcB-srcA and srcA-srcA
+      (3L, 5L, 0.3),                  // below the 0.5 floor → dropped
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val srcs = Seq((1L, "srcB"), (2L, "srcA"), (3L, "srcA"), (4L, "srcB"),
+      (5L, "srcA")).toDF("doc_id", "source")
+    val got = Dedup.crossSourceDupMatrix(pairs, srcs)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // (1,2) crosses srcB-srcA → normalized to (srcA, srcB); (1,4) stays
+    // within srcB; the 0.3 pair never appears
+    assert(got == Seq(
+      ("srcA", "srcB", 1L, 0.8, 0.8),
+      ("srcB", "srcB", 1L, 1.0, 1.0)))
+  }
+
+  test("corpusContainment: hand-computed gram sets, empty-incoming guard") {
+    // ingested (even ids): grams {a b c, b c d} ∪ {a b c} = {abc, bcd}
+    // incoming (odd ids): {b c d, c d e} — shared {bcd} → containment 1/2
+    val docs = Seq(
+      (0L, "a b c d"), (2L, "a b c"),
+      (1L, "b c d e")).toDF("doc_id", "text")
+    val row = Dedup.corpusContainment(docs, $"doc_id" % 2 === 0)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(row == ((2L, 2L, 1L, 0.5, round9(1.0 / 3))))
+    // no incoming docs at all → containment and jaccard are 0, not NaN
+    val none = Dedup.corpusContainment(docs.where($"doc_id" =!= 1L),
+      $"doc_id" % 2 === 0).as[(Long, Long, Long, Double, Double)].head()
+    assert(none == ((2L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("corpusContainmentHllGate agrees with exact on a small corpus; throws on drift") {
+    val docs = corpus.withColumn("doc_id", $"doc_id")
+    val row = Dedup.corpusContainmentHllGate(docs, $"doc_id" % 2 === 0)
+      .select("containment_est", "containment_exact")
+      .as[(Double, Double)].head()
+    // at this cardinality the sketch answers exactly
+    assert(row._1 == row._2)
+    // an impossible tolerance must throw (the driver-visible failure path)
+    intercept[IllegalArgumentException] {
+      Dedup.corpusContainmentHllGate(docs, $"doc_id" % 2 === 0, tol = -1.0)
+    }
+  }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("shingle generator: dedups repeats, empty below window size") {
     assert(Dedup.shingles(Seq((1L, "aaaaaaaa")).toDF("doc_id", "text"), n = 5).count() == 1)
     assert(Dedup.shingles(Seq((1L, "abc")).toDF("doc_id", "text"), n = 5).count() == 0)
