@@ -1367,6 +1367,17 @@ object SparkEntry {
       graft.streaming.Streams.streamingSpanDedup(
         Tables.documents(s, dir).select("doc_id", "text"), n = 5).toDF()
         .orderBy("doc_id", "pos")),
+    // stateless at-ingest leakage gate: benchmark Bloom literal + per-row
+    // array-domain gram scoring (bloom estimates → rows-only; the spec
+    // pins zero false negatives vs the exact batch check)
+    "streams_decontaminate_batch" -> ((s, dir) => {
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      graft.streaming.Streams.streamingDecontaminate(
+        Tables.documents(s, dir).where(col("doc_id") % 53 =!= 0)
+          .select("doc_id", "text"),
+        toks.where(col("doc_id") % 53 === 0))
+        .orderBy("doc_id")
+    }),
     // --- Similarity search ---
     "knn_cosine_top10" -> ((s, dir) =>
       knnExactAsset(s, dir)

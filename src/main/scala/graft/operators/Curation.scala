@@ -36,6 +36,30 @@ object Curation {
   private[graft] def gramRowsFromTokens(toks: DataFrame, n: Int): DataFrame =
     gramRowsOver(toks.select(col("doc_id"), col("tokens").as("a")), n)
 
+  /** The portable token-array expression over raw `text`, for callers
+    * outside this package (the streaming gate binds it to a column once,
+    * then grams over that column). */
+  private[graft] def textTokenArray: Column = tokenArray
+
+  /** Per-row distinct `n`-gram ARRAY over a bound token-array column `a`
+    * (no explode, no shuffle) — the array-domain spelling of
+    * [[gramRows]]' slicing that the stateless streaming decontamination
+    * gate maps over each arriving document. */
+  private[graft] def gramArrayOf(a: Column, n: Int): Column =
+    when(size(a) >= n,
+      array_distinct(transform(sequence(lit(1), size(a) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(a, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark gram Bloom bitset (driver-collected literal — the
+    * trained-model broadcast idiom of [[decontaminateBloom]], shared with
+    * the streaming gate). Null when the benchmark is empty. */
+  private[graft] def benchBloomBytes(benchToks: DataFrame, n: Int,
+      expectedItems: Long): Array[Byte] =
+    gramRowsFromTokens(benchToks, n).select("gram").distinct()
+      .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedItems}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+
   private def gramRowsOver(rows: DataFrame, n: Int): DataFrame = {
     val mk = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
     rows

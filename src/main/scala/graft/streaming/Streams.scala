@@ -111,6 +111,45 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming decontamination gate — eval-set leakage checked AT INGEST,
+    * before a document ever lands in the training store. The benchmark
+    * gram set aggregates ONCE (batch side) into a Bloom bitset that embeds
+    * in the streaming plan as a literal (the trained-model broadcast idiom
+    * of [[graft.operators.Curation.decontaminateBloom]]); each arriving
+    * document then scores itself STATELESSLY in the array domain — token
+    * array → distinct-gram array → counted Bloom membership, all per-row
+    * map work. No explode, no streaming aggregation, no state store: the
+    * shape that sustains any ingest rate.
+    *
+    * Bloom hits are a conservative OVER-estimate (false positives, never
+    * false negatives), so `contaminated` can only over-flag — the correct
+    * failure direction for a leakage gate; flagged documents get the exact
+    * batch re-check ([[graft.operators.Curation.decontaminate]]) offline.
+    * Input schema: (doc_id, text, ...); output adds the per-doc gram
+    * count, Bloom-hit count, contamination estimate, and 1/0 flag. */
+  def streamingDecontaminate(docs: DataFrame, benchToks: DataFrame,
+      n: Int = 3, flagRatio: Double = 0.05,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import graft.operators.Curation
+    val bf = Curation.benchBloomBytes(benchToks, n, expectedItems)
+    val hits =
+      if (bf == null) lit(0L)
+      else size(filter(col("garr"), g =>
+        call_function("graft_bloom_contains", lit(bf), xxhash64(g)))).cast("long")
+    docs
+      .withColumn("a", Curation.textTokenArray)
+      .withColumn("garr", Curation.gramArrayOf(col("a"), n))
+      .select(col("doc_id"),
+        size(col("garr")).cast("long").as("n_grams"),
+        hits.as("n_bloom_hits"))
+      .withColumn("contamination_est",
+        when(col("n_grams") > 0,
+          round(col("n_bloom_hits").cast("double") / col("n_grams"), 9))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated",
+        (col("contamination_est") >= flagRatio).cast("long"))
+  }
+
   /** Stream-stream interval join: right rows within
     * `[left.t - lower, left.t + upper]` for the same key. The explicit
     * time bound is what makes this viable on unbounded streams — with both

@@ -71,6 +71,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDecontaminate: zero false negatives vs the exact batch check") {
+    // benchmark = docs 0 and 53 of a small corpus; train = the rest
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (53L, "catalyst optimizer rules rewrite logical plans before execution"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // full leak
+      (2L, "catalyst optimizer rules rewrite logical plans sometimes"), // partial
+      (3L, "completely unrelated text about embeddings and vector search"),
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      graft.operators.Curation.textTokenArray.as("tokens"))
+    val got = Streams.streamingDecontaminate(
+      docs.where($"doc_id" =!= 0L && $"doc_id" =!= 53L), toks.where($"doc_id" === 0L || $"doc_id" === 53L))
+      .select("doc_id", "n_grams", "n_bloom_hits", "contaminated")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val exact = graft.operators.Curation.decontaminate(
+      docs.where($"doc_id" =!= 0L && $"doc_id" =!= 53L),
+      docs.where($"doc_id" === 0L || $"doc_id" === 53L))
+      .select("doc_id", "n_overlap", "n_grams", "contaminated")
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == exact.keySet)
+    for ((id, e) <- exact) {
+      // same gram universe, hits can only over-count (Bloom fp), never miss
+      assert(got(id)._2 == e._3, s"gram count differs for doc $id")
+      assert(got(id)._3 >= e._2, s"bloom missed an exact hit for doc $id")
+      if (e._4 == 1) assert(got(id)._4 == 1L, s"exact-contaminated doc $id unflagged")
+    }
+    // the fully-leaked doc is flagged, the unrelated doc has zero hits
+    assert(got(1L)._4 == 1L && got(3L)._3 == 0L)
+  }
+
+  test("streamingDecontaminate runs live: per-row gate, batch parity, no state") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.Curation.textTokenArray.as("tokens"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamingDecontaminate(in.toDF.toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "nothing in common with anything benchmarked here today"))
+      q.processAllAvailable()
+      val rows = spark.table("decon_out")
+        .select("doc_id", "contaminated").as[(Long, Long)].collect().toMap
+      assert(rows == Map(1L -> 1L, 2L -> 0L))
+      // append mode with no watermark proves the plan is stateless per-row
+      // (a streaming aggregation would have demanded update/complete mode)
+    } finally q.stop()
+  }
+
   test("rateDocs: rate-limited source feeds the suite; batch-size exact, deterministic text") {
     // rate-micro-batch: EXACTLY rowsPerBatch rows per micro-batch — the
     // deterministic twin of the wall-clock rate source, same schema and
