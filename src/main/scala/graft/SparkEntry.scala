@@ -1379,6 +1379,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // --- Similarity search ---
+    // JL ±1 random projection (md5-derived signs, DECIMAL-routed fold):
+    // the dimension-cut compression next to int8 (value width) and PQ
+    // (codebook) — per-row map work, oracle-exact per component
+    "embedding_rp_components" -> ((s, dir) =>
+      operators.Similarity.randomProject(Tables.embeddings(s, dir))),
+    // JL distortion audit over probe pairs, THROWs on breach —
+    // engine-internal distances → rows-only driver check
+    "rp_distortion_gate" -> ((s, dir) =>
+      operators.Similarity.rpDistortionGate(Tables.embeddings(s, dir))),
     "knn_cosine_top10" -> ((s, dir) =>
       knnExactAsset(s, dir)
         .withColumnRenamed("rank", "rnk")
@@ -3098,6 +3107,19 @@ object SparkEntry {
         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM assigned a LEFT JOIN dropped d USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
+    "embedding_rp_components" ->
+      """WITH signs AS (
+        |  SELECT k, j,
+        |    CASE WHEN CAST(('0x' || substr(md5(j || ',' || k), 1, 8)) AS BIGINT) % 2 = 0
+        |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        |  FROM range(32) t(k), range(64) u(j)
+        |)
+        |SELECT e.vec_id, k,
+        |  round(CAST(sum(CAST(round(CAST(e.embedding[s.j + 1] AS DOUBLE) * s.s, 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) / sqrt(CAST(32 AS DOUBLE)), 9) AS comp
+        |FROM embeddings e, signs s
+        |GROUP BY e.vec_id, k
+        |ORDER BY vec_id, k""".stripMargin,
     "cluster_balanced_sample" ->
       s"""WITH $semAssignCte
          |SELECT vec_id, list_id, c_sim,

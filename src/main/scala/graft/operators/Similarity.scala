@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,6 +133,124 @@ object Similarity {
         round(sum(round(col("err") * col("err"), 12).cast("decimal(28,12)"))
           .cast("double") / count(lit(1)), 9).as("mse"))
       .orderBy("vec_id")
+  }
+
+  /** Johnson–Lindenstrauss random projection with database-friendly ±1
+    * entries (Achlioptas 2003, "Database-friendly random projections"):
+    * compress `dim`-dimensional embeddings to `outDim` components,
+    * `p_k = Σ_j v_j · s_{jk} / √outDim`, preserving pairwise distances in
+    * expectation — the cheap dimensionality cut a pipeline applies before
+    * ANN indexing or embedding storage (int8 quantization shrinks the
+    * VALUE width, PQ the codebook; this shrinks the DIMENSION — the three
+    * compose).
+    *
+    * Determinism & portability: the sign matrix derives from md5("j,k")
+    * parity — both engines compute the identical matrix, so every
+    * component is oracle-checkable. The signs ship in the plan as
+    * `outDim·⌈dim/64⌉` packed bit-mask longs as a plan reference (NOT a
+    * dim·outDim literal array, which would bloat codegen the way the
+    * pre-[[graft.functions.SignBits]] plane literals did); the per-row
+    * kernel is the native [[graft.functions.RpProject]], whose scaled-long
+    * sums are provably equal to the oracle's exact DECIMAL(28,9) SUM (see
+    * its scaladoc), parity-tested against the SQL decimal-fold spelling.
+    *
+    * Scale shape: pure per-row map work over the vector array — no
+    * shuffle, no explode (the output posexplode is presentation for the
+    * oracle rows, not the compute path). */
+  def randomProject(embeddings: DataFrame, outDim: Int = 32,
+      dim: Int = 64): DataFrame =
+    embeddings
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("rp", rpProjectExpr(outDim, dim))
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("k", "comp")))
+      .select(col("vec_id"), col("k").cast("long").as("k"), col("comp"))
+      .orderBy("vec_id", "k")
+
+  /** ±1 sign for input dim `j`, output dim `k`: parity of the first 8 hex
+    * chars of md5("j,k") — spelled identically in the DuckDB oracle. */
+  private def rpSignPositive(j: Int, k: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j,$k".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0
+  }
+
+  /** Sign matrix packed as `outDim·⌈dim/64⌉` longs, bit `j%64` of word
+    * `k·words + j/64` set ⇔ sign(j,k) = +1. */
+  private[graft] def rpMasks(outDim: Int, dim: Int): Array[Long] = {
+    val words = (dim + 63) / 64
+    val m = new Array[Long](outDim * words)
+    for (k <- 0 until outDim; j <- 0 until dim)
+      if (rpSignPositive(j, k)) m(k * words + j / 64) |= 1L << (j % 64)
+    m
+  }
+
+  /** The native projection kernel ([[graft.functions.RpProject]]) over a
+    * bound `v` column — one codegen'd static call per row. */
+  private def rpProjectExpr(outDim: Int, dim: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.RpProject(
+      GraftColumnBridge.expression(col("v")), rpMasks(outDim, dim), outDim, dim))
+  }
+
+  /** The decimal-fold SQL spelling of the same projection — the
+    * specification the native kernel is parity-tested against
+    * ([[graft.SimilaritySpec]]); interpreted HOFs allocate a Decimal per
+    * (element × component), so this form is test-only. */
+  private[graft] def rpProjectHofExpr(outDim: Int, dim: Int): Column = {
+    val words = (dim + 63) / 64
+    expr(
+      s"""transform(sequence(0, ${outDim - 1}), k ->
+         |  round(CAST(aggregate(sequence(0, ${dim - 1}), CAST(0 AS DECIMAL(28,9)),
+         |    (acc, j) -> CAST(acc + CAST(round(element_at(v, CAST(j + 1 AS INT)) *
+         |      (CASE WHEN (shiftright(element_at(msk, CAST(k * $words + j div 64 + 1 AS INT)), CAST(j % 64 AS INT)) & 1) = 1
+         |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END), 9)
+         |      AS DECIMAL(28,9)) AS DECIMAL(28,9))) AS DOUBLE)
+         |    / sqrt(CAST($outDim AS DOUBLE)), 9))""".stripMargin)
+  }
+
+  /** Driver-visible distortion gate for [[randomProject]]: over all probe
+    * pairs (ids < `nProbes`), the relative squared-distance distortion
+    * `|d²_proj / d²_orig − 1|` must stay under `maxAvg` on average and
+    * `maxWorst` at worst — the JL guarantee audited on THIS corpus and
+    * THIS sign matrix before anything downstream trusts the compressed
+    * vectors. THROWs on breach (the sketch-gate contract). Probe work is
+    * `nProbes²`-bounded and both distance kernels are the codegen'd
+    * `graft_sqdist`. */
+  def rpDistortionGate(embeddings: DataFrame, outDim: Int = 32,
+      dim: Int = 64, nProbes: Int = 32,
+      maxAvg: Double = 0.25, maxWorst: Double = 1.0): DataFrame = {
+    val proj = embeddings.where(col("vec_id") < nProbes)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("rp", rpProjectExpr(outDim, dim))
+      .select("vec_id", "v", "rp")
+    val a = proj.select(col("vec_id").as("a_id"), col("v").as("av"), col("rp").as("ar"))
+    val b = proj.select(col("vec_id").as("b_id"), col("v").as("bv"), col("rp").as("br"))
+    val report = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("d2o", expr("graft_sqdist(av, bv)"))
+      .withColumn("d2p", expr("graft_sqdist(ar, br)"))
+      .where(col("d2o") > 0)
+      .select(abs(col("d2p") / col("d2o") - 1.0).as("distortion"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("distortion"), 9).as("avg_distortion"),
+        round(max("distortion"), 9).as("max_distortion"))
+    val row = report.head()
+    require(row.getLong(0) > 0,
+      "rp gate has no probe pairs — corpus unsuitable for a distortion check")
+    require(row.getDouble(1) <= maxAvg && row.getDouble(2) <= maxWorst,
+      f"JL distortion avg=${row.getDouble(1)}%.4f (gate $maxAvg%.2f) " +
+        f"max=${row.getDouble(2)}%.4f (gate $maxWorst%.2f) over ${row.getLong(0)} pairs " +
+        f"(outDim=$outDim)")
+    embeddings.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        row.getLong(0), row.getDouble(1), row.getDouble(2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_pairs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("avg_distortion",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("max_distortion",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** Driver-visible recall gate for the quantized store: brute-force kNN

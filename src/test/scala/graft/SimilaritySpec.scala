@@ -111,6 +111,31 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(_ == 1L))
   }
 
+  test("randomProject native kernel == SQL decimal-fold spelling, distortion gate throws") {
+    import org.apache.spark.sql.functions.{col, lit, posexplode}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val native = Similarity.randomProject(emb, outDim = 32, dim = 64)
+      .as[(Long, Long, Double)].collect().toSeq
+    val hof = emb
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("msk", lit(Similarity.rpMasks(32, 64)))
+      .withColumn("rp", Similarity.rpProjectHofExpr(32, 64))
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("k", "comp")))
+      .select(col("vec_id"), col("k").cast("long"), col("comp"))
+      .orderBy("vec_id", "k")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(native == hof)
+    assert(native.size == emb.count() * 32)
+    // the gate passes at its defaults on this corpus...
+    val row = Similarity.rpDistortionGate(emb)
+      .select("avg_distortion", "max_distortion").as[(Double, Double)].head()
+    assert(row._1 <= 0.25 && row._2 <= 1.0)
+    // ...and an impossible tolerance THROWs (the driver-visible path)
+    intercept[IllegalArgumentException] {
+      Similarity.rpDistortionGate(emb, maxAvg = 0.0, maxWorst = 0.0)
+    }
+  }
+
   test("int8 codec: i8Encode/i8Dot reproduce the quantizer, estimate within guard") {
     import graft.functions.VectorUtil
     import org.apache.spark.sql.catalyst.util.ArrayData
