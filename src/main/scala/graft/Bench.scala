@@ -25,6 +25,24 @@ object Bench {
       .replaceAll("Lambda\\$[^,\\s)]+", "Lambda")
       .replaceAll("@[0-9a-fA-F]+", "@x")
       .replaceAll("\\d+", "N")
+      .linesIterator.map(stabilizeExpand).mkString("\n")
+
+  /** RewriteDistinctAggregates orders its Expand projections by
+    * expression-id ALLOCATION order, which depends on how many plans the
+    * session built earlier — semantically identical plans print permuted
+    * projection lists (the three multi-`count(DISTINCT)` fingerprint
+    * flappers of the round-7 baseline). Sorting the projection groups
+    * inside `Expand [[...], [...]]` makes the fingerprint
+    * allocation-order-invariant; a REAL plan change (different columns,
+    * extra projection) still changes the sorted form. */
+  private def stabilizeExpand(line: String): String = {
+    val start = line.indexOf("[[")
+    if (!line.contains("Expand") || start < 0) return line
+    val end = line.indexOf("]]", start)
+    if (end < 0) return line
+    val parts = line.substring(start + 2, end).split("\\], \\[", -1).toSeq.sorted
+    line.substring(0, start + 2) + parts.mkString("], [") + line.substring(end)
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

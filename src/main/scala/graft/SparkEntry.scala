@@ -1029,6 +1029,11 @@ object SparkEntry {
     // data-mixing plan: per-source token inventory + equalizing sample rate
     "source_mixture_plan" -> ((s, dir) =>
       TextAnalysis.sourceMixturePlan(Tables.documents(s, dir), termCountsAsset(s, dir))),
+    // the tunable knob between identity and full equalization: α-sampling
+    // rates (XLM-R/mT5 temperature rebalancing) per source
+    "source_temperature_plan" -> ((s, dir) =>
+      TextAnalysis.sourceTemperaturePlan(Tables.documents(s, dir),
+        termCountsAsset(s, dir), alpha = 0.7)),
     // per-source bottom-quartile quality drop (rank-exact curation cut)
     "quality_rank_filter" -> ((s, dir) =>
       TextAnalysis.qualityRankFilter(Tables.documents(s, dir), dropFraction = 0.25)),
@@ -3503,6 +3508,29 @@ object SparkEntry {
          |    ELSE 0 END AS expected_tokens
          |FROM ps CROSS JOIN m
          |ORDER BY source""".stripMargin,
+    "source_temperature_plan" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok FROM tc GROUP BY 1),
+         |ps AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS total_tokens
+         |  FROM documents d LEFT JOIN dt USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens FROM ps),
+         |w AS (
+         |  SELECT source, n_docs, total_tokens,
+         |    CAST(total_tokens AS DOUBLE) / corpus_tokens AS p,
+         |    CASE WHEN total_tokens > 0
+         |      THEN round(pow(CAST(total_tokens AS DOUBLE) / corpus_tokens, ${0.7 - 1.0}), 9)
+         |      ELSE 0.0 END AS w
+         |  FROM ps CROSS JOIN tot),
+         |mx AS (SELECT max(w) AS w_max FROM w),
+         |r AS (
+         |  SELECT source, n_docs, total_tokens, p,
+         |    CASE WHEN w_max > 0 THEN round(w / w_max, 9) ELSE 0.0 END AS rate
+         |  FROM w CROSS JOIN mx)
+         |SELECT source, n_docs, total_tokens, round(p, 9) AS p, rate,
+         |  CAST(round(total_tokens * rate, 0) AS BIGINT) AS expected_tokens
+         |FROM r ORDER BY source""".stripMargin,
     "quality_rank_filter" ->
       s"""WITH q AS (
          |  SELECT doc_id,

@@ -772,6 +772,46 @@ object TextAnalysis {
     * TF-IDF's doc totals), one tiny groupBy(source), and the corpus-wide
     * minimum rides along as a broadcast one-row frame — no driver action,
     * no window over the full corpus. */
+  /** Temperature-based source mixture plan (α-sampling — the multilingual
+    * rebalancing rule of XLM-R / mT5: effective distribution ∝ p^α): per
+    * source, the deterministic DOWN-sampling rate `rate_s =
+    * p_s^(α−1) / max_t p_t^(α−1)` — the smallest source keeps rate 1,
+    * larger sources shrink toward (not all the way to) it. α = 1 is the
+    * identity plan; α → 0 degenerates to [[sourceMixturePlan]]'s full
+    * equalization — this is the knob BETWEEN those endpoints a pipeline
+    * actually tunes.
+    *
+    * Same scale shape as the equalization plan: one per-doc token rollup,
+    * one tiny groupBy(source), corpus total and max weight riding along
+    * as broadcast one-row frames. `pow` is rounded to 9 before any
+    * downstream arithmetic (the ln precedent: spelled identically in the
+    * oracle). */
+  def sourceTemperaturePlan(docs: DataFrame, tc: DataFrame,
+      alpha: Double = 0.7): DataFrame = {
+    val perDoc = tc.groupBy("doc_id").agg(sum("cnt").as("n_tok"))
+    val perSource = docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tok"), lit(0L)).as("total_tokens"))
+    val tot = perSource.agg(sum("total_tokens").as("corpus_tokens"))
+    val withW = perSource.crossJoin(broadcast(tot))
+      .withColumn("p", col("total_tokens").cast("double") / col("corpus_tokens"))
+      .withColumn("w",
+        when(col("total_tokens") > 0, round(pow(col("p"), lit(alpha - 1.0)), 9))
+          .otherwise(lit(0.0)))
+    val mx = withW.agg(max("w").as("w_max"))
+    withW.crossJoin(broadcast(mx))
+      .withColumn("rate",
+        when(col("w_max") > 0, round(col("w") / col("w_max"), 9))
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("p"), 9).as("p"), col("rate"),
+        round(col("total_tokens") * col("rate"), 0).cast("long")
+          .as("expected_tokens"))
+      .orderBy("source")
+  }
+
   def sourceMixturePlan(docs: DataFrame, tc: DataFrame): DataFrame = {
     val perDoc = tc.groupBy("doc_id").agg(sum("cnt").as("n_tok"))
     val perSource = docs.select(col("doc_id"), col("source"))

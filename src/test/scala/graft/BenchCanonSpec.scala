@@ -31,6 +31,19 @@ class BenchCanonSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("Expand projection order normalizes away; a different projection does not") {
+    // RewriteDistinctAggregates permutes Expand projections by
+    // expression-id allocation order — the round-7 flapper mode
+    val a = Bench.canonicalPlan(
+      "Expand [[l_orderkey#5L, null, 0], [null, l_suppkey#7L, 1]], [key#9L, gid#10]")
+    val b = Bench.canonicalPlan(
+      "Expand [[null, l_suppkey#7L, 1], [l_orderkey#5L, null, 0]], [key#9L, gid#10]")
+    assert(a == b)
+    val c = Bench.canonicalPlan(
+      "Expand [[l_orderkey#5L, null, 0], [null, l_partkey#7L, 1]], [key#9L, gid#10]")
+    assert(a != c)
+  }
+
   test("structural changes survive: a lost broadcast changes the canonical form") {
     val broadcastJoin = Bench.canonicalPlan(
       "BroadcastHashJoin [term#87], [term#23], Inner, BuildRight, false")

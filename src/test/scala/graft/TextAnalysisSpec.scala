@@ -85,6 +85,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._3 == lab)
   }
 
+  test("sourceTemperaturePlan: smallest source keeps rate 1, alpha=1 is identity") {
+    val docs = Seq((1L, "s_big"), (2L, "s_big"), (3L, "s_small"))
+      .toDF("doc_id", "source")
+    // tokens: s_big = 90, s_small = 10
+    val tc = Seq(("w", 1L, 50L), ("w", 2L, 40L), ("w", 3L, 10L))
+      .toDF("term", "doc_id", "cnt")
+    val got = TextAnalysis.sourceTemperaturePlan(docs, tc, alpha = 0.5)
+      .select("source", "total_tokens", "rate", "expected_tokens")
+      .as[(String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // smallest source anchors at rate 1; α=0.5 → rate_big = (p_b/p_s)^-0.5
+    // = sqrt(10/90) = 1/3
+    assert(got("s_small")._3 == 1.0 && got("s_small")._4 == 10L)
+    assert(math.abs(got("s_big")._3 - 1.0 / 3.0) < 1e-8)
+    assert(got("s_big")._4 == 30L)
+    // α = 1: no rebalancing at all
+    val id = TextAnalysis.sourceTemperaturePlan(docs, tc, alpha = 1.0)
+      .select("rate").as[Double].collect()
+    assert(id.forall(_ == 1.0))
+    // a token-less source gets rate 0, not NaN (the sourceMixturePlan guard)
+    val withEmpty = TextAnalysis.sourceTemperaturePlan(
+      docs.unionByName(Seq((4L, "s_empty")).toDF("doc_id", "source")), tc, alpha = 0.5)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(withEmpty("s_empty") == 0.0)
+  }
+
   test("perplexityBuckets: per-source rank-exact terciles over LM scores") {
     val toks = Seq(
       (1L, Seq("a", "b", "a", "b")), (2L, Seq("a", "b")), (3L, Seq("b", "a")),
