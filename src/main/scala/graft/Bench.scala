@@ -25,23 +25,34 @@ object Bench {
       .replaceAll("Lambda\\$[^,\\s)]+", "Lambda")
       .replaceAll("@[0-9a-fA-F]+", "@x")
       .replaceAll("\\d+", "N")
-      .linesIterator.map(stabilizeExpand).mkString("\n")
+      .linesIterator.map(stabilizeDistinctRewrite).mkString("\n")
 
-  /** RewriteDistinctAggregates orders its Expand projections by
-    * expression-id ALLOCATION order, which depends on how many plans the
-    * session built earlier — semantically identical plans print permuted
-    * projection lists (the three multi-`count(DISTINCT)` fingerprint
-    * flappers of the round-7 baseline). Sorting the projection groups
-    * inside `Expand [[...], [...]]` makes the fingerprint
-    * allocation-order-invariant; a REAL plan change (different columns,
-    * extra projection) still changes the sorted form. */
-  private def stabilizeExpand(line: String): String = {
-    val start = line.indexOf("[[")
-    if (!line.contains("Expand") || start < 0) return line
-    val end = line.indexOf("]]", start)
-    if (end < 0) return line
-    val parts = line.substring(start + 2, end).split("\\], \\[", -1).toSeq.sorted
-    line.substring(0, start + 2) + parts.mkString("], [") + line.substring(end)
+  /** RewriteDistinctAggregates lays out its Expand projections — and the
+    * column SLOTS within them, and therefore the downstream HashAggregate
+    * key/output orders — by expression-id ALLOCATION order, which depends
+    * on how many plans the session built earlier: semantically identical
+    * plans print with permuted columns (the three multi-`count(DISTINCT)`
+    * fingerprint flappers of the round-7 baseline). On Expand /
+    * HashAggregate lines only, sort the comma tokens inside every
+    * innermost bracket list (turning each list into its canonical
+    * multiset) and then sort the Expand projection groups themselves.
+    * Order within these lists is semantically irrelevant for a hash
+    * aggregate; a REAL plan change — a different column, function, or an
+    * extra projection — still changes the sorted form
+    * ([[graft.BenchCanonSpec]] pins both directions). */
+  private def stabilizeDistinctRewrite(line: String): String = {
+    if (!line.contains("Expand") && !line.contains("HashAggregate")) return line
+    val innerSorted = "\\[([^\\[\\]]*)\\]".r.replaceAllIn(line, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "[" + m.group(1).split(", ", -1).sorted.mkString(", ") + "]"))
+    val start = innerSorted.indexOf("[[")
+    if (start < 0) return innerSorted
+    val end = innerSorted.indexOf("]]", start)
+    if (end < 0) return innerSorted
+    val parts = innerSorted.substring(start + 2, end)
+      .split("\\], \\[", -1).toSeq.sorted
+    innerSorted.substring(0, start + 2) + parts.mkString("], [") +
+      innerSorted.substring(end)
   }
 
   private def md5Hex(s: String): String =

@@ -32,16 +32,27 @@ class BenchCanonSpec extends AnyFunSuite {
   }
 
   test("Expand projection order normalizes away; a different projection does not") {
-    // RewriteDistinctAggregates permutes Expand projections by
-    // expression-id allocation order — the round-7 flapper mode
+    // RewriteDistinctAggregates permutes Expand projections — including
+    // the column SLOTS within each group — by expression-id allocation
+    // order: the round-7 flapper mode
     val a = Bench.canonicalPlan(
       "Expand [[l_orderkey#5L, null, 0], [null, l_suppkey#7L, 1]], [key#9L, gid#10]")
     val b = Bench.canonicalPlan(
-      "Expand [[null, l_suppkey#7L, 1], [l_orderkey#5L, null, 0]], [key#9L, gid#10]")
+      "Expand [[null, l_suppkey#7L, 1], [l_orderkey#5L, 0, null]], [gid#10, key#9L]")
     assert(a == b)
     val c = Bench.canonicalPlan(
       "Expand [[l_orderkey#5L, null, 0], [null, l_partkey#7L, 1]], [key#9L, gid#10]")
     assert(a != c)
+    // the downstream HashAggregate's permuted key order normalizes too,
+    // while a changed function or column still changes the form
+    val ha = Bench.canonicalPlan(
+      "HashAggregate(keys=[l_returnflag#1, l_partkey#2, l_suppkey#3, gid#4], functions=[count(1)])")
+    val hb = Bench.canonicalPlan(
+      "HashAggregate(keys=[l_returnflag#1, l_suppkey#3, l_partkey#2, gid#4], functions=[count(1)])")
+    assert(ha == hb)
+    val hc = Bench.canonicalPlan(
+      "HashAggregate(keys=[l_returnflag#1, l_suppkey#3, l_partkey#2, gid#4], functions=[sum(1)])")
+    assert(ha != hc)
   }
 
   test("structural changes survive: a lost broadcast changes the canonical form") {
