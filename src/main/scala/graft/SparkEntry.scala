@@ -1068,10 +1068,15 @@ object SparkEntry {
     }),
     // SEMANTIC decontamination: embedding-cosine leakage vs the held-out
     // benchmark split (vec_id % 53, mirroring the gram family's doc_id
-    // split) — benchmark broadcast, one map pass over the corpus
+    // split) — benchmark broadcast, one map pass over the corpus. The
+    // split is CAPPED at vec_id < 5000 so the benchmark stays
+    // eval-suite-sized no matter how large the corpus grows (a benchmark
+    // that scaled WITH the corpus would make corpus×bench quadratic —
+    // the sf1 rehearsal caught exactly that); vacuous at sf0.01, so the
+    // oracle rows are unchanged
     "decontaminate_semantic" -> ((s, dir) =>
       Curation.decontaminateSemantic(Tables.embeddings(s, dir),
-        col("vec_id") % 53 === 0, tau = 0.3)),
+        col("vec_id") % 53 === 0 && col("vec_id") < 5000, tau = 0.3)),
     // CCNet head/middle/tail perplexity terciles per source, scored by
     // the corpus-trained bigram LM (asset-fed model joins)
     "perplexity_buckets" -> ((s, dir) =>
@@ -3139,7 +3144,8 @@ object SparkEntry {
          |  SELECT a.vec_id, b.vec_id AS b_id,
          |    round(CAST(sum(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE)
          |      / (na.nrm * nb.nrm), 6) AS cos
-         |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id % 53 = 0 AND a.vec_id % 53 <> 0
+         |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id % 53 = 0 AND b.vec_id < 5000
+         |    AND (a.vec_id % 53 <> 0 OR a.vec_id >= 5000)
          |  JOIN norms na ON na.vec_id = a.vec_id
          |  JOIN norms nb ON nb.vec_id = b.vec_id
          |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
