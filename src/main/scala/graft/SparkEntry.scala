@@ -1176,6 +1176,15 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, dir) =>
       exactPairsAsset(s, dir).where(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")),
+    // threshold-calibration curve off the pair-table asset: how aggressive
+    // each candidate Jaccard cut would be, with the corpus count riding in
+    // as the drop-rate denominator
+    "dedup_threshold_calibration" -> ((s, dir) =>
+      Dedup.dedupThresholdCalibration(exactPairsAsset(s, dir), docsCount(s, dir))),
+    // packing planner summary: truncation and padding-bound per candidate
+    // max_len, from the shared doc-totals rollup
+    "packing_efficiency" -> ((s, dir) =>
+      TextAnalysis.packingEfficiency(termCountsAsset(s, dir))),
     // WHERE the near-duplication lives: near-dup pair counts per unordered
     // source pair, off the shared pair-table asset (corpus never re-read)
     "dedup_cross_source" -> ((s, dir) =>
@@ -1389,6 +1398,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // --- Similarity search ---
+    // embedding-table hygiene audit: one-row dim/null/norm report gating
+    // any index build over a new embedding drop
+    "embedding_stats" -> ((s, dir) =>
+      operators.Similarity.embeddingStats(Tables.embeddings(s, dir))),
     // JL ±1 random projection (md5-derived signs, DECIMAL-routed fold):
     // the dimension-cut compression next to int8 (value width) and PQ
     // (codebook) — per-row map work, oracle-exact per component
@@ -2725,6 +2738,49 @@ object SparkEntry {
          |SELECT doc_a, doc_b, n_shared, grams_a, grams_b, jaccard
          |FROM pairsj WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_threshold_calibration" ->
+      s"""WITH $gramPairsCte,
+         |taus AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS tau),
+         |hits AS (
+         |  SELECT t.tau, p.doc_a, p.doc_b
+         |  FROM pairsj p CROSS JOIN taus t WHERE p.jaccard >= t.tau),
+         |pstats AS (
+         |  SELECT tau, count(*) AS n_pairs,
+         |    count(DISTINCT doc_b) AS n_drop_candidates
+         |  FROM hits GROUP BY 1),
+         |dstats AS (
+         |  SELECT tau, count(DISTINCT doc) AS n_docs_in_pairs
+         |  FROM (SELECT tau, doc_a AS doc FROM hits
+         |        UNION ALL SELECT tau, doc_b FROM hits) u GROUP BY 1),
+         |n AS (SELECT count(*) AS n_corpus FROM documents)
+         |SELECT t.tau,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_docs_in_pairs, 0) AS BIGINT) AS n_docs_in_pairs,
+         |  CAST(coalesce(n_drop_candidates, 0) AS BIGINT) AS n_drop_candidates,
+         |  round(CAST(coalesce(n_drop_candidates, 0) AS DOUBLE) / n_corpus, 9)
+         |    AS drop_rate
+         |FROM taus t LEFT JOIN pstats USING (tau) LEFT JOIN dstats USING (tau)
+         |CROSS JOIN n
+         |ORDER BY tau""".stripMargin,
+    "packing_efficiency" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc GROUP BY 1),
+         |grid AS (SELECT unnest([64, 128, 256, 512, 1024]) AS max_len),
+         |j AS (
+         |  SELECT CAST(g.max_len AS BIGINT) AS max_len, dt.n_tokens,
+         |    least(dt.n_tokens, CAST(g.max_len AS BIGINT)) AS kept
+         |  FROM dt CROSS JOIN grid g)
+         |SELECT max_len, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_tokens > max_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_truncated,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(kept) AS BIGINT) AS kept_tokens,
+         |  round(CAST(sum(n_tokens) - sum(kept) AS DOUBLE) / sum(n_tokens), 9)
+         |    AS trunc_frac,
+         |  round(CAST(count(*) * max_len - sum(kept) AS DOUBLE)
+         |    / (count(*) * max_len), 9) AS pad_frac_bound
+         |FROM j GROUP BY max_len
+         |ORDER BY max_len""".stripMargin,
     "dedup_cross_source" ->
       s"""WITH $gramPairsCte,
          |lab AS (SELECT doc_id, source FROM documents)
@@ -3117,6 +3173,27 @@ object SparkEntry {
         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM assigned a LEFT JOIN dropped d USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
+    "embedding_stats" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), norms0 AS (
+        |  SELECT vec_id,
+        |    round(sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)), 9) AS norm
+        |  FROM ex GROUP BY 1
+        |), base AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |    CAST(len(list_filter(embedding, x -> x IS NULL)) AS BIGINT) AS n_nulls
+        |  FROM embeddings)
+        |SELECT count(*) AS n_vectors,
+        |  min(dim) AS dim_min, max(dim) AS dim_max,
+        |  CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  CAST(sum(n_nulls) AS BIGINT) AS n_null_entries,
+        |  round(min(norm), 9) AS norm_min,
+        |  round(max(norm), 9) AS norm_max,
+        |  round(CAST(sum(CAST(norm AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)
+        |    AS norm_avg
+        |FROM base JOIN norms0 USING (vec_id)""".stripMargin,
     "embedding_rp_components" ->
       """WITH signs AS (
         |  SELECT k, j,

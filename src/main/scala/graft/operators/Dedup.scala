@@ -613,6 +613,54 @@ object Dedup {
     "filter(transform(filter(split(text, '\\\\s+'), t -> NOT t RLIKE '[0-9]'), " +
       "t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '')), t -> t <> '')")
 
+  /** Dedup-threshold calibration curve — how aggressive each candidate
+    * Jaccard cut would be: per threshold, the surviving pair count, the
+    * documents touched by any pair, the drop candidates (the `doc_b`
+    * side, [[applyDedup]]'s lower-precedence member), and the corpus drop
+    * rate. The dedup twin of the manifest's quality-calibration curve: a
+    * pipeline reads it BEFORE committing to a threshold, instead of
+    * re-running the pair stage per candidate.
+    *
+    * Thresholds below the pair table's own floor would under-count
+    * silently (the asset only holds pairs ≥ its build floor), so they
+    * fail fast. Every threshold keeps its row even when no pair survives
+    * (zeros, not absence).
+    *
+    * Scale shape: the collision-bounded pair table crosses a BROADCAST
+    * handful-row threshold grid; aggregates are |grid|-bounded. The
+    * corpus itself is never touched — `totalDocs` rides in as the
+    * denominator. */
+  def dedupThresholdCalibration(pairs: DataFrame, totalDocs: Long,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      pairFloor: Double = 0.2): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= pairFloor),
+      s"thresholds ${thresholds.mkString(",")} must all be >= the pair " +
+        s"table's build floor $pairFloor — lower cuts need a rebuilt pair table")
+    val grid = pairs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(thresholds.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tau",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val hits = pairs.select("doc_a", "doc_b", "jaccard")
+      .crossJoin(broadcast(grid))
+      .where(col("jaccard") >= col("tau"))
+      .scopedPersist()
+    val pairStats = hits.groupBy("tau")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_drop_candidates"))
+    val docStats = hits
+      .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("tau").agg(countDistinct(col("doc")).as("n_docs_in_pairs"))
+    grid.join(pairStats, Seq("tau"), "left").join(docStats, Seq("tau"), "left")
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_in_pairs"), lit(0L)).as("n_docs_in_pairs"),
+        coalesce(col("n_drop_candidates"), lit(0L)).as("n_drop_candidates"),
+        round(coalesce(col("n_drop_candidates"), lit(0L)).cast("double")
+          / lit(totalDocs.toDouble), 9).as("drop_rate"))
+      .orderBy("tau")
+  }
+
   /** Cross-source duplication matrix — WHERE the near-duplication lives:
     * per unordered source pair, how many near-dup pairs cross it and how
     * strong they are. The audit a pipeline reads before deciding which

@@ -135,6 +135,41 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Embedding-table hygiene audit — the one-row report a pipeline gates
+    * on BEFORE building any index over a new embedding drop: vector
+    * count, dimension range (a mixed-dim table breaks every kernel
+    * silently), zero-norm and null-entry counts (broken encoder rows),
+    * and the norm distribution (a collapsed or exploded norm band means
+    * the encoder changed under you). Pure per-row map work + one tiny
+    * aggregate; norms are the same codegen'd `graft_dot` as every
+    * similarity kernel, means DECIMAL-routed like the rest of the
+    * family. */
+  def embeddingStats(embeddings: DataFrame): DataFrame = {
+    val base = embeddings
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), size(col("v")).cast("long").as("dim"),
+        (size(col("v")) - size(filter(col("v"), x => x.isNotNull)))
+          .cast("long").as("n_nulls"), col("v"))
+    // norms through an exact DECIMAL sum of squares (the oracle spelling —
+    // a 9-rounded norm is tighter than the cosine family's 6, so the
+    // double-fold kernel is not used here)
+    val norms = base
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("vec_id")
+      .agg(round(sqrt(sum((col("x") * col("x")).cast("decimal(38,20)"))
+        .cast("double")), 9).as("norm"))
+    base.select("vec_id", "dim", "n_nulls").join(norms, "vec_id")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min("dim").as("dim_min"), max("dim").as("dim_max"),
+        sum((col("norm") === 0.0).cast("long")).as("n_zero_norm"),
+        sum("n_nulls").as("n_null_entries"),
+        round(min("norm"), 9).as("norm_min"),
+        round(max("norm"), 9).as("norm_max"),
+        round(sum(col("norm").cast("decimal(28,9)")).cast("double")
+          / count(lit(1)), 9).as("norm_avg"))
+  }
+
   /** Johnson–Lindenstrauss random projection with database-friendly ±1
     * entries (Achlioptas 2003, "Database-friendly random projections"):
     * compress `dim`-dimensional embeddings to `outDim` components,

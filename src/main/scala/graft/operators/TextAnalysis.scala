@@ -242,6 +242,42 @@ object TextAnalysis {
     }
   }
 
+  /** Packing-efficiency planner: for each candidate `max_len`, what a
+    * one-document-per-sequence layout would cost — documents truncated,
+    * tokens lost to truncation, and the padding-waste UPPER BOUND
+    * (`Σ (L − min(n, L)) / (n_docs · L)`; greedy packing
+    * ([[sequencePacking]]) only improves on it). The table a pipeline
+    * reads BEFORE choosing sequence length — the histogram's actionable
+    * summary.
+    *
+    * Scale shape: per-doc totals (the shared doc-totals shuffle) cross a
+    * BROADCAST handful-row length grid, then a |grid|-row aggregate —
+    * map-side partials, nothing corpus-wide beyond the rollup it already
+    * shares with TF-IDF. */
+  def packingEfficiency(tc: DataFrame,
+      maxLens: Seq[Int] = Seq(64, 128, 256, 512, 1024)): DataFrame = {
+    val totals = tc.groupBy("doc_id").agg(sum("cnt").as("n_tokens"))
+    val grid = tc.sparkSession.createDataFrame(
+      java.util.Arrays.asList(maxLens.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("max_len",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    totals.crossJoin(broadcast(grid))
+      .withColumn("kept", least(col("n_tokens"), col("max_len").cast("long")))
+      .groupBy(col("max_len").cast("long").as("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_tokens") > col("max_len")).cast("long")).as("n_truncated"),
+        sum("n_tokens").as("total_tokens"),
+        sum("kept").as("kept_tokens"))
+      .select(col("max_len"), col("n_docs"), col("n_truncated"),
+        col("total_tokens"), col("kept_tokens"),
+        round((col("total_tokens") - col("kept_tokens")).cast("double")
+          / col("total_tokens"), 9).as("trunc_frac"),
+        round((col("n_docs") * col("max_len") - col("kept_tokens")).cast("double")
+          / (col("n_docs") * col("max_len")), 9).as("pad_frac_bound"))
+      .orderBy("max_len")
+  }
+
   /** Deterministic train/val/test split on the content fingerprint's last
     * hex digit (content-stable: dedup-safe, engine-portable, no RNG):
     * 0-b → train (75%), c-d → val, e-f → test. */

@@ -229,6 +229,28 @@ class DedupSpec extends SparkSpec {
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("dedupThresholdCalibration: hand-computed curve, zeros kept, floor fail-fast") {
+    val pairs = Seq((1L, 2L, 0.95), (1L, 3L, 0.55), (4L, 5L, 0.72))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.dedupThresholdCalibration(pairs, totalDocs = 10)
+      .as[(Double, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0.5, 3L, 5L, 3L, 0.3),
+      (0.6, 2L, 4L, 2L, 0.2),
+      (0.7, 2L, 4L, 2L, 0.2),
+      (0.8, 1L, 2L, 1L, 0.1),
+      (0.9, 1L, 2L, 1L, 0.1)))
+    // a threshold with no surviving pairs keeps its row with zeros
+    val sparse = Dedup.dedupThresholdCalibration(
+      pairs.where($"jaccard" < 0.6), totalDocs = 10)
+      .as[(Double, Long, Long, Long, Double)].collect().toSeq
+    assert(sparse.filter(_._1 >= 0.6).forall(r => r._2 == 0L && r._5 == 0.0))
+    // thresholds below the pair table's build floor under-count → fail fast
+    intercept[IllegalArgumentException] {
+      Dedup.dedupThresholdCalibration(pairs, 10, thresholds = Seq(0.1))
+    }
+  }
+
   test("shingle generator: dedups repeats, empty below window size") {
     assert(Dedup.shingles(Seq((1L, "aaaaaaaa")).toDF("doc_id", "text"), n = 5).count() == 1)
     assert(Dedup.shingles(Seq((1L, "abc")).toDF("doc_id", "text"), n = 5).count() == 0)

@@ -111,6 +111,22 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(_ == 1L))
   }
 
+  test("embeddingStats: dim range, zero norms, null entries, hand-computed norms") {
+    val rows = Seq(
+      (0L, Array[java.lang.Float](3f, 4f)),                 // norm 5
+      (1L, Array[java.lang.Float](0f, 0f)),                 // zero norm
+      (2L, Array[java.lang.Float](1f, null, 0f)),           // null entry, dim 3
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingStats(rows)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].head()
+    val (n, dmin, dmax, zero, nulls, nmin, nmax, navg) = got
+    assert(n == 3L && dmin == 2L && dmax == 3L)
+    assert(zero == 1L && nulls == 1L)
+    assert(nmin == 0.0 && nmax == 5.0)
+    // null entries drop out of the norm sum: norm(2) = 1 → avg (5+0+1)/3
+    assert(navg == 2.0)
+  }
+
   test("randomProject native kernel == SQL decimal-fold spelling, distortion gate throws") {
     import org.apache.spark.sql.functions.{col, lit, posexplode}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

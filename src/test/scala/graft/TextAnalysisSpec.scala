@@ -85,6 +85,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._3 == lab)
   }
 
+  test("packingEfficiency: truncation counts and padding bound, hand-computed") {
+    val tc = Seq(("w", 1L, 10L), ("w", 2L, 100L)).toDF("term", "doc_id", "cnt")
+    val got = TextAnalysis.packingEfficiency(tc, maxLens = Seq(64, 128))
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // L=64: doc2 truncates, kept 10+64=74; pad bound (2*64-74)/(2*64)
+    assert(got(0) == ((64L, 2L, 1L, 110L, 74L, r9(36.0 / 110), r9(54.0 / 128))))
+    // L=128: nothing truncates; pad bound (256-110)/256
+    assert(got(1) == ((128L, 2L, 0L, 110L, 110L, 0.0, r9(146.0 / 256))))
+  }
+
   test("sourceTemperaturePlan: smallest source keeps rate 1, alpha=1 is identity") {
     val docs = Seq((1L, "s_big"), (2L, "s_big"), (3L, "s_small"))
       .toDF("doc_id", "source")
