@@ -262,7 +262,13 @@ object Curation {
     *
     * Float parity: identical cosine spelling to the ANN/SemDeDup family —
     * codegen'd `graft_dot`, norms from exact DECIMAL sums on the oracle
-    * side, cosine rounded to 6 before every comparison. */
+    * side, cosine rounded to 6 before every comparison.
+    *
+    * Precondition: `isBenchmark` must select a non-empty, FIXED-size set
+    * (an eval suite does not grow with the corpus — a split that scales
+    * with it turns this map pass quadratic, the failure the sf1 rehearsal
+    * caught). An empty benchmark yields an empty result (nothing to
+    * compare), not an all-clean report. */
   def decontaminateSemantic(
       embeddings: DataFrame,
       isBenchmark: Column,

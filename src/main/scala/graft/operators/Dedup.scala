@@ -763,8 +763,14 @@ object Dedup {
         when(col("n_b") > 0,
           round(col("n_shared_est").cast("double") / col("n_b"), 9))
           .otherwise(lit(0.0)).as("containment_est"))
-    val row = est.crossJoin(
-      corpusContainment(docs, isIngested).select("containment")).head()
+    // an empty split would make its sketch row vanish and the cross join
+    // empty — fail with the real reason instead of a bare NoSuchElement
+    val rows = est.crossJoin(
+      corpusContainment(docs, isIngested).select("containment")).collect()
+    require(rows.nonEmpty,
+      "containment gate needs gram-bearing documents on BOTH sides of the " +
+        "split — one side is empty, so there is no containment to check")
+    val row = rows.head
     val (cEst, cExact) = (row.getDouble(3), row.getDouble(4))
     require(math.abs(cEst - cExact) <= tol,
       f"HLL containment $cEst%.4f drifts more than $tol%.2f from exact $cExact%.4f " +

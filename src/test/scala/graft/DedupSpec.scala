@@ -224,6 +224,12 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.corpusContainmentHllGate(docs, $"doc_id" % 2 === 0, tol = -1.0)
     }
+    // an empty split side fails with the real reason, not a bare
+    // NoSuchElementException from the vanished sketch row
+    val e = intercept[IllegalArgumentException] {
+      Dedup.corpusContainmentHllGate(docs, $"doc_id" >= 0L)
+    }
+    assert(e.getMessage.contains("BOTH sides"))
   }
 
   private def round9(x: Double): Double =

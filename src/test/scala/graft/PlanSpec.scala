@@ -351,6 +351,31 @@ class PlanSpec extends SparkSpec {
       s"unexpected exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("calibration/planner grids broadcast; no corpus-side shuffle beyond the rollup") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // threshold calibration: pair table × broadcast grid, never a sort-merge
+    val pairs = Seq((1L, 2L, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+    val cal = plan(graft.operators.Dedup.dedupThresholdCalibration(pairs, 10))
+      .split("== Initial Plan ==")(0)
+    assert(cal.contains("BroadcastNestedLoopJoin"), cal.take(1500))
+    assert(!cal.contains("SortMergeJoin") && !cal.contains("CartesianProduct"),
+      cal.take(1500))
+    // packing planner: the doc-totals rollup is the ONLY corpus shuffle;
+    // the length grid rides along as a broadcast
+    val tc = Seq(("w", 1L, 5L)).toDF("term", "doc_id", "cnt")
+    val pk = plan(graft.operators.TextAnalysis.packingEfficiency(tc))
+      .split("== Initial Plan ==")(0)
+    assert(pk.contains("BroadcastNestedLoopJoin"), pk.take(1500))
+    val exchanges = pk.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(exchanges.forall(l => l.contains("hashpartitioning(doc_id") ||
+      l.contains("hashpartitioning(max_len") ||
+      l.contains("hashpartitioning(_groupingexpression") || // cast-grouped max_len
+      l.contains("rangepartitioning")),
+      s"unexpected exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("native normalizer stays inside WholeStageCodegen") {
     val toks = Tfidf.tokenizePortable(Tables.documents(spark, dir))
     toks.collect() // finalize THIS dataset's adaptive plan (count() would plan separately)
