@@ -63,6 +63,39 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got == Set(2L)) // doc 1 has 2 tokens → no 3-grams → absent
   }
 
+  test("round-7 planners/audits on degenerate inputs: empty, null-text, no-pair") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Curation, TextAnalysis}
+    // empty term-counts → planner returns no rows (not a zero-grid crash)
+    val emptyTc = Seq.empty[(String, Long, Long)].toDF("term", "doc_id", "cnt")
+    assert(TextAnalysis.packingEfficiency(emptyTc).count() == 0)
+    assert(TextAnalysis.sourceTemperaturePlan(
+      Seq.empty[(Long, String)].toDF("doc_id", "source"), emptyTc).count() == 0)
+    // calibration over an empty pair table: full zero curve, not absence
+    val noPairs = Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    val curve = Dedup.dedupThresholdCalibration(noPairs, totalDocs = 7)
+      .select("n_pairs", "drop_rate").as[(Long, Double)].collect()
+    assert(curve.length == 5 && curve.forall(r => r._1 == 0L && r._2 == 0.0))
+    // cross-source matrix with no qualifying pairs → empty
+    assert(Dedup.crossSourceDupMatrix(noPairs,
+      Seq((1L, "s")).toDF("doc_id", "source")).count() == 0)
+    // null-text documents: containment treats them as gram-less, no throw
+    val withNull = docsOf(Seq((0L, "a b c d"), (1L, null), (2L, "b c d e")))
+    val row = Dedup.corpusContainment(withNull, col("doc_id") % 2 === 0)
+      .select("n_grams_ingested", "n_grams_incoming").as[(Long, Long)].head()
+    // ingested {0,2} hold {abc,bcd} ∪ {bcd,cde} = 3; the null doc grams to 0
+    assert(row == ((3L, 0L)))
+    // perplexity buckets on a corpus with zero scoreable docs → empty
+    val toks1 = Seq((1L, Seq("solo"))).toDF("doc_id", "tokens")
+    val docs1 = Seq((1L, "s")).toDF("doc_id", "source")
+    val bg = Seq.empty[(String, String, Long)].toDF("w1", "w2", "n_ab")
+    val tc1 = Seq(("solo", 1L, 1L)).toDF("term", "doc_id", "cnt")
+    assert(TextAnalysis.perplexityBuckets(docs1, toks1, bg, tc1).count() == 0)
+    // semantic decontamination with an empty corpus side → empty, no throw
+    val oneVec = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Curation.decontaminateSemantic(oneVec, col("vec_id") >= 0L).count() == 0)
+  }
+
   test("pq search works when the corpus is smaller than the codebook size") {
     val vecs = (0L until 6L).map(i =>
       (i, Array.tabulate(64)(j => (i + 1).toFloat * (j % 3 + 1)), 0))
