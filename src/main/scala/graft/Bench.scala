@@ -40,11 +40,36 @@ object Bench {
     * aggregate; a REAL plan change — a different column, function, or an
     * extra projection — still changes the sorted form
     * ([[graft.BenchCanonSpec]] pins both directions). */
+  /** Split a bracket list on ", " at paren depth 0 only: a multi-argument
+    * expression like `count(a, b)` is ONE item, not two fragments — a
+    * naive split could in principle canonicalize two genuinely different
+    * plans to the same fingerprint. */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 && i + 1 < s.length && s.charAt(i + 1) == ' ' =>
+          out += s.substring(start, i)
+          start = i + 2
+          i += 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
   private def stabilizeDistinctRewrite(line: String): String = {
     if (!line.contains("Expand") && !line.contains("HashAggregate")) return line
     val innerSorted = "\\[([^\\[\\]]*)\\]".r.replaceAllIn(line, m =>
       java.util.regex.Matcher.quoteReplacement(
-        "[" + m.group(1).split(", ", -1).sorted.mkString(", ") + "]"))
+        "[" + splitTopLevel(m.group(1)).sorted.mkString(", ") + "]"))
     val start = innerSorted.indexOf("[[")
     if (start < 0) return innerSorted
     val end = innerSorted.indexOf("]]", start)

@@ -3186,14 +3186,18 @@ object SparkEntry {
         |    CAST(len(list_filter(embedding, x -> x IS NULL)) AS BIGINT) AS n_nulls
         |  FROM embeddings)
         |SELECT count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN norm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unscorable,
         |  min(dim) AS dim_min, max(dim) AS dim_max,
-        |  CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
-        |  CAST(sum(n_nulls) AS BIGINT) AS n_null_entries,
+        |  CAST(coalesce(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_zero_norm,
+        |  CAST(coalesce(sum(n_nulls), 0) AS BIGINT) AS n_null_entries,
         |  round(min(norm), 9) AS norm_min,
         |  round(max(norm), 9) AS norm_max,
-        |  round(CAST(sum(CAST(norm AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)
-        |    AS norm_avg
-        |FROM base JOIN norms0 USING (vec_id)""".stripMargin,
+        |  CASE WHEN count(norm) > 0
+        |    THEN round(CAST(sum(CAST(norm AS DECIMAL(28,9))) AS DOUBLE) / count(norm), 9)
+        |    END AS norm_avg
+        |FROM base LEFT JOIN norms0 USING (vec_id)""".stripMargin,
     "embedding_rp_components" ->
       """WITH signs AS (
         |  SELECT k, j,

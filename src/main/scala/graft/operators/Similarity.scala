@@ -158,16 +158,23 @@ object Similarity {
       .groupBy("vec_id")
       .agg(round(sqrt(sum((col("x") * col("x")).cast("decimal(38,20)"))
         .cast("double")), 9).as("norm"))
-    base.select("vec_id", "dim", "n_nulls").join(norms, "vec_id")
+    // LEFT join: a null or EMPTY embedding produces no posexplode rows, and
+    // an all-null-entry vector a null norm — exactly the broken rows this
+    // audit exists to flag, so they are COUNTED (`n_unscorable`) instead of
+    // silently dropped from every stat; the norm aggregates cover the
+    // scorable rows only (avg divides by count(norm), not count(*))
+    base.select("vec_id", "dim", "n_nulls").join(norms, Seq("vec_id"), "left")
       .agg(
         count(lit(1)).as("n_vectors"),
+        sum(col("norm").isNull.cast("long")).as("n_unscorable"),
         min("dim").as("dim_min"), max("dim").as("dim_max"),
-        sum((col("norm") === 0.0).cast("long")).as("n_zero_norm"),
-        sum("n_nulls").as("n_null_entries"),
+        coalesce(sum((col("norm") === 0.0).cast("long")), lit(0L)).as("n_zero_norm"),
+        coalesce(sum("n_nulls"), lit(0L)).as("n_null_entries"),
         round(min("norm"), 9).as("norm_min"),
         round(max("norm"), 9).as("norm_max"),
-        round(sum(col("norm").cast("decimal(28,9)")).cast("double")
-          / count(lit(1)), 9).as("norm_avg"))
+        when(count(col("norm")) > 0,
+          round(sum(col("norm").cast("decimal(28,9)")).cast("double")
+            / count(col("norm")), 9)).as("norm_avg"))
   }
 
   /** Johnson–Lindenstrauss random projection with database-friendly ±1
@@ -231,13 +238,18 @@ object Similarity {
   /** The decimal-fold SQL spelling of the same projection — the
     * specification the native kernel is parity-tested against
     * ([[graft.SimilaritySpec]]); interpreted HOFs allocate a Decimal per
-    * (element × component), so this form is test-only. */
+    * (element × component), so this form is test-only. The DECIMAL casts
+    * are TRY_CAST: a NaN/Infinity element or an out-of-range value nulls
+    * the fold (and the null then sticks through `acc + x`) instead of
+    * throwing under ANSI — the robustness contract a single
+    * broken-encoder row must satisfy, implemented identically by
+    * [[graft.functions.RpUtil.project]]. */
   private[graft] def rpProjectHofExpr(outDim: Int, dim: Int): Column = {
     val words = (dim + 63) / 64
     expr(
       s"""transform(sequence(0, ${outDim - 1}), k ->
          |  round(CAST(aggregate(sequence(0, ${dim - 1}), CAST(0 AS DECIMAL(28,9)),
-         |    (acc, j) -> CAST(acc + CAST(round(element_at(v, CAST(j + 1 AS INT)) *
+         |    (acc, j) -> TRY_CAST(acc + TRY_CAST(round(element_at(v, CAST(j + 1 AS INT)) *
          |      (CASE WHEN (shiftright(element_at(msk, CAST(k * $words + j div 64 + 1 AS INT)), CAST(j % 64 AS INT)) & 1) = 1
          |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END), 9)
          |      AS DECIMAL(28,9)) AS DECIMAL(28,9))) AS DOUBLE)

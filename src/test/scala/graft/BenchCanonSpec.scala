@@ -55,6 +55,26 @@ class BenchCanonSpec extends AnyFunSuite {
     assert(ha != hc)
   }
 
+  test("multi-argument expressions in bracket lists sort as ONE item") {
+    // a naive split(", ") tears `corr(a, b)` into fragments whose sorted
+    // multiset can collide with a genuinely different function list;
+    // depth-aware splitting keeps each call intact
+    val items = Bench.splitTopLevel("corr(a#1, b#2), count(1), max(c#3)")
+    assert(items == Seq("corr(a#1, b#2)", "count(1)", "max(c#3)"))
+    val a = Bench.canonicalPlan(
+      "HashAggregate(keys=[k#1], functions=[corr(a#1, b#2), count(1)])")
+    val b = Bench.canonicalPlan(
+      "HashAggregate(keys=[k#1], functions=[count(1), corr(a#1, b#2)])")
+    assert(a == b)
+    // the fragment-collision counterexample: same comma tokens, different
+    // argument grouping must NOT canonicalize together
+    val c = Bench.canonicalPlan(
+      "HashAggregate(keys=[k#1], functions=[corr(a#1, c#2), count(b#9)])")
+    val d = Bench.canonicalPlan(
+      "HashAggregate(keys=[k#1], functions=[corr(a#1, b#9), count(c#2)])")
+    assert(c != d)
+  }
+
   test("structural changes survive: a lost broadcast changes the canonical form") {
     val broadcastJoin = Bench.canonicalPlan(
       "BroadcastHashJoin [term#87], [term#23], Inner, BuildRight, false")

@@ -118,13 +118,36 @@ class SimilaritySpec extends SparkSpec {
       (2L, Array[java.lang.Float](1f, null, 0f)),           // null entry, dim 3
     ).toDF("vec_id", "embedding")
     val got = Similarity.embeddingStats(rows)
-      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].head()
-    val (n, dmin, dmax, zero, nulls, nmin, nmax, navg) = got
-    assert(n == 3L && dmin == 2L && dmax == 3L)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Double)].head()
+    val (n, unscorable, dmin, dmax, zero, nulls, nmin, nmax, navg) = got
+    assert(n == 3L && unscorable == 0L && dmin == 2L && dmax == 3L)
     assert(zero == 1L && nulls == 1L)
     assert(nmin == 0.0 && nmax == 5.0)
     // null entries drop out of the norm sum: norm(2) = 1 → avg (5+0+1)/3
     assert(navg == 2.0)
+  }
+
+  test("embeddingStats counts empty/null/all-null embeddings instead of dropping them") {
+    val rows = Seq(
+      (0L, Array[java.lang.Float](3f, 4f)),            // norm 5
+      (1L, Array.empty[java.lang.Float]),              // empty → no norm rows
+      (2L, null.asInstanceOf[Array[java.lang.Float]]), // null embedding
+      (3L, Array[java.lang.Float](null, null)),        // all-null entries → null norm
+    ).toDF("vec_id", "embedding")
+    val row = Similarity.embeddingStats(rows).head()
+    // every row an audit exists to flag is COUNTED, not vanished
+    assert(row.getAs[Long]("n_vectors") == 4L)
+    assert(row.getAs[Long]("n_unscorable") == 3L)
+    assert(row.getAs[Long]("n_null_entries") == 2L)
+    // scorable-side stats cover the one real vector only
+    assert(row.getAs[Double]("norm_min") == 5.0 && row.getAs[Double]("norm_max") == 5.0)
+    assert(row.getAs[Double]("norm_avg") == 5.0)
+    // an entirely unscorable table reports null norms, never a crash or a 0/0
+    val none = Similarity.embeddingStats(
+      Seq((0L, Array.empty[java.lang.Float])).toDF("vec_id", "embedding")).head()
+    assert(none.getAs[Long]("n_vectors") == 1L && none.getAs[Long]("n_unscorable") == 1L)
+    assert(none.isNullAt(none.fieldIndex("norm_avg")))
+    assert(none.getAs[Long]("n_zero_norm") == 0L)
   }
 
   test("randomProject native kernel == SQL decimal-fold spelling, distortion gate throws") {
@@ -150,6 +173,35 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.rpDistortionGate(emb, maxAvg = 0.0, maxWorst = 0.0)
     }
+  }
+
+  test("randomProject degenerate inputs null like the decimal fold, never throw") {
+    import org.apache.spark.sql.functions.{col, lit, posexplode}
+    val D = java.lang.Double.valueOf(_: Double)
+    val rows = Seq(
+      (0L, Array(D(1.0), D(Double.NaN), D(2.0), D(3.0))),       // NaN element
+      (1L, Array(D(Double.PositiveInfinity), D(1.0), D(1.0), D(1.0))),
+      (2L, Array(D(1.5e19), D(1.0), D(1.0), D(1.0))),           // > DECIMAL(28,9)
+      (3L, Array(D(1.0), null, D(2.0), D(3.0))),                // null element
+      (4L, Array(D(5e18), D(5e18), D(5e18), D(5e18))),          // sum overflows mid-fold
+      (5L, Array(D(1e10), D(1.0), D(-2.5), D(0.5))),            // past the long fast path
+      (6L, Array(D(0.25), D(-1.75), D(3.5), D(0.125)))          // plain fast path
+    ).toDF("vec_id", "embedding")
+    val native = Similarity.randomProject(rows, outDim = 4, dim = 4)
+      .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(r => (r._1, r._2))
+    val hof = rows
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("msk", lit(Similarity.rpMasks(4, 4)))
+      .withColumn("rp", Similarity.rpProjectHofExpr(4, 4))
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("k", "comp")))
+      .select(col("vec_id"), col("k").cast("long"), col("comp"))
+      .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(native == hof)
+    // broken rows null every component (the fold sums ALL elements);
+    // clean rows — including slow-path magnitudes — still score
+    val byVec = native.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    for (vid <- Seq(0L, 1L, 2L, 3L)) assert(byVec(vid).forall(_.isEmpty), s"vec $vid")
+    assert(byVec(5L).forall(_.nonEmpty) && byVec(6L).forall(_.nonEmpty))
   }
 
   test("int8 codec: i8Encode/i8Dot reproduce the quantizer, estimate within guard") {
