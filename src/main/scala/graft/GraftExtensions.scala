@@ -111,6 +111,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.TextSurfaceStats(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_window_hashes"),
+      new ExpressionInfo(classOf[graft.functions.WindowHashes].getName,
+        "graft_window_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_window_hashes takes (tokens, n)")
+        graft.functions.WindowHashes(children.head, foldableInt(children(1), "n"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[graft.functions.DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => {

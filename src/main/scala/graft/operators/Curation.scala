@@ -275,9 +275,35 @@ object Curation {
       tau: Double = 0.3): DataFrame = {
     val e = Similarity.prepared(embeddings, "embedding")
       .select("vec_id", "v", "norm")
-    val bench = e.where(isBenchmark)
+    semanticLeakScores(e.where(!isBenchmark), e.where(isBenchmark), tau)
+  }
+
+  /** [[decontaminateSemantic]] with the benchmark as a SEPARATE TABLE —
+    * the production API: eval suites live in their own store (here a
+    * `benchmark_embeddings` parquet), not as a predicate over the corpus.
+    * `benchmark` needs (vec_id, embedding); its ids are reported in
+    * `nearest_bench` in the benchmark table's own id space. Same plan as
+    * the split form (benchmark broadcast, one corpus map pass) — the two
+    * produce identical rows when the external table equals the split,
+    * which the registered query's shared oracle checks. An empty
+    * benchmark yields an empty result, as in the split form. */
+  def decontaminateSemanticExternal(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      tau: Double = 0.3): DataFrame =
+    semanticLeakScores(
+      Similarity.prepared(corpus, "embedding").select("vec_id", "v", "norm"),
+      Similarity.prepared(benchmark, "embedding").select("vec_id", "v", "norm"),
+      tau)
+
+  /** Shared scoring tail: max cosine of every corpus vector against the
+    * broadcast benchmark, ties on the smallest benchmark id. Both sides
+    * arrive prepared as (vec_id, v, norm). */
+  private def semanticLeakScores(corpus: DataFrame, benchmark: DataFrame,
+      tau: Double): DataFrame = {
+    val bench = benchmark
       .select(col("vec_id").as("b_id"), col("v").as("bv"), col("norm").as("bnorm"))
-    e.where(!isBenchmark)
+    corpus
       .join(broadcast(bench))
       .withColumn("cos",
         round(expr("graft_dot(v, bv)") / (col("norm") * col("bnorm")), 6))
@@ -625,8 +651,10 @@ object Curation {
 
   /** Shared strip tail: expand removable windows to covered token
     * positions, anti-join the token stream, and re-assemble each document
-    * (the collect_list is bounded by ONE document's length). */
-  private def assembleStripped(docs: DataFrame, rem: DataFrame, n: Int): DataFrame = {
+    * (the collect_list is bounded by ONE document's length). Shared with
+    * [[ExactSubstr.stripFromTokens]] — one spelling of the re-assembly for
+    * the whole span family. */
+  private[operators] def assembleStripped(docs: DataFrame, rem: DataFrame, n: Int): DataFrame = {
     val cov = rem
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tpos"))
       .distinct()

@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TRUE exact-substring deduplication — the Lee et al. 2021
+  * ("Deduplicating Training Data Makes Language Models Better",
+  * ExactSubstr) guarantee, distributed: report every maximal region of
+  * every document that lies inside some substring of `minLen`+ tokens
+  * occurring more than once in the corpus, comparing EXACT token content
+  * (never just a hash), and strip the non-canonical occurrences.
+  *
+  * == Why window equality IS the suffix-array longest-match semantics ==
+  *
+  * Let `M` = the union of token positions covered by some duplicated
+  * substring of length ≥ L (what a suffix automaton / suffix array over
+  * the concatenated corpus marks), and `W` = the union of positions
+  * covered by some duplicated L-token window. These SETS ARE EQUAL:
+  *
+  *  - `W ⊆ M`: a duplicated L-window is itself a duplicated substring of
+  *    length L ≥ L.
+  *  - `M ⊆ W`: if a substring S with |S| ≥ L occurs at two places, every
+  *    L-window of S occurs at the corresponding offset of both places, so
+  *    every position of S (each inside some L-window of S) is covered by
+  *    a duplicated window.
+  *
+  * Maximal merged runs of `W` therefore EQUAL the maximal duplicated
+  * regions a suffix-array pass reports — [[graft.ExactSubstrSpec]]
+  * property-tests exactly this against a literal single-node suffix-array
+  * implementation of the Lee et al. algorithm, and against brute force on
+  * randomized planted-duplicate corpora.
+  *
+  * == Why candidate-then-verify instead of a distributed suffix sort ==
+  *
+  * A prefix-doubling suffix sort is ⌈log₂ L⌉ full-corpus shuffle rounds;
+  * the hash-candidate → exact-verify pipeline is ONE narrow full-corpus
+  * exchange (16-byte (pos, hash) rows from the O(1)-per-position rolling
+  * kernel [[graft.functions.WindowHashes]]) plus content traffic
+  * proportional to the DUPLICATED fraction only — at 100 TB the decisive
+  * difference. Exactness is preserved because hashing only generates
+  * CANDIDATES: all occurrences of a gram share its hash, so grouping the
+  * candidates by exact token content sees every occurrence of every truly
+  * duplicated gram, and collisions die in the content groupBy (they cost
+  * one extra verified row, never a wrong answer). The prefix-doubling
+  * spelling still exists here ([[duplicateWindowsViaRanks]]) as an
+  * algorithm-independent cross-check, THROW-gated to agree position-for-
+  * position with the candidate-verify path.
+  *
+  * Reference scope note: the reference engine (NZJ-Jimmy/TF-IDF_MapReduce)
+  * has no dedup at all; this extends the engine's token-array machinery
+  * (`Curation.tokenArray` chain) to the exact-substring step of an LLM
+  * data pipeline. */
+object ExactSubstr {
+
+  /** Verified duplicated `n`-token windows over the shared token-array
+    * asset `(doc_id, tokens)`: (doc_id, pos, gram, occ, canon) with `pos`
+    * 1-based, `occ` the gram's corpus-wide occurrence count (≥ 2) and
+    * `canon` the gram's canonical occurrence (corpus-first:
+    * min (doc_id, pos) — the same keeper rule as the hashed span family).
+    *
+    * Scale shape, stage by stage:
+    *  1. candidate hashes: per-row rolling kernel → (doc_id, pos, wh)
+    *     rows, ONE narrow groupBy(wh) with map-side partials;
+    *  2. candidate positions: equi-join on the 8-byte hash (AQE
+    *     broadcasts the duplicated-hash side when it is small — the
+    *     common case);
+    *  3. content verify: candidate positions regroup per doc (bounded by
+    *     ONE document's window count), join the token arrays by doc_id
+    *     (shuffle bounded by the documents that HAVE candidates), slice
+    *     the `n`-token gram locally, and groupBy exact gram content —
+    *     only candidate windows ever materialize or shuffle a gram
+    *     string, so content traffic scales with the duplicated fraction,
+    *     not the corpus. */
+  def duplicateWindowsFromTokens(toks: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"window length n=$n must be >= 1")
+    val base = toks.select(col("doc_id"), col("tokens"))
+    val winHashes = base
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_window_hashes(tokens, $n)")).as(Seq("p0", "wh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("wh"))
+      .scopedPersist()
+    val dupHash = winHashes.groupBy("wh").agg(count(lit(1)).as("h_occ"))
+      .where(col("h_occ") >= 2).select("wh")
+    val candPerDoc = winHashes.join(dupHash, "wh")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+    val cand = base.join(candPerDoc, "doc_id")
+      .select(col("doc_id"), explode(col("ps")).as("pos"), col("tokens"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("tokens"), col("pos").cast("int"), lit(n))).as("gram"))
+    val occ = cand.groupBy("gram")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .where(col("occ") >= 2)
+    cand.join(occ, "gram")
+      .select(col("doc_id"), col("pos"), col("gram"), col("occ"), col("canon"))
+  }
+
+  /** Maximal duplicated regions per document: (doc_id, span_start,
+    * span_end, span_len), 1-based inclusive — every token position inside
+    * some duplicated substring of ≥ `minLen` tokens, merged into maximal
+    * runs (the Lee-et-al output shape; see the object doc for why this
+    * equals the suffix-array marking). The merge folds each document's
+    * sorted duplicated-window starts in the array domain — bounded by one
+    * document's length, like every re-assembly in the span family. */
+  def spansFromTokens(toks: DataFrame, minLen: Int): DataFrame =
+    mergedSpans(
+      duplicateWindowsFromTokens(toks, minLen).select("doc_id", "pos"), minLen)
+
+  /** Region merge over marked window starts (doc_id, pos): consecutive
+    * coverage `[p, p+n-1]` runs become one (span_start, span_end) row.
+    * Since starts are sorted ascending, a window extends the open region
+    * iff `p ≤ end + 1`; its covered end `p + n - 1` is then the new
+    * maximum. */
+  private[operators] def mergedSpans(marked: DataFrame, n: Int): DataFrame =
+    marked
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), explode(expr(
+        s"""aggregate(ps, CAST(array() AS array<struct<s: bigint, e: bigint>>),
+           |  (acc, p) -> CASE
+           |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1 THEN
+           |      concat(slice(acc, 1, size(acc) - 1),
+           |        array(named_struct('s', element_at(acc, -1).s,
+           |                           'e', CAST(p + ${n - 1} AS BIGINT))))
+           |    ELSE concat(acc, array(named_struct(
+           |      's', CAST(p AS BIGINT), 'e', CAST(p + ${n - 1} AS BIGINT))))
+           |  END)""".stripMargin)).as("r"))
+      .select(col("doc_id"), col("r.s").as("span_start"), col("r.e").as("span_end"),
+        (col("r.e") - col("r.s") + 1).as("span_len"))
+      .orderBy("doc_id", "span_start")
+
+  /** Exact-substring STRIP — rebuild each document with verified
+    * duplicated windows removed, keeping each gram's canonical
+    * (corpus-first) occurrence: identical keeper rule, token domain, and
+    * output shape as [[Curation.stripDuplicateSpans]], with the verify
+    * pipeline above replacing the full-corpus gram-string shuffle. At the
+    * same `n` the two produce identical rows (the candidate-verify path
+    * finds exactly the string-keyed dup set — the agreement gate's
+    * claim); the win is running at Lee-et-al window lengths (tens of
+    * tokens) where shipping every window's string is `n`× corpus bytes. */
+  def stripFromTokens(docs: DataFrame, toks: DataFrame, n: Int): DataFrame = {
+    val verified = duplicateWindowsFromTokens(toks, n)
+    val rem = verified
+      .where(struct(col("doc_id"), col("pos")) =!= col("canon"))
+      .select("doc_id", "pos")
+    Curation.assembleStripped(docs, rem, n)
+  }
+
+  /** Driver-visible THROW gate: the candidate-verify path must mark
+    * EXACTLY the positions the string-keyed window family marks at the
+    * same `n` (a position only the window family finds = the candidate
+    * hash LOST a true duplicate — impossible unless the kernel is broken;
+    * one only this path finds = the content verify failed to kill a
+    * collision — also a bug, since verification compares exact grams).
+    * One summary row for the driver, zero required both ways. */
+  def windowFamilyAgreementGate(toks: DataFrame, wins: DataFrame, n: Int): DataFrame = {
+    val family = Curation.duplicateSpansFromWindows(wins)
+      .select(col("doc_id"), col("pos"), lit(1L).as("in_family"))
+    val exact = duplicateWindowsFromTokens(toks, n)
+      .select(col("doc_id"), col("pos"), lit(1L).as("in_exact"))
+    val row = family.join(exact, Seq("doc_id", "pos"), "full_outer")
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("in_exact").isNull, 1L).otherwise(0L)).as("n_only_family"),
+        sum(when(col("in_family").isNull, 1L).otherwise(0L)).as("n_only_exact"))
+      .head()
+    val (n_pos, onlyFam, onlyEx) = (row.getAs[Long]("n_positions"),
+      row.getAs[Long]("n_only_family"), row.getAs[Long]("n_only_exact"))
+    require(n_pos > 0, "exact-substr agreement gate is vacuous: no duplicated windows")
+    require(onlyFam == 0L,
+      s"candidate-verify path LOST $onlyFam/$n_pos true duplicated windows")
+    require(onlyEx == 0L,
+      s"candidate-verify path kept $onlyEx unverified (collision) positions")
+    val s = toks.sparkSession
+    import s.implicits._
+    Seq((n_pos, onlyFam, onlyEx))
+      .toDF("n_positions", "n_only_family", "n_only_exact")
+  }
+
+  /** Duplicated-window detection via distributed PREFIX-DOUBLING suffix
+    * ranks — the suffix-sort spelling of the same question, kept as an
+    * algorithm-independent cross-check of the candidate-verify path
+    * (they share NO code and no hash function; see [[rankAgreementGate]]).
+    *
+    * Construction (Manber–Myers doubling in the DataFrame domain): level-0
+    * labels are ids over distinct TOKENS; level-(k+1) labels are ids over
+    * distinct pairs `(r_k(p), r_k(p + 2^k))`, formed by a flat self-join
+    * on (doc_id, pos + 2^k) — so after ⌈log₂ n⌉ rounds two in-range
+    * positions carry equal labels iff their `2^k`-token prefixes are equal
+    * token-for-token (induction over levels; ids are assigned per DISTINCT
+    * label pair, so equal content ⇔ equal id, no hashing anywhere). A
+    * window of length `n` (2^k ≤ n < 2^(k+1)) is then duplicated iff the
+    * composite `(r_k(p), r_k(p + n - 2^k))` occurs twice — one final
+    * narrow groupBy.
+    *
+    * Labels are `monotonically_increasing_id` over the distinct-pair frame
+    * (only EQUALITY of labels matters, so sparse ids serve; each level is
+    * persisted and materialized before reuse, pinning the ids against
+    * recomputation under a different partition layout). Each round
+    * shuffles narrow (doc_id, pos, r) rows — ⌈log₂ n⌉ full-corpus
+    * exchanges, which is exactly why the candidate-verify path is the
+    * production operator and this one the cross-check. Output:
+    * (doc_id, pos) marked window starts. */
+  def duplicateWindowsViaRanks(toks: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"window length n=$n must be >= 1")
+    val positions = toks
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tok"),
+        posexplode(col("tokens")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("t"),
+        (col("n_tok") - col("p0")).as("suffix_len"))
+    val spark = toks.sparkSession
+    // each level is persisted, MATERIALIZED (pinning its sparse ids), and
+    // lineage-cut: without the cut the next level's plan embeds this one
+    // TWICE (rank + shifted-rank side), so analysis cost doubles per
+    // round — the bpeTrainMerges lesson (at sf0.01 the un-cut loop spent
+    // 70 s in the optimizer on 27k rows)
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.scopedPersist()
+      p.count()
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    val tokenIds = pin(positions.select("t").distinct()
+      .select(col("t"), monotonically_increasing_id().as("r")))
+    var cur = pin(positions.join(tokenIds, "t")
+      .select(col("doc_id"), col("pos"), col("suffix_len"), col("r")))
+    var span = 1 // current label's prefix length
+    // double up to the LARGEST power of two not exceeding n — that level
+    // plus its tail shift below covers the n-window exactly
+    while (span * 2 <= n) {
+      val shifted = cur.select(col("doc_id"), (col("pos") - span).as("pos"),
+        col("r").as("r2"))
+      val pairs = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("suffix_len"), col("r"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      val dist = pin(pairs.select("r", "r2").distinct()
+        .select(col("r"), col("r2"), monotonically_increasing_id().as("nr")))
+      cur = pin(pairs.join(dist, Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("suffix_len"), col("nr").as("r")))
+      span *= 2
+    }
+    // the 2^k-prefix ranks plus the same level shifted to cover the
+    // window's tail: [p, p+2^k) ∪ [p+n-2^k, p+n)
+    val (kLen, ranks) = (span, cur)
+    val tail = ranks.select(col("doc_id"),
+      (col("pos") - (n - kLen)).as("pos"), col("r").as("r_tail"))
+    val keys = ranks.where(col("suffix_len") >= n)
+      .join(tail, Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("pos"), col("r"), col("r_tail"))
+    val dupKey = keys.groupBy("r", "r_tail").agg(count(lit(1)).as("k_occ"))
+      .where(col("k_occ") >= 2)
+    keys.join(dupKey, Seq("r", "r_tail")).select("doc_id", "pos")
+  }
+
+  /** Driver-visible THROW gate: the prefix-doubling rank path and the
+    * candidate-verify path — two algorithms sharing no code and no hash
+    * function — must mark the identical (doc_id, pos) set. One summary
+    * row; zero asymmetry required in both directions. */
+  def rankAgreementGate(toks: DataFrame, n: Int): DataFrame = {
+    val viaRanks = duplicateWindowsViaRanks(toks, n)
+      .select(col("doc_id"), col("pos"), lit(1L).as("in_ranks"))
+    val viaVerify = duplicateWindowsFromTokens(toks, n)
+      .select(col("doc_id"), col("pos"), lit(1L).as("in_verify"))
+    val row = viaRanks.join(viaVerify, Seq("doc_id", "pos"), "full_outer")
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("in_verify").isNull, 1L).otherwise(0L)).as("n_only_ranks"),
+        sum(when(col("in_ranks").isNull, 1L).otherwise(0L)).as("n_only_verify"))
+      .head()
+    val (n_pos, onlyRanks, onlyVerify) = (row.getAs[Long]("n_positions"),
+      row.getAs[Long]("n_only_ranks"), row.getAs[Long]("n_only_verify"))
+    require(n_pos > 0, "exact-substr rank gate is vacuous: no duplicated windows")
+    require(onlyRanks == 0L,
+      s"candidate-verify path missed $onlyRanks/$n_pos suffix-rank duplicates")
+    require(onlyVerify == 0L,
+      s"suffix-rank path missed $onlyVerify/$n_pos verified duplicates")
+    val s = toks.sparkSession
+    import s.implicits._
+    Seq((n_pos, onlyRanks, onlyVerify))
+      .toDF("n_positions", "n_only_ranks", "n_only_verify")
+  }
+}

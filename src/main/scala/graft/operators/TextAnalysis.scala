@@ -575,6 +575,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Kneser–Ney-smoothed bigram document scoring — the same fluency
+    * signal as [[lmDocScoresFromModel]] with interpolated absolute
+    * discounting (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
+    * form), which fixes add-one's saturation on rare-token documents:
+    * instead of flattening every unseen/rare continuation toward `1/V`,
+    * mass discounted from observed bigrams is spread by CONTINUATION
+    * probability (how many distinct contexts a word follows), so "fluent
+    * but rare" transitions stop scoring like noise.
+    *
+    * {{{ p_KN(w2|w1) = (C(w1,w2) − D)/ctx(w1)
+    *                   + (D·N1+(w1,·)/ctx(w1)) · (N1+(·,w2)/N1+(·,·)) }}}
+    * with discount `D` (default 0.75, the standard fixed discount),
+    * `N1+(w1,·)` = distinct continuations of `w1`, `N1+(·,w2)` = distinct
+    * contexts preceding `w2`, `N1+(·,·)` = distinct bigram types. Scoring
+    * the training corpus itself means every transition is observed, so the
+    * `max(·,0)` clamp of the unseen case never binds (and D < 1 keeps the
+    * discounted term positive); the interpolation weight still shifts
+    * scores exactly as in a held-out setting. Per-`w1` probabilities sum
+    * to 1 over the vocabulary ([[graft.TextAnalysisSpec]] property-tests
+    * both that and monotonicity in the bigram count).
+    *
+    * Scale/parity shape: identical to the add-one scorer — the three
+    * model tables are narrow aggregates of the bigram-counts asset, the
+    * type count broadcasts as a one-row frame, `p_KN` is a fixed-order
+    * double expression over exact integers (bit-identical across
+    * engines), `ln` rounds to 9, the per-doc mean routes through
+    * DECIMAL(18,9). */
+  def lmDocScoresKnFromModel(toks: DataFrame, bigrams: DataFrame,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"discount d=$d must be in (0, 1)")
+    val ctxCounts = bigrams.groupBy("w1")
+      .agg(sum("n_ab").as("n_ctx"), count(lit(1)).as("n1p_fwd"))
+    val contCounts = bigrams.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
+    val types = bigrams.agg(count(lit(1)).as("n_types"))
+    adjacentPairs(toks, "tokens", Seq("doc_id"))
+      .join(bigrams, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .join(contCounts, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("pkn",
+        (col("n_ab").cast("double") - d) / col("n_ctx")
+          + ((lit(d) * col("n1p_fwd")) / col("n_ctx"))
+          * (col("n1p_rev").cast("double") / col("n_types")))
+      .withColumn("logp", round(log(col("pkn")), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("logp").cast("decimal(18,9)")).as("lp_sum"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(col("lp_sum").cast("double") / col("n_transitions"), 9).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting high quality monolingual datasets from web crawl data"):
     * per SOURCE, split documents into `head` / `middle` / `tail` terciles
@@ -593,10 +645,20 @@ object TextAnalysis {
     * back (the same model-broadcast idiom as DSIR); rank-exact is kept
     * here because it is oracle-replayable. */
   def perplexityBuckets(docs: DataFrame, toks: DataFrame, bigrams: DataFrame,
-      tc: DataFrame): DataFrame = {
+      tc: DataFrame): DataFrame =
+    bucketByFluency(docs, lmDocScoresFromModel(toks, bigrams, tc))
+
+  /** [[perplexityBuckets]] scored by the Kneser–Ney LM instead of
+    * add-one — the variant a CCNet-style filter would actually run (rare
+    * vocabulary stops dragging whole documents into `tail`); same
+    * rank-exact tercile cut. */
+  def perplexityBucketsKn(docs: DataFrame, toks: DataFrame, bigrams: DataFrame,
+      d: Double = 0.75): DataFrame =
+    bucketByFluency(docs, lmDocScoresKnFromModel(toks, bigrams, d))
+
+  private def bucketByFluency(docs: DataFrame, lmScores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lm = lmDocScoresFromModel(toks, bigrams, tc)
-      .select("doc_id", "avg_logprob")
+    val lm = lmScores.select("doc_id", "avg_logprob")
     docs.select(col("doc_id"), col("source")).join(lm, "doc_id")
       .withColumn("ppl_rank", row_number().over(
         Window.partitionBy("source").orderBy(desc("avg_logprob"), asc("doc_id")))
@@ -894,6 +956,68 @@ object TextAnalysis {
         count(lit(1)).over(Window.partitionBy("source")).cast("long"))
       .where(col("quality_rank") > floor(lit(dropFraction) * col("n_in_source")))
       .select("doc_id", "source", "quality", "quality_rank")
+      .orderBy("doc_id")
+  }
+
+  /** [[qualityRankFilter]]'s 100 TB escape hatch — per-source quantile
+    * THRESHOLDS instead of per-source ranks: one mergeable
+    * `percentile_approx` sketch per source (map-side partials, bounded
+    * memory, no per-source single-partition sort), thresholds BROADCAST
+    * back, keep decided by comparison. The trade: rank-exact breaks
+    * boundary ties by doc_id; a threshold cannot see doc_ids, so a
+    * quality value tied exactly AT the cut keeps or drops as a whole
+    * group. On tie-free boundaries the two spellings keep IDENTICAL sets
+    * ([[graft.TextAnalysisSpec]] pins that on the fixture), which is why
+    * rank-exact stays the oracle query and this is the scale path.
+    *
+    * Boundary arithmetic: `percentile_approx(q, f)` at full accuracy
+    * returns the value at ascending rank `ceil(f·n)`; rank-exact drops
+    * the `floor(f·n)` lowest. When `f·n` is an integer the two ranks
+    * coincide and the dropped set is `q ≤ t`; otherwise `t` is the first
+    * KEPT value and the dropped set is `q < t`. */
+  def qualityRankFilterSampled(docs: DataFrame, dropFraction: Double = 0.25,
+      accuracy: Int = 100000): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction < 1.0,
+      s"dropFraction $dropFraction must be in [0, 1)")
+    val q = qualityScore(docs).select("doc_id", "quality")
+    val scored = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+    if (dropFraction == 0.0)
+      return scored.select("doc_id", "source", "quality").orderBy("doc_id")
+    val thresholds = scored.groupBy("source").agg(
+      count(lit(1)).as("n_in_source"),
+      expr(s"percentile_approx(quality, $dropFraction, $accuracy)").as("q_threshold"))
+    val cut = lit(dropFraction) * col("n_in_source")
+    scored.join(broadcast(thresholds), "source")
+      .where(when(floor(cut) === cut, col("quality") > col("q_threshold"))
+        .otherwise(col("quality") >= col("q_threshold")))
+      .select("doc_id", "source", "quality", "q_threshold")
+      .orderBy("doc_id")
+  }
+
+  /** [[perplexityBuckets]]' thresholds-broadcast form, same trade as
+    * [[qualityRankFilterSampled]]: the two tercile boundaries come from
+    * one two-quantile sketch per source (`ceil(n/3)` and `ceil(2n/3)` are
+    * exactly the ascending boundary ranks of the rank-exact cut, so
+    * tie-free boundaries bucket identically), broadcast back — no
+    * per-source sort anywhere in the plan. */
+  def perplexityBucketsSampledKn(docs: DataFrame, toks: DataFrame,
+      bigrams: DataFrame, d: Double = 0.75, accuracy: Int = 100000): DataFrame =
+    bucketByFluencyThresholds(docs, lmDocScoresKnFromModel(toks, bigrams, d), accuracy)
+
+  private def bucketByFluencyThresholds(docs: DataFrame, lmScores: DataFrame,
+      accuracy: Int): DataFrame = {
+    val lm = lmScores.select("doc_id", "avg_logprob")
+    val scored = docs.select(col("doc_id"), col("source")).join(lm, "doc_id")
+    val thresholds = scored.groupBy("source").agg(
+      expr(s"percentile_approx(avg_logprob, array(${1.0 / 3}D, ${2.0 / 3}D), $accuracy)")
+        .as("ts"))
+      .select(col("source"),
+        element_at(col("ts"), 1).as("t_tail"), element_at(col("ts"), 2).as("t_head"))
+    scored.join(broadcast(thresholds), "source")
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        when(col("avg_logprob") > col("t_head"), "head")
+          .when(col("avg_logprob") > col("t_tail"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Curation, ExactSubstr, Tfidf}
+import graft.sources.Tables
+
+/** Exact-substring dedup ([[graft.operators.ExactSubstr]]) against two
+  * independent single-node oracles:
+  *
+  *  - a LITERAL suffix-array implementation of the Lee et al. ExactSubstr
+  *    algorithm (sort every suffix of the separator-joined corpus, take
+  *    adjacent LCPs, mark every position whose longest match elsewhere is
+  *    ≥ L) — run on the real sf0.001 fixture;
+  *  - a brute-force window-content map — run on randomized
+  *    planted-duplicate corpora (seeded, reproducible).
+  *
+  * Together these pin the operator's central claim: its marked set equals
+  * the suffix-automaton marking of "every duplicated substring of ≥ L
+  * tokens", not an approximation of it. */
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toksOf(pairs: Seq[(Long, Seq[String])]): DataFrame =
+    pairs.toDF("doc_id", "tokens")
+
+  /** Brute-force oracle: duplicated L-window start positions (1-based). */
+  private def bruteMarked(docs: Seq[(Long, Seq[String])], l: Int): Set[(Long, Long)] = {
+    val counts = scala.collection.mutable.Map[Seq[String], Int]().withDefaultValue(0)
+    for ((_, ts) <- docs; p <- 0 to ts.length - l)
+      counts(ts.slice(p, p + l)) += 1
+    (for {
+      (id, ts) <- docs
+      p <- 0 to ts.length - l
+      if counts(ts.slice(p, p + l)) >= 2
+    } yield (id, (p + 1).toLong)).toSet
+  }
+
+  /** Merge marked window starts into maximal covered regions per doc —
+    * the reference spelling of the operator's span output. */
+  private def mergeRegions(marked: Set[(Long, Long)], l: Int): Set[(Long, Long, Long)] =
+    marked.groupBy(_._1).flatMap { case (doc, ps) =>
+      val sorted = ps.map(_._2).toSeq.sorted
+      val regions = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      for (p <- sorted) {
+        if (regions.nonEmpty && p <= regions.last._2 + 1)
+          regions(regions.length - 1) = (regions.last._1, p + l - 1)
+        else regions += ((p, p + l - 1))
+      }
+      regions.map { case (s, e) => (doc, s, e) }
+    }.toSet
+
+  /** LITERAL Lee-et-al single-node reference: suffix array over the
+    * separator-joined corpus + adjacent-LCP longest-match marking. Unique
+    * separator tokens between documents make cross-document LCPs
+    * impossible past a boundary (each separator occurs exactly once), so
+    * maxMatch(p) ≥ L already implies the whole match sits inside one
+    * document. */
+  private def suffixArrayMarked(docs: Seq[(Long, Seq[String])], l: Int): Set[(Long, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val origin = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (((id, ts), i) <- docs.zipWithIndex) {
+      for ((t, j) <- ts.zipWithIndex) { buf += t; origin += ((id, (j + 1).toLong)) }
+      buf += (" sep" + i + " "); origin += ((-1L, -1L))
+    }
+    val a = buf.toArray
+    val n = a.length
+    val sa = Array.range(0, n).sortWith { (i, j) =>
+      var x = i; var y = j
+      while (x < n && y < n && a(x) == a(y)) { x += 1; y += 1 }
+      if (x == n) true else if (y == n) false else a(x) < a(y)
+    }
+    def lcp(i: Int, j: Int): Int = {
+      var k = 0
+      while (i + k < n && j + k < n && a(i + k) == a(j + k)) k += 1
+      k
+    }
+    val maxMatch = new Array[Int](n)
+    for (r <- 0 until n - 1) {
+      val m = lcp(sa(r), sa(r + 1))
+      maxMatch(sa(r)) = math.max(maxMatch(sa(r)), m)
+      maxMatch(sa(r + 1)) = math.max(maxMatch(sa(r + 1)), m)
+    }
+    (0 until n).iterator
+      .filter(p => maxMatch(p) >= l && origin(p)._1 >= 0)
+      .map(origin(_))
+      .toSet
+  }
+
+  private def collectMarked(df: DataFrame): Set[(Long, Long)] =
+    df.select("doc_id", "pos").as[(Long, Long)].collect().toSet
+
+  private lazy val fixtureToks: Seq[(Long, Seq[String])] =
+    Tfidf.tokenArrays(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .as[(Long, Seq[String])].collect().toSeq
+  private lazy val fixtureToksDf: DataFrame = {
+    val df = toksOf(fixtureToks)
+    df.cache(); df.count(); df
+  }
+
+  test("sf0.001 marked set == literal suffix-array longest-match marking (L=12)") {
+    val oracle = suffixArrayMarked(fixtureToks, 12)
+    assert(oracle.nonEmpty, "fixture should contain 12-token duplicates")
+    val got = collectMarked(ExactSubstr.duplicateWindowsFromTokens(fixtureToksDf, 12))
+    assert(got == oracle)
+    // and the regions are the merged runs of exactly that set
+    val gotSpans = ExactSubstr.spansFromTokens(fixtureToksDf, 12)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotSpans == mergeRegions(oracle, 12))
+  }
+
+  test("sf0.001 golden: span census at L=12") {
+    val spans = ExactSubstr.spansFromTokens(fixtureToksDf, 12)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans.size == 43)
+    assert(spans.map(_._1).distinct.size == 43)
+    assert(spans.map(_._4).sum == 2677L)
+    assert(spans.map(_._4).max == 95L)
+    assert(spans.map(_._4).min == 15L)
+    // every span is a genuine >= L region and within its document
+    val lens = fixtureToks.toMap.view.mapValues(_.length).toMap
+    for ((doc, s, e, len) <- spans) {
+      assert(len == e - s + 1 && len >= 12)
+      assert(s >= 1 && e <= lens(doc))
+    }
+  }
+
+  test("planted-duplicate corpora: operator == brute force (windows and spans)") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 8) {
+      val nDocs = 5 + rnd.nextInt(5)
+      val docs0 = (0 until nDocs).map { i =>
+        (i.toLong, Seq.fill(20 + rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      // plant a long verbatim chunk from one doc into another
+      val src = docs0(rnd.nextInt(nDocs))._2
+      val chunkLen = math.min(src.length, 15 + rnd.nextInt(10))
+      val chunk = src.slice(0, chunkLen)
+      val victim = rnd.nextInt(nDocs)
+      val docs = docs0.updated(victim,
+        (docs0(victim)._1, docs0(victim)._2 ++ chunk))
+      val df = toksOf(docs)
+      for (l <- Seq(3, 5)) {
+        val expect = bruteMarked(docs, l)
+        val got = collectMarked(ExactSubstr.duplicateWindowsFromTokens(df, l))
+        assert(got == expect, s"trial $trial L=$l windows")
+        val gotSpans = ExactSubstr.spansFromTokens(df, l)
+          .select("doc_id", "span_start", "span_end")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(gotSpans == mergeRegions(expect, l), s"trial $trial L=$l spans")
+      }
+    }
+  }
+
+  test("prefix-doubling rank path == brute force, including non-power-of-two L") {
+    val rnd = new scala.util.Random(7L)
+    val alphabet = Vector("a", "b", "c")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 4).map { i =>
+        (i.toLong, Seq.fill(15 + rnd.nextInt(25))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      for (l <- Seq(1, 3, 5, 8)) {
+        val got = collectMarked(ExactSubstr.duplicateWindowsViaRanks(toksOf(docs), l))
+        assert(got == bruteMarked(docs, l), s"trial $trial L=$l")
+      }
+    }
+  }
+
+  test("within-doc repetition is found without any cross-doc duplicate") {
+    val docs = Seq((7L, Seq("x", "y", "x", "y", "x", "z")))
+    val got = collectMarked(ExactSubstr.duplicateWindowsFromTokens(toksOf(docs), 2))
+    // "x y" at 1 and 3 duplicate; "y x" at 2 and 4 duplicate
+    assert(got == Set((7L, 1L), (7L, 2L), (7L, 3L), (7L, 4L)))
+    val spans = ExactSubstr.spansFromTokens(toksOf(docs), 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((7L, 1L, 5L, 5L)))
+  }
+
+  test("strip at the family window length reproduces stripDuplicateSpans exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val family = Curation.stripDuplicateSpans(docs, 5)
+      .as[(Long, Long, String)].collect().toSeq
+    val exact = ExactSubstr.stripFromTokens(docs, fixtureToksDf, 5)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(exact == family)
+  }
+
+  test("agreement gates pass on the fixture and throw when vacuous") {
+    val wins = Curation.windowRowsFromTokens(fixtureToksDf, 5)
+    val row = ExactSubstr.windowFamilyAgreementGate(fixtureToksDf, wins, 5)
+      .as[(Long, Long, Long)].head()
+    assert(row._1 > 0 && row._2 == 0 && row._3 == 0)
+    val rank = ExactSubstr.rankAgreementGate(fixtureToksDf, 12)
+      .as[(Long, Long, Long)].head()
+    assert(rank._1 > 0 && rank._2 == 0 && rank._3 == 0)
+    val empty = toksOf(Seq((1L, Seq("unique", "tokens", "only", "here"))))
+    intercept[IllegalArgumentException] {
+      ExactSubstr.windowFamilyAgreementGate(empty,
+        Curation.windowRowsFromTokens(empty, 3), 3)
+    }
+    intercept[IllegalArgumentException] {
+      ExactSubstr.rankAgreementGate(empty, 3)
+    }
+  }
+
+  test("degenerate inputs: short docs, empty corpus, L=1") {
+    val short = toksOf(Seq((1L, Seq("a", "b")), (2L, Seq("a", "b"))))
+    // docs shorter than L have no windows at all
+    assert(ExactSubstr.duplicateWindowsFromTokens(short, 3).count() == 0)
+    assert(ExactSubstr.spansFromTokens(short, 3).count() == 0)
+    val none = toksOf(Seq.empty[(Long, Seq[String])])
+    assert(ExactSubstr.spansFromTokens(none, 5).count() == 0)
+    // L=1: duplicated single tokens, brute-checked
+    val tiny = Seq((1L, Seq("p", "q", "p")), (2L, Seq("q", "r")))
+    assert(collectMarked(ExactSubstr.duplicateWindowsFromTokens(toksOf(tiny), 1))
+      == bruteMarked(tiny, 1))
+  }
+
+  test("window-hash kernel: rolling == direct polynomial, shapes, null tokens") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{ShingleHashing, WindowHashUtil}
+    val toks = Seq("alpha", "beta", "alpha", "gamma", "beta")
+    val arr = new GenericArrayData(
+      toks.map(UTF8String.fromString).toArray[Any])
+    def tokenHash(t: String): Long = {
+      val b = t.getBytes("UTF-8")
+      ShingleHashing.hashRange(b, 0, b.length)
+    }
+    val B = 0x100000001b3L
+    for (n <- 1 to 5) {
+      val got = WindowHashUtil.hashes(arr, n).toLongArray().toSeq
+      val want = (0 to toks.length - n).map { p =>
+        toks.slice(p, p + n).foldLeft(0L)((h, t) => h * B + tokenHash(t))
+      }
+      assert(got == want, s"n=$n")
+    }
+    assert(WindowHashUtil.hashes(arr, 6).numElements() == 0)
+    // equal windows hash equal; the fixture's distinct windows differ here
+    val h2 = WindowHashUtil.hashes(arr, 2).toLongArray()
+    assert(h2.length == 4 && h2.toSet.size == 4)
+    val rep = new GenericArrayData(
+      Seq("x", "y", "x", "y").map(UTF8String.fromString).toArray[Any])
+    val hr = WindowHashUtil.hashes(rep, 2).toLongArray()
+    assert(hr(0) == hr(2) && hr(0) != hr(1))
+    // a null token hashes as empty rather than crashing
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("a")))
+    assert(WindowHashUtil.hashes(withNull, 2).numElements() == 2)
+  }
+}

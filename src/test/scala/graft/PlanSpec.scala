@@ -115,6 +115,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("exactSubstr spans: equi-joins only, no window, no gram-string exchange") {
+    val toks = graft.operators.Tfidf.tokenArrays(Tables.documents(spark, dir))
+    val df = graft.operators.ExactSubstr.spansFromTokens(toks, 12)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate and verify stages must stay equi-joins:\n" + p.take(2000))
+    assert(!p.contains("Window"),
+      "region merge folds per-doc arrays, never a window:\n" + p.take(2000))
+    // the full-corpus exchanges carry the 8-byte window hash or doc_id —
+    // a `gram` string must never key an exchange over ALL windows (that is
+    // the n× corpus shuffle this operator exists to avoid; the verify
+    // stage's gram exchange sees candidate rows only, whose volume the
+    // hash prefilter already cut)
+    val fullWindowExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("wh#")).size
+    assert(fullWindowExchanges >= 1,
+      "candidate counting must key on the rolling hash:\n" + p.take(2000))
+    assert(p.contains("graft_window_hashes"),
+      "candidates must come from the rolling kernel:\n" + p.take(2000))
+  }
+
   test("bigramPmi: per-doc extraction (no self-join), top-k heap, no window") {
     val df = graft.operators.TextAnalysis.bigramPmi(Tables.documents(spark, dir), 1L, 10)
     df.collect()
@@ -331,6 +354,29 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan)
     val calls = "TextStatsUtil\\.compute\\(".r.findAllIn(code).size
     assert(calls == 1, s"expected one native scan call in codegen, got $calls")
+  }
+
+  test("sampled rank filters: quantile sketch + broadcast, no per-source sort") {
+    val docs = Tables.documents(spark, dir)
+    for (df <- Seq(
+        graft.operators.TextAnalysis.qualityRankFilterSampled(docs, 0.25),
+        graft.operators.TextAnalysis.perplexityBucketsSampledKn(docs,
+          graft.operators.Tfidf.tokenArrays(docs),
+          graft.operators.TextAnalysis.bigramCountsFromTokens(
+            graft.operators.Tfidf.tokenArrays(docs))))) {
+      df.collect()
+      val p = plan(df)
+      // the whole point of the variant: the per-source ranking Window —
+      // a single-partition funnel for a pathologically large source — is
+      // replaced by a mergeable percentile sketch + a broadcast join
+      assert(!p.contains("Window"),
+        "thresholds form must not rank per source:\n" + p.take(2000))
+      assert(p.contains("percentile_approx") || p.contains("ApproximatePercentile"),
+        "thresholds must come from the mergeable sketch:\n" + p.take(2000))
+      assert(p.contains("BroadcastExchange"),
+        "thresholds must broadcast back:\n" + p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
   }
 
   test("decontaminateSemantic broadcasts the benchmark; corpus shuffles only to aggregate") {

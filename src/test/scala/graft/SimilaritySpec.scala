@@ -93,6 +93,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("decontaminateSemanticExternal: parquet benchmark table == split form") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isBench = col("vec_id") % 7 === 0
+    val split = graft.operators.Curation.decontaminateSemantic(emb, isBench, tau = 0.3)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // the benchmark as a genuinely external source: parquet round-trip
+    val benchDir = java.nio.file.Files.createTempDirectory("graft_bench_emb").toString
+    emb.where(isBench).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(benchDir)
+    val external = graft.operators.Curation.decontaminateSemanticExternal(
+      emb.where(!isBench), spark.read.parquet(benchDir), tau = 0.3)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(external == split && split.nonEmpty)
+    // an empty external benchmark scores nothing (nothing to compare)
+    val none = graft.operators.Curation.decontaminateSemanticExternal(
+      emb.where(!isBench), emb.where(col("vec_id") < 0), tau = 0.3)
+    assert(none.count() == 0)
+  }
+
   test("clusterBalancedSample caps each cluster at `cap`, rank-exact") {
     val out = graft.operators.Dedup.clusterBalancedSample(vecs, nClusters = 1, cap = 2)
       .select("vec_id", "list_id", "c_sim", "cluster_rank", "keep")

@@ -85,6 +85,120 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._3 == lab)
   }
 
+  test("lmDocScoresKn: hand-computed Kneser-Ney bigram log-probs") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = Seq(
+      (1L, Seq("a", "b", "a", "b")),
+      (2L, Seq("a", "b")),
+      (3L, Seq("c"))).toDF("doc_id", "tokens")
+    val bigrams = TextAnalysis.bigramCountsFromTokens(toks)
+    val out = TextAnalysis.lmDocScoresKnFromModel(toks, bigrams, d = 0.75)
+      .as[(Long, Long, Double)].collect().toSeq
+    // model: C(a,b)=3, C(b,a)=1; ctx(a)=3 (N1+fwd=1), ctx(b)=1 (N1+fwd=1);
+    // N1+rev(b)=1, N1+rev(a)=1; types=2
+    val pab = (3.0 - 0.75) / 3 + ((0.75 * 1) / 3) * (1.0 / 2)
+    val pba = (1.0 - 0.75) / 1 + ((0.75 * 1) / 1) * (1.0 / 2)
+    val lab = r9(math.log(pab))
+    val lba = r9(math.log(pba))
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 3L), (2L, 1L)))
+    assert(out(0)._3 == r9((lab + lba + lab) / 3))
+    assert(out(1)._3 == lab)
+  }
+
+  test("Kneser-Ney properties: per-context mass sums to 1, monotone in count") {
+    // sums-to-one over the vocabulary: SUM_observed (C-D)/ctx = 1 - λ(w1)
+    // and continuation probabilities sum to 1 over ALL w2, so
+    // SUM_all_w2 p_KN(w2|w1) = 1 per context — check on the fixture model
+    val toks = operators.Tfidf.tokenArrays(
+      sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val bigrams = TextAnalysis.bigramCountsFromTokens(toks)
+      .as[(String, String, Long)].collect().toSeq
+    val d = 0.75
+    val ctx = bigrams.groupBy(_._1).view.mapValues(g => (g.map(_._3).sum, g.size)).toMap
+    val rev = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val types = bigrams.size.toDouble
+    // continuation distribution is a distribution
+    assert(math.abs(rev.values.sum / types - 1.0) < 1e-12)
+    for ((w1, (n, fwd)) <- ctx.take(200)) {
+      val lambda = d * fwd / n
+      val observedMass = bigrams.filter(_._1 == w1).map(b => (b._3 - d) / n).sum
+      assert(math.abs(observedMass - (1.0 - lambda)) < 1e-9, w1)
+    }
+    // monotonicity: with everything else fixed, a higher bigram count
+    // gives a strictly higher p_KN (the discount is additive-constant)
+    def pkn(c: Long, n: Long, fwd: Int, revN: Int): Double =
+      (c - d) / n + (d * fwd / n) * (revN / types)
+    for ((w1, w2, c) <- bigrams.take(200)) {
+      val (n, fwd) = ctx(w1)
+      assert(pkn(c + 1, n + 1, fwd, rev(w2)) * (n + 1) > pkn(c, n, fwd, rev(w2)) * n)
+      if (c >= 2) assert(pkn(c, n, fwd, rev(w2)) > pkn(c - 1, n, fwd, rev(w2)))
+    }
+    // and the scored corpus agrees with a direct local recomputation of
+    // every document's mean (full-model check, not just sampled contexts)
+    val got = TextAnalysis.lmDocScoresKnFromModel(
+      toks, TextAnalysis.bigramCountsFromTokens(toks), d)
+      .as[(Long, Long, Double)].collect().toSeq
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairCount = bigrams.map(b => (b._1, b._2) -> b._3).toMap
+    val localDocs = operators.Tfidf.tokenArrays(
+      sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .as[(Long, Seq[String])].collect().toSeq
+    val expected = localDocs
+      .filter(_._2.length >= 2)
+      .map { case (id, ts) =>
+        val lps = ts.sliding(2).toSeq.map { case Seq(w1, w2) =>
+          val (n, fwd) = ctx(w1)
+          BigDecimal(r9(math.log(pkn(pairCount((w1, w2)), n, fwd, rev(w2)))))
+        }
+        (id, lps.size.toLong, r9(lps.sum.toDouble / lps.size))
+      }
+      .sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("qualityRankFilterSampled keeps the rank-exact set on tie-free boundaries") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = TextAnalysis.qualityRankFilter(docs, dropFraction = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val sampled = TextAnalysis.qualityRankFilterSampled(docs, dropFraction = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sampled == exact && exact.nonEmpty)
+    // integer f·n boundary too (sources of 100 docs at f=0.25 hit it)
+    val exact2 = TextAnalysis.qualityRankFilter(docs, dropFraction = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val sampled2 = TextAnalysis.qualityRankFilterSampled(docs, dropFraction = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sampled2 == exact2)
+    // dropFraction 0 keeps everything
+    assert(TextAnalysis.qualityRankFilterSampled(docs, 0.0).count() == docs.count())
+    // tie semantics: a tie ACROSS the cut drops as a whole value group
+    // (thresholds cannot see doc_ids) — the documented divergence from
+    // rank-exact, which tiebreaks by doc_id and drops exactly one here
+    val tied = Seq(
+      (1L, "s", "1111"), (2L, "s", "1111"), // digit-only: quality 0.1, tied LOW
+      (3L, "s", "aaaa"), (4L, "s", "cccc")).toDF("doc_id", "source", "text")
+    val exactTied = TextAnalysis.qualityRankFilter(tied, dropFraction = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactTied == Set(2L, 3L, 4L)) // doc_id breaks the low-quality tie
+    val keptTied = TextAnalysis.qualityRankFilterSampled(tied, dropFraction = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    // f·n = 1 (integer) → drop quality <= threshold: BOTH tied lows go
+    assert(keptTied == Set(3L, 4L))
+  }
+
+  test("perplexityBucketsSampledKn buckets like the rank-exact KN cut on the fixture") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = operators.Tfidf.tokenArrays(docs)
+    val bigrams = TextAnalysis.bigramCountsFromTokens(toks)
+    val exact = TextAnalysis.perplexityBucketsKn(docs, toks, bigrams)
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    val sampled = TextAnalysis.perplexityBucketsSampledKn(docs, toks, bigrams)
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(sampled == exact && exact.nonEmpty)
+  }
+
   test("packingEfficiency: truncation counts and padding bound, hand-computed") {
     val tc = Seq(("w", 1L, 10L), ("w", 2L, 100L)).toDF("term", "doc_id", "cnt")
     val got = TextAnalysis.packingEfficiency(tc, maxLens = Seq(64, 128))
