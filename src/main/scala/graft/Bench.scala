@@ -129,7 +129,21 @@ object Bench {
     // longer lands on whichever query runs first alphabetically — every
     // query timing below is SERVING-ONLY, so a serving regression can't
     // hide behind (or be faked by) build-attribution noise.
-    val assetTimes = SparkEntry.assetBuilders.map { case (name, force) =>
+    // Spot rehearsals (SPARK_GRAFT_BENCH_ONLY over asset-free queries at
+    // sf3/sf10) restrict the asset phase the same way: a comma list of
+    // asset names to force, or the empty string for none — otherwise a
+    // five-query probe at 100× data would pay the FULL index/pair-table
+    // build farm first. Unknown names fail fast, like BENCH_ONLY's.
+    val assetOnly = sys.env.get("SPARK_GRAFT_BENCH_ASSETS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    assetOnly.foreach { names =>
+      val unknown = names -- SparkEntry.assetBuilders.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ASSETS names not in assetBuilders: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val assetTimes = SparkEntry.assetBuilders
+      .filter { case (name, _) => assetOnly.forall(_.contains(name)) }
+      .map { case (name, force) =>
       spark.sparkContext.setJobGroup(s"asset|$name", s"asset build: $name")
       val t0 = System.nanoTime()
       force(spark, sfDir)

@@ -397,6 +397,19 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 5)
     }
 
+  /** Verified exact-substring duplicated windows at L=12 — the
+    * candidate-verify pipeline's output as a stored corpus asset
+    * (doc_id, pos, gram, occ, canon): the spans/strip consumers read it
+    * instead of re-running candidate generation + content verify per
+    * query, exactly like the n=5 span-window asset. The rank gate keeps
+    * only its verify SIDE from here; its suffix-rank construction
+    * rebuilds per run by design (algorithm independence is the gate). */
+  private def exactSubstrWindowsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "exact_substr_windows_l12") {
+      ExactSubstr.duplicateWindowsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 12)
+    }
+
   /** External benchmark-embedding table — the eval suite as its OWN
     * parquet source (the shape a real pipeline reads: benchmarks live in
     * their own store, not as a predicate over the corpus). Content is the
@@ -497,6 +510,7 @@ object SparkEntry {
     "bigram_counts" -> ((s, d) => { bigramCountsAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
+    "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
     "manifest" -> ((s, d) => { manifestAsset(s, d); () }),
     "ann_index" -> ((s, d) => { annIndex(s, d); () }))
 
@@ -1220,22 +1234,24 @@ object SparkEntry {
     // shuffle only for candidate positions — see ExactSubstr's scaladoc
     // for the proof this equals suffix-array longest-match marking)
     "exact_substr_spans" -> ((s, dir) =>
-      ExactSubstr.spansFromTokens(
-        operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 12)),
+      ExactSubstr.spansFromVerified(exactSubstrWindowsAsset(s, dir), 12)),
     "exact_substr_strip" -> ((s, dir) =>
-      ExactSubstr.stripFromTokens(Tables.documents(s, dir),
-        operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 12)),
+      ExactSubstr.stripFromVerified(Tables.documents(s, dir),
+        exactSubstrWindowsAsset(s, dir), 12)),
     // gate: candidate-verify must mark EXACTLY the string-keyed window
-    // family's positions at the family's n (zero lost, zero unverified)
+    // family's positions at the family's n (zero lost, zero unverified).
+    // Runs the LIVE pipeline (not the asset — this gates the pipeline)
     "exact_substr_agreement_gate" -> ((s, dir) =>
       ExactSubstr.windowFamilyAgreementGate(
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         spanWindowsAsset(s, dir), 5)),
     // gate: the prefix-doubling suffix-rank spelling (no shared code, no
-    // hash function) must agree position-for-position at L=12
+    // hash function) must agree position-for-position at L=12; the
+    // verify side serves from the stored asset
     "exact_substr_rank_gate" -> ((s, dir) =>
-      ExactSubstr.rankAgreementGate(
-        operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 12)),
+      ExactSubstr.rankAgreementGateFromVerified(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+        exactSubstrWindowsAsset(s, dir), 12)),
     // --- Dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>

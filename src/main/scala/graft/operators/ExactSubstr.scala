@@ -103,8 +103,13 @@ object ExactSubstr {
     * sorted duplicated-window starts in the array domain — bounded by one
     * document's length, like every re-assembly in the span family. */
   def spansFromTokens(toks: DataFrame, minLen: Int): DataFrame =
-    mergedSpans(
-      duplicateWindowsFromTokens(toks, minLen).select("doc_id", "pos"), minLen)
+    spansFromVerified(duplicateWindowsFromTokens(toks, minLen), minLen)
+
+  /** [[spansFromTokens]] over a PREBUILT verified-windows table — the
+    * stored-asset serving path (the verify pipeline runs once per
+    * dataset; every consumer reads its parquet). */
+  def spansFromVerified(verified: DataFrame, minLen: Int): DataFrame =
+    mergedSpans(verified.select("doc_id", "pos"), minLen)
 
   /** Region merge over marked window starts (doc_id, pos): consecutive
     * coverage `[p, p+n-1]` runs become one (span_start, span_end) row.
@@ -137,8 +142,11 @@ object ExactSubstr {
     * finds exactly the string-keyed dup set — the agreement gate's
     * claim); the win is running at Lee-et-al window lengths (tens of
     * tokens) where shipping every window's string is `n`× corpus bytes. */
-  def stripFromTokens(docs: DataFrame, toks: DataFrame, n: Int): DataFrame = {
-    val verified = duplicateWindowsFromTokens(toks, n)
+  def stripFromTokens(docs: DataFrame, toks: DataFrame, n: Int): DataFrame =
+    stripFromVerified(docs, duplicateWindowsFromTokens(toks, n), n)
+
+  /** [[stripFromTokens]] over the prebuilt verified-windows table. */
+  def stripFromVerified(docs: DataFrame, verified: DataFrame, n: Int): DataFrame = {
     val rem = verified
       .where(struct(col("doc_id"), col("pos")) =!= col("canon"))
       .select("doc_id", "pos")
@@ -253,10 +261,17 @@ object ExactSubstr {
     * candidate-verify path — two algorithms sharing no code and no hash
     * function — must mark the identical (doc_id, pos) set. One summary
     * row; zero asymmetry required in both directions. */
-  def rankAgreementGate(toks: DataFrame, n: Int): DataFrame = {
+  def rankAgreementGate(toks: DataFrame, n: Int): DataFrame =
+    rankAgreementGateFromVerified(toks, duplicateWindowsFromTokens(toks, n), n)
+
+  /** [[rankAgreementGate]] with the candidate-verify side prebuilt (the
+    * asset); the suffix-rank side rebuilds per run — that independence is
+    * the gate's point. */
+  def rankAgreementGateFromVerified(toks: DataFrame, verified: DataFrame,
+      n: Int): DataFrame = {
     val viaRanks = duplicateWindowsViaRanks(toks, n)
       .select(col("doc_id"), col("pos"), lit(1L).as("in_ranks"))
-    val viaVerify = duplicateWindowsFromTokens(toks, n)
+    val viaVerify = verified
       .select(col("doc_id"), col("pos"), lit(1L).as("in_verify"))
     val row = viaRanks.join(viaVerify, Seq("doc_id", "pos"), "full_outer")
       .agg(count(lit(1)).as("n_positions"),
