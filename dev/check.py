@@ -56,15 +56,28 @@ def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
     sub-second overhead-dominated baselines (where the ratio is mostly
     page-cache noise) don't fire spuriously: fail iff
     scaled > max(factor * base, floor_s). Errors at either scale fail.
-    `floors_path` (metrics_report.py --emit-floors output) raises the
-    per-query floor for entries whose cross-record noise band is wider
-    than the default floor — a query inside its MEASURED noise band never
-    fails the gate spuriously, and every floor traces to a checked-in
-    record instead of a hand judgment.
-    Usage: python3 dev/check.py --scale bench_base.json bench_scaled.json
+    `base_path` may be a comma-separated list of SAME-CODE base records:
+    the gate then uses the element-wise MAX per query — the measured
+    upper edge of the base noise band (the `--noise` protocol's
+    consumable), so a query whose base flapped between 1.0 s and 2.1 s
+    is gated against 10x2.1, not whichever leg happened to be base. A
+    genuine superlinear regression still exceeds 10x the noisy-high
+    base. `floors_path` (metrics_report.py --emit-floors output)
+    additionally raises the per-query floor on the SCALED side for
+    entries annotated from checked-in records.
+    Usage: python3 dev/check.py --scale base1.json[,base2.json] scaled.json
                [noise_floors.json]
     """
-    base = json.load(open(base_path))
+    bases = [json.load(open(p)) for p in base_path.split(",")]
+    base = bases[0]
+    for other in bases[1:]:
+        for key in ("queries", "queries_warm", "assets"):
+            mine, theirs = base.get(key, {}), other.get(key, {})
+            for name in set(mine) & set(theirs):
+                mine[name] = max(mine[name], theirs[name])
+        base.setdefault("errors", {}).update(other.get("errors", {}))
+    if len(bases) > 1:
+        print(f"base = element-wise max over {len(bases)} same-code records")
     scaled = json.load(open(scaled_path))
     per_query_floor = {}
     if floors_path:
