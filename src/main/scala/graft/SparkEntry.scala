@@ -1238,6 +1238,15 @@ object SparkEntry {
     "exact_substr_strip" -> ((s, dir) =>
       ExactSubstr.stripFromVerified(Tables.documents(s, dir),
         exactSubstrWindowsAsset(s, dir), 12)),
+    // regions with provenance: the canonical occurrence of each region's
+    // opening window — "duplicated from where"
+    "exact_substr_spans_attributed" -> ((s, dir) =>
+      ExactSubstr.spansWithWitness(exactSubstrWindowsAsset(s, dir), 12)),
+    // duplication-depth distribution: corpus mass inside verbatim
+    // duplicates of >= 12/24/48/96 tokens (Lee-et-al length profile)
+    "exact_substr_depth_profile" -> ((s, dir) =>
+      ExactSubstr.dupLengthProfile(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)))),
     // gate: candidate-verify must mark EXACTLY the string-keyed window
     // family's positions at the family's n (zero lost, zero unverified).
     // Runs the LIVE pipeline (not the asset — this gates the pipeline)
@@ -1470,6 +1479,13 @@ object SparkEntry {
     // stateless at-ingest leakage gate: benchmark Bloom literal + per-row
     // array-domain gram scoring (bloom estimates → rows-only; the spec
     // pins zero false negatives vs the exact batch check)
+    // ingest-time exact-substring exposure vs the STORED dup-window index
+    // (Bloom over the verified grams; stateless per-row) — batch replay
+    "streams_exact_substr_batch" -> ((s, dir) =>
+      graft.streaming.Streams.streamingExactSubstrFlag(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        exactSubstrWindowsAsset(s, dir), n = 12)
+        .orderBy("doc_id")),
     "streams_decontaminate_batch" -> ((s, dir) => {
       val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
       graft.streaming.Streams.streamingDecontaminate(
@@ -2812,6 +2828,70 @@ object SparkEntry {
          |  FROM g)
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 11 AS span_end,
          |  max(pos) + 11 - min(pos) + 1 AS span_len
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+    // depth profile: one UNION ALL branch per window length; covered
+    // positions via range-unnest + row-value DISTINCT
+    "exact_substr_depth_profile" -> {
+      val branches = Seq(12, 24, 48, 96).map { l =>
+        s"""SELECT CAST($l AS BIGINT) AS min_len,
+           |  CAST((SELECT count(*) FROM dup$l) AS BIGINT) AS n_dup_windows,
+           |  CAST((SELECT count(DISTINCT (doc_id, tok))
+           |        FROM (SELECT doc_id, unnest(range(pos, pos + $l)) AS tok
+           |              FROM dup$l)) AS BIGINT) AS n_dup_positions,
+           |  CAST((SELECT count(DISTINCT doc_id) FROM dup$l) AS BIGINT) AS n_docs""".stripMargin
+      }
+      val ctes = Seq(12, 24, 48, 96).map { l =>
+        s"""wins$l AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |    array_to_string(a[pos:pos+${l - 1}], ' ') AS gram
+           |  FROM (SELECT doc_id, a, unnest(range(1, len(a) - ${l - 2})) AS pos
+           |        FROM toksarr WHERE len(a) >= $l) u
+           |),
+           |occ$l AS (SELECT gram FROM wins$l GROUP BY 1 HAVING count(*) >= 2),
+           |dup$l AS (SELECT w.doc_id, w.pos FROM wins$l w JOIN occ$l USING (gram))""".stripMargin
+      }
+      s"""WITH $toksArrCte,
+         |${ctes.mkString(",\n")}
+         |${branches.mkString("\nUNION ALL\n")}
+         |ORDER BY min_len""".stripMargin
+    },
+    // spans + provenance: canonical occurrence (corpus-first by
+    // (doc_id, pos)) of each region's opening window
+    "exact_substr_spans_attributed" ->
+      s"""WITH $toksArrCte,
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 10)) AS pos
+         |  FROM toksarr WHERE len(a) >= 12
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(a[pos:pos+11], ' ') AS gram
+         |  FROM w0
+         |),
+         |wc AS (
+         |  SELECT doc_id, pos, gram,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c_doc,
+         |    first_value(pos) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c_pos
+         |  FROM wins
+         |),
+         |dup AS (SELECT doc_id, pos, c_doc, c_pos FROM wc WHERE occ >= 2),
+         |g AS (
+         |  SELECT doc_id, pos, c_doc, c_pos,
+         |    CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 12
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM dup
+         |),
+         |isl AS (
+         |  SELECT doc_id, pos, c_doc, c_pos,
+         |    sum(coalesce(brk, 1)) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM g)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 11 AS span_end,
+         |  max(pos) + 11 - min(pos) + 1 AS span_len,
+         |  min_by(c_doc, pos) AS witness_doc, min_by(c_pos, pos) AS witness_pos
          |FROM isl GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
     // the strip_duplicate_spans spelling at L=12 (canonical-keep rule)

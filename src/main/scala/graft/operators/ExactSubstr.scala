@@ -111,6 +111,25 @@ object ExactSubstr {
   def spansFromVerified(verified: DataFrame, minLen: Int): DataFrame =
     mergedSpans(verified.select("doc_id", "pos"), minLen)
 
+  /** [[spansFromVerified]] with PROVENANCE: each region also reports the
+    * canonical (corpus-first) occurrence of its opening window —
+    * (witness_doc, witness_pos) — the "duplicated from WHERE" answer a
+    * curation review needs. A region whose own document IS the canonical
+    * copy witnesses itself (the honest answer for the keeper). One
+    * equi-join back on (doc_id, span_start): a region's start is by
+    * construction a verified window position, and the verified table
+    * already carries each gram's canon. */
+  def spansWithWitness(verified: DataFrame, n: Int): DataFrame =
+    spansFromVerified(verified, n)
+      .join(verified.select(col("doc_id"),
+          col("pos").as("span_start"),
+          col("canon.doc_id").as("witness_doc"),
+          col("canon.pos").as("witness_pos")),
+        Seq("doc_id", "span_start"))
+      .select("doc_id", "span_start", "span_end", "span_len",
+        "witness_doc", "witness_pos")
+      .orderBy("doc_id", "span_start")
+
   /** Region merge over marked window starts (doc_id, pos): consecutive
     * coverage `[p, p+n-1]` runs become one (span_start, span_end) row.
     * Since starts are sorted ascending, a window extends the open region
@@ -151,6 +170,38 @@ object ExactSubstr {
       .where(struct(col("doc_id"), col("pos")) =!= col("canon"))
       .select("doc_id", "pos")
     Curation.assembleStripped(docs, rem, n)
+  }
+
+  /** Corpus duplication-DEPTH profile (the Lee et al. duplication-length
+    * distribution): for each window length ℓ in `lengths` (conventionally
+    * L, 2L, 4L, …), how much of the corpus sits inside a verbatim
+    * duplicate of ≥ ℓ tokens — duplicated-window count, distinct covered
+    * token positions, and documents touched. A corpus whose mass stays
+    * flat as ℓ doubles is dominated by LONG verbatim clones (one strip
+    * pass pays off); mass collapsing at small ℓ means short boilerplate
+    * (the gram families handle it). Lengths with no duplicates report a
+    * zero row, not an absent one.
+    *
+    * Scale shape: one candidate-verify pass per length (each linear with
+    * candidate-bounded content traffic — see
+    * [[duplicateWindowsFromTokens]]), coverage as an explode + distinct
+    * over MARKED positions only. Lengths are a handful of constants, so
+    * the union is a fixed fan of linear passes. */
+  def dupLengthProfile(toks: DataFrame,
+      lengths: Seq[Int] = Seq(12, 24, 48, 96)): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1), s"bad lengths $lengths")
+    // a global agg over an empty marked set still yields its one zero row
+    lengths.sorted.map { l =>
+      duplicateWindowsFromTokens(toks, l)
+        .select(col("doc_id"), col("pos"),
+          explode(expr(s"sequence(pos, pos + ${l - 1})")).as("tok"))
+        .agg(
+          countDistinct(col("doc_id"), col("pos")).as("n_dup_windows"),
+          countDistinct(col("doc_id"), col("tok")).as("n_dup_positions"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .select(lit(l.toLong).as("min_len"), col("n_dup_windows"),
+          col("n_dup_positions"), col("n_docs"))
+    }.reduce(_ unionByName _).orderBy("min_len")
   }
 
   /** Driver-visible THROW gate: the candidate-verify path must mark

@@ -150,6 +150,52 @@ object Streams {
         (col("contamination_est") >= flagRatio).cast("long"))
   }
 
+  /** Streaming exact-substring exposure gate — "how much of this arriving
+    * document verbatim-duplicates the existing corpus", checked AT INGEST
+    * against the STORED dup-window index (the
+    * `exact_substr_windows_l12` corpus asset of
+    * [[graft.operators.ExactSubstr]]): the verified duplicated grams
+    * aggregate ONCE (batch side) into a Bloom bitset embedded in the
+    * streaming plan as a literal — the same trained-model broadcast idiom
+    * as [[streamingDecontaminate]] — and each arriving document scores
+    * itself STATELESSLY in the array domain: token array → per-POSITION
+    * window array → counted Bloom membership. No explode, no streaming
+    * aggregation, no state store.
+    *
+    * Bloom hits over-estimate (false positives, never false negatives),
+    * the correct failure direction for an ingest gate; flagged documents
+    * get the exact batch re-check
+    * ([[graft.operators.ExactSubstr.spansFromTokens]] over corpus+doc)
+    * offline. Note the corpus index is a SNAPSHOT: a new document
+    * duplicating another NEW document (never seen in the corpus) is the
+    * batch operator's job at the next index refresh, exactly like the
+    * near-dup store's cap/eviction trade. Output: (doc_id, n_windows,
+    * n_dup_hits, dup_window_frac, flagged). */
+  def streamingExactSubstrFlag(docs: DataFrame, dupWindows: DataFrame,
+      n: Int = 12, flagRatio: Double = 0.05,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import graft.operators.Curation
+    val bf = dupWindows.select("gram").distinct()
+      .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedItems}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val hits =
+      if (bf == null) lit(0L)
+      else size(filter(col("warr"), w =>
+        call_function("graft_bloom_contains", lit(bf), xxhash64(w)))).cast("long")
+    docs
+      .withColumn("a", Curation.textTokenArray)
+      .withColumn("warr", Curation.windowArrayOf(col("a"), n))
+      .select(col("doc_id"),
+        size(col("warr")).cast("long").as("n_windows"),
+        hits.as("n_dup_hits"))
+      .withColumn("dup_window_frac",
+        when(col("n_windows") > 0,
+          round(col("n_dup_hits").cast("double") / col("n_windows"), 9))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged",
+        (col("dup_window_frac") >= flagRatio).cast("long"))
+  }
+
   /** Stream-stream interval join: right rows within
     * `[left.t - lower, left.t + upper]` for the same key. The explicit
     * time bound is what makes this viable on unbounded streams — with both

@@ -178,6 +178,35 @@ class ExactSubstrSpec extends SparkSpec {
     assert(spans == Seq((7L, 1L, 5L, 5L)))
   }
 
+  test("spansWithWitness: regions point at their canonical occurrence") {
+    // doc 2 copies a 4-token run from doc 1; doc 1 is corpus-first
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "tailone")),
+      (2L, Seq("head", "a", "b", "c", "d")))
+    val verified = ExactSubstr.duplicateWindowsFromTokens(toksOf(docs), 4)
+    val got = ExactSubstr.spansWithWitness(verified, 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // the canonical copy witnesses itself; the duplicate witnesses doc 1
+    assert(got == Seq((1L, 1L, 4L, 4L, 1L, 1L), (2L, 2L, 5L, 4L, 1L, 1L)))
+    // fixture invariant: every witness is a verified occurrence of the
+    // SAME gram as the region's opening window
+    val fixtureVerified = ExactSubstr.duplicateWindowsFromTokens(fixtureToksDf, 12)
+    fixtureVerified.cache()
+    val spans = ExactSubstr.spansWithWitness(fixtureVerified, 12)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans.nonEmpty)
+    val gramAt = fixtureVerified.select("doc_id", "pos", "gram")
+      .as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((doc, s, _, _, wd, wp) <- spans) {
+      assert(gramAt((wd, wp)) == gramAt((doc, s)),
+        s"witness ($wd,$wp) gram differs from span start ($doc,$s)")
+      // canonical = corpus-first: never later than the marked occurrence
+      assert(wd < doc || (wd == doc && wp <= s))
+    }
+    fixtureVerified.unpersist()
+  }
+
   test("strip at the family window length reproduces stripDuplicateSpans exactly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val family = Curation.stripDuplicateSpans(docs, 5)
@@ -203,6 +232,34 @@ class ExactSubstrSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ExactSubstr.rankAgreementGate(empty, 3)
     }
+  }
+
+  test("dupLengthProfile: brute-force counts per length, zero rows past max depth") {
+    val rnd = new scala.util.Random(99L)
+    val alphabet = Vector("a", "b", "c", "d")
+    val docs0 = (0 until 5).map { i =>
+      (i.toLong, Seq.fill(25 + rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.size))))
+    }
+    // plant a 10-token verbatim clone so depth 8 is occupied, 16 is not
+    val chunk = docs0.head._2.take(10)
+    val docs = docs0.updated(3, (3L, docs0(3)._2 ++ chunk))
+    val lengths = Seq(2, 4, 8, 16)
+    val got = ExactSubstr.dupLengthProfile(toksOf(docs), lengths)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val expect = lengths.map { l =>
+      val marked = bruteMarked(docs, l)
+      val covered = marked.flatMap { case (d, p) => (p until p + l).map((d, _)) }
+      (l.toLong, marked.size.toLong, covered.size.toLong,
+        marked.map(_._1).size.toLong /* placeholder, fixed below */)
+    }.map { case (l, w, c, _) =>
+      (l, w, c, bruteMarked(docs, l.toInt).map(_._1).toSet.size.toLong)
+    }
+    assert(got == expect)
+    // the planted 10-token clone guarantees depth 8 mass and depth 16 zeros
+    assert(got.find(_._1 == 8L).get._2 > 0)
+    assert(got.find(_._1 == 16L).get == ((16L, 0L, 0L, 0L)))
+    // coverage is monotone non-increasing in depth
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
   }
 
   test("degenerate inputs: short docs, empty corpus, L=1") {

@@ -102,6 +102,69 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L)._4 == 1L && got(3L)._3 == 0L)
   }
 
+  test("streamingExactSubstrFlag: zero false negatives vs the exact window set") {
+    // corpus with a known 12-token duplicated sentence between docs 1/2
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq(
+      (1L, shared + " one unique tail here"),
+      (2L, "prefix words first then " + shared),
+      (3L, "nothing duplicated in this document at all whatsoever truly")
+    ).toDF("doc_id", "text")
+    val toks = corpus.select(col("doc_id"),
+      graft.operators.Curation.textTokenArray.as("tokens"))
+    val dupWindows = graft.operators.ExactSubstr.duplicateWindowsFromTokens(toks, 12)
+    assert(dupWindows.count() > 0)
+    // arriving docs: a full re-leak, a partial overlap shorter than 12
+    // tokens (must NOT hit), and clean text
+    val incoming = Seq(
+      (10L, "intro " + shared + " outro"),
+      (11L, "alpha beta gamma delta epsilon zeta only six shared tokens here now"),
+      (12L, "completely novel content with no duplicated windows anywhere at all today right")
+    ).toDF("doc_id", "text")
+    val got = Streams.streamingExactSubstrFlag(incoming, dupWindows, n = 12)
+      .as[(Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // exact window membership (no Bloom) as the reference
+    val dupGrams = dupWindows.select("gram").distinct().as[String].collect().toSet
+    val incToks = incoming.select(col("doc_id"),
+      graft.operators.Curation.textTokenArray.as("tokens"))
+      .as[(Long, Seq[String])].collect()
+    for ((id, ts) <- incToks) {
+      val wins = if (ts.length >= 12) ts.sliding(12).map(_.mkString(" ")).toSeq else Seq()
+      val exactHits = wins.count(dupGrams)
+      assert(got(id)._2 == wins.size.toLong, s"window count for doc $id")
+      // Bloom can only over-count, never miss
+      assert(got(id)._3 >= exactHits, s"bloom missed a true dup window for doc $id")
+    }
+    assert(got(10L)._5 == 1L, "full re-leak must flag")
+    assert(got(12L)._3 == 0L && got(12L)._5 == 0L, "clean doc must not hit")
+    // doc 11 shares only 6 tokens — no 12-window can be duplicated
+    assert(got(11L)._3 == 0L)
+  }
+
+  test("streamingExactSubstrFlag runs live: stateless per-row gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, shared + " tail"), (2L, "head " + shared))
+      .toDF("doc_id", "text")
+    val toks = corpus.select(col("doc_id"),
+      graft.operators.Curation.textTokenArray.as("tokens"))
+    val dupWindows = graft.operators.ExactSubstr.duplicateWindowsFromTokens(toks, 12)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamingExactSubstrFlag(
+        in.toDF.toDF("doc_id", "text"), dupWindows, n = 12)
+      .writeStream.format("memory").queryName("xsub_out")
+      .outputMode("append").start()
+    try {
+      in.addData((5L, "x " + shared + " y"),
+        (6L, "entirely fresh words that never appeared in the corpus before now"))
+      q.processAllAvailable()
+      val rows = spark.table("xsub_out")
+        .select("doc_id", "flagged").as[(Long, Long)].collect().toMap
+      assert(rows == Map(5L -> 1L, 6L -> 0L))
+      // append mode, no watermark: the plan is stateless per-row
+    } finally q.stop()
+  }
+
   test("streamingDecontaminate runs live: per-row gate, batch parity, no state") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
