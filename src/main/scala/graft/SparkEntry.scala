@@ -410,6 +410,18 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 12)
     }
 
+  /** Bloom over the verified dup-window hashes — the streaming gate's
+    * trained model blob, built once per (session, dataset) from the
+    * stored index like the other model artifacts (PQ codebooks, BPE
+    * rules, decon Blooms). */
+  private val dupBloomCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Byte]]()
+  private def dupWindowBloomModel(s: SparkSession, dir: String): Array[Byte] = {
+    pruneStopped(dupBloomCache, (k: (SparkSession, String)) => k._1)
+    dupBloomCache.getOrElseUpdate((s, dir),
+      graft.streaming.Streams.dupWindowBloom(exactSubstrWindowsAsset(s, dir), 12))
+  }
+
   /** External benchmark-embedding table — the eval suite as its OWN
     * parquet source (the shape a real pipeline reads: benchmarks live in
     * their own store, not as a predicate over the corpus). Content is the
@@ -511,6 +523,7 @@ object SparkEntry {
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
+    "dup_window_bloom" -> ((s, d) => { dupWindowBloomModel(s, d); () }),
     "manifest" -> ((s, d) => { manifestAsset(s, d); () }),
     "ann_index" -> ((s, d) => { annIndex(s, d); () }))
 
@@ -1243,10 +1256,13 @@ object SparkEntry {
     "exact_substr_spans_attributed" -> ((s, dir) =>
       ExactSubstr.spansWithWitness(exactSubstrWindowsAsset(s, dir), 12)),
     // duplication-depth distribution: corpus mass inside verbatim
-    // duplicates of >= 12/24/48/96 tokens (Lee-et-al length profile)
+    // duplicates of >= 12/24/48/96 tokens (Lee-et-al length profile),
+    // doubling upward from the STORED index by cascade pruning — the
+    // corpus is never rescanned past the base level
     "exact_substr_depth_profile" -> ((s, dir) =>
-      ExactSubstr.dupLengthProfile(
-        operators.Scaling.fanOut(tokenArraysAsset(s, dir)))),
+      ExactSubstr.dupLengthProfileFromVerified(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+        exactSubstrWindowsAsset(s, dir), baseLen = 12, doublings = 3)),
     // gate: candidate-verify must mark EXACTLY the string-keyed window
     // family's positions at the family's n (zero lost, zero unverified).
     // Runs the LIVE pipeline (not the asset — this gates the pipeline)
@@ -1480,11 +1496,12 @@ object SparkEntry {
     // array-domain gram scoring (bloom estimates → rows-only; the spec
     // pins zero false negatives vs the exact batch check)
     // ingest-time exact-substring exposure vs the STORED dup-window index
-    // (Bloom over the verified grams; stateless per-row) — batch replay
+    // (Bloom over the verified window HASHES — a per-snapshot model
+    // artifact, cached like the other trained blobs; stateless per-row)
     "streams_exact_substr_batch" -> ((s, dir) =>
-      graft.streaming.Streams.streamingExactSubstrFlag(
+      graft.streaming.Streams.streamingExactSubstrFlagWithModel(
         Tables.documents(s, dir).select("doc_id", "text"),
-        exactSubstrWindowsAsset(s, dir), n = 12)
+        dupWindowBloomModel(s, dir), n = 12)
         .orderBy("doc_id")),
     "streams_decontaminate_batch" -> ((s, dir) => {
       val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))

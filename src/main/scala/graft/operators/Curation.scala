@@ -51,15 +51,6 @@ object Curation {
         i => concat_ws(" ", (0 until n).map(j => element_at(a, i + lit(j))): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** [[gramArrayOf]] WITHOUT the distinct — one entry per window
-    * POSITION, for per-position coverage counts (the streaming
-    * exact-substring gate counts windows, not gram types). */
-  private[graft] def windowArrayOf(a: Column, n: Int): Column =
-    when(size(a) >= n,
-      transform(sequence(lit(1), size(a) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(a, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
-
   /** Benchmark gram Bloom bitset (driver-collected literal — the
     * trained-model broadcast idiom of [[decontaminateBloom]], shared with
     * the streaming gate). Null when the benchmark is empty. */

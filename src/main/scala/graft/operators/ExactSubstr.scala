@@ -73,17 +73,27 @@ object ExactSubstr {
     *     not the corpus. */
   def duplicateWindowsFromTokens(toks: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"window length n=$n must be >= 1")
-    val base = toks.select(col("doc_id"), col("tokens"))
-    val winHashes = base
+    val winHashes = toks
       .select(col("doc_id"),
         posexplode(expr(s"graft_window_hashes(tokens, $n)")).as(Seq("p0", "wh")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("wh"))
       .scopedPersist()
     val dupHash = winHashes.groupBy("wh").agg(count(lit(1)).as("h_occ"))
       .where(col("h_occ") >= 2).select("wh")
-    val candPerDoc = winHashes.join(dupHash, "wh")
-      .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
-    val cand = base.join(candPerDoc, "doc_id")
+    verifyCandidates(toks,
+      winHashes.join(dupHash, "wh").select("doc_id", "pos"), n)
+  }
+
+  /** Shared verify tail: slice the exact `n`-token gram for every
+    * candidate position (per-doc regroup, local slicing — only candidate
+    * windows materialize a string) and keep the content groups occurring
+    * ≥ 2 times. EXACT for any candidate superset that is closed over true
+    * duplicates (all occurrences of a duplicated gram must be candidates
+    * — both the hash prefilter and the half-window cascade guarantee it). */
+  private def verifyCandidates(toks: DataFrame, candPos: DataFrame,
+      n: Int): DataFrame = {
+    val candPerDoc = candPos.groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+    val cand = toks.select(col("doc_id"), col("tokens")).join(candPerDoc, "doc_id")
       .select(col("doc_id"), explode(col("ps")).as("pos"), col("tokens"))
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", slice(col("tokens"), col("pos").cast("int"), lit(n))).as("gram"))
@@ -192,16 +202,50 @@ object ExactSubstr {
     require(lengths.nonEmpty && lengths.forall(_ >= 1), s"bad lengths $lengths")
     // a global agg over an empty marked set still yields its one zero row
     lengths.sorted.map { l =>
-      duplicateWindowsFromTokens(toks, l)
-        .select(col("doc_id"), col("pos"),
-          explode(expr(s"sequence(pos, pos + ${l - 1})")).as("tok"))
-        .agg(
-          countDistinct(col("doc_id"), col("pos")).as("n_dup_windows"),
-          countDistinct(col("doc_id"), col("tok")).as("n_dup_positions"),
-          countDistinct(col("doc_id")).as("n_docs"))
-        .select(lit(l.toLong).as("min_len"), col("n_dup_windows"),
-          col("n_dup_positions"), col("n_docs"))
+      depthRow(duplicateWindowsFromTokens(toks, l).select("doc_id", "pos"), l)
     }.reduce(_ unionByName _).orderBy("min_len")
+  }
+
+  private def depthRow(marked: DataFrame, l: Int): DataFrame =
+    marked
+      .select(col("doc_id"), col("pos"),
+        explode(expr(s"sequence(pos, pos + ${l - 1})")).as("tok"))
+      .agg(
+        countDistinct(col("doc_id"), col("pos")).as("n_dup_windows"),
+        countDistinct(col("doc_id"), col("tok")).as("n_dup_positions"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(lit(l.toLong).as("min_len"), col("n_dup_windows"),
+        col("n_dup_positions"), col("n_docs"))
+
+  /** [[dupLengthProfile]] served from the STORED verified-windows asset,
+    * doubling upward by CASCADE PRUNING: a duplicated 2ℓ-window's two
+    * ℓ-halves are themselves duplicated, so level 2ℓ's candidates are
+    * exactly the positions whose ℓ-marks exist at both `p` and `p + ℓ` —
+    * one narrow self-equi-join on the previous (shrinking) marked set
+    * plus the shared content verify over those candidates. Closure
+    * argument for exactness: every true occurrence of a duplicated
+    * 2ℓ-gram passes the half-mark test, so the verify's content groups
+    * are complete. The corpus is rescanned ZERO times past the base
+    * level (candidates regroup per doc and slice locally); each level's
+    * cost tracks the surviving duplicated mass, which the profile itself
+    * shows shrinking. */
+  def dupLengthProfileFromVerified(toks: DataFrame, verified: DataFrame,
+      baseLen: Int, doublings: Int = 3): DataFrame = {
+    require(doublings >= 0, s"doublings $doublings must be >= 0")
+    var marked = verified.select("doc_id", "pos").scopedPersist()
+    var l = baseLen
+    val rows = Seq.newBuilder[DataFrame]
+    rows += depthRow(marked, l)
+    for (_ <- 1 to doublings) {
+      val half = l
+      l = 2 * l
+      val tail = marked.select(col("doc_id"), (col("pos") - half).as("pos"))
+      val cands = marked.join(tail, Seq("doc_id", "pos"))
+      marked = verifyCandidates(toks, cands, l)
+        .select("doc_id", "pos").scopedPersist()
+      rows += depthRow(marked, l)
+    }
+    rows.result().reduce(_ unionByName _).orderBy("min_len")
   }
 
   /** Driver-visible THROW gate: the candidate-verify path must mark

@@ -158,8 +158,9 @@ object Streams {
     * aggregate ONCE (batch side) into a Bloom bitset embedded in the
     * streaming plan as a literal — the same trained-model broadcast idiom
     * as [[streamingDecontaminate]] — and each arriving document scores
-    * itself STATELESSLY in the array domain: token array → per-POSITION
-    * window array → counted Bloom membership. No explode, no streaming
+    * itself STATELESSLY in the array domain: token array → rolling
+    * window-hash kernel → counted Bloom membership over the hash array
+    * (no window STRING ever materializes). No explode, no streaming
     * aggregation, no state store.
     *
     * Bloom hits over-estimate (false positives, never false negatives),
@@ -173,20 +174,40 @@ object Streams {
     * n_dup_hits, dup_window_frac, flagged). */
   def streamingExactSubstrFlag(docs: DataFrame, dupWindows: DataFrame,
       n: Int = 12, flagRatio: Double = 0.05,
-      expectedItems: Long = 1L << 20): DataFrame = {
-    import graft.operators.Curation
-    val bf = dupWindows.select("gram").distinct()
-      .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedItems}L)").as("bf"))
+      expectedItems: Long = 1L << 20): DataFrame =
+    streamingExactSubstrFlagWithModel(docs,
+      dupWindowBloom(dupWindows, n, expectedItems), n, flagRatio)
+
+  /** The trained model side of [[streamingExactSubstrFlag]], built ONCE
+    * per index snapshot: a Bloom over the ROLLING window hashes of the
+    * verified duplicated grams (each gram re-tokenizes to exactly one
+    * `n`-window, so the kernel yields its one hash) — the same 64-bit
+    * function the stream side computes per row, so membership needs no
+    * gram STRING anywhere. Null when the index is empty. */
+  def dupWindowBloom(dupWindows: DataFrame, n: Int,
+      expectedItems: Long = 1L << 20): Array[Byte] =
+    dupWindows
+      .select(expr(s"element_at(graft_window_hashes(split(gram, ' '), $n), 1)")
+        .as("wh")).distinct()
+      .agg(expr(s"graft_bloom_agg(wh, ${expectedItems}L)").as("bf"))
       .head().getAs[Array[Byte]](0)
+
+  /** [[streamingExactSubstrFlag]] with the Bloom prebuilt (serving shape:
+    * the model is a per-snapshot artifact, not a per-batch rebuild). The
+    * per-row work is ONE rolling-hash kernel call over the token array
+    * plus a Bloom probe per window — no window strings materialize. */
+  def streamingExactSubstrFlagWithModel(docs: DataFrame, bloom: Array[Byte],
+      n: Int, flagRatio: Double = 0.05): DataFrame = {
+    import graft.operators.Curation
     val hits =
-      if (bf == null) lit(0L)
-      else size(filter(col("warr"), w =>
-        call_function("graft_bloom_contains", lit(bf), xxhash64(w)))).cast("long")
+      if (bloom == null) lit(0L)
+      else size(filter(col("whs"), h =>
+        call_function("graft_bloom_contains", lit(bloom), h))).cast("long")
     docs
       .withColumn("a", Curation.textTokenArray)
-      .withColumn("warr", Curation.windowArrayOf(col("a"), n))
+      .withColumn("whs", expr(s"graft_window_hashes(a, $n)"))
       .select(col("doc_id"),
-        size(col("warr")).cast("long").as("n_windows"),
+        size(col("whs")).cast("long").as("n_windows"),
         hits.as("n_dup_hits"))
       .withColumn("dup_window_frac",
         when(col("n_windows") > 0,

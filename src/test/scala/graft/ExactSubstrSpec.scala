@@ -260,6 +260,27 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got.find(_._1 == 16L).get == ((16L, 0L, 0L, 0L)))
     // coverage is monotone non-increasing in depth
     assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+    // the cascade-pruned asset-served form (the registered query's path)
+    // produces the identical profile from the base-level verified table
+    val verified = ExactSubstr.duplicateWindowsFromTokens(toksOf(docs), 2)
+    val cascade = ExactSubstr.dupLengthProfileFromVerified(
+        toksOf(docs), verified, baseLen = 2, doublings = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cascade == got)
+  }
+
+  test("cascade depth profile matches the standalone form on the fixture") {
+    val verified = ExactSubstr.duplicateWindowsFromTokens(fixtureToksDf, 12)
+    val cascade = ExactSubstr.dupLengthProfileFromVerified(
+        fixtureToksDf, verified, baseLen = 12, doublings = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val standalone = ExactSubstr.dupLengthProfile(
+        fixtureToksDf, Seq(12, 24, 48, 96))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cascade == standalone)
+    // fixture shape: depth 48 occupied, depth 96 empty (honest zero row)
+    assert(cascade.find(_._1 == 48L).get._2 > 0)
+    assert(cascade.find(_._1 == 96L).get == ((96L, 0L, 0L, 0L)))
   }
 
   test("degenerate inputs: short docs, empty corpus, L=1") {
