@@ -283,6 +283,28 @@ class ExactSubstrSpec extends SparkSpec {
     assert(cascade.find(_._1 == 96L).get == ((96L, 0L, 0L, 0L)))
   }
 
+  test("pathological corpus: every document identical") {
+    // all-dup worst case: every window of every doc is duplicated, every
+    // doc is one wall-to-wall region, and the strip keeps ONLY the
+    // canonical (first) document's text
+    val toks = Seq("p", "q", "r", "s", "t", "u")
+    val docs = (1L to 4L).map(i => (i, toks))
+    val spans = ExactSubstr.spansFromTokens(toksOf(docs), 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == (1L to 4L).map(i => (i, 1L, 6L, 6L)))
+    val docsDf = docs.map { case (i, ts) => (i, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val stripped = ExactSubstr.stripFromTokens(docsDf, toksOf(docs), 3)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(stripped.head == ((1L, 6L, "p q r s t u")))
+    assert(stripped.tail.forall(r => r._2 == 0L && r._3 == ""))
+    // depth profile: bands up to the doc length occupied, beyond it zero
+    val prof = ExactSubstr.dupLengthProfile(toksOf(docs), Seq(3, 6, 12))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(prof.find(_._1 == 6L).get._4 == 4L)
+    assert(prof.find(_._1 == 12L).get == ((12L, 0L, 0L, 0L)))
+  }
+
   test("degenerate inputs: short docs, empty corpus, L=1") {
     val short = toksOf(Seq((1L, Seq("a", "b")), (2L, Seq("a", "b"))))
     // docs shorter than L have no windows at all

@@ -141,6 +141,21 @@ class StreamingSpec extends SparkSpec {
     assert(got(11L)._3 == 0L)
   }
 
+  test("streamingExactSubstrFlag with an EMPTY index scores zero hits, never crashes") {
+    val noDups = Seq((1L, "every word here is entirely unique today friends"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.Curation.textTokenArray.as("tokens"))
+    val emptyIndex = graft.operators.ExactSubstr.duplicateWindowsFromTokens(noDups, 3)
+    assert(emptyIndex.count() == 0)
+    // bloom aggregate over zero rows yields null -> the zero-hit path
+    assert(Streams.dupWindowBloom(emptyIndex, 3) == null)
+    val incoming = Seq((9L, "any arriving text at all scores clean against nothing"))
+      .toDF("doc_id", "text")
+    val row = Streams.streamingExactSubstrFlag(incoming, emptyIndex, n = 3)
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(row._2 > 0 && row._3 == 0L && row._5 == 0L)
+  }
+
   test("streamingExactSubstrFlag runs live: stateless per-row gate") {
     implicit val sqlCtx = spark.sqlContext
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
