@@ -29,7 +29,7 @@ def noise_gate(paths, spread_bar: float = 1.3, floor_s: float = 1.5) -> int:
     recs = [(p, json.load(open(p))) for p in paths]
     bad = 0
     for pass_name, key in (("cold", "queries"), ("warm", "queries_warm")):
-        names = set(recs[0][1][key])
+        names = set(recs[0][1].get(key, {}))
         for _, r in recs[1:]:
             names &= set(r.get(key, {}))
         for q in sorted(names):

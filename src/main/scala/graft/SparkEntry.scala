@@ -410,6 +410,33 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 12)
     }
 
+  /** Cascade-level marked sets (doc_id, pos) at L = 24/48/96 as sub-assets
+    * beside the base index: each level derives from the PREVIOUS level's
+    * stored parquet by one cascade step (half-mark candidates → content
+    * verify — [[graft.operators.ExactSubstr.cascadeStep]]), so the
+    * build is a chain of bounded passes with a natural lineage cut at
+    * every level (each reads the previous level back from disk), and the
+    * depth-profile / match-length consumers are SERVING-only — the r8
+    * profile re-ran the whole cascade per execution and compiled a
+    * 953-exchange plan. */
+  private def exactSubstrLevelAsset(s: SparkSession, dir: String,
+      level: Int): DataFrame =
+    corpusAsset(s, dir, s"exact_substr_marks_l$level") {
+      val prev =
+        if (level == 24) exactSubstrWindowsAsset(s, dir).select("doc_id", "pos")
+        else exactSubstrLevelAsset(s, dir, level / 2)
+      ExactSubstr.cascadeStep(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)), prev, level / 2)
+    }
+
+  /** All four stored cascade levels, base first — the input shape the
+    * profile and match-length servers consume. */
+  private def exactSubstrLevels(s: SparkSession, dir: String): Seq[(Int, DataFrame)] =
+    Seq(12 -> exactSubstrWindowsAsset(s, dir).select("doc_id", "pos"),
+      24 -> exactSubstrLevelAsset(s, dir, 24),
+      48 -> exactSubstrLevelAsset(s, dir, 48),
+      96 -> exactSubstrLevelAsset(s, dir, 96))
+
   /** Bloom over the verified dup-window hashes — the streaming gate's
     * trained model blob, built once per (session, dataset) from the
     * stored index like the other model artifacts (PQ codebooks, BPE
@@ -523,6 +550,9 @@ object SparkEntry {
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
+    "exact_substr_marks_l24" -> ((s, d) => { exactSubstrLevelAsset(s, d, 24); () }),
+    "exact_substr_marks_l48" -> ((s, d) => { exactSubstrLevelAsset(s, d, 48); () }),
+    "exact_substr_marks_l96" -> ((s, d) => { exactSubstrLevelAsset(s, d, 96); () }),
     "dup_window_bloom" -> ((s, d) => { dupWindowBloomModel(s, d); () }),
     "manifest" -> ((s, d) => { manifestAsset(s, d); () }),
     "ann_index" -> ((s, d) => { annIndex(s, d); () }))
@@ -1257,12 +1287,19 @@ object SparkEntry {
       ExactSubstr.spansWithWitness(exactSubstrWindowsAsset(s, dir), 12)),
     // duplication-depth distribution: corpus mass inside verbatim
     // duplicates of >= 12/24/48/96 tokens (Lee-et-al length profile),
-    // doubling upward from the STORED index by cascade pruning — the
-    // corpus is never rescanned past the base level
+    // SERVED from the stored cascade-level sub-assets — one bounded
+    // aggregate per level, no verify pass in the query plan (the r8
+    // live-cascade spelling compiled a 953-exchange plan)
     "exact_substr_depth_profile" -> ((s, dir) =>
-      ExactSubstr.dupLengthProfileFromVerified(
+      ExactSubstr.dupLengthProfileFromLevels(exactSubstrLevels(s, dir))),
+    // EXACT per-position longest-match lengths (capped at the top level):
+    // band-bounded binary search between adjacent stored cascade levels —
+    // the length-weighted dedup policies' input the band profile can't
+    // serve
+    "exact_substr_match_lengths" -> ((s, dir) =>
+      ExactSubstr.matchLengthsFromLevels(
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
-        exactSubstrWindowsAsset(s, dir), baseLen = 12, doublings = 3)),
+        exactSubstrLevels(s, dir))),
     // gate: candidate-verify must mark EXACTLY the string-keyed window
     // family's positions at the family's n (zero lost, zero unverified).
     // Runs the LIVE pipeline (not the asset — this gates the pipeline)
@@ -1271,10 +1308,13 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         spanWindowsAsset(s, dir), 5)),
     // gate: the prefix-doubling suffix-rank spelling (no shared code, no
-    // hash function) must agree position-for-position at L=12; the
-    // verify side serves from the stored asset
+    // hash function) must agree position-for-position at L=12 on a
+    // bounded deterministic planted+hash document sample — BOTH
+    // algorithms run fresh on the sample (the full-corpus suffix sort
+    // is ~4x the production operator and unrunnable at 100 TB, which
+    // would silently retire the gate exactly where it matters)
     "exact_substr_rank_gate" -> ((s, dir) =>
-      ExactSubstr.rankAgreementGateFromVerified(
+      ExactSubstr.rankAgreementGateSampled(
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         exactSubstrWindowsAsset(s, dir), 12)),
     // --- Dedup ---
@@ -2873,6 +2913,36 @@ object SparkEntry {
          |${branches.mkString("\nUNION ALL\n")}
          |ORDER BY min_len""".stripMargin
     },
+    // exact per-position longest-match lengths, capped at 96: for every
+    // duplicated-12-window start, the max m in [12, 96] whose m-gram at
+    // that position occurs >= 2 times. Counting m-grams only over
+    // extensions of duplicated-12 positions is CLOSED (every occurrence
+    // of a duplicated m-gram has a duplicated 12-prefix), so the counts
+    // equal full-corpus counts — the same closure argument as the Spark
+    // side's cascade candidates.
+    "exact_substr_match_lengths" ->
+      s"""WITH $toksArrCte,
+         |w12 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 10)) AS pos
+         |  FROM toksarr WHERE len(a) >= 12
+         |),
+         |g12 AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, a,
+         |    array_to_string(a[pos:pos+11], ' ') AS gram
+         |  FROM w12
+         |),
+         |occ12 AS (SELECT gram FROM g12 GROUP BY 1 HAVING count(*) >= 2),
+         |d12 AS (SELECT g.doc_id, g.pos, g.a FROM g12 g JOIN occ12 USING (gram)),
+         |ext AS (
+         |  SELECT doc_id, pos, m, array_to_string(a[pos:pos+m-1], ' ') AS gram
+         |  FROM (SELECT doc_id, pos, a, unnest(range(12, 97)) AS m FROM d12)
+         |  WHERE pos + m - 1 <= len(a)
+         |),
+         |dupm AS (SELECT m, gram FROM ext GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT e.doc_id, e.pos, CAST(max(e.m) AS BIGINT) AS match_len
+         |FROM ext e JOIN dupm USING (m, gram)
+         |GROUP BY 1, 2
+         |ORDER BY doc_id, pos""".stripMargin,
     // spans + provenance: canonical occurrence (corpus-first by
     // (doc_id, pos)) of each region's opening window
     "exact_substr_spans_attributed" ->

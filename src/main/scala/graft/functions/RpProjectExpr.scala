@@ -34,7 +34,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *    over all elements), so the kernel returns an all-null array;
   *  - a component SUM that leaves DECIMAL(28,9) range mid-fold: NULL from
   *    that element onward — sticky, order-dependent exactly like the
-  *    fold, reproduced element-by-element on the BigDecimal slow path. */
+  *    fold, reproduced element-by-element on the BigDecimal slow path;
+  *  - a vector SHORTER than `dim` (a truncated/broken encoder row): the
+  *    fold's `element_at` past the array end yields NULL, which the
+  *    sticky accumulator propagates to every component — so short
+  *    vectors are degenerate (all-null output), same as a NULL element.
+  *    Vectors LONGER than `dim` project their first `dim` elements, the
+  *    exact elements the fold's `sequence(0, dim-1)` reads. */
 object RpUtil {
   /** DECIMAL(28,9) range bound: |x| above this casts to NULL in Spark. */
   private val DecMax = new java.math.BigDecimal("9999999999999999999.999999999")
@@ -42,7 +48,10 @@ object RpUtil {
   private val ExactSumBound = (1L << 53) - 1
 
   def project(v: ArrayData, masks: Array[Long], outDim: Int, dim: Int): ArrayData = {
-    val n = math.min(dim, v.numElements())
+    // a vector shorter than dim is degenerate: the fold reads elements
+    // 1..dim, and element_at past the end nulls the sticky accumulator
+    if (v.numElements() < dim) return new GenericArrayData(new Array[Any](outDim))
+    val n = dim
     val dec = new Array[java.math.BigDecimal](n)
     var degenerate = false
     var j = 0

@@ -52,6 +52,20 @@ import org.apache.spark.sql.functions._
   * data pipeline. */
 object ExactSubstr {
 
+  /** Persist + materialize + LINEAGE-CUT an iteration frame: without the
+    * `createDataFrame(rdd, schema)` cut, an iterative operator whose level
+    * k+1 references level k twice doubles ANALYSIS cost per round even
+    * with every level persisted (the bpeTrainMerges lesson — 70 s in the
+    * optimizer on 27k rows), and the plan TEXT grows exponentially. The
+    * materializing count also pins any non-deterministic ids
+    * (`monotonically_increasing_id`) against recomputation under a
+    * different partition layout. */
+  private def pin(df: DataFrame): DataFrame = {
+    val p = df.scopedPersist()
+    p.count()
+    df.sparkSession.createDataFrame(p.rdd, p.schema)
+  }
+
   /** Verified duplicated `n`-token windows over the shared token-array
     * asset `(doc_id, tokens)`: (doc_id, pos, gram, occ, canon) with `pos`
     * 1-based, `occ` the gram's corpus-wide occurrence count (≥ 2) and
@@ -230,23 +244,171 @@ object ExactSubstr {
     * cost tracks the surviving duplicated mass, which the profile itself
     * shows shrinking. */
   def dupLengthProfileFromVerified(toks: DataFrame, verified: DataFrame,
-      baseLen: Int, doublings: Int = 3): DataFrame = {
-    require(doublings >= 0, s"doublings $doublings must be >= 0")
-    var marked = verified.select("doc_id", "pos").scopedPersist()
-    var l = baseLen
-    val rows = Seq.newBuilder[DataFrame]
-    rows += depthRow(marked, l)
-    for (_ <- 1 to doublings) {
-      val half = l
-      l = 2 * l
-      val tail = marked.select(col("doc_id"), (col("pos") - half).as("pos"))
-      val cands = marked.join(tail, Seq("doc_id", "pos"))
-      marked = verifyCandidates(toks, cands, l)
-        .select("doc_id", "pos").scopedPersist()
-      rows += depthRow(marked, l)
-    }
-    rows.result().reduce(_ unionByName _).orderBy("min_len")
+      baseLen: Int, doublings: Int = 3): DataFrame =
+    dupLengthProfileFromLevels(
+      cascadeLevels(toks, verified.select("doc_id", "pos"), baseLen, doublings))
+
+  /** One cascade doubling: the marked set at `2·half` from the marked set
+    * at `half` — candidates are positions whose `half`-marks exist at both
+    * `p` and `p + half` (closure: every occurrence of a duplicated
+    * 2·half-gram passes the half-mark test), then the shared content
+    * verify. The level-to-level derivation the level sub-assets persist. */
+  def cascadeStep(toks: DataFrame, markedHalf: DataFrame, half: Int): DataFrame = {
+    val marked = markedHalf.select("doc_id", "pos")
+    val tail = marked.select(col("doc_id"), (col("pos") - half).as("pos"))
+    verifyCandidates(toks, marked.join(tail, Seq("doc_id", "pos")), 2 * half)
+      .select("doc_id", "pos")
   }
+
+  /** The cascade's per-level marked sets, base first: (ℓ, marked_ℓ) for
+    * ℓ = baseLen, 2·baseLen, …. Each level is [[pin]]ned — the r8 profile
+    * `scopedPersist`ed each level but did NOT lineage-cut, and since every
+    * doubling embeds the previous level's plan twice (marked + shifted
+    * tail join sides) the registered profile compiled a 953-exchange plan
+    * text even though runtime was saved by the persists. */
+  def cascadeLevels(toks: DataFrame, baseMarked: DataFrame, baseLen: Int,
+      doublings: Int): Seq[(Int, DataFrame)] = {
+    require(doublings >= 0, s"doublings $doublings must be >= 0")
+    val levels = Seq.newBuilder[(Int, DataFrame)]
+    var marked = pin(baseMarked.select("doc_id", "pos"))
+    var l = baseLen
+    levels += ((l, marked))
+    for (_ <- 1 to doublings) {
+      marked = pin(cascadeStep(toks, marked, l))
+      l = 2 * l
+      levels += ((l, marked))
+    }
+    levels.result()
+  }
+
+  /** [[dupLengthProfile]] over PREBUILT per-level marked sets — the
+    * serving path when the cascade levels are stored as sub-assets beside
+    * the base index: one bounded aggregate per stored level, no verify
+    * pass, no iteration, a fixed-fan plan. */
+  def dupLengthProfileFromLevels(levels: Seq[(Int, DataFrame)]): DataFrame = {
+    require(levels.nonEmpty, "dupLengthProfileFromLevels: no levels")
+    levels.map { case (l, marked) => depthRow(marked.select("doc_id", "pos"), l) }
+      .reduce(_ unionByName _).orderBy("min_len")
+  }
+
+  /** EXACT per-position longest-match lengths — `dupLen(p)` for every
+    * base-marked window start: the largest `m` (capped at the top cascade
+    * level) such that the `m`-token window at `p` is verbatim duplicated
+    * somewhere in the corpus. This is the per-position quantity the
+    * length-weighted Lee-et-al dedup policies (keep-longest,
+    * threshold-by-length) need, which the power-of-two band profile alone
+    * cannot serve. Output: (doc_id, pos, match_len), one row per
+    * base-level marked position, `match_len = min(dupLen, cap)` with
+    * `cap` = the last level's length (documented cap — a policy
+    * thresholding above the cap has the whole band at `cap`).
+    *
+    * Algorithm — band-bounded distributed BINARY SEARCH between adjacent
+    * cascade levels: a position marked at ℓ but not 2ℓ has
+    * dupLen ∈ [ℓ, 2ℓ); bisect that interval, verifying each probed
+    * length `m` over the CLOSURE candidate set
+    * {p : p ∈ marked_ℓ ∧ p+m−ℓ ∈ marked_ℓ} (every occurrence of a truly
+    * duplicated m-gram passes both half-mark tests, so the content
+    * groupBy sees complete groups — the same exactness argument as the
+    * cascade). The predicate "duplicated at m" is monotone in m (a prefix
+    * of a duplicated window is duplicated), so bisection is exact.
+    *
+    * Scale shape: ⌈log₂ ℓ⌉ passes; each pass verifies every in-flight
+    * probe length in ONE candidate-bounded pass (variable-length grams
+    * grouped by (m, gram)), with candidates and content traffic bounded
+    * by the band's shrinking marked sets — the corpus is never rescanned
+    * (token arrays restrict once to documents owning base marks). Each
+    * pass's search state is [[pin]]ned, so the plan stays flat. */
+  def matchLengthsFromLevels(toks: DataFrame,
+      levels: Seq[(Int, DataFrame)]): DataFrame = {
+    require(levels.nonEmpty, "matchLengthsFromLevels: no levels")
+    val lens = levels.map(_._1)
+    require(lens == lens.sorted && lens.distinct == lens,
+      s"levels must be ascending, got $lens")
+    require(lens.sliding(2).forall {
+      case Seq(a, b) => b == 2 * a
+      case _ => true
+    }, s"levels must double, got $lens")
+    val markedByLevel = levels.map { case (l, m) =>
+      (l, m.select("doc_id", "pos")) }.toMap
+    val base = markedByLevel(lens.head)
+    val cap = lens.last
+    // candidates only ever live in documents owning a base mark — restrict
+    // the token-array side ONCE instead of rescanning the corpus per pass
+    val toksDup = pin(toks.select(col("doc_id"), col("tokens"))
+      .join(base.select("doc_id").distinct(), "doc_id"))
+    // top-level members are exactly the cap (their true length is >= cap);
+    // every other position bisects its band [l, 2l)
+    val done = markedByLevel(cap)
+      .select(col("doc_id"), col("pos"), lit(cap.toLong).as("match_len"))
+    val bands = lens.sliding(2).collect { case Seq(l, l2) =>
+      markedByLevel(l).join(markedByLevel(l2), Seq("doc_id", "pos"), "left_anti")
+        .select(col("doc_id"), col("pos"),
+          lit(l.toLong).as("lo"), lit(l2.toLong).as("hi"))
+    }.toSeq
+    // a single-level cascade has no bands: every mark IS the cap
+    var state =
+      if (bands.isEmpty)
+        base.limit(0).select(col("doc_id"), col("pos"),
+          lit(0L).as("lo"), lit(0L).as("hi"))
+      else pin(bands.reduce(_ unionByName _))
+    var searching = state.where(col("hi") - col("lo") > 1)
+    while (!searching.isEmpty) {
+      val mids = searching
+        .select(floor((col("lo") + col("hi")) / 2).as("m"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      // band base of probe length m: the largest level <= m (m sits
+      // strictly inside (l, 2l), so this is its own band's base)
+      val byLevel = mids.groupBy(m => lens.filter(_ <= m).max)
+      val cands = byLevel.toSeq.sortBy(_._1).map { case (l, ms) =>
+        val marked = markedByLevel(l)
+        marked
+          .withColumn("m", explode(array(ms.map(lit(_)): _*)))
+          .withColumn("tail_pos", col("pos") + col("m") - l)
+          .join(marked.select(col("doc_id"), col("pos").as("tail_pos")),
+            Seq("doc_id", "tail_pos"))
+          .select("doc_id", "pos", "m")
+      }.reduce(_ unionByName _)
+      val verified = verifyCandidatesVarLen(toksDup, cands)
+        .withColumn("dup", lit(1L))
+      state = pin(state
+        .withColumn("m",
+          when(col("hi") - col("lo") > 1, floor((col("lo") + col("hi")) / 2)))
+        .join(verified, Seq("doc_id", "pos", "m"), "left")
+        .select(col("doc_id"), col("pos"),
+          when(col("m").isNotNull && col("dup").isNotNull, col("m"))
+            .otherwise(col("lo")).as("lo"),
+          when(col("m").isNotNull && col("dup").isNull, col("m"))
+            .otherwise(col("hi")).as("hi")))
+      searching = state.where(col("hi") - col("lo") > 1)
+    }
+    state.select(col("doc_id"), col("pos"), col("lo").as("match_len"))
+      .unionByName(done)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Variable-length verify: like [[verifyCandidates]] but each candidate
+    * carries its OWN probe length `m` — grams group by (m, gram), so
+    * different lengths never collide. Exact under the same closure
+    * precondition, per length. */
+  private def verifyCandidatesVarLen(toks: DataFrame, cands: DataFrame): DataFrame = {
+    val perDoc = cands.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("m"))).as("ps"))
+    val grams = toks.join(perDoc, "doc_id")
+      .select(col("doc_id"), explode(col("ps")).as("pm"), col("tokens"))
+      .select(col("doc_id"), col("pm.pos").as("pos"), col("pm.m").as("m"),
+        concat_ws(" ",
+          slice(col("tokens"), col("pos").cast("int"), col("m").cast("int"))).as("gram"))
+    val dup = grams.groupBy("m", "gram").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("m", "gram")
+    grams.join(dup, Seq("m", "gram")).select("doc_id", "pos", "m")
+  }
+
+  /** [[matchLengthsFromLevels]] building its own cascade from the base
+    * verified table — the live (asset-free) spelling. */
+  def matchLengthsFromVerified(toks: DataFrame, verified: DataFrame,
+      baseLen: Int, doublings: Int = 3): DataFrame =
+    matchLengthsFromLevels(toks,
+      cascadeLevels(toks, verified.select("doc_id", "pos"), baseLen, doublings))
 
   /** Driver-visible THROW gate: the candidate-verify path must mark
     * EXACTLY the positions the string-keyed window family marks at the
@@ -257,25 +419,35 @@ object ExactSubstr {
     * One summary row for the driver, zero required both ways. */
   def windowFamilyAgreementGate(toks: DataFrame, wins: DataFrame, n: Int): DataFrame = {
     val family = Curation.duplicateSpansFromWindows(wins)
-      .select(col("doc_id"), col("pos"), lit(1L).as("in_family"))
     val exact = duplicateWindowsFromTokens(toks, n)
-      .select(col("doc_id"), col("pos"), lit(1L).as("in_exact"))
-    val row = family.join(exact, Seq("doc_id", "pos"), "full_outer")
-      .agg(count(lit(1)).as("n_positions"),
-        sum(when(col("in_exact").isNull, 1L).otherwise(0L)).as("n_only_family"),
-        sum(when(col("in_family").isNull, 1L).otherwise(0L)).as("n_only_exact"))
-      .head()
-    val (n_pos, onlyFam, onlyEx) = (row.getAs[Long]("n_positions"),
-      row.getAs[Long]("n_only_family"), row.getAs[Long]("n_only_exact"))
-    require(n_pos > 0, "exact-substr agreement gate is vacuous: no duplicated windows")
+    val (n_pos, onlyFam, onlyEx) = agreementCounts(family, exact)
     require(onlyFam == 0L,
       s"candidate-verify path LOST $onlyFam/$n_pos true duplicated windows")
     require(onlyEx == 0L,
       s"candidate-verify path kept $onlyEx unverified (collision) positions")
     val s = toks.sparkSession
     import s.implicits._
-    Seq((n_pos, onlyFam, onlyEx))
-      .toDF("n_positions", "n_only_family", "n_only_exact")
+    // n_pos == 0 reports `vacuous = 1` instead of throwing: a legitimately
+    // duplicate-free corpus must not fail the registry (the agreement
+    // claim holds trivially; dev fixtures assert non-vacuousness in specs)
+    Seq((n_pos, onlyFam, onlyEx, if (n_pos == 0L) 1L else 0L))
+      .toDF("n_positions", "n_only_family", "n_only_exact", "vacuous")
+  }
+
+  /** Marked-set symmetric difference, the compare both agreement gates
+    * share: (total positions, left-only, right-only) over (doc_id, pos). */
+  private[graft] def agreementCounts(left: DataFrame, right: DataFrame): (Long, Long, Long) = {
+    val l = left.select(col("doc_id"), col("pos"), lit(1L).as("in_l"))
+    val r = right.select(col("doc_id"), col("pos"), lit(1L).as("in_r"))
+    val row = l.join(r, Seq("doc_id", "pos"), "full_outer")
+      .agg(count(lit(1)).as("n_positions"),
+        // coalesce: a vacuous (empty both sides) compare sums to NULL,
+        // and the vacuous row must report 0s, not NPE
+        coalesce(sum(when(col("in_r").isNull, 1L).otherwise(0L)), lit(0L)).as("n_only_l"),
+        coalesce(sum(when(col("in_l").isNull, 1L).otherwise(0L)), lit(0L)).as("n_only_r"))
+      .head()
+    (row.getAs[Long]("n_positions"),
+      row.getAs[Long]("n_only_l"), row.getAs[Long]("n_only_r"))
   }
 
   /** Duplicated-window detection via distributed PREFIX-DOUBLING suffix
@@ -309,17 +481,9 @@ object ExactSubstr {
         posexplode(col("tokens")).as(Seq("p0", "t")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("t"),
         (col("n_tok") - col("p0")).as("suffix_len"))
-    val spark = toks.sparkSession
-    // each level is persisted, MATERIALIZED (pinning its sparse ids), and
-    // lineage-cut: without the cut the next level's plan embeds this one
-    // TWICE (rank + shifted-rank side), so analysis cost doubles per
-    // round — the bpeTrainMerges lesson (at sf0.01 the un-cut loop spent
-    // 70 s in the optimizer on 27k rows)
-    def pin(df: DataFrame): DataFrame = {
-      val p = df.scopedPersist()
-      p.count()
-      spark.createDataFrame(p.rdd, p.schema)
-    }
+    // each level is pinned — persisted, MATERIALIZED (fixing its sparse
+    // ids), and lineage-cut: the next level's plan embeds this one TWICE
+    // (rank + shifted-rank side), the exact blow-up [[pin]] exists for
     val tokenIds = pin(positions.select("t").distinct()
       .select(col("t"), monotonically_increasing_id().as("r")))
     var cur = pin(positions.join(tokenIds, "t")
@@ -364,25 +528,67 @@ object ExactSubstr {
     * the gate's point. */
   def rankAgreementGateFromVerified(toks: DataFrame, verified: DataFrame,
       n: Int): DataFrame = {
-    val viaRanks = duplicateWindowsViaRanks(toks, n)
-      .select(col("doc_id"), col("pos"), lit(1L).as("in_ranks"))
-    val viaVerify = verified
-      .select(col("doc_id"), col("pos"), lit(1L).as("in_verify"))
-    val row = viaRanks.join(viaVerify, Seq("doc_id", "pos"), "full_outer")
-      .agg(count(lit(1)).as("n_positions"),
-        sum(when(col("in_verify").isNull, 1L).otherwise(0L)).as("n_only_ranks"),
-        sum(when(col("in_ranks").isNull, 1L).otherwise(0L)).as("n_only_verify"))
-      .head()
-    val (n_pos, onlyRanks, onlyVerify) = (row.getAs[Long]("n_positions"),
-      row.getAs[Long]("n_only_ranks"), row.getAs[Long]("n_only_verify"))
-    require(n_pos > 0, "exact-substr rank gate is vacuous: no duplicated windows")
+    val (n_pos, onlyRanks, onlyVerify) =
+      agreementCounts(duplicateWindowsViaRanks(toks, n), verified)
     require(onlyRanks == 0L,
       s"candidate-verify path missed $onlyRanks/$n_pos suffix-rank duplicates")
     require(onlyVerify == 0L,
       s"suffix-rank path missed $onlyVerify/$n_pos verified duplicates")
     val s = toks.sparkSession
     import s.implicits._
-    Seq((n_pos, onlyRanks, onlyVerify))
-      .toDF("n_positions", "n_only_ranks", "n_only_verify")
+    // vacuous = 1 instead of a throw on a duplicate-free corpus — see
+    // [[windowFamilyAgreementGate]]
+    Seq((n_pos, onlyRanks, onlyVerify, if (n_pos == 0L) 1L else 0L))
+      .toDF("n_positions", "n_only_ranks", "n_only_verify", "vacuous")
+  }
+
+  /** Deterministic bounded sub-corpus for the SAMPLED rank gate:
+    * hash-sampled documents (`xxhash64(doc_id) % sampleMod == 0`) plus
+    * PLANTED documents — every occurrence of the first `plantedGrams`
+    * verified grams (ordered by gram), so a corpus that has duplicates at
+    * all yields a non-vacuous sample with complete duplicate groups.
+    * Pure column functions of stored data — identical sample every run. */
+  private[graft] def exactSubstrSample(toks: DataFrame, verified: DataFrame,
+      sampleMod: Int, plantedGrams: Int): DataFrame = {
+    require(sampleMod >= 1 && plantedGrams >= 0,
+      s"bad sample params ($sampleMod, $plantedGrams)")
+    val hashedIds = toks.select("doc_id")
+      .where(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
+    val plantedIds = verified
+      .join(verified.select("gram").distinct().orderBy("gram").limit(plantedGrams),
+        "gram")
+      .select("doc_id")
+    toks.join(hashedIds.unionByName(plantedIds).distinct(), "doc_id")
+  }
+
+  /** [[rankAgreementGateFromVerified]] on a bounded deterministic document
+    * SAMPLE — the registry-tier spelling of the cross-check. The full
+    * gate's ⌈log₂ n⌉ full-corpus shuffle rounds cost ~4× the production
+    * operator and are unrunnable at 100 TB, which would silently retire
+    * the gate exactly where it matters; on a planted+hash sample BOTH
+    * algorithms run fresh over the same sub-corpus (the verify side is
+    * re-derived on the sample, NOT sliced from the full-corpus asset —
+    * restriction changes which windows are duplicated), so
+    * position-for-position agreement retains its refuting power at a
+    * corpus-independent bounded cost, the same reasoning as the capped
+    * self-retrieval probes. Output adds the sample size so a reader can
+    * audit the gate's actual coverage. */
+  def rankAgreementGateSampled(toks: DataFrame, verified: DataFrame, n: Int,
+      sampleMod: Int = 8, plantedGrams: Int = 8): DataFrame = {
+    val sample = exactSubstrSample(toks, verified, sampleMod, plantedGrams)
+      .scopedPersist()
+    val nDocs = sample.count()
+    val (n_pos, onlyRanks, onlyVerify) = agreementCounts(
+      duplicateWindowsViaRanks(sample, n),
+      duplicateWindowsFromTokens(sample, n))
+    require(onlyRanks == 0L,
+      s"candidate-verify path missed $onlyRanks/$n_pos suffix-rank duplicates (sampled)")
+    require(onlyVerify == 0L,
+      s"suffix-rank path missed $onlyVerify/$n_pos verified duplicates (sampled)")
+    val s = toks.sparkSession
+    import s.implicits._
+    Seq((n_pos, onlyRanks, onlyVerify, nDocs, if (n_pos == 0L) 1L else 0L))
+      .toDF("n_positions", "n_only_ranks", "n_only_verify", "n_docs_sampled",
+        "vacuous")
   }
 }

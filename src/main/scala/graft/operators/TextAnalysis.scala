@@ -981,8 +981,13 @@ object TextAnalysis {
       s"dropFraction $dropFraction must be in [0, 1)")
     val q = qualityScore(docs).select("doc_id", "quality")
     val scored = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+    // same 4-column schema as the thresholded path (null threshold = "no
+    // cut applied"), so callers can union/compare across parameterizations
     if (dropFraction == 0.0)
-      return scored.select("doc_id", "source", "quality").orderBy("doc_id")
+      return scored
+        .select(col("doc_id"), col("source"), col("quality"),
+          lit(null).cast("double").as("q_threshold"))
+        .orderBy("doc_id")
     val thresholds = scored.groupBy("source").agg(
       count(lit(1)).as("n_in_source"),
       expr(s"percentile_approx(quality, $dropFraction, $accuracy)").as("q_threshold"))

@@ -183,14 +183,36 @@ object Streams {
     * verified duplicated grams (each gram re-tokenizes to exactly one
     * `n`-window, so the kernel yields its one hash) — the same 64-bit
     * function the stream side computes per row, so membership needs no
-    * gram STRING anywhere. Null when the index is empty. */
+    * gram STRING anywhere. Null when the index is empty.
+    *
+    * The gram→tokens round-trip (`split(gram, ' ')`) is lossless only
+    * under the tokenizer invariant that tokens contain no spaces/empties
+    * — true for every gram this engine builds, but
+    * `duplicateWindowsFromTokens` accepts arbitrary external token
+    * arrays, and a violated round-trip would silently produce mismatched
+    * hashes and FALSE NEGATIVES (breaking the gate's one guarantee). So
+    * the build THROWS on any gram whose re-split is not exactly `n`
+    * tokens, in the same single aggregation pass. Bloom inserts are
+    * idempotent set-bit ORs, so no distinct pass is needed. */
   def dupWindowBloom(dupWindows: DataFrame, n: Int,
-      expectedItems: Long = 1L << 20): Array[Byte] =
-    dupWindows
-      .select(expr(s"element_at(graft_window_hashes(split(gram, ' '), $n), 1)")
-        .as("wh")).distinct()
-      .agg(expr(s"graft_bloom_agg(wh, ${expectedItems}L)").as("bf"))
-      .head().getAs[Array[Byte]](0)
+      expectedItems: Long = 1L << 20): Array[Byte] = {
+    val row = dupWindows
+      .select(split(col("gram"), " ").as("ts"))
+      // wh guarded by the arity check: a bad gram must reach the require
+      // below as a counted row, not die earlier in ANSI element_at
+      .select(when(size(col("ts")) === n,
+          expr(s"element_at(graft_window_hashes(ts, $n), 1)")).as("wh"),
+        (size(col("ts")) =!= n).cast("long").as("bad"))
+      .agg(expr(s"graft_bloom_agg(wh, ${expectedItems}L)").as("bf"),
+        coalesce(sum(col("bad")), lit(0L)).as("n_bad"))
+      .head()
+    val nBad = row.getAs[Long]("n_bad")
+    require(nBad == 0L,
+      s"dupWindowBloom: $nBad gram(s) do not round-trip split(gram, ' ') to " +
+        s"exactly $n tokens — external token arrays with spaces/empties would " +
+        "make the Bloom silently miss true duplicates")
+    row.getAs[Array[Byte]]("bf")
+  }
 
   /** [[streamingExactSubstrFlag]] with the Bloom prebuilt (serving shape:
     * the model is a per-snapshot artifact, not a per-batch rebuild). The

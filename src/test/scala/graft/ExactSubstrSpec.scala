@@ -216,22 +216,74 @@ class ExactSubstrSpec extends SparkSpec {
     assert(exact == family)
   }
 
-  test("agreement gates pass on the fixture and throw when vacuous") {
+  test("agreement gates pass on the fixture and report vacuous=1 when duplicate-free") {
     val wins = Curation.windowRowsFromTokens(fixtureToksDf, 5)
     val row = ExactSubstr.windowFamilyAgreementGate(fixtureToksDf, wins, 5)
-      .as[(Long, Long, Long)].head()
-    assert(row._1 > 0 && row._2 == 0 && row._3 == 0)
+      .as[(Long, Long, Long, Long)].head()
+    assert(row._1 > 0 && row._2 == 0 && row._3 == 0 && row._4 == 0)
     val rank = ExactSubstr.rankAgreementGate(fixtureToksDf, 12)
-      .as[(Long, Long, Long)].head()
-    assert(rank._1 > 0 && rank._2 == 0 && rank._3 == 0)
+      .as[(Long, Long, Long, Long)].head()
+    assert(rank._1 > 0 && rank._2 == 0 && rank._3 == 0 && rank._4 == 0)
+    // a legitimately duplicate-free corpus reports a vacuous row instead
+    // of failing the registry (r8 ADVICE: data property != gate failure)
     val empty = toksOf(Seq((1L, Seq("unique", "tokens", "only", "here"))))
-    intercept[IllegalArgumentException] {
-      ExactSubstr.windowFamilyAgreementGate(empty,
-        Curation.windowRowsFromTokens(empty, 3), 3)
+    val vac = ExactSubstr.windowFamilyAgreementGate(empty,
+      Curation.windowRowsFromTokens(empty, 3), 3)
+      .as[(Long, Long, Long, Long)].head()
+    assert(vac == ((0L, 0L, 0L, 1L)))
+    val vacRank = ExactSubstr.rankAgreementGate(empty, 3)
+      .as[(Long, Long, Long, Long)].head()
+    assert(vacRank == ((0L, 0L, 0L, 1L)))
+  }
+
+  test("rank gate THROWS on a seeded kernel mutation (lost and phantom positions)") {
+    // a broken candidate/hash kernel loses a true duplicate: simulate by
+    // dropping one verified row — the suffix-rank side still finds it
+    val verified = ExactSubstr.duplicateWindowsFromTokens(fixtureToksDf, 12)
+      .select("doc_id", "pos").cache()
+    val first = verified.orderBy("doc_id", "pos").limit(1)
+    val lost = verified.exceptAll(first)
+    val e1 = intercept[IllegalArgumentException] {
+      ExactSubstr.rankAgreementGateFromVerified(fixtureToksDf, lost, 12)
     }
-    intercept[IllegalArgumentException] {
-      ExactSubstr.rankAgreementGate(empty, 3)
+    assert(e1.getMessage.contains("missed"))
+    // a collision the content verify failed to kill: a phantom position
+    val phantom = verified.unionByName(
+      Seq((999999L, 1L)).toDF("doc_id", "pos"))
+    val e2 = intercept[IllegalArgumentException] {
+      ExactSubstr.rankAgreementGateFromVerified(fixtureToksDf, phantom, 12)
     }
+    assert(e2.getMessage.contains("missed"))
+    verified.unpersist()
+  }
+
+  test("sampled rank gate: deterministic, non-vacuous via planting, agrees with full gate") {
+    val verified = ExactSubstr.duplicateWindowsFromTokens(fixtureToksDf, 12)
+    // sampleMod=1 samples every document — the sampled gate then IS the
+    // full gate (summary row matches, plus the sample-size column)
+    val full = ExactSubstr.rankAgreementGate(fixtureToksDf, 12)
+      .as[(Long, Long, Long, Long)].head()
+    val all = ExactSubstr.rankAgreementGateSampled(fixtureToksDf, verified, 12,
+      sampleMod = 1, plantedGrams = 0)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert((all._1, all._2, all._3) == ((full._1, full._2, full._3)))
+    assert(all._4 == fixtureToks.size && all._5 == 0)
+    // a sparse hash sample with planting stays non-vacuous (the planted
+    // gram groups ride along whole) and is identical run-to-run
+    val s1 = ExactSubstr.rankAgreementGateSampled(fixtureToksDf, verified, 12,
+      sampleMod = 1000000, plantedGrams = 4)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val s2 = ExactSubstr.rankAgreementGateSampled(fixtureToksDf, verified, 12,
+      sampleMod = 1000000, plantedGrams = 4)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s1 == s2)
+    assert(s1._5 == 0 && s1._1 > 0, "planting must keep the gate non-vacuous")
+    assert(s1._4 < fixtureToks.size, "sample must actually be a subset")
+    // the sample itself is the documented closure: planted gram groups
+    // arrive complete, so their windows verify as duplicated IN the sample
+    val sample = ExactSubstr.exactSubstrSample(fixtureToksDf, verified,
+      1000000, 4)
+    assert(sample.count() == s1._4)
   }
 
   test("dupLengthProfile: brute-force counts per length, zero rows past max depth") {
@@ -281,6 +333,102 @@ class ExactSubstrSpec extends SparkSpec {
     // fixture shape: depth 48 occupied, depth 96 empty (honest zero row)
     assert(cascade.find(_._1 == 48L).get._2 > 0)
     assert(cascade.find(_._1 == 96L).get == ((96L, 0L, 0L, 0L)))
+  }
+
+  /** Brute-force per-position longest duplicated window length, capped:
+    * for each base-marked position, max m in [base, cap] whose m-window
+    * occurs >= 2 times corpus-wide. */
+  private def bruteMatchLengths(docs: Seq[(Long, Seq[String])], base: Int,
+      cap: Int): Map[(Long, Long), Long] = {
+    val counts = scala.collection.mutable.Map[(Int, Seq[String]), Int]().withDefaultValue(0)
+    for ((_, ts) <- docs; m <- base to cap; p <- 0 to ts.length - m)
+      counts((m, ts.slice(p, p + m))) += 1
+    (for {
+      (id, ts) <- docs
+      p <- 0 to ts.length - base
+      if counts((base, ts.slice(p, p + base))) >= 2
+    } yield {
+      val best = (base to cap).filter(m =>
+        p + m <= ts.length && counts((m, ts.slice(p, p + m))) >= 2).max
+      (id, (p + 1).toLong) -> best.toLong
+    }).toMap
+  }
+
+  test("matchLengths == brute force on planted corpora (base 2, cap 16)") {
+    val rnd = new scala.util.Random(424242L)
+    val alphabet = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 5) {
+      val docs0 = (0 until 5).map { i =>
+        (i.toLong, Seq.fill(20 + rnd.nextInt(25))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      // plant a clone of length in [5, 14] so several bands are exercised
+      val src = docs0(rnd.nextInt(5))._2
+      val chunk = src.slice(0, math.min(src.length, 5 + rnd.nextInt(10)))
+      val victim = rnd.nextInt(5)
+      val docs = docs0.updated(victim, (docs0(victim)._1, docs0(victim)._2 ++ chunk))
+      val df = toksOf(docs)
+      val verified = ExactSubstr.duplicateWindowsFromTokens(df, 2)
+      val got = ExactSubstr.matchLengthsFromVerified(df, verified, 2, 3)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val expect = bruteMatchLengths(docs, 2, 16)
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("matchLengths on the fixture == capped suffix-array per-position longest match") {
+    // the literal suffix array's maxMatch(p) IS dupLen(p): the longest
+    // match of suffix p against any other suffix, i.e. the longest
+    // duplicated substring starting at p
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val origin = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (((id, ts), i) <- fixtureToks.zipWithIndex) {
+      for ((t, j) <- ts.zipWithIndex) { buf += t; origin += ((id, (j + 1).toLong)) }
+      buf += (" sep" + i + " "); origin += ((-1L, -1L))
+    }
+    val a = buf.toArray
+    val n = a.length
+    val sa = Array.range(0, n).sortWith { (i, j) =>
+      var x = i; var y = j
+      while (x < n && y < n && a(x) == a(y)) { x += 1; y += 1 }
+      if (x == n) true else if (y == n) false else a(x) < a(y)
+    }
+    val maxMatch = new Array[Int](n)
+    for (r <- 0 until n - 1) {
+      var k = 0
+      val (i, j) = (sa(r), sa(r + 1))
+      while (i + k < n && j + k < n && a(i + k) == a(j + k)) k += 1
+      maxMatch(i) = math.max(maxMatch(i), k)
+      maxMatch(j) = math.max(maxMatch(j), k)
+    }
+    val expect = (0 until n).iterator
+      .filter(p => maxMatch(p) >= 12 && origin(p)._1 >= 0)
+      .map(p => origin(p) -> math.min(maxMatch(p), 96).toLong)
+      .toMap
+    val verified = ExactSubstr.duplicateWindowsFromTokens(fixtureToksDf, 12)
+    val got = ExactSubstr.matchLengthsFromVerified(fixtureToksDf, verified, 12, 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == expect.keySet)
+    val diff = got.collect { case (k, v) if expect(k) != v => (k, v, expect(k)) }
+    assert(diff.isEmpty, s"mismatched lengths: ${diff.take(5)}")
+    // the fixture genuinely exercises exact (non-band-edge) lengths and
+    // the cap
+    assert(got.values.exists(v => v != 12 && v != 24 && v != 48 && v != 96))
+  }
+
+  test("matchLengths degenerate shapes: single level, empty corpus") {
+    // single-level cascade: every mark reports the cap (= base)
+    val docs = Seq((1L, Seq("x", "y", "z", "q")), (2L, Seq("x", "y", "z", "w")))
+    val df = toksOf(docs)
+    val verified = ExactSubstr.duplicateWindowsFromTokens(df, 3)
+    val one = ExactSubstr.matchLengthsFromVerified(df, verified, 3, 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one == Set((1L, 1L, 3L), (2L, 1L, 3L)))
+    // empty corpus: no rows, no crash
+    val none = toksOf(Seq.empty[(Long, Seq[String])])
+    assert(ExactSubstr.matchLengthsFromVerified(none,
+      ExactSubstr.duplicateWindowsFromTokens(none, 2), 2, 2).count() == 0)
   }
 
   test("pathological corpus: every document identical") {

@@ -222,6 +222,22 @@ class SimilaritySpec extends SparkSpec {
     val byVec = native.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
     for (vid <- Seq(0L, 1L, 2L, 3L)) assert(byVec(vid).forall(_.isEmpty), s"vec $vid")
     assert(byVec(5L).forall(_.nonEmpty) && byVec(6L).forall(_.nonEmpty))
+    // ragged vectors: SHORTER than dim is degenerate (the fold's
+    // element_at past the end nulls the sticky accumulator — all-null
+    // output, never a throw); LONGER projects its first dim elements,
+    // identically to the same vector truncated at dim
+    val ragged = Seq(
+      (10L, Array(D(1.0), D(2.0), D(3.0))),                       // 3 < dim=4
+      (11L, Array(D(1.0), D(2.0), D(3.0), D(4.0), D(99.0))),      // 5 > dim=4
+      (12L, Array(D(1.0), D(2.0), D(3.0), D(4.0))),               // exact dim
+      (13L, Array.empty[java.lang.Double])                        // empty
+    ).toDF("vec_id", "embedding")
+    val rgot = Similarity.randomProject(ragged, outDim = 4, dim = 4)
+      .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(r => (r._1, r._2))
+    val rby = rgot.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(rby(10L).forall(_.isEmpty) && rby(13L).forall(_.isEmpty))
+    assert(rby(11L).forall(_.nonEmpty))
+    assert(rby(11L) == rby(12L), "extra trailing elements must not affect the projection")
   }
 
   test("int8 codec: i8Encode/i8Dot reproduce the quantizer, estimate within guard") {

@@ -171,8 +171,16 @@ class TextAnalysisSpec extends SparkSpec {
     val sampled2 = TextAnalysis.qualityRankFilterSampled(docs, dropFraction = 0.2)
       .select("doc_id").as[Long].collect().toSet
     assert(sampled2 == exact2)
-    // dropFraction 0 keeps everything
-    assert(TextAnalysis.qualityRankFilterSampled(docs, 0.0).count() == docs.count())
+    // dropFraction 0 keeps everything, with the SAME 4-column schema as
+    // every thresholded call (null q_threshold = "no cut"), so outputs
+    // union across parameterizations without an AnalysisException
+    val noCut = TextAnalysis.qualityRankFilterSampled(docs, 0.0)
+    assert(noCut.count() == docs.count())
+    assert(noCut.columns.toSeq ==
+      TextAnalysis.qualityRankFilterSampled(docs, 0.25).columns.toSeq)
+    assert(noCut.unionByName(TextAnalysis.qualityRankFilterSampled(docs, 0.25))
+      .count() > 0)
+    assert(noCut.where(col("q_threshold").isNotNull).count() == 0)
     // tie semantics: a tie ACROSS the cut drops as a whole value group
     // (thresholds cannot see doc_ids) — the documented divergence from
     // rank-exact, which tiebreaks by doc_id and drops exactly one here
