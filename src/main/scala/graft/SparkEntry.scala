@@ -387,6 +387,14 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)))
     }
 
+  /** Corpus adjacent-trigram counts `(w1, w2, w3, n_abc)` — the one model
+    * table every trigram-KN statistic aggregates from. */
+  private def trigramCountsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "trigram_counts") {
+      TextAnalysis.trigramCountsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)))
+    }
+
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
     * whole span-dedup family (detect/stats/strip, exact + hashed) marks
     * back against; as an asset the corpus tokenizes + windows ONCE per
@@ -547,6 +555,7 @@ object SparkEntry {
     "knn_exact" -> ((s, d) => { knnExactAsset(s, d); () }),
     "ivf_lloyd_cents" -> ((s, d) => { lloydCentroidsAsset(s, d); () }),
     "bigram_counts" -> ((s, d) => { bigramCountsAsset(s, d); () }),
+    "trigram_counts" -> ((s, d) => { trigramCountsAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
@@ -1171,6 +1180,18 @@ object SparkEntry {
       TextAnalysis.perplexityBucketsKn(Tables.documents(s, dir),
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         bigramCountsAsset(s, dir))),
+    // TRIGRAM interpolated Kneser–Ney (Chen & Goodman interpolated form,
+    // continuation counts at every lower order) + its tercile cut — the
+    // larger-context model a CCNet-grade filter ships; all statistics
+    // aggregate from the one trigram-counts asset
+    "lm_doc_scores_kn3" -> ((s, dir) =>
+      TextAnalysis.lmDocScoresKn3FromModel(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+        trigramCountsAsset(s, dir), termCountsAsset(s, dir))),
+    "perplexity_buckets_kn3" -> ((s, dir) =>
+      TextAnalysis.perplexityBucketsKn3(Tables.documents(s, dir),
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+        trigramCountsAsset(s, dir), termCountsAsset(s, dir))),
     // thresholds-broadcast forms of the per-source ranking filters — the
     // 100 TB escape hatch (quantile sketch + broadcast, no per-source
     // sort). Rank-exact siblings stay the oracle queries; these are
@@ -1543,6 +1564,20 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "text"),
         dupWindowBloomModel(s, dir), n = 12)
         .orderBy("doc_id")),
+    // the REFRESH protocol's batch shape: the same stateless gate stamped
+    // with the serving index snapshot's version (content-derived — the
+    // stored index's row count), the column a stream consumer audits to
+    // see WHICH snapshot scored each row. The stream side (foreachBatch
+    // poll + model swap on version change) is MemoryStream-spec'd in
+    // StreamingSpec; versions only need to change on rebuild.
+    "streams_exact_substr_versioned_batch" -> ((s, dir) => {
+      val version = exactSubstrWindowsAsset(s, dir).count()
+      graft.streaming.Streams.streamingExactSubstrFlagWithModel(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        dupWindowBloomModel(s, dir), n = 12)
+        .withColumn("index_version", lit(version))
+        .orderBy("doc_id")
+    }),
     "streams_decontaminate_batch" -> ((s, dir) => {
       val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
       graft.streaming.Streams.streamingDecontaminate(
@@ -1873,6 +1908,46 @@ object SparkEntry {
        |      ), 9) AS DECIMAL(18,9))) AS DOUBLE) / count(*), 9) AS avg_logprob
        |  FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1) JOIN rc USING (w2)
        |  CROSS JOIN nt
+       |  GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Trigram interpolated Kneser–Ney scoring CTE — every statistic a type
+    * count over the trigram table (continuation counts below the top
+    * order); the nested `p₃(p₂(p₁))` double is spelled in the SAME fixed
+    * operation order as the Spark column, so it is bit-identical before
+    * the 9-rounded `ln`. The training corpus has every transition
+    * observed, so only the full-formula branch is exercised (the Spark
+    * side's backoff CASE arms never fire here). */
+  private val lmKn3DocCte =
+    s"""$toksArrCte,
+       |tg AS (
+       |  SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+       |         split_part(g, ' ', 3) AS w3
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(a) - 1),
+       |                i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+       |        FROM toksarr WHERE len(a) >= 3) u
+       |), tc3 AS (SELECT w1, w2, w3, count(*) AS n_abc FROM tg GROUP BY 1, 2, 3),
+       |cx3 AS (SELECT w1, w2, CAST(sum(n_abc) AS BIGINT) AS c12,
+       |               count(*) AS n1p_fwd12 FROM tc3 GROUP BY 1, 2),
+       |ct2 AS (SELECT w2, w3, count(*) AS cont23 FROM tc3 GROUP BY 1, 2),
+       |md AS (SELECT w2, CAST(sum(cont23) AS BIGINT) AS mid_ctx,
+       |              count(*) AS n1p_mid FROM ct2 GROUP BY 1),
+       |ct1 AS (
+       |  SELECT w3, count(*) AS cont3,
+       |    CAST(sum(count(*)) OVER () AS BIGINT) AS n_ct
+       |  FROM ct2 GROUP BY 1
+       |),
+       |lmkn3 AS (
+       |  SELECT doc_id, count(*) AS n_transitions,
+       |    round(CAST(sum(CAST(round(ln(
+       |        (CAST(tc3.n_abc AS DOUBLE) - 0.75) / cx3.c12
+       |        + ((0.75 * cx3.n1p_fwd12) / cx3.c12)
+       |          * ((CAST(ct2.cont23 AS DOUBLE) - 0.75) / md.mid_ctx
+       |             + ((0.75 * md.n1p_mid) / md.mid_ctx)
+       |               * (CAST(ct1.cont3 AS DOUBLE) / ct1.n_ct))
+       |      ), 9) AS DECIMAL(18,9))) AS DOUBLE) / count(*), 9) AS avg_logprob
+       |  FROM tg JOIN tc3 USING (w1, w2, w3) JOIN cx3 USING (w1, w2)
+       |       JOIN ct2 USING (w2, w3) JOIN md USING (w2) JOIN ct1 USING (w3)
        |  GROUP BY doc_id
        |)""".stripMargin
 
@@ -3910,6 +3985,24 @@ object SparkEntry {
       s"""WITH $lmKnDocCte
          |SELECT doc_id, n_transitions, avg_logprob FROM lmkn
          |ORDER BY doc_id""".stripMargin,
+    "lm_doc_scores_kn3" ->
+      s"""WITH $lmKn3DocCte
+         |SELECT doc_id, n_transitions, avg_logprob FROM lmkn3
+         |ORDER BY doc_id""".stripMargin,
+    "perplexity_buckets_kn3" ->
+      s"""WITH $lmKn3DocCte,
+         |j AS (
+         |  SELECT d.doc_id, d.source, lmkn3.avg_logprob,
+         |    CAST(row_number() OVER (PARTITION BY d.source
+         |      ORDER BY lmkn3.avg_logprob DESC, d.doc_id ASC) AS BIGINT) AS ppl_rank,
+         |    count(*) OVER (PARTITION BY d.source) AS n_in_source
+         |  FROM documents d JOIN lmkn3 ON lmkn3.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, source, avg_logprob, ppl_rank,
+         |  CASE WHEN ppl_rank * 3 <= n_in_source THEN 'head'
+         |       WHEN ppl_rank * 3 <= n_in_source * 2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM j ORDER BY doc_id""".stripMargin,
     "perplexity_buckets_kn" ->
       s"""WITH $lmKnDocCte,
          |j AS (

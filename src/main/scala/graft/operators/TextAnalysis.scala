@@ -480,6 +480,28 @@ object TextAnalysis {
     adjacentPairs(toks.select(col("tokens").as("a")), "a", Seq.empty)
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
 
+  /** Adjacent-triple extraction — the trigram twin of [[adjacentPairs]]:
+    * one row per (w1, w2, w3) transition, per-row array slicing. */
+  private def adjacentTriples(arrays: DataFrame, arrCol: String,
+      carry: Seq[String]): DataFrame =
+    arrays.where(size(col(arrCol)) >= 3)
+      .select(carry.map(col) :+ explode(expr(
+        s"transform(sequence(1, size($arrCol) - 2), " +
+          s"i -> struct(element_at($arrCol, i) AS w1, " +
+          s"element_at($arrCol, i + 1) AS w2, " +
+          s"element_at($arrCol, i + 2) AS w3))"))
+        .as("tg"): _*)
+      .select(carry.map(col) :+ col("tg.w1").as("w1") :+
+        col("tg.w2").as("w2") :+ col("tg.w3").as("w3"): _*)
+
+  /** Corpus adjacent-trigram count table `(w1, w2, w3, n_abc)` — the model
+    * table the trigram Kneser–Ney scorer aggregates every statistic from;
+    * built once per dataset as a corpus asset exactly like
+    * [[bigramCountsFromTokens]] (one narrow pass with map-side partials). */
+  def trigramCountsFromTokens(toks: DataFrame): DataFrame =
+    adjacentTriples(toks.select(col("tokens").as("a")), "a", Seq.empty)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n_abc"))
+
   private def bigramPmiFromArrays(arrays: DataFrame, tc: DataFrame,
       minCount: Long, k: Int): DataFrame =
     bigramPmiFromBigramCounts(
@@ -627,6 +649,84 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TRIGRAM interpolated Kneser–Ney document scoring — the larger-context
+    * model a CCNet-grade fluency filter actually ships (Chen & Goodman
+    * 1999 §4.1.6, interpolated form with one fixed discount `D` per
+    * order). The full chain, every statistic a TYPE count over the
+    * trigram table (lower orders use CONTINUATION counts, never raw
+    * counts — the Kneser–Ney insight the bigram scorer already carries):
+    *
+    * {{{ p₃(w3|w1w2) = (C(w1w2w3) − D)/C(w1w2·)
+    *                   + (D·N1+(w1w2·)/C(w1w2·)) · p₂(w3|w2)
+    *     p₂(w3|w2)   = (N1+(·w2w3) − D)/N1+(·w2·)
+    *                   + (D·N1+mid(w2·)/N1+(·w2·)) · p₁(w3)
+    *     p₁(w3)      = N1+(·w3) / N1+(··) }}}
+    * with `N1+(·w2w3)` = distinct w1 preceding the (w2,w3) continuation,
+    * `N1+(·w2·)` its sum over w3, `N1+mid(w2·)` = distinct such w3,
+    * `N1+(·w3)` = distinct w2 in the continuation types, `N1+(··)` =
+    * total continuation types — all aggregated from the ONE trigram-count
+    * asset, so the model is self-consistent by construction. Per-context
+    * probability mass sums to exactly 1 at every level
+    * ([[graft.TextAnalysisSpec]] property-tests all three).
+    *
+    * UNSEEN transitions (held-out scoring) back off level by level
+    * instead of saturating toward add-one's 1/V: an unseen trigram over a
+    * seen context keeps its interpolation weight `D·N1+(w1w2·)/C(w1w2·)`
+    * on the bigram continuation; an unseen context falls through to
+    * p₂; an unseen (w2,w3) continuation to `λ₂·p₁`; an unseen w2 to
+    * p₁; only a never-seen w3 bottoms out at uniform 1/V (`tc` supplies
+    * V). On the training corpus every transition is observed, so the
+    * registered oracle query exercises the full-formula branch only —
+    * spelled in the same fixed operation order as the DuckDB oracle
+    * (exact integer inputs → bit-identical doubles), ln rounded to 9,
+    * per-doc mean through DECIMAL(18,9).
+    *
+    * Scale/parity shape: identical to the bigram KN scorer — five narrow
+    * model aggregates of the trigram asset joined to the per-row
+    * transition stream, one-row type/vocab frames broadcast. */
+  def lmDocScoresKn3FromModel(toks: DataFrame, trigrams: DataFrame,
+      tc: DataFrame, d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"discount d=$d must be in (0, 1)")
+    val ctx = trigrams.groupBy("w1", "w2")
+      .agg(sum("n_abc").as("c12"), count(lit(1)).as("n1p_fwd12"))
+    val cont2 = trigrams.groupBy("w2", "w3").agg(count(lit(1)).as("cont23"))
+    val mid = cont2.groupBy("w2")
+      .agg(sum("cont23").as("mid_ctx"), count(lit(1)).as("n1p_mid"))
+    val cont1 = cont2.groupBy("w3").agg(count(lit(1)).as("cont3"))
+    val types = cont2.agg(count(lit(1)).as("n_ct"))
+    val vocab = tc.agg(count_distinct(col("term")).as("v_size"))
+    val p1 = when(col("cont3").isNotNull,
+        col("cont3").cast("double") / col("n_ct"))
+      .otherwise(lit(1.0) / col("v_size"))
+    val p2 = when(col("mid_ctx").isNotNull,
+        when(col("cont23").isNotNull,
+          (col("cont23").cast("double") - d) / col("mid_ctx")
+            + ((lit(d) * col("n1p_mid")) / col("mid_ctx")) * p1)
+          .otherwise(((lit(d) * col("n1p_mid")) / col("mid_ctx")) * p1))
+      .otherwise(p1)
+    val p3 = when(col("c12").isNotNull,
+        when(col("n_abc").isNotNull,
+          (col("n_abc").cast("double") - d) / col("c12")
+            + ((lit(d) * col("n1p_fwd12")) / col("c12")) * p2)
+          .otherwise(((lit(d) * col("n1p_fwd12")) / col("c12")) * p2))
+      .otherwise(p2)
+    adjacentTriples(toks, "tokens", Seq("doc_id"))
+      .join(trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(cont2, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(cont1, Seq("w3"), "left")
+      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", round(log(p3), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("logp").cast("decimal(18,9)")).as("lp_sum"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(col("lp_sum").cast("double") / col("n_transitions"), 9).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting high quality monolingual datasets from web crawl data"):
     * per SOURCE, split documents into `head` / `middle` / `tail` terciles
@@ -655,6 +755,13 @@ object TextAnalysis {
   def perplexityBucketsKn(docs: DataFrame, toks: DataFrame, bigrams: DataFrame,
       d: Double = 0.75): DataFrame =
     bucketByFluency(docs, lmDocScoresKnFromModel(toks, bigrams, d))
+
+  /** [[perplexityBucketsKn]] scored by the TRIGRAM interpolated KN model —
+    * same rank-exact tercile cut; documents with <3 tokens have no score
+    * and drop out (the honest answer, as in the scorer itself). */
+  def perplexityBucketsKn3(docs: DataFrame, toks: DataFrame,
+      trigrams: DataFrame, tc: DataFrame, d: Double = 0.75): DataFrame =
+    bucketByFluency(docs, lmDocScoresKn3FromModel(toks, trigrams, tc, d))
 
   private def bucketByFluency(docs: DataFrame, lmScores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

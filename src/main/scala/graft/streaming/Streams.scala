@@ -239,6 +239,59 @@ object Streams {
         (col("dup_window_frac") >= flagRatio).cast("long"))
   }
 
+  /** Serve a stream against a REFRESHABLE model snapshot — the protocol
+    * that closes the batch-index-maintenance → stream-serving loop: the
+    * gates above embed their trained blob (dup-window Bloom, decon Bloom)
+    * in the streaming plan as a literal, so a corpus drop that rebuilds
+    * the stored index leaves a running stream scoring against the stale
+    * snapshot until restart. Here the model lives OUTSIDE the plan: each
+    * micro-batch first polls `currentVersion` (cheap — a version stamp,
+    * not the model), reloads via `loadModel` only when the version moved,
+    * then scores the batch with `score` and hands the result (stamped
+    * with the serving `index_version`) to `sink`. `foreachBatch` runs
+    * sequentially per query, so the swap is race-free; versions only need
+    * to CHANGE on rebuild, not be ordered.
+    *
+    * Scale shape: the poll is once per micro-batch (never per row), the
+    * reload is the same bounded model build the batch tier runs, and the
+    * scoring plan is whatever `score` builds — for the Bloom gates,
+    * stateless per-row map work unchanged. */
+  def withRefreshingModel[M](docs: DataFrame,
+      currentVersion: () => Long, loadModel: () => M,
+      score: (DataFrame, M) => DataFrame,
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val held = new java.util.concurrent.atomic.AtomicReference[(Long, M)](
+      (currentVersion(), loadModel()))
+    val w = docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val v = currentVersion()
+        if (v != held.get()._1) held.set((v, loadModel()))
+        val (ver, model) = held.get()
+        sink(score(batch.toDF(), model).withColumn("index_version", lit(ver)),
+          batchId)
+        ()
+      }
+      .outputMode(OutputMode.Append)
+    checkpointDir.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+
+  /** [[streamingExactSubstrFlag]] under the refresh protocol: rows
+    * arriving after a dup-window index rebuild (version bump) score
+    * against the NEW Bloom without a stream restart; rows before it keep
+    * the old snapshot's verdicts (visible via `index_version`).
+    * `loadModel` is typically [[dupWindowBloom]] over the re-read stored
+    * index. */
+  def exactSubstrGateWithRefresh(docs: DataFrame,
+      currentVersion: () => Long, loadModel: () => Array[Byte],
+      n: Int = 12, flagRatio: Double = 0.05,
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    withRefreshingModel[Array[Byte]](docs, currentVersion, loadModel,
+      (batch, bloom) => streamingExactSubstrFlagWithModel(batch, bloom, n, flagRatio),
+      checkpointDir)(sink)
+
   /** Stream-stream interval join: right rows within
     * `[left.t - lower, left.t + upper]` for the same key. The explicit
     * time bound is what makes this viable on unbounded streams — with both

@@ -138,6 +138,27 @@ class PlanSpec extends SparkSpec {
       "candidates must come from the rolling kernel:\n" + p.take(2000))
   }
 
+  test("depth profile from cascade levels: flat fixed-fan plan, bounded exchanges") {
+    val toks = graft.operators.Tfidf.tokenArrays(Tables.documents(spark, dir))
+    val verified = graft.operators.ExactSubstr.duplicateWindowsFromTokens(toks, 12)
+    val levels = graft.operators.ExactSubstr.cascadeLevels(
+      toks, verified.select("doc_id", "pos"), 12, 3)
+    val df = graft.operators.ExactSubstr.dupLengthProfileFromLevels(levels)
+    df.collect()
+    val p = plan(df)
+    // every level is lineage-cut (pin), so the profile plan must be a
+    // fixed fan of per-level aggregates over pinned/stored marked sets —
+    // the r8 live-cascade spelling embedded the verify pipeline per level
+    // and compiled a 953-exchange plan
+    val nEx = "Exchange".r.findAllMatchIn(p).length
+    assert(nEx <= 24, s"depth-profile plan must stay bounded, got $nEx exchanges:\n" +
+      p.take(2000))
+    assert(!p.contains("graft_window_hashes"),
+      "serving the profile must not re-run candidate generation:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "no verify joins may survive into the serving plan:\n" + p.take(2000))
+  }
+
   test("bigramPmi: per-doc extraction (no self-join), top-k heap, no window") {
     val df = graft.operators.TextAnalysis.bigramPmi(Tables.documents(spark, dir), 1L, 10)
     df.collect()

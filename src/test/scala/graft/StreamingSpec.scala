@@ -180,6 +180,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("index refresh: rows before/after a rebuild score against old/new snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val gramA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val gramB = "one two three four five six seven eight nine ten eleven twelve"
+    def bloomFor(texts: Seq[String]): Array[Byte] = {
+      val toks = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .select(col("doc_id"), graft.operators.Curation.textTokenArray.as("tokens"))
+      Streams.dupWindowBloom(
+        graft.operators.ExactSubstr.duplicateWindowsFromTokens(toks, 12), 12)
+    }
+    // snapshot 1: only gramA is corpus-duplicated
+    val bloom1 = bloomFor(Seq(gramA + " tail", "head " + gramA))
+    // snapshot 2 (after a corpus drop + index rebuild): gramB too
+    val bloom2 = bloomFor(Seq(gramA + " tail", "head " + gramA,
+      gramB + " tail", "head " + gramB))
+    @volatile var version = 1L
+    @volatile var stored = bloom1
+    var loads = 0
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.exactSubstrGateWithRefresh(
+      in.toDF.toDF("doc_id", "text"),
+      currentVersion = () => version,
+      loadModel = () => { loads += 1; stored },
+      n = 12) { (df, _) =>
+      buf.synchronized {
+        buf ++= df.select("doc_id", "flagged", "index_version")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      ()
+    }
+    try {
+      in.addData((10L, "x " + gramA + " y"), (11L, "x " + gramB + " y"))
+      q.processAllAvailable()
+      // snapshot 1 serves: A flagged, B invisible to the old index
+      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L)))
+      assert(loads == 1, "unchanged version must not reload the model")
+      // batch-tier rebuild lands: new snapshot + version bump
+      stored = bloom2
+      version = 2L
+      in.addData((20L, "x " + gramA + " y"), (21L, "x " + gramB + " y"))
+      q.processAllAvailable()
+      // rows after the rebuild see the NEW index (B now flagged); the
+      // already-emitted rows keep their old-snapshot verdicts and stamp
+      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L),
+        (20L, 1L, 2L), (21L, 1L, 2L)))
+      assert(loads == 2, "exactly one reload per version change")
+      // an unchanged version on a later batch still doesn't reload
+      in.addData((30L, "nothing duplicated in this entirely fresh sentence appears anywhere"))
+      q.processAllAvailable()
+      assert(loads == 2)
+      assert(buf.exists(r => r._1 == 30L && r._2 == 0L && r._3 == 2L))
+    } finally q.stop()
+  }
+
   test("streamingDecontaminate runs live: per-row gate, batch parity, no state") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))

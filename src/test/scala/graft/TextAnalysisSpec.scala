@@ -158,6 +158,139 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("lmDocScoresKn3: hand-computed trigram interpolated KN log-probs") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")),
+      (2L, Seq("b", "a", "b")),
+      (3L, Seq("c", "c"))).toDF("doc_id", "tokens") // <3 tokens: drops out
+    val tri = TextAnalysis.trigramCountsFromTokens(toks)
+    val tc = Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 3L, 2L))
+      .toDF("term", "doc_id", "cnt")
+    val out = TextAnalysis.lmDocScoresKn3FromModel(toks, tri, tc, d = 0.75)
+      .as[(Long, Long, Double)].collect().toSeq
+    // model: C(aba)=2, C(bab)=2; ctx(a,b)=2 (fwd 1), ctx(b,a)=2 (fwd 1);
+    // cont2(b,a)=1, cont2(a,b)=1; mid(a)=mid(b)=(1,1); cont1(a)=cont1(b)=1;
+    // types=2
+    val p1 = 1.0 / 2
+    val p2 = (1.0 - 0.75) / 1 + ((0.75 * 1) / 1) * p1    // 0.625
+    val p3 = (2.0 - 0.75) / 2 + ((0.75 * 1) / 2) * p2    // 0.859375
+    val l3 = r9(math.log(p3))
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 3L), (2L, 1L)))
+    assert(out(0)._3 == r9((l3 * 3) / 3) && out(1)._3 == l3)
+  }
+
+  test("KN3 backoff: unseen contexts interpolate level by level, never saturate to 1/V") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val train = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")),
+      (2L, Seq("b", "a", "b"))).toDF("doc_id", "tokens")
+    val tri = TextAnalysis.trigramCountsFromTokens(train)
+    val tc = Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDF("term", "doc_id", "cnt")
+    // held-out transitions over the SAME model:
+    //  (b,b,a): context (b,b) unseen -> falls through to p2(a|b) = 0.625
+    //  (a,b,z): context seen, (b,z) continuation unseen, z unseen ->
+    //           lam3(a,b) * lam2(b) * (1/V) = (.75*1/2)*(.75*1/1)*(1/2)
+    val heldOut = Seq((10L, Seq("b", "b", "a")), (11L, Seq("a", "b", "z")))
+      .toDF("doc_id", "tokens")
+    val got = TextAnalysis.lmDocScoresKn3FromModel(heldOut, tri, tc, d = 0.75)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    val p2a = (1.0 - 0.75) / 1 + ((0.75 * 1) / 1) * 0.5
+    assert(got(10L) == ((1L, r9(math.log(p2a)))))
+    val pz = ((0.75 * 1) / 2) * (((0.75 * 1) / 1) * (1.0 / 2))
+    assert(got(11L) == ((1L, r9(math.log(pz)))))
+    // the whole point vs add-one: a fluent-but-unseen transition keeps
+    // interpolated mass far above the uniform floor, and even the
+    // fully-unseen word keeps its backoff weights explicit
+    assert(p2a > 0.5 && pz > 0.0)
+  }
+
+  test("KN3 properties: mass sums to 1 at every level; fixture recompute pins the model") {
+    val toks = operators.Tfidf.tokenArrays(
+      sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val tri = TextAnalysis.trigramCountsFromTokens(toks)
+      .as[(String, String, String, Long)].collect().toSeq
+    val d = 0.75
+    val ctx = tri.groupBy(t => (t._1, t._2)).view
+      .mapValues(g => (g.map(_._4).sum, g.size)).toMap
+    val cont2 = tri.map(t => (t._2, t._3)).distinct
+    val cont1 = cont2.groupBy(_._2).view.mapValues(_.size).toMap
+    val nCt = cont2.size.toDouble
+    def p1(w3: String): Double = cont1(w3) / nCt
+    // cont23(w2 -> w3 -> N1+(.w2w3)): distinct w1 preceding each (w2,w3)
+    val cont23By = tri.groupBy(_._2).view.mapValues(g =>
+      g.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap).toMap
+    // p1 is a distribution
+    assert(math.abs(cont1.values.sum / nCt - 1.0) < 1e-12)
+    // p2 mass per w2 over the FULL vocabulary: observed continuations get
+    // the discounted term, unseen ones the interpolation arm lam2*p1 (the
+    // same backoff arm the scorer's CASE takes) — exactly 1 by the KN
+    // identity SUM(c - D) = mid - D*n1p and SUM_all p1 = 1
+    val vocabW3 = cont1.keys.toSeq
+    for ((w2, cont23) <- cont23By.take(50)) {
+      val midSum = cont23.values.sum.toDouble
+      val lam2 = (d * cont23.size) / midSum
+      val mass = vocabW3.map { w3 =>
+        cont23.get(w3) match {
+          case Some(c) => (c - d) / midSum + lam2 * p1(w3)
+          case None => lam2 * p1(w3)
+        }
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"p2 mass for $w2: $mass")
+    }
+    // p3 mass per observed (w1,w2) context over the full vocabulary —
+    // unseen trigrams and unseen continuations take exactly the scorer's
+    // backoff arms
+    for (((w1, w2), (c12, fwd)) <- ctx.take(50)) {
+      val cont23 = cont23By(w2)
+      val midSum = cont23.values.sum.toDouble
+      val lam2 = (d * cont23.size) / midSum
+      def p2t(w3: String): Double = cont23.get(w3) match {
+        case Some(c) => (c - d) / midSum + lam2 * p1(w3)
+        case None => lam2 * p1(w3)
+      }
+      val triHere = tri.filter(t => t._1 == w1 && t._2 == w2)
+        .map(t => t._3 -> t._4).toMap
+      val lam3 = (d * fwd) / c12.toDouble
+      val mass = vocabW3.map { w3 =>
+        triHere.get(w3) match {
+          case Some(c) => (c - d) / c12 + lam3 * p2t(w3)
+          case None => lam3 * p2t(w3)
+        }
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"p3 mass for ($w1,$w2): $mass")
+    }
+    // full-model local recompute of every document's mean == the operator
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val triCount = tri.map(t => (t._1, t._2, t._3) -> t._4).toMap
+    val localDocs = toks.as[(Long, Seq[String])].collect().toSeq
+    val expected = localDocs
+      .filter(_._2.length >= 3)
+      .map { case (id, ts) =>
+        val lps = ts.sliding(3).toSeq.map { case Seq(w1, w2, w3) =>
+          val (c12, fwd) = ctx((w1, w2))
+          val cont23 = cont23By(w2)
+          val midSum = cont23.values.sum.toDouble
+          val p2v = (cont23(w3) - d) / midSum +
+            ((d * cont23.size) / midSum) * p1(w3)
+          val p3v = (triCount((w1, w2, w3)) - d) / c12 +
+            ((d * fwd) / c12.toDouble) * p2v
+          BigDecimal(r9(math.log(p3v)))
+        }
+        (id, lps.size.toLong, r9(lps.sum.toDouble / lps.size))
+      }
+      .sortBy(_._1)
+    val tc = Seq(("a", 1L, 1L)).toDF("term", "doc_id", "cnt") // V unused in-corpus
+    val got = TextAnalysis.lmDocScoresKn3FromModel(toks,
+      TextAnalysis.trigramCountsFromTokens(toks), tc, d)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("qualityRankFilterSampled keeps the rank-exact set on tie-free boundaries") {
     val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = TextAnalysis.qualityRankFilter(docs, dropFraction = 0.25)
