@@ -1204,6 +1204,10 @@ object SparkEntry {
       TextAnalysis.perplexityBucketsSampledKn(Tables.documents(s, dir),
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         bigramCountsAsset(s, dir))),
+    "perplexity_buckets_sampled_kn3" -> ((s, dir) =>
+      TextAnalysis.perplexityBucketsSampledKn3(Tables.documents(s, dir),
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+        trigramCountsAsset(s, dir), termCountsAsset(s, dir))),
     // topic-rebalancing cap over the SemDeDup cluster assignment: at most
     // `cap` representatives per semantic cluster, rank-exact
     "cluster_balanced_sample" -> ((s, dir) =>
@@ -1306,6 +1310,20 @@ object SparkEntry {
     // opening window — "duplicated from where"
     "exact_substr_spans_attributed" -> ((s, dir) =>
       ExactSubstr.spansWithWitness(exactSubstrWindowsAsset(s, dir), 12)),
+    // length-THRESHOLD strip (Lee et al. §4 policy variant): only
+    // duplicates of >= 48 tokens are stripped — served from the stored
+    // L=48 cascade level, whose canon is that length's corpus-first rule
+    "exact_substr_strip_minlen" -> ((s, dir) =>
+      ExactSubstr.stripThresholdFromLevel(Tables.documents(s, dir),
+        exactSubstrLevelAsset(s, dir, 48), 48)),
+    // KEEP-LONGEST strip (the other §4 keeper variant): each duplicated
+    // gram keeps its occurrence in the longest document (ties →
+    // corpus-first); keeper election groups by the 16-byte stored canon,
+    // never the gram string
+    "exact_substr_strip_keep_longest" -> ((s, dir) =>
+      ExactSubstr.stripKeepLongestFromVerified(Tables.documents(s, dir),
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+        exactSubstrWindowsAsset(s, dir), 12)),
     // duplication-depth distribution: corpus mass inside verbatim
     // duplicates of >= 12/24/48/96 tokens (Lee-et-al length profile),
     // SERVED from the stored cascade-level sub-assets — one bounded
@@ -1379,6 +1397,15 @@ object SparkEntry {
     // the min doc per near-dup cluster); oracle via the same recursive CTE
     "dedup_apply" -> ((s, dir) =>
       Dedup.applyDedupLabels(Tables.documents(s, dir), dedupLabelsAsset(s, dir))
+        .select("doc_id", "source").orderBy("doc_id")),
+    // quality-weighted keeper: per near-dup cluster keep the HIGHEST
+    // quality-score member (ties → min doc_id) instead of the arbitrary
+    // min-id copy; keeper election is one narrow agg, text never moves
+    "dedup_apply_keep_best" -> ((s, dir) =>
+      Dedup.applyDedupLabelsKeepBest(Tables.documents(s, dir),
+        dedupLabelsAsset(s, dir),
+        TextAnalysis.qualityScore(Tables.documents(s, dir))
+          .select("doc_id", "quality"))
         .select("doc_id", "source").orderBy("doc_id")),
     // overlapping token-window chunking (context-length splitting)
     "chunk_documents" -> ((s, dir) =>
@@ -3099,6 +3126,97 @@ object SparkEntry {
          |  coalesce(a.clean_text, '') AS clean_text
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the same strip spelling with the marking length at the L=48 cascade
+    // level: only duplicates >= 48 tokens are removed
+    "exact_substr_strip_minlen" ->
+      s"""WITH $toksArrCte,
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 46)) AS pos
+         |  FROM toksarr WHERE len(a) >= 48
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(a[pos:pos+47], ' ') AS gram
+         |  FROM w0
+         |),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |  FROM wins
+         |),
+         |rem AS (
+         |  SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1
+         |),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, tpos
+         |  FROM (SELECT doc_id, unnest(range(pos, pos + 48)) AS tpos FROM rem)
+         |),
+         |toks AS (
+         |  SELECT doc_id, tpos, a[tpos] AS term
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS tpos FROM toksarr)
+         |),
+         |kept AS (
+         |  SELECT t.doc_id, t.tpos, t.term
+         |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         |  WHERE c.doc_id IS NULL
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(term, ' ' ORDER BY tpos) AS clean_text
+         |  FROM kept GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // the same strip spelling at L=12 with the KEEP-LONGEST keeper: each
+    // gram's surviving occurrence is the one in the longest document
+    // (token count DESC, ties -> corpus-first (doc_id, pos))
+    "exact_substr_strip_keep_longest" ->
+      s"""WITH $toksArrCte,
+         |dl AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS doc_len FROM toksarr),
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 10)) AS pos
+         |  FROM toksarr WHERE len(a) >= 12
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(a[pos:pos+11], ' ') AS gram
+         |  FROM w0
+         |),
+         |marked AS (
+         |  SELECT w.doc_id, w.pos,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    row_number() OVER (PARTITION BY gram
+         |      ORDER BY d.doc_len DESC, w.doc_id ASC, w.pos ASC) AS rn
+         |  FROM wins w JOIN dl d USING (doc_id)
+         |),
+         |rem AS (
+         |  SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1
+         |),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, tpos
+         |  FROM (SELECT doc_id, unnest(range(pos, pos + 12)) AS tpos FROM rem)
+         |),
+         |toks AS (
+         |  SELECT doc_id, tpos, a[tpos] AS term
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS tpos FROM toksarr)
+         |),
+         |kept AS (
+         |  SELECT t.doc_id, t.tpos, t.term
+         |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         |  WHERE c.doc_id IS NULL
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(term, ' ' ORDER BY tpos) AS clean_text
+         |  FROM kept GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "streams_span_dedup_batch" ->
       s"""WITH $toksArrCte,
          |w0 AS (
@@ -3273,6 +3391,26 @@ object SparkEntry {
       s"""$clusterLabelsCte
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster)
+         |ORDER BY d.doc_id""".stripMargin,
+    // keeper = the highest-quality cluster member (ties -> min doc_id);
+    // the quality expression is the quality_score oracle's, verbatim
+    "dedup_apply_keep_best" ->
+      s"""$clusterLabelsCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+         |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+         |      + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.1
+         |      + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+         |              / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
+         |  FROM documents),
+         |k AS (
+         |  SELECT l.doc_id,
+         |    row_number() OVER (PARTITION BY l.cluster
+         |      ORDER BY coalesce(q.quality, -1.0) DESC, l.doc_id ASC) AS rn
+         |  FROM labels l LEFT JOIN q USING (doc_id))
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM k WHERE rn > 1)
          |ORDER BY d.doc_id""".stripMargin,
     "training_data_manifest" ->
       s"""$manifestOracleCtes

@@ -607,6 +607,37 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** [[applyDedupLabels]] with a QUALITY-WEIGHTED keeper rule: per
+    * near-dup cluster keep the member with the HIGHEST score (ties → the
+    * smallest doc_id), instead of blindly keeping the minimum-id member —
+    * the policy a curation pipeline actually wants, since near-dup
+    * clusters routinely mix a clean original with boilerplate-wrapped
+    * mirrors and the min-id copy is arbitrary. `scores` is any per-doc
+    * (doc_id, `scoreCol`) table (the quality-score operator's output, a
+    * perplexity score, …); a NULL/absent score ranks below every real one
+    * (scores here are non-negative ratios, so −1 is a strict floor).
+    *
+    * Scale shape: keeper election is one narrow agg over the (doc_id,
+    * cluster, score) join — `min(struct(−score, doc_id))` per cluster, no
+    * window, no sort; losers are narrow (doc_id) rows and the corpus is
+    * anti-joined exactly as in [[applyDedupLabels]] — document text never
+    * moves. */
+  def applyDedupLabelsKeepBest(docs: DataFrame, labels: DataFrame,
+      scores: DataFrame, scoreCol: String = "quality"): DataFrame = {
+    val sc = scores.select(col("doc_id"),
+      coalesce(col(scoreCol).cast("double"), lit(-1.0)).as("s"))
+    val keeper = labels.join(sc, Seq("doc_id"), "left")
+      .select(col("cluster"), col("doc_id"),
+        coalesce(col("s"), lit(-1.0)).as("s"))
+      .groupBy("cluster")
+      .agg(min(struct((-col("s")).as("ns"), col("doc_id").as("kd"))).as("k"))
+      .select(col("cluster"), col("k.kd").as("keep_doc"))
+    val losers = labels.join(keeper, "cluster")
+      .where(col("doc_id") =!= col("keep_doc"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Portable tokenized-text array (position-preserving), shared by the
     * n-gram operators and spelled identically in the DuckDB oracle. */
   private def tokenArray = expr(

@@ -196,6 +196,55 @@ object ExactSubstr {
     Curation.assembleStripped(docs, rem, n)
   }
 
+  /** Length-weighted exact-substring strip (the Lee et al. §4
+    * threshold-by-length policy): remove only duplicated content that
+    * sits inside a verbatim duplicate of ≥ `minLen` tokens, where
+    * `minLen` is a CASCADE level above the base index — short boilerplate
+    * (headers, license lines) survives for the gram families to judge,
+    * long verbatim clones are stripped down to their canonical
+    * (corpus-first) occurrence. This is [[stripFromVerified]] pointed at
+    * a stored cascade-level marked set instead of the base index — the
+    * level's `canon` IS the corpus-first occurrence of that level-length
+    * gram, so the keeper rule, token domain, and output shape are
+    * unchanged; only the marking length moves. Serving cost: one read of
+    * the (shrinking) level parquet + the same anti-coverage re-assembly,
+    * bounded per document. */
+  def stripThresholdFromLevel(docs: DataFrame, levelMarks: DataFrame,
+      level: Int): DataFrame =
+    stripFromVerified(docs, levelMarks, level)
+
+  /** KEEP-LONGEST exact-substring strip (the other Lee et al. §4 keeper
+    * variant): for each duplicated `n`-gram keep the occurrence living in
+    * the LONGEST document (token count; ties → corpus-first (doc_id,
+    * pos)) instead of the corpus-first occurrence — the policy that
+    * preserves the most-complete context of a duplicated passage (the
+    * canonical copy of a quote should be the full article, not the
+    * tweet-length fragment that happened to have the smallest id).
+    *
+    * The keeper election never touches gram STRINGS: at fixed `n` a
+    * gram's occurrence group is uniquely identified by its stored `canon`
+    * (the corpus-first (doc_id, pos) of that gram), so the re-election
+    * groups the verified table by the 16-byte canon key, joins doc
+    * lengths from the token-array side, and takes
+    * `min(struct(−doc_len, doc_id, pos))` per group — one narrow agg, no
+    * window, no content shuffle. Removed positions then re-assemble
+    * through the shared anti-coverage strip. */
+  def stripKeepLongestFromVerified(docs: DataFrame, toks: DataFrame,
+      verified: DataFrame, n: Int): DataFrame = {
+    val docLen = toks.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("doc_len"))
+    val keeper = verified.select("doc_id", "pos", "canon")
+      .join(docLen, "doc_id")
+      .groupBy(col("canon"))
+      .agg(min(struct((-col("doc_len")).as("neg_len"),
+        col("doc_id").as("kd"), col("pos").as("kp"))).as("k"))
+      .select(col("canon"), col("k.kd").as("keep_doc"), col("k.kp").as("keep_pos"))
+    val rem = verified.join(keeper, "canon")
+      .where(col("doc_id") =!= col("keep_doc") || col("pos") =!= col("keep_pos"))
+      .select("doc_id", "pos")
+    Curation.assembleStripped(docs, rem, n)
+  }
+
   /** Corpus duplication-DEPTH profile (the Lee et al. duplication-length
     * distribution): for each window length ℓ in `lengths` (conventionally
     * L, 2L, 4L, …), how much of the corpus sits inside a verbatim
@@ -252,12 +301,16 @@ object ExactSubstr {
     * at `half` — candidates are positions whose `half`-marks exist at both
     * `p` and `p + half` (closure: every occurrence of a duplicated
     * 2·half-gram passes the half-mark test), then the shared content
-    * verify. The level-to-level derivation the level sub-assets persist. */
+    * verify. The level-to-level derivation the level sub-assets persist.
+    * Output keeps the verify's `occ` and `canon` columns (the gram string
+    * itself is dropped — at 24/48/96 tokens it would dominate the stored
+    * level), so every stored level can serve canonical-keep policies like
+    * [[stripFromVerified]] at ITS length, not just profile counting. */
   def cascadeStep(toks: DataFrame, markedHalf: DataFrame, half: Int): DataFrame = {
     val marked = markedHalf.select("doc_id", "pos")
     val tail = marked.select(col("doc_id"), (col("pos") - half).as("pos"))
     verifyCandidates(toks, marked.join(tail, Seq("doc_id", "pos")), 2 * half)
-      .select("doc_id", "pos")
+      .select("doc_id", "pos", "occ", "canon")
   }
 
   /** The cascade's per-level marked sets, base first: (ℓ, marked_ℓ) for
@@ -362,7 +415,7 @@ object ExactSubstr {
       val cands = byLevel.toSeq.sortBy(_._1).map { case (l, ms) =>
         val marked = markedByLevel(l)
         marked
-          .withColumn("m", explode(array(ms.map(lit(_)): _*)))
+          .withColumn("m", explode(array(ms.toIndexedSeq.map(lit(_)): _*)))
           .withColumn("tail_pos", col("pos") + col("m") - l)
           .join(marked.select(col("doc_id"), col("pos").as("tail_pos")),
             Seq("doc_id", "tail_pos"))

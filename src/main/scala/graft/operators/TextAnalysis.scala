@@ -1116,6 +1116,16 @@ object TextAnalysis {
       bigrams: DataFrame, d: Double = 0.75, accuracy: Int = 100000): DataFrame =
     bucketByFluencyThresholds(docs, lmDocScoresKnFromModel(toks, bigrams, d), accuracy)
 
+  /** [[perplexityBucketsKn3]]' thresholds-broadcast form — the trigram
+    * scorer behind the same sketch-threshold cut as
+    * [[perplexityBucketsSampledKn]]: identical scale trade (no per-source
+    * sort anywhere in the plan) with the larger-context model. */
+  def perplexityBucketsSampledKn3(docs: DataFrame, toks: DataFrame,
+      trigrams: DataFrame, tc: DataFrame, d: Double = 0.75,
+      accuracy: Int = 100000): DataFrame =
+    bucketByFluencyThresholds(docs,
+      lmDocScoresKn3FromModel(toks, trigrams, tc, d), accuracy)
+
   private def bucketByFluencyThresholds(docs: DataFrame, lmScores: DataFrame,
       accuracy: Int): DataFrame = {
     val lm = lmScores.select("doc_id", "avg_logprob")

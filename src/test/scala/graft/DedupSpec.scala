@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
@@ -156,6 +158,44 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.applyNearDedup(docs, pairs)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 4L, 5L)) // 2 and 3 collapse into cluster 1
+  }
+
+  test("applyDedupLabelsKeepBest: highest score wins, ties -> min id, null score floors") {
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} labeled 1, {4,5} labeled 4, {6} singleton in labels,
+    // 7 and 8 unpaired (absent from labels -> always kept)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("doc_id", "cluster")
+    // cluster 1: doc 3 has the top score -> keeper despite max id;
+    // cluster 4: tie on 0.5 -> min doc_id (4) keeps;
+    // doc 6: scoreless singleton still keeps (it's its own best)
+    val scores = Seq(
+      1L -> Some(0.2), 2L -> Some(0.9), 3L -> Some(0.95),
+      4L -> Some(0.5), 5L -> Some(0.5)).map { case (id, s) => (id, s) }
+      .toDF("doc_id", "quality")
+    val kept = Dedup.applyDedupLabelsKeepBest(docs, labels, scores)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L, 6L, 7L, 8L))
+    // a null score loses to any real score, but a fully-scoreless cluster
+    // still keeps exactly its min-id member
+    val labels2 = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster")
+    val scores2 = Seq((1L, Option.empty[Double]), (2L, Some(0.1)))
+      .toDF("doc_id", "quality")
+    val kept2 = Dedup.applyDedupLabelsKeepBest(docs, labels2, scores2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(2L, 3L, 4L, 6L, 7L, 8L))
+  }
+
+  test("applyDedupLabelsKeepBest degenerates to applyDedupLabels under uniform scores") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "cluster")
+    val flat = docs.select(col("doc_id"), lit(0.7).as("quality"))
+    val best = Dedup.applyDedupLabelsKeepBest(docs, labels, flat)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val plain = Dedup.applyDedupLabels(docs, labels)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(best == plain)
   }
 
   test("connectedComponents: long chain converges within the diameter bound") {

@@ -216,6 +216,99 @@ class ExactSubstrSpec extends SparkSpec {
     assert(exact == family)
   }
 
+  // digit-free planted words: the strip consumers re-tokenize raw text via
+  // Curation.tokenArray, which DROPS digit-bearing tokens
+  private def plantedWords(tag: String, n: Int): Seq[String] =
+    (0 until n).map(i =>
+      tag + ('a' + i % 26).toChar.toString + ('a' + i / 26).toChar)
+
+  test("stripThresholdFromLevel: only >=48-token duplicates strip; shorter ones survive") {
+    def words(tag: String, n: Int): Seq[String] = plantedWords(tag, n)
+    val long = words("long", 60)   // shared 60-token run: stripped at 48
+    val short = words("short", 20) // shared 20-token run: kept at 48
+    val corpus = Seq(
+      (1L, long ++ words("ua", 9)),           // canonical copy of `long`
+      (2L, words("ub", 7) ++ long),           // loses its `long` coverage
+      (3L, short ++ words("uc", 40)),         // canonical copy of `short`
+      (4L, words("ud", 40) ++ short))         // keeps `short` too (< 48)
+    val docs = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val toks = toksOf(corpus)
+    val levels = ExactSubstr.cascadeLevels(toks,
+      ExactSubstr.duplicateWindowsFromTokens(toks, 12).select("doc_id", "pos"),
+      12, 2)
+    val l48 = levels.collectFirst { case (48, m) => m }.get
+    val got = ExactSubstr.stripThresholdFromLevel(docs, l48, 48)
+      .as[(Long, Long, String)].collect().toSeq
+    // the live brute-marking spelling at n=48 is the reference
+    val expected = Curation.stripDuplicateSpans(docs, 48)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == expected)
+    val byDoc = got.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._2 == 69)                      // canonical: untouched
+    assert(byDoc(2L)._2 == 7)                       // 60-run stripped
+    assert(byDoc(3L)._2 == 60 && byDoc(4L)._2 == 60) // 20-run SURVIVES
+    assert(byDoc(4L)._3.contains("shortaa"))
+  }
+
+  test("stripKeepLongest: each gram survives in the LONGEST document; ties corpus-first") {
+    def words(tag: String, n: Int): Seq[String] = plantedWords(tag, n)
+    val g = words("dup", 12)
+    val corpus = Seq(
+      (1L, g),                                  // shortest, smallest id
+      (2L, words("pad", 30) ++ g),              // LONGEST: the keeper
+      (3L, g ++ words("tail", 5)))              // middle
+    val docs = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val toks = toksOf(corpus)
+    val verified = ExactSubstr.duplicateWindowsFromTokens(toks, 12)
+    val got = ExactSubstr.stripKeepLongestFromVerified(docs, toks, verified, 12)
+      .as[(Long, Long, String)].collect().toSeq.map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 0)                     // corpus-first copy LOSES
+    assert(got(2L)._2 == 42 && got(2L)._3.contains("dupaa"))
+    assert(got(3L)._2 == 5 && !got(3L)._3.contains("dupaa"))
+    // equal lengths fall back to the corpus-first keeper: identical rows
+    // to the canonical-keep strip
+    val tieCorpus = Seq((1L, g ++ words("xa", 4)), (2L, g ++ words("xb", 4)))
+    val tieDocs = tieCorpus.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val tieToks = toksOf(tieCorpus)
+    val tieVerified = ExactSubstr.duplicateWindowsFromTokens(tieToks, 12)
+    val tieGot = ExactSubstr
+      .stripKeepLongestFromVerified(tieDocs, tieToks, tieVerified, 12)
+      .as[(Long, Long, String)].collect().toSeq
+    val tieCanon = ExactSubstr.stripFromVerified(tieDocs, tieVerified, 12)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(tieGot == tieCanon)
+  }
+
+  test("stripKeepLongest == local recompute of the keeper rule on the fixture") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val verified = ExactSubstr.duplicateWindowsFromTokens(fixtureToksDf, 12)
+    val got = ExactSubstr
+      .stripKeepLongestFromVerified(docs, fixtureToksDf, verified, 12)
+      .as[(Long, Long, String)].collect().toSeq
+    // local reference: group occurrences by gram, keep max doc_len
+    // (ties min (doc_id, pos)), remove coverage of the rest
+    val lens = fixtureToks.map { case (id, ts) => id -> ts.length }.toMap
+    val marked = bruteMarked(fixtureToks, 12)
+    val byGram = marked.groupBy { case (id, p) =>
+      fixtureToks.find(_._1 == id).get._2.slice(p.toInt - 1, p.toInt + 11)
+    }
+    val rem = byGram.values.flatMap { occ =>
+      val keeper = occ.minBy { case (id, p) => (-lens(id).toLong, id, p) }
+      occ - keeper
+    }.toSet
+    val cov = rem.flatMap { case (id, p) => (p until p + 12).map(id -> _) }
+    val expected = fixtureToks.map { case (id, ts) =>
+      val keptToks = ts.zipWithIndex.collect {
+        case (t, i) if !cov.contains(id -> (i + 1).toLong) => t
+      }
+      (id, keptToks.length.toLong, keptToks.mkString(" "))
+    }.sortBy(_._1)
+    assert(got == expected && rem.nonEmpty)
+  }
+
   test("agreement gates pass on the fixture and report vacuous=1 when duplicate-free") {
     val wins = Curation.windowRowsFromTokens(fixtureToksDf, 5)
     val row = ExactSubstr.windowFamilyAgreementGate(fixtureToksDf, wins, 5)

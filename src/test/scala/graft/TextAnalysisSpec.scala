@@ -340,6 +340,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sampled == exact && exact.nonEmpty)
   }
 
+  test("perplexityBucketsSampledKn3 buckets like the rank-exact KN3 cut on the fixture") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = operators.Tfidf.tokenArrays(docs)
+    val tri = TextAnalysis.trigramCountsFromTokens(toks)
+    val tc = Seq(("a", 1L, 1L)).toDF("term", "doc_id", "cnt") // V unused in-corpus
+    val exact = TextAnalysis.perplexityBucketsKn3(docs, toks, tri, tc)
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    val sampled = TextAnalysis.perplexityBucketsSampledKn3(docs, toks, tri, tc)
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(sampled == exact && exact.nonEmpty)
+  }
+
   test("packingEfficiency: truncation counts and padding bound, hand-computed") {
     val tc = Seq(("w", 1L, 10L), ("w", 2L, 100L)).toDF("term", "doc_id", "cnt")
     val got = TextAnalysis.packingEfficiency(tc, maxLens = Seq(64, 128))
