@@ -168,6 +168,47 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("localRankMarks == brute force and == the distributed rank path") {
+    val rnd = new scala.util.Random(11L)
+    val alphabet = Vector("a", "b", "c")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 4).map { i =>
+        (i.toLong,
+          Vector.fill(15 + rnd.nextInt(25))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      for (l <- Seq(1, 3, 5, 8, 12)) {
+        val local = ExactSubstr.localRankMarks(docs, l)
+        assert(local == bruteMarked(docs, l), s"trial $trial L=$l vs brute")
+        val dist = collectMarked(ExactSubstr.duplicateWindowsViaRanks(
+          toksOf(docs), l))
+        assert(local == dist, s"trial $trial L=$l vs distributed")
+      }
+    }
+    // short docs and empty corpus degenerate to the empty marking
+    assert(ExactSubstr.localRankMarks(Seq((1L, Vector("a", "b"))), 5).isEmpty)
+    assert(ExactSubstr.localRankMarks(Seq.empty, 3).isEmpty)
+  }
+
+  test("sampled rank gate THROWS on a seeded mutation of either side") {
+    val marks = Set((1L, 1L), (2L, 5L), (3L, 2L))
+    // agreeing sides pass and report the union size
+    val ok = ExactSubstr.sampledGateRow(spark, marks, marks, 10L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(ok == ((3L, 0L, 0L, 10L, 0L)))
+    // the verify side LOST a true duplicate (broken kernel: a hash that
+    // fails to collide for equal content)
+    val lost = intercept[IllegalArgumentException] {
+      ExactSubstr.sampledGateRow(spark, marks, marks - ((2L, 5L)), 10L)
+    }
+    assert(lost.getMessage.contains("missed"))
+    // the verify side kept a PHANTOM (content verify failed to kill a
+    // collision)
+    val phantom = intercept[IllegalArgumentException] {
+      ExactSubstr.sampledGateRow(spark, marks, marks + ((9L, 9L)), 10L)
+    }
+    assert(phantom.getMessage.contains("missed"))
+  }
+
   test("within-doc repetition is found without any cross-doc duplicate") {
     val docs = Seq((7L, Seq("x", "y", "x", "y", "x", "z")))
     val got = collectMarked(ExactSubstr.duplicateWindowsFromTokens(toksOf(docs), 2))
@@ -352,30 +393,35 @@ class ExactSubstrSpec extends SparkSpec {
 
   test("sampled rank gate: deterministic, non-vacuous via planting, agrees with full gate") {
     val verified = ExactSubstr.duplicateWindowsFromTokens(fixtureToksDf, 12)
-    // sampleMod=1 samples every document — the sampled gate then IS the
-    // full gate (summary row matches, plus the sample-size column)
+    // sampleDocs >= corpus samples every document — the sampled gate then
+    // IS the full gate (summary row matches, plus the sample-size column)
     val full = ExactSubstr.rankAgreementGate(fixtureToksDf, 12)
       .as[(Long, Long, Long, Long)].head()
     val all = ExactSubstr.rankAgreementGateSampled(fixtureToksDf, verified, 12,
-      sampleMod = 1, plantedGrams = 0)
+      sampleDocs = fixtureToks.size, plantedGrams = 0)
       .as[(Long, Long, Long, Long, Long)].head()
     assert((all._1, all._2, all._3) == ((full._1, full._2, full._3)))
     assert(all._4 == fixtureToks.size && all._5 == 0)
-    // a sparse hash sample with planting stays non-vacuous (the planted
+    // an empty hash sample with planting stays non-vacuous (the planted
     // gram groups ride along whole) and is identical run-to-run
     val s1 = ExactSubstr.rankAgreementGateSampled(fixtureToksDf, verified, 12,
-      sampleMod = 1000000, plantedGrams = 4)
+      sampleDocs = 0, plantedGrams = 4)
       .as[(Long, Long, Long, Long, Long)].head()
     val s2 = ExactSubstr.rankAgreementGateSampled(fixtureToksDf, verified, 12,
-      sampleMod = 1000000, plantedGrams = 4)
+      sampleDocs = 0, plantedGrams = 4)
       .as[(Long, Long, Long, Long, Long)].head()
     assert(s1 == s2)
     assert(s1._5 == 0 && s1._1 > 0, "planting must keep the gate non-vacuous")
     assert(s1._4 < fixtureToks.size, "sample must actually be a subset")
+    // the FIXED-size sample really is fixed: K docs by smallest hash plus
+    // the planted groups, regardless of corpus size
+    val k = ExactSubstr.rankAgreementGateSampled(fixtureToksDf, verified, 12,
+      sampleDocs = 7, plantedGrams = 0)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(k._4 == 7)
     // the sample itself is the documented closure: planted gram groups
     // arrive complete, so their windows verify as duplicated IN the sample
-    val sample = ExactSubstr.exactSubstrSample(fixtureToksDf, verified,
-      1000000, 4)
+    val sample = ExactSubstr.exactSubstrSample(fixtureToksDf, verified, 0, 4)
     assert(sample.count() == s1._4)
   }
 
