@@ -131,11 +131,23 @@ object Streams {
       n: Int = 3, flagRatio: Double = 0.05,
       expectedItems: Long = 1L << 20): DataFrame = {
     import graft.operators.Curation
-    val bf = Curation.benchBloomBytes(benchToks, n, expectedItems)
+    streamingDecontaminateWithModel(docs,
+      Curation.benchBloomBytes(benchToks, n, expectedItems), n, flagRatio)
+  }
+
+  /** The model-split form of [[streamingDecontaminate]] — scores against a
+    * PREBUILT benchmark Bloom blob ([[graft.operators.Curation.benchBloomBytes]],
+    * a per-snapshot artifact like the dup-window Bloom), so the same
+    * stateless per-row scan can serve under the refresh protocol
+    * ([[withRefreshingModel]]) when the benchmark suite itself is
+    * re-versioned. */
+  def streamingDecontaminateWithModel(docs: DataFrame, bloom: Array[Byte],
+      n: Int = 3, flagRatio: Double = 0.05): DataFrame = {
+    import graft.operators.Curation
     val hits =
-      if (bf == null) lit(0L)
+      if (bloom == null) lit(0L)
       else size(filter(col("garr"), g =>
-        call_function("graft_bloom_contains", lit(bf), xxhash64(g)))).cast("long")
+        call_function("graft_bloom_contains", lit(bloom), xxhash64(g)))).cast("long")
     docs
       .withColumn("a", Curation.textTokenArray)
       .withColumn("garr", Curation.gramArrayOf(col("a"), n))
@@ -290,6 +302,22 @@ object Streams {
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     withRefreshingModel[Array[Byte]](docs, currentVersion, loadModel,
       (batch, bloom) => streamingExactSubstrFlagWithModel(batch, bloom, n, flagRatio),
+      checkpointDir)(sink)
+
+  /** [[streamingDecontaminate]] under the refresh protocol: a benchmark
+    * suite re-release (new eval set added, a split re-versioned) rebuilds
+    * the benchmark Bloom batch-side; rows arriving after the version bump
+    * score against the NEW suite without a stream restart — the same
+    * maintenance loop as the dup-window gate. `loadModel` is typically
+    * [[graft.operators.Curation.benchBloomBytes]] over the re-read
+    * benchmark table. */
+  def deconGateWithRefresh(docs: DataFrame,
+      currentVersion: () => Long, loadModel: () => Array[Byte],
+      n: Int = 3, flagRatio: Double = 0.05,
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    withRefreshingModel[Array[Byte]](docs, currentVersion, loadModel,
+      (batch, bloom) => streamingDecontaminateWithModel(batch, bloom, n, flagRatio),
       checkpointDir)(sink)
 
   /** Stream-stream interval join: right rows within

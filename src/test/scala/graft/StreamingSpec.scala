@@ -236,6 +236,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decon gate refresh: a benchmark re-release reaches the running stream") {
+    implicit val sqlCtx = spark.sqlContext
+    def bloomFor(texts: Seq[String]): Array[Byte] = {
+      val toks = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .select(col("doc_id"), graft.operators.Curation.textTokenArray.as("tokens"))
+      graft.operators.Curation.benchBloomBytes(toks, 3, 1L << 20)
+    }
+    val benchA = "the quick brown fox jumps over the lazy dog tonight"
+    val benchB = "entirely different benchmark sentence about catalyst planning rules"
+    val bloom1 = bloomFor(Seq(benchA))
+    val bloom2 = bloomFor(Seq(benchA, benchB))
+    @volatile var version = 1L
+    @volatile var stored = bloom1
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.deconGateWithRefresh(
+      in.toDF.toDF("doc_id", "text"),
+      currentVersion = () => version,
+      loadModel = () => stored,
+      flagRatio = 0.2) { (df, _) =>
+      buf.synchronized {
+        buf ++= df.select("doc_id", "contaminated", "index_version")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      ()
+    }
+    try {
+      in.addData((10L, benchA), (11L, benchB))
+      q.processAllAvailable()
+      // suite v1: only benchA leaks
+      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L)))
+      // benchmark re-release lands batch-side
+      stored = bloom2; version = 2L
+      in.addData((20L, benchA), (21L, benchB))
+      q.processAllAvailable()
+      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L),
+        (20L, 1L, 2L), (21L, 1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streamingDecontaminate runs live: per-row gate, batch parity, no state") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
