@@ -365,15 +365,30 @@ object ExactSubstr {
     * cascade). The predicate "duplicated at m" is monotone in m (a prefix
     * of a duplicated window is duplicated), so bisection is exact.
     *
-    * Scale shape: ⌈log₂ ℓ⌉ passes; each pass verifies every in-flight
-    * probe length in ONE candidate-bounded pass (variable-length grams
-    * grouped by (m, gram)), with candidates and content traffic bounded
-    * by the band's shrinking marked sets — the corpus is never rescanned
-    * (token arrays restrict once to documents owning base marks). Each
-    * pass's search state is [[pin]]ned, so the plan stays flat. */
+    * Scale shape: ⌈log₂ ℓ⌉ passes, but the per-pass probes shuffle
+    * 8-byte ROLLING HASHES (the same `graft_window_hashes` kernel as the
+    * base index, evaluated once per document per probe length and
+    * indexed per candidate), never gram strings — a probe "accepts" when
+    * its (m, hash) bucket holds ≥ 2 candidates. Hashes have no false
+    * negatives (equal grams ⇒ equal hashes over the closure pool), so a
+    * reject is exact and the search never undershoots; a hash COLLISION
+    * can only overshoot, and every probed accept is therefore
+    * exact-string-CONFIRMED once at its final claimed length against its
+    * recorded bucket mates (grams materialize for that single pass
+    * only). The rare confirm failure (a real 64-bit collision, or any
+    * masked width via `probeHashBits` — the spec's forcing knob) falls
+    * back to the literal string-probe bisection for just those
+    * positions, so the result is EXACT at every hash width. Content
+    * traffic: one string pass over claimed buckets instead of one per
+    * bisection round; candidates and hash traffic are bounded by the
+    * band's marked sets — the corpus is never rescanned (token arrays
+    * restrict once to documents owning base marks). Each pass's search
+    * state is [[pin]]ned, so the plan stays flat. */
   def matchLengthsFromLevels(toks: DataFrame,
-      levels: Seq[(Int, DataFrame)]): DataFrame = {
+      levels: Seq[(Int, DataFrame)], probeHashBits: Int = 64): DataFrame = {
     require(levels.nonEmpty, "matchLengthsFromLevels: no levels")
+    require(probeHashBits >= 1 && probeHashBits <= 64,
+      s"probeHashBits must be in [1, 64], got $probeHashBits")
     val lens = levels.map(_._1)
     require(lens == lens.sorted && lens.distinct == lens,
       s"levels must be ascending, got $lens")
@@ -399,28 +414,143 @@ object ExactSubstr {
           lit(l.toLong).as("lo"), lit(l2.toLong).as("hi"))
     }.toSeq
     // a single-level cascade has no bands: every mark IS the cap
-    var state =
+    val bands0 =
       if (bands.isEmpty)
         base.limit(0).select(col("doc_id"), col("pos"),
           lit(0L).as("lo"), lit(0L).as("hi"))
       else pin(bands.reduce(_ unionByName _))
+    var state = bands0
+    var searching = state.where(col("hi") - col("lo") > 1)
+    // accepted probe buckets (doc_id, pos, m, wh), one pinned frame per
+    // round — kept so the final exact confirm can re-find each claim's
+    // bucket mates without a per-length corpus pass (unioned lazily at
+    // the end; each round's frame is already materialized, so the union
+    // never re-executes a probe)
+    val hitRounds = scala.collection.mutable.ListBuffer[DataFrame]()
+    while (!searching.isEmpty) {
+      val mids = searching
+        .select(floor((col("lo") + col("hi")) / 2).as("m"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val cands = probeCandidatePool(markedByLevel, lens, mids)
+      val accepted = pin(probeHashAccepts(toksDup, cands, mids, probeHashBits))
+      hitRounds += accepted
+      val verified = accepted.select("doc_id", "pos", "m")
+        .withColumn("dup", lit(1L))
+      state = pin(state
+        .withColumn("m",
+          when(col("hi") - col("lo") > 1, floor((col("lo") + col("hi")) / 2)))
+        .join(verified, Seq("doc_id", "pos", "m"), "left")
+        .select(col("doc_id"), col("pos"),
+          when(col("m").isNotNull && col("dup").isNotNull, col("m"))
+            .otherwise(col("lo")).as("lo"),
+          when(col("m").isNotNull && col("dup").isNull, col("m"))
+            .otherwise(col("hi")).as("hi")))
+      searching = state.where(col("hi") - col("lo") > 1)
+    }
+    // exact-string confirm: lo stayed at the band base ⇒ the level asset
+    // already verified it exactly; lo above the base ⇒ the claim rests on
+    // a hash accept at m* = lo and must survive a gram-equality check
+    // against its bucket mates
+    // fold ascending so the LARGEST level <= lo ends up outermost
+    val bandBase = lens.foldLeft(lit(0L)) { (acc, l) =>
+      when(col("lo") >= l, lit(l.toLong)).otherwise(acc)
+    }
+    val resolved =
+      if (hitRounds.isEmpty) state
+      else {
+        val hits = hitRounds.reduce(_ unionByName _)
+        val claims = state.where(col("lo") > bandBase)
+          .select(col("doc_id"), col("pos"), col("lo").as("m"))
+        val claimBuckets = claims.join(hits, Seq("doc_id", "pos", "m"))
+        val mates = hits
+          .join(claimBuckets.select("m", "wh").distinct(), Seq("m", "wh"))
+          .select("doc_id", "pos", "m")
+        val exactOk = verifyCandidatesVarLen(toksDup, mates)
+        val failed = pin(claims
+          .join(exactOk, Seq("doc_id", "pos", "m"), "left_anti")
+          .select("doc_id", "pos"))
+        if (failed.isEmpty) state
+        else {
+          // collision victims: redo the whole band with literal string
+          // probes (exact at any hash width); everyone else keeps the
+          // confirmed hash-search result
+          val redo = exactLengthSearch(toksDup, markedByLevel, lens,
+            pin(bands0.join(failed, Seq("doc_id", "pos"))))
+          state.join(failed, Seq("doc_id", "pos"), "left_anti")
+            .unionByName(redo)
+        }
+      }
+    resolved.select(col("doc_id"), col("pos"), col("lo").as("match_len"))
+      .unionByName(done)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Closure candidate pool for the probe lengths `mids`: positions
+    * marked at the band base ℓ (largest level ≤ m) whose tail position
+    * p+m−ℓ is also marked at ℓ — every occurrence of a truly duplicated
+    * m-gram passes both half-mark tests, so bucket/gram groups are
+    * complete (the cascade's exactness argument). */
+  private def probeCandidatePool(markedByLevel: Map[Int, DataFrame],
+      lens: Seq[Int], mids: Array[Long]): DataFrame = {
+    val byLevel = mids.groupBy(m => lens.filter(_ <= m).max)
+    byLevel.toSeq.sortBy(_._1).map { case (l, ms) =>
+      val marked = markedByLevel(l)
+      marked
+        .withColumn("m", explode(array(ms.toIndexedSeq.map(lit(_)): _*)))
+        .withColumn("tail_pos", col("pos") + col("m") - l)
+        .join(marked.select(col("doc_id"), col("pos").as("tail_pos")),
+          Seq("doc_id", "tail_pos"))
+        .select("doc_id", "pos", "m")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Hash probe: rolling window hashes at each probe length in `ms`
+    * (the round's distinct mids — at most one per band), all computed in
+    * ONE pass: per document row the ≤ |bands| hash arrays evaluate once,
+    * a `transform` over the candidate list picks each candidate's hash
+    * while the arrays are still in row scope (so the explode emits small
+    * (pos, m, wh) structs, never an array copy per candidate), and only
+    * 8-byte hashes shuffle. Masked to `bits`, bucketed by (m, wh);
+    * candidates in a bucket of ≥ 2 are accepted. No false negatives;
+    * collisions over-accept and are killed by the caller's exact
+    * confirm. */
+  private def probeHashAccepts(toksDup: DataFrame, cands: DataFrame,
+      ms: Array[Long], bits: Int): DataFrame = {
+    require(ms.nonEmpty, "probeHashAccepts: no probe lengths")
+    val mask = if (bits >= 64) -1L else (1L << bits) - 1
+    val perDoc = cands.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("m"))).as("ps"))
+    val whCase = ms.map(m =>
+        s"WHEN ${m}L THEN element_at(hs_$m, CAST(pm.pos AS INT))")
+      .mkString("CASE pm.m ", " ", " END")
+    val hashed = toksDup.join(perDoc, "doc_id")
+      .select(Seq(col("doc_id"), col("ps")) ++ ms.map(m =>
+        expr(s"graft_window_hashes(tokens, $m)").as(s"hs_$m")): _*)
+      .select(col("doc_id"), explode(
+        expr(s"transform(ps, pm -> struct(pm.pos AS pos, pm.m AS m, ($whCase) & ${mask}L AS wh))"))
+        .as("r"))
+      .select(col("doc_id"), col("r.pos").as("pos"), col("r.m").as("m"),
+        col("r.wh").as("wh"))
+    val dupBuckets = hashed.groupBy("m", "wh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("m", "wh")
+    hashed.join(dupBuckets, Seq("m", "wh"))
+      .select("doc_id", "pos", "m", "wh")
+  }
+
+  /** Literal string-probe bisection — the collision fallback (and the
+    * pre-r9 spelling): every probe slices and groups exact grams, so the
+    * result is exact with no hash assumption at all. Operates on an
+    * explicit (doc_id, pos, lo, hi) state frame and returns it resolved. */
+  private def exactLengthSearch(toksDup: DataFrame,
+      markedByLevel: Map[Int, DataFrame], lens: Seq[Int],
+      state0: DataFrame): DataFrame = {
+    var state = state0
     var searching = state.where(col("hi") - col("lo") > 1)
     while (!searching.isEmpty) {
       val mids = searching
         .select(floor((col("lo") + col("hi")) / 2).as("m"))
         .distinct().collect().map(_.getLong(0)).sorted
-      // band base of probe length m: the largest level <= m (m sits
-      // strictly inside (l, 2l), so this is its own band's base)
-      val byLevel = mids.groupBy(m => lens.filter(_ <= m).max)
-      val cands = byLevel.toSeq.sortBy(_._1).map { case (l, ms) =>
-        val marked = markedByLevel(l)
-        marked
-          .withColumn("m", explode(array(ms.toIndexedSeq.map(lit(_)): _*)))
-          .withColumn("tail_pos", col("pos") + col("m") - l)
-          .join(marked.select(col("doc_id"), col("pos").as("tail_pos")),
-            Seq("doc_id", "tail_pos"))
-          .select("doc_id", "pos", "m")
-      }.reduce(_ unionByName _)
+      val cands = probeCandidatePool(markedByLevel, lens, mids)
       val verified = verifyCandidatesVarLen(toksDup, cands)
         .withColumn("dup", lit(1L))
       state = pin(state
@@ -434,9 +564,7 @@ object ExactSubstr {
             .otherwise(col("hi")).as("hi")))
       searching = state.where(col("hi") - col("lo") > 1)
     }
-    state.select(col("doc_id"), col("pos"), col("lo").as("match_len"))
-      .unionByName(done)
-      .orderBy("doc_id", "pos")
+    state
   }
 
   /** Variable-length verify: like [[verifyCandidates]] but each candidate
@@ -459,9 +587,10 @@ object ExactSubstr {
   /** [[matchLengthsFromLevels]] building its own cascade from the base
     * verified table — the live (asset-free) spelling. */
   def matchLengthsFromVerified(toks: DataFrame, verified: DataFrame,
-      baseLen: Int, doublings: Int = 3): DataFrame =
+      baseLen: Int, doublings: Int = 3, probeHashBits: Int = 64): DataFrame =
     matchLengthsFromLevels(toks,
-      cascadeLevels(toks, verified.select("doc_id", "pos"), baseLen, doublings))
+      cascadeLevels(toks, verified.select("doc_id", "pos"), baseLen, doublings),
+      probeHashBits)
 
   /** Driver-visible THROW gate: the candidate-verify path must mark
     * EXACTLY the positions the string-keyed window family marks at the

@@ -515,6 +515,32 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("matchLengths stays exact under forced hash collisions (masked probe bits)") {
+    // the probe rounds guide the bisection with rolling hashes; the final
+    // exact-string confirm + fallback must keep the RESULT exact at any
+    // hash width. Masking to 2 bits leaves 4 distinct probe hashes, so
+    // nearly every bucket is a collision and the fallback path carries
+    // the load; at 1 bit EVERY candidate shares a bucket.
+    val rnd = new scala.util.Random(77L)
+    val alphabet = Vector("a", "b", "c", "d")
+    for (bits <- Seq(1, 2, 8)) {
+      val docs0 = (0 until 5).map { i =>
+        (i.toLong, Seq.fill(20 + rnd.nextInt(25))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      val src = docs0(rnd.nextInt(5))._2
+      val chunk = src.slice(0, math.min(src.length, 5 + rnd.nextInt(10)))
+      val victim = rnd.nextInt(5)
+      val docs = docs0.updated(victim, (docs0(victim)._1, docs0(victim)._2 ++ chunk))
+      val df = toksOf(docs)
+      val verified = ExactSubstr.duplicateWindowsFromTokens(df, 2)
+      val got = ExactSubstr.matchLengthsFromVerified(df, verified, 2, 3,
+          probeHashBits = bits)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == bruteMatchLengths(docs, 2, 16), s"bits=$bits")
+    }
+  }
+
   test("matchLengths on the fixture == capped suffix-array per-position longest match") {
     // the literal suffix array's maxMatch(p) IS dupLen(p): the longest
     // match of suffix p against any other suffix, i.e. the longest
