@@ -1169,6 +1169,26 @@ object SparkEntry {
       Curation.decontaminateBloomFromTokens(
         toks.where(col("doc_id") % 53 =!= 0), toks.where(col("doc_id") % 53 === 0))
     }),
+    // TOKEN-SPAN decontamination: strip ONLY the token spans that
+    // verbatim-overlap a benchmark gram and keep the rest of the document
+    // (doc-drop decon throws away the unleaked 99% of a long document);
+    // benchmark grams broadcast, the span family's shared re-assembly
+    // rebuilds the survivors in the token domain
+    "decontaminate_strip_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminateStripSpans(
+        docs.where(col("doc_id") % 53 =!= 0),
+        docs.where(col("doc_id") % 53 === 0), 3)
+    }),
+    // contamination severity per source: doc-level flags vs token-level
+    // exposure in one pass — the governance read on WHICH sources leak
+    // and whether span-strip or doc-drop is the right remediation
+    "decontamination_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.contaminationReport(
+        docs.where(col("doc_id") % 53 =!= 0),
+        docs.where(col("doc_id") % 53 === 0), 3, 0.05)
+    }),
     // SEMANTIC decontamination: embedding-cosine leakage vs the held-out
     // benchmark split (vec_id % 53, mirroring the gram family's doc_id
     // split) — benchmark broadcast, one map pass over the corpus. The
@@ -2867,6 +2887,98 @@ object SparkEntry {
          |  CASE WHEN round(CAST(n_overlap AS DOUBLE) / n_grams, 9) >= 0.05 THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM tr ORDER BY doc_id""".stripMargin,
+    "decontaminate_strip_spans" ->
+      s"""WITH $toksArrCte,
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS pos
+         |  FROM toksarr WHERE len(a) >= 3 AND doc_id % 53 <> 0
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    a[pos] || ' ' || a[pos+1] || ' ' || a[pos+2] AS gram
+         |  FROM w0
+         |),
+         |bgrams AS (
+         |  SELECT DISTINCT a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram
+         |  FROM (SELECT a, unnest(range(1, len(a) - 1)) AS i
+         |        FROM toksarr WHERE len(a) >= 3 AND doc_id % 53 = 0)
+         |),
+         |rem AS (SELECT doc_id, pos FROM wins WHERE gram IN (SELECT gram FROM bgrams)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, tpos
+         |  FROM (SELECT doc_id, unnest(range(pos, pos + 3)) AS tpos FROM rem)
+         |),
+         |toks AS (
+         |  SELECT doc_id, tpos, a[tpos] AS term
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS tpos
+         |        FROM toksarr WHERE doc_id % 53 <> 0)
+         |),
+         |kept AS (
+         |  SELECT t.doc_id, t.tpos, t.term
+         |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         |  WHERE c.doc_id IS NULL
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(term, ' ' ORDER BY tpos) AS clean_text
+         |  FROM kept GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |WHERE d.doc_id % 53 <> 0
+         |ORDER BY doc_id""".stripMargin,
+    "decontamination_report" ->
+      s"""WITH $toksArrCte,
+         |tr AS (SELECT doc_id, a FROM toksarr WHERE doc_id % 53 <> 0),
+         |w0 AS (
+         |  SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS pos
+         |  FROM tr WHERE len(a) >= 3
+         |),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    a[pos] || ' ' || a[pos+1] || ' ' || a[pos+2] AS gram
+         |  FROM w0
+         |),
+         |bgrams AS (
+         |  SELECT DISTINCT a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram
+         |  FROM (SELECT a, unnest(range(1, len(a) - 1)) AS i
+         |        FROM toksarr WHERE len(a) >= 3 AND doc_id % 53 = 0)
+         |),
+         |dg AS (SELECT DISTINCT doc_id, gram FROM wins),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM bgrams) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_overlap
+         |  FROM dg GROUP BY 1
+         |),
+         |cov AS (
+         |  SELECT doc_id, count(*) AS n_cov FROM (
+         |    SELECT DISTINCT doc_id, tpos FROM (
+         |      SELECT doc_id, unnest(range(pos, pos + 3)) AS tpos
+         |      FROM wins WHERE gram IN (SELECT gram FROM bgrams)))
+         |  GROUP BY 1
+         |),
+         |perdoc AS (
+         |  SELECT t.doc_id, d.source,
+         |    coalesce(len(t.a), 0) AS n_toks,
+         |    coalesce(h.n_overlap, 0) AS n_overlap,
+         |    coalesce(h.n_grams, 0) AS n_grams,
+         |    coalesce(c.n_cov, 0) AS n_cov
+         |  FROM tr t JOIN documents d USING (doc_id)
+         |  LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+         |  CAST(sum(CASE WHEN n_grams > 0
+         |       AND CAST(n_overlap AS DOUBLE) >= CAST(n_grams AS DOUBLE) * 0.05
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_cov) AS BIGINT) AS n_tokens_covered,
+         |  round(CAST(sum(n_cov) AS DOUBLE) /
+         |        greatest(CAST(sum(n_toks) AS DOUBLE), 1.0), 9) AS covered_frac
+         |FROM perdoc GROUP BY 1 ORDER BY source""".stripMargin,
     "decontaminate_multi" ->
       s"""WITH $toksArrCte,
          |grams AS (

@@ -243,6 +243,102 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** TOKEN-SPAN decontamination — the surgical form of [[decontaminate]]:
+    * instead of dropping a contaminated document whole, strip ONLY the
+    * token spans that verbatim-overlap a benchmark `n`-gram and keep the
+    * rest of the document (what a production pipeline actually ships —
+    * doc-drop decon throws away the 99 % of a long document that never
+    * leaked). A training window is removable iff its n-gram appears among
+    * the benchmark's distinct n-grams; removable windows expand to covered
+    * token positions and the span family's shared re-assembly
+    * ([[assembleStripped]]) rebuilds each document, so the output shape,
+    * token domain, and edge cases (fully-stripped → (0, ""), token-free
+    * docs) are identical to [[stripDuplicateSpans]].
+    *
+    * Scale shape: the benchmark side is eval-suite-sized and BROADCASTS
+    * as distinct grams; marking is a per-window broadcast semi-join (no
+    * corpus shuffle by gram), and the re-assembly is the family's linear
+    * per-document collect. Nothing here scales with anything but the
+    * corpus and the (fixed) benchmark. */
+  def decontaminateStripSpans(
+      training: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3): DataFrame =
+    decontaminateStripSpansFromWindows(training,
+      windowRows(training, n).scopedPersist(),
+      gramRows(benchmark, n).select("gram").distinct(), n)
+
+  /** [[decontaminateStripSpans]] over a prebuilt training window table
+    * (e.g. the shared span-window asset) and a prebuilt distinct
+    * benchmark-gram table. */
+  def decontaminateStripSpansFromWindows(docs: DataFrame, wins: DataFrame,
+      benchGrams: DataFrame, n: Int): DataFrame = {
+    requireWindowN(wins, n)
+    val rem = wins
+      .join(broadcast(benchGrams.select("gram")), Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+    assembleStripped(docs, rem, n)
+  }
+
+  /** Contamination SEVERITY report — the one-pass per-source summary a
+    * data-governance review reads before a training run: per corpus
+    * `source`, the document count, how many documents carry ANY benchmark
+    * n-gram overlap, how many are flagged at `flagRatio` (the
+    * [[decontaminate]] doc-drop rule), and the token-level exposure (total
+    * tokens, tokens covered by a leaked window, covered fraction — what
+    * [[decontaminateStripSpans]] would remove). Doc-level and token-level
+    * severity disagree in exactly the cases that make span-strip worth
+    * shipping: a long document with one leaked line flags at the doc level
+    * but loses almost nothing at the token level.
+    *
+    * Scale shape: two broadcast semi/left joins against the (fixed-size)
+    * benchmark grams, one per-doc aggregate, one per-source aggregate —
+    * the corpus is never shuffled by gram, and every exchange key is
+    * doc_id or source. */
+  def contaminationReport(
+      training: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      flagRatio: Double = 0.05): DataFrame = {
+    val benchGrams = gramRows(benchmark, n).select("gram").distinct()
+    val wins = windowRows(training, n).scopedPersist()
+    // token-level exposure: positions covered by any leaked window
+    val cov = wins
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tpos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+    // doc-level overlap: the decontaminate() distinct-gram rule
+    val docHits = wins.select("doc_id", "gram").distinct()
+      .join(broadcast(benchGrams.withColumn("_hit", lit(1L))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+    val perDoc = training
+      .select(col("doc_id"), col("source"), size(tokenArray).as("n_toks"))
+      .join(docHits, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_toks"), lit(0)).cast("long").as("n_toks"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"))
+    perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_overlap") > 0).cast("long")).as("n_docs_hit"),
+        sum((col("n_grams") > 0 &&
+          col("n_overlap").cast("double") >=
+            col("n_grams").cast("double") * flagRatio).cast("long"))
+          .as("n_docs_flagged"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_cov")).as("n_tokens_covered"))
+      .withColumn("covered_frac",
+        round(col("n_tokens_covered").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 9))
+      .orderBy("source")
+  }
+
   /** SEMANTIC decontamination — the embedding-space sibling of the n-gram
     * overlap checks above: flag corpus documents whose embedding is
     * near-identical to a held-out benchmark document even when the surface

@@ -31,6 +31,43 @@ class CurationSpec extends SparkSpec {
     assert(row._3 == 4L) // distinct grams: 'a b c','b c x','c x a','x a b' (dup collapsed)
   }
 
+  test("decontaminateStripSpans removes exactly the leaked spans") {
+    val bench = docs(100L -> "alpha beta gamma delta")
+    val train = docs(
+      1L -> "x y alpha beta gamma z w", // one leaked window covers tpos 3-5
+      2L -> "p q r s",                  // clean, intact
+      3L -> "alpha beta gamma delta",   // both windows leak -> fully stripped
+      4L -> "ab")                       // shorter than n: no windows, intact
+    val got = Curation.decontaminateStripSpans(train, bench, 3)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, "x y z w"),
+      (2L, 4L, "p q r s"),
+      (3L, 0L, ""),
+      (4L, 1L, "ab")))
+    // benchmark docs never appear in the output
+    assert(!got.exists(_._1 == 100L))
+  }
+
+  test("contaminationReport: doc-level flags vs token-level exposure per source") {
+    val bench = docs(100L -> "alpha beta gamma delta")
+    // s1 doc 1: 30 tokens, 28 distinct grams, exactly one leaked
+    // ('alpha beta gamma'; no 'delta' so the second bench gram misses) ->
+    // hit but 1/28 < 0.05 so NOT flagged; covered tokens = 3
+    // letter-only fillers: digit-bearing words are dropped by the tokenizer
+    val filler = ('a' to 'w').map(c => s"t$c").mkString(" ")
+    val train = Seq(
+      (1L, s"x y alpha beta gamma z w $filler", "s1"),
+      (2L, "p q r s t", "s1"),
+      (3L, "alpha beta gamma delta", "s2")) // 2/2 grams leak -> flagged
+      .toDF("doc_id", "text", "source")
+    val got = Curation.contaminationReport(train, bench, 3, 0.05)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 2L, 1L, 0L, 35L, 3L, 0.085714286),
+      ("s2", 1L, 1L, 1L, 4L, 4L, 1.0)))
+  }
+
   test("decontaminateBloom equals the exact decontaminate (no false negatives)") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val train = docs.where(col("doc_id") % 7 =!= 0)
