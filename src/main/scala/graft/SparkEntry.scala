@@ -418,6 +418,17 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 12)
     }
 
+  /** The FULL window-hash index (every position, duplicated or not) —
+    * the narrow mergeable sibling the incremental merge consumes: new
+    * documents can flip previously-UNIQUE old windows to duplicated, and
+    * uniqueness is exactly what the verified index doesn't store. One
+    * kernel pass, 24-byte rows. */
+  private def exactSubstrHashesAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "exact_substr_hashes_l12") {
+      ExactSubstr.windowHashesFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 12)
+    }
+
   /** Cascade-level marked sets (doc_id, pos) at L = 24/48/96 as sub-assets
     * beside the base index: each level derives from the PREVIOUS level's
     * stored parquet by one cascade step (half-mark candidates → content
@@ -581,6 +592,7 @@ object SparkEntry {
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
+    "exact_substr_hashes_l12" -> ((s, d) => { exactSubstrHashesAsset(s, d); () }),
     "exact_substr_marks_l24" -> ((s, d) => { exactSubstrLevelAsset(s, d, 24); () }),
     "exact_substr_marks_l48" -> ((s, d) => { exactSubstrLevelAsset(s, d, 48); () }),
     "exact_substr_marks_l96" -> ((s, d) => { exactSubstrLevelAsset(s, d, 96); () }),
@@ -1350,6 +1362,22 @@ object SparkEntry {
     "exact_substr_strip" -> ((s, dir) =>
       ExactSubstr.stripFromVerified(Tables.documents(s, dir),
         exactSubstrWindowsAsset(s, dir), 12)),
+    // INCREMENTAL index maintenance: docs with doc_id % 10 == 9 arrive as
+    // the append batch against an index over the rest; the merge must
+    // reproduce the full rebuild's spans EXACTLY (shares the
+    // exact_substr_spans oracle). Old content is read only for candidate
+    // documents; the old side otherwise contributes hash-keyed semi-joins
+    // against the stored narrow hash index.
+    "exact_substr_incremental_merge" -> ((s, dir) => {
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      val oldToks = toks.where(col("doc_id") % 10 =!= 9)
+      val merged = ExactSubstr.mergeVerifiedIncremental(
+        oldToks,
+        exactSubstrHashesAsset(s, dir).where(col("doc_id") % 10 =!= 9),
+        ExactSubstr.duplicateWindowsFromTokens(oldToks, 12),
+        toks.where(col("doc_id") % 10 === 9), 12)
+      ExactSubstr.spansFromVerified(merged, 12)
+    }),
     // regions with provenance: the canonical occurrence of each region's
     // opening window — "duplicated from where"
     "exact_substr_spans_attributed" -> ((s, dir) =>
@@ -2133,6 +2161,7 @@ object SparkEntry {
       // streaming WordCount twin must reproduce the batch counts — each
       // shares its sibling's oracle verbatim
       ("tfidf_incremental_merge" -> m("tfidf_full")) +
+      ("exact_substr_incremental_merge" -> m("exact_substr_spans")) +
       ("streams_term_counts_batch" -> m("term_counts")) +
       // Bloom prefilter has no false negatives → identical final output
       ("decontaminate_bloom" -> m("decontaminate_overlap")) +

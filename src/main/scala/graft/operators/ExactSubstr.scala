@@ -87,15 +87,75 @@ object ExactSubstr {
     *     not the corpus. */
   def duplicateWindowsFromTokens(toks: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"window length n=$n must be >= 1")
-    val winHashes = toks
-      .select(col("doc_id"),
-        posexplode(expr(s"graft_window_hashes(tokens, $n)")).as(Seq("p0", "wh")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("wh"))
-      .scopedPersist()
+    val winHashes = windowHashesFromTokens(toks, n).scopedPersist()
     val dupHash = winHashes.groupBy("wh").agg(count(lit(1)).as("h_occ"))
       .where(col("h_occ") >= 2).select("wh")
     verifyCandidates(toks,
       winHashes.join(dupHash, "wh").select("doc_id", "pos"), n)
+  }
+
+  /** The FULL rolling-hash window index (doc_id, pos, wh) — every
+    * position, duplicated or not: the narrow (24-byte-row) mergeable
+    * sibling of the verified index that incremental maintenance needs
+    * (a new document can flip a previously-UNIQUE old window to
+    * duplicated, and uniqueness is exactly what the verified index does
+    * not store). One kernel pass, no shuffle. */
+  def windowHashesFromTokens(toks: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"window length n=$n must be >= 1")
+    toks
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_window_hashes(tokens, $n)")).as(Seq("p0", "wh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("wh"))
+  }
+
+  /** INCREMENTAL index maintenance — corpus append without a full
+    * rebuild: merge NEW documents into the stored exact-substring index,
+    * producing exactly what [[duplicateWindowsFromTokens]] would build
+    * over old ∪ new (spec-pinned equality, and the registered query
+    * shares the full-rebuild spans oracle).
+    *
+    * Candidates, from hashes alone: the old positions whose stored hash
+    * matches ANY new window hash (the only old windows a new occurrence
+    * can flip or grow — a hash mismatch proves content mismatch), plus
+    * the new positions whose hash collides within the batch or appears
+    * in the old index. EXACTNESS: equal grams have equal hashes, so for
+    * every gram with ≥ 1 new occurrence the candidate set contains ALL
+    * its union occurrences — the content verify then computes true
+    * corpus-wide occ and canon for those grams (the same closure
+    * argument as [[verifyCandidates]]); grams with no new occurrence
+    * keep their stored rows untouched via the (doc_id, pos) anti-join
+    * (a hash collision only promotes such a gram's positions into the
+    * verify, which recomputes rows identical to the stored ones).
+    *
+    * Scale shape: the old CONTENT is read only for documents owning a
+    * candidate (token arrays join the candidate doc set — bounded by the
+    * cross-batch match fraction, never the old corpus); the old side
+    * otherwise contributes only hash-keyed semi-joins against the
+    * narrow stored index, which an index bucketed/partitioned by hash
+    * range prunes. Gram strings shuffle for candidates only, as
+    * everywhere in the family. */
+  def mergeVerifiedIncremental(oldToks: DataFrame, oldHashes: DataFrame,
+      oldVerified: DataFrame, newToks: DataFrame, n: Int): DataFrame = {
+    val newH = windowHashesFromTokens(newToks, n).scopedPersist()
+    val newWh = newH.select("wh").distinct()
+    val oldHit = oldHashes.join(newWh, "wh").scopedPersist()
+    val oldCand = oldHit.select("doc_id", "pos")
+    val newNewDup = newH.groupBy("wh").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("wh")
+    val newCand = newH
+      .join(newNewDup.unionByName(oldHit.select("wh")).distinct(), "wh")
+      .select("doc_id", "pos")
+    // distinct: a caller whose old/new doc sets overlap must not count a
+    // position's gram twice in the verify
+    val candPos = oldCand.unionByName(newCand).distinct()
+    val candDocs = candPos.select("doc_id").distinct()
+    val toksCand = oldToks.join(candDocs, Seq("doc_id"), "left_semi")
+      .unionByName(newToks.join(candDocs, Seq("doc_id"), "left_semi"))
+      .select("doc_id", "tokens")
+    val verifiedCand = verifyCandidates(toksCand, candPos, n)
+    oldVerified
+      .join(verifiedCand.select("doc_id", "pos"), Seq("doc_id", "pos"), "left_anti")
+      .unionByName(verifiedCand)
   }
 
   /** Shared verify tail: slice the exact `n`-token gram for every

@@ -515,6 +515,50 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge == full rebuild on planted corpora (incl. the unique-window flip)") {
+    val rnd = new scala.util.Random(99L)
+    val alphabet = Vector("a", "b", "c", "d", "e")
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "pos", "gram", "occ", "canon.doc_id", "canon.pos")
+        .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    for (trial <- 1 to 5) {
+      val all = (0 until 8).map { i =>
+        (i.toLong, Seq.fill(10 + rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      // plant a cross-batch clone: an OLD doc's chunk appended to a NEW
+      // doc — the old chunk's windows may be UNIQUE in the old corpus and
+      // must flip to duplicated only through the merge
+      val chunk = all(0)._2.take(5 + rnd.nextInt(5))
+      val newIds = Set(6L, 7L)
+      val planted = all.updated(7, (7L, all(7)._2 ++ chunk))
+      val oldDocs = planted.filterNot(d => newIds(d._1))
+      val newDocs = planted.filter(d => newIds(d._1))
+      val (oldDf, newDf, allDf) = (toksOf(oldDocs), toksOf(newDocs), toksOf(planted))
+      val n = 3
+      val merged = ExactSubstr.mergeVerifiedIncremental(
+        oldDf, ExactSubstr.windowHashesFromTokens(oldDf, n),
+        ExactSubstr.duplicateWindowsFromTokens(oldDf, n), newDf, n)
+      assert(asRows(merged) == asRows(ExactSubstr.duplicateWindowsFromTokens(allDf, n)),
+        s"trial $trial")
+    }
+  }
+
+  test("incremental merge degenerate batches: empty new, empty old") {
+    val docs = Seq((1L, Seq("x", "y", "z", "x", "y", "z")), (2L, Seq("q", "r", "s")))
+    val df = toksOf(docs)
+    val none = toksOf(Seq.empty[(Long, Seq[String])])
+    val full = ExactSubstr.duplicateWindowsFromTokens(df, 2)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "pos", "gram", "occ").as[(Long, Long, String, Long)].collect().toSet
+    // empty append: the stored index passes through untouched
+    assert(key(ExactSubstr.mergeVerifiedIncremental(
+      df, ExactSubstr.windowHashesFromTokens(df, 2), full, none, 2)) == key(full))
+    // empty old index: the merge IS the fresh build over the batch
+    assert(key(ExactSubstr.mergeVerifiedIncremental(
+      none, ExactSubstr.windowHashesFromTokens(none, 2),
+      ExactSubstr.duplicateWindowsFromTokens(none, 2), df, 2)) == key(full))
+  }
+
   test("matchLengths stays exact under forced hash collisions (masked probe bits)") {
     // the probe rounds guide the bisection with rolling hashes; the final
     // exact-string confirm + fallback must keep the RESULT exact at any
