@@ -429,6 +429,18 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)), 12)
     }
 
+  /** The verified index over the PRE-APPEND corpus slice (doc_id % 10 ≠ 9
+    * — the replay's "stored index before the batch arrived"): a
+    * deterministic per-dataset derivation like every other index asset,
+    * so the registered incremental-merge query is SERVING-shaped (merge +
+    * spans), not a rebuild-per-execution. */
+  private def exactSubstrOldWindowsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "exact_substr_windows_old90") {
+      ExactSubstr.duplicateWindowsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+          .where(col("doc_id") % 10 =!= 9), 12)
+    }
+
   /** Cascade-level marked sets (doc_id, pos) at L = 24/48/96 as sub-assets
     * beside the base index: each level derives from the PREVIOUS level's
     * stored parquet by one cascade step (half-mark candidates → content
@@ -593,6 +605,7 @@ object SparkEntry {
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
     "exact_substr_hashes_l12" -> ((s, d) => { exactSubstrHashesAsset(s, d); () }),
+    "exact_substr_windows_old90" -> ((s, d) => { exactSubstrOldWindowsAsset(s, d); () }),
     "exact_substr_marks_l24" -> ((s, d) => { exactSubstrLevelAsset(s, d, 24); () }),
     "exact_substr_marks_l48" -> ((s, d) => { exactSubstrLevelAsset(s, d, 48); () }),
     "exact_substr_marks_l96" -> ((s, d) => { exactSubstrLevelAsset(s, d, 96); () }),
@@ -1369,12 +1382,11 @@ object SparkEntry {
     // documents; the old side otherwise contributes hash-keyed semi-joins
     // against the stored narrow hash index.
     "exact_substr_incremental_merge" -> ((s, dir) => {
-      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-      val oldToks = toks.where(col("doc_id") % 10 =!= 9)
+      val toks = tokenArraysAsset(s, dir)
       val merged = ExactSubstr.mergeVerifiedIncremental(
-        oldToks,
+        toks.where(col("doc_id") % 10 =!= 9),
         exactSubstrHashesAsset(s, dir).where(col("doc_id") % 10 =!= 9),
-        ExactSubstr.duplicateWindowsFromTokens(oldToks, 12),
+        exactSubstrOldWindowsAsset(s, dir),
         toks.where(col("doc_id") % 10 === 9), 12)
       ExactSubstr.spansFromVerified(merged, 12)
     }),

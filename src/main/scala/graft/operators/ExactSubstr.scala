@@ -136,23 +136,34 @@ object ExactSubstr {
     * everywhere in the family. */
   def mergeVerifiedIncremental(oldToks: DataFrame, oldHashes: DataFrame,
       oldVerified: DataFrame, newToks: DataFrame, n: Int): DataFrame = {
-    val newH = windowHashesFromTokens(newToks, n).scopedPersist()
-    val newWh = newH.select("wh").distinct()
-    val oldHit = oldHashes.join(newWh, "wh").scopedPersist()
+    // each multiply-referenced frame is pin()ned: a lazy reuse EMBEDS its
+    // whole upstream per reference and the merge references newH three
+    // times, oldHit twice, the candidates twice — unpinned this compiled
+    // a 200-exchange plan (the depth-profile lesson, again)
+    val newH = pin(windowHashesFromTokens(newToks, n))
+    // the batch's distinct hashes are broadcast-sized (8 bytes each — an
+    // append batch is bounded, unlike the corpus), so the stored index is
+    // probed map-side and never shuffles; pinned frames carry no stats,
+    // so the hints are explicit. A batch too large to broadcast would
+    // instead bucket/partition both hash tables by hash range and
+    // equi-join co-located — drop the hints, keep the shape.
+    val newWh = broadcast(newH.select("wh").distinct())
+    val oldHit = pin(oldHashes.join(newWh, "wh"))
     val oldCand = oldHit.select("doc_id", "pos")
     val newNewDup = newH.groupBy("wh").agg(count(lit(1)).as("c"))
       .where(col("c") >= 2).select("wh")
     val newCand = newH
-      .join(newNewDup.unionByName(oldHit.select("wh")).distinct(), "wh")
+      .join(broadcast(newNewDup.unionByName(oldHit.select("wh")).distinct()),
+        "wh")
       .select("doc_id", "pos")
     // distinct: a caller whose old/new doc sets overlap must not count a
     // position's gram twice in the verify
-    val candPos = oldCand.unionByName(newCand).distinct()
-    val candDocs = candPos.select("doc_id").distinct()
+    val candPos = pin(oldCand.unionByName(newCand).distinct())
+    val candDocs = broadcast(candPos.select("doc_id").distinct())
     val toksCand = oldToks.join(candDocs, Seq("doc_id"), "left_semi")
       .unionByName(newToks.join(candDocs, Seq("doc_id"), "left_semi"))
       .select("doc_id", "tokens")
-    val verifiedCand = verifyCandidates(toksCand, candPos, n)
+    val verifiedCand = pin(verifyCandidates(toksCand, candPos, n))
     oldVerified
       .join(verifiedCand.select("doc_id", "pos"), Seq("doc_id", "pos"), "left_anti")
       .unionByName(verifiedCand)
