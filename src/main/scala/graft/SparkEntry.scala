@@ -311,6 +311,19 @@ object SparkEntry {
       TextAnalysis.bpeTrainMergesFromCounts(termCountsAsset(s, dir), nMerges = 8)
     }
 
+  /** Trained quality-classifier model (9 rows: intercept + per-feature
+    * weight/mean/std) — the fastText-shaped distillation artifact,
+    * persisted like the BPE merge table so the 30-iteration training loop
+    * runs once per (session, dataset) and every scoring query reads the
+    * same weights. Bit-deterministic across layouts (decimal-routed
+    * gradients; [[operators.QualityClassifier.layoutDeterminismGate]]). */
+  private def qualityClassifierWeightsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "quality_classifier_weights") {
+      val model = operators.QualityClassifier.fit(
+        operators.QualityClassifier.featureFrame(Tables.documents(s, dir)))
+      operators.QualityClassifier.weightsDf(s, model)
+    }
+
   /** BM25 score table `(term, doc_id, cnt, doc_total, df, idf_bm25,
     * score)` as a corpus asset — the INVERTED INDEX a retrieval stack
     * stores once and serves from: `bm25_full` re-sorts it, `bm25_search`
@@ -595,6 +608,7 @@ object SparkEntry {
     "minhash_pairs" -> ((s, d) => { minhashPairsAsset(s, d); () }),
     "simhash_pairs" -> ((s, d) => { simhashPairsAsset(s, d); () }),
     "bpe_merges" -> ((s, d) => { bpeMergesAsset(s, d); () }),
+    "quality_classifier_weights" -> ((s, d) => { qualityClassifierWeightsAsset(s, d); () }),
     "bm25_scores" -> ((s, d) => { bm25Asset(s, d); () }),
     "bm25_served_postings" -> ((s, d) => { bm25ServedPostings(s, d); () }),
     "knn_exact" -> ((s, d) => { knnExactAsset(s, d); () }),
@@ -1214,6 +1228,34 @@ object SparkEntry {
         docs.where(col("doc_id") % 53 =!= 0),
         docs.where(col("doc_id") % 53 === 0), 3, 0.05)
     }),
+    // IN-FRAME QUALITY CLASSIFIER (rule distillation): a logistic model
+    // over the one-pass surface stats, trained DataFrame-side (30
+    // fixed decimal-routed GD iterations) against the Gopher-rule
+    // conjunction and served from the 9-row weights asset. The model
+    // rows themselves:
+    "quality_classifier_weights" -> ((s, dir) =>
+      qualityClassifierWeightsAsset(s, dir).orderBy("feature")),
+    // corpus-wide scoring: ONE codegen map pass, weights inlined as
+    // literals (9-row bounded collect, the PQ-codebook pattern)
+    "quality_classifier_scores" -> ((s, dir) =>
+      operators.QualityClassifier.scoreWith(Tables.documents(s, dir),
+        qualityClassifierWeightsAsset(s, dir))),
+    // distillation fidelity dashboard: confusion of the smooth score
+    // against its own rule labels
+    "quality_classifier_eval" -> ((s, dir) =>
+      operators.QualityClassifier.evalWith(Tables.documents(s, dir),
+        qualityClassifierWeightsAsset(s, dir))),
+    // the curation reviewer's worklist: documents where the smooth model
+    // most disagrees with the brittle rules
+    "quality_classifier_disagreements" -> ((s, dir) =>
+      operators.QualityClassifier.disagreementsWith(Tables.documents(s, dir),
+        qualityClassifierWeightsAsset(s, dir), 25)),
+    // cross-layout determinism gate (THROWs on divergence): classifier
+    // training and term counting on a FIXED 512-doc sample must be
+    // bit-identical under two different partitionings — pins the
+    // md5-portable decimal-routing claim the way recall gates pin recall
+    "layout_determinism_gate" -> ((s, dir) =>
+      operators.QualityClassifier.layoutDeterminismGate(Tables.documents(s, dir))),
     // SEMANTIC decontamination: embedding-cosine leakage vs the held-out
     // benchmark split (vec_id % 53, mirroring the gram family's doc_id
     // split) — benchmark broadcast, one map pass over the corpus. The
@@ -1910,6 +1952,129 @@ object SparkEntry {
     graft.functions.TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
   private val stopRegex =
     "\\b(" + graft.functions.TextFunctions.EnglishStopwords.mkString("|") + ")\\b"
+
+  /** Generated oracle CTE chain for the in-frame quality classifier: the
+    * 30 fixed GD iterations UNROLLED (the ivf_lloyd_top10 pattern — an
+    * iterative trained model is still ANSI-expressible when the iteration
+    * count is a constant), with `MATERIALIZED` on every per-level CTE so
+    * DuckDB's inliner cannot go exponential in the chain depth. Every
+    * arithmetic step is spelled in the exact fixed order of
+    * [[operators.QualityClassifier]]: features and moments rounded to 9,
+    * cross-row sums as DECIMAL(28,9), sigmoid rounded to 9, weight update
+    * `round(w - lr·g/n, 9)`. */
+  private object ClfOracle {
+    private val xs = operators.QualityClassifier.FeatureNames
+    private val iters = operators.QualityClassifier.DefaultIters
+    private val lr = "1.0"
+    private val split = "regexp_split_to_array(text, '\\s+')"
+    private def meanLen =
+      s"round(CAST(list_sum(list_transform($split, w -> length(w))) AS DOUBLE)\n" +
+        s"      / len($split), 9)"
+    private def alphaFrac =
+      s"round(CAST(len(list_filter($split, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)\n" +
+        s"      / len($split), 9)"
+
+    private val featsCte =
+      s"""feats AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 9) AS x_alpha,
+         |    round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 9) AS x_digit,
+         |    round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text), 9) AS x_punct,
+         |    round(CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE) / length(text), 9) AS x_ws,
+         |    round(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+         |          / len($split), 9) AS x_stop,
+         |    round(CAST(list_sum(list_transform($split, w -> length(w))) AS DOUBLE)
+         |      / len($split) / 10.0, 9) AS x_mwl,
+         |    $alphaFrac AS x_awf,
+         |    round(least(CAST(len($split) AS DOUBLE), 1000.0) / 1000.0, 9) AS x_wc,
+         |    CAST(CASE WHEN len($split) >= 50 AND len($split) <= 100000
+         |      AND $meanLen >= 3.0
+         |      AND $meanLen <= 10.0
+         |      AND $alphaFrac >= 0.8
+         |      AND len(regexp_extract_all(text, '$stopRegex')) >= 2
+         |      THEN 1 ELSE 0 END AS DOUBLE) AS y
+         |  FROM documents
+         |)""".stripMargin
+
+    private val muCtes = {
+      val mu0 = ("CAST(count(*) AS DOUBLE) AS n_docs" +:
+        xs.zipWithIndex.flatMap { case (x, i) =>
+          Seq(s"CAST(sum(CAST($x AS DECIMAL(28,9))) AS DOUBLE) AS sx${i + 1}",
+            s"CAST(sum(CAST(round($x * $x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx${i + 1}")
+        }).mkString(",\n    ")
+      val mu = ("n_docs" +:
+        xs.indices.flatMap { i =>
+          Seq(s"round(sx${i + 1} / n_docs, 9) AS m${i + 1}",
+            s"round(sqrt(greatest(round(sxx${i + 1} / n_docs, 9)" +
+              s" - round(sx${i + 1} / n_docs, 9) * round(sx${i + 1} / n_docs, 9), 0.0)), 9) AS s${i + 1}")
+        }).mkString(",\n    ")
+      s"mu0 AS MATERIALIZED (\n  SELECT $mu0\n  FROM feats\n),\n" +
+        s"mu AS MATERIALIZED (\n  SELECT $mu\n  FROM mu0\n)"
+    }
+
+    private val zfCte = {
+      val zc = xs.zipWithIndex.map { case (x, i) =>
+        s"CASE WHEN s${i + 1} > 0.0 THEN round(($x - m${i + 1}) / s${i + 1}, 9) ELSE 0.0 END AS z${i + 1}"
+      }.mkString(",\n    ")
+      s"zf AS MATERIALIZED (\n  SELECT doc_id, y,\n    $zc\n  FROM feats CROSS JOIN mu\n)"
+    }
+
+    private val zExpr =
+      "round(wb + " + xs.indices.map(i => s"w${i + 1} * z${i + 1}").mkString(" + ") + ", 9)"
+    private val scoreExpr = s"round(1.0 / (1.0 + exp(-($zExpr))), 9)"
+
+    private def iterCtes(k: Int): String = {
+      val zNames = xs.indices.map(i => s"z${i + 1}").mkString(", ")
+      val gcols = ("sum(CAST(round((p - y) * 1.0, 9) AS DECIMAL(28,9))) AS gb" +:
+        xs.indices.map(i =>
+          s"sum(CAST(round((p - y) * z${i + 1}, 9) AS DECIMAL(28,9))) AS g${i + 1}"))
+        .mkString(",\n    ")
+      val upd = (s"round(wb - $lr * CAST(gb AS DOUBLE) / n_docs, 9) AS wb" +:
+        xs.indices.map(i =>
+          s"round(w${i + 1} - $lr * CAST(g${i + 1} AS DOUBLE) / n_docs, 9) AS w${i + 1}"))
+        .mkString(",\n    ")
+      s"g$k AS MATERIALIZED (\n  SELECT $gcols\n" +
+        s"  FROM (SELECT y, $zNames, $scoreExpr AS p FROM zf CROSS JOIN w$k) s$k\n),\n" +
+        s"w${k + 1} AS MATERIALIZED (\n  SELECT $upd\n  FROM g$k CROSS JOIN w$k CROSS JOIN mu\n)"
+    }
+
+    private val w0Cte = "w0 AS MATERIALIZED (SELECT " +
+      ("0.0 AS wb" +: xs.indices.map(i => s"0.0 AS w${i + 1}")).mkString(", ") + ")"
+
+    val prefix: String = Seq(featsCte, muCtes, zfCte, w0Cte).mkString(",\n") + ",\n" +
+      (0 until iters).map(iterCtes).mkString(",\n")
+
+    val weightsSql: String = {
+      val rows = ("SELECT '_intercept' AS feature, round(wb, 9) AS weight, " +
+        "CAST(0.0 AS DOUBLE) AS mu, CAST(1.0 AS DOUBLE) AS sigma FROM wlast") +:
+        xs.zipWithIndex.map { case (x, i) =>
+          s"SELECT '$x', round(w${i + 1}, 9), m${i + 1}, s${i + 1} FROM wlast CROSS JOIN mu"
+        }
+      s"WITH $prefix,\nwlast AS (SELECT * FROM w$iters)\n" +
+        rows.mkString("\nUNION ALL ") + "\nORDER BY feature"
+    }
+
+    val scoresSql: String =
+      s"""WITH $prefix
+         |SELECT doc_id, CAST(y AS BIGINT) AS label, $scoreExpr AS score,
+         |  CAST($scoreExpr >= 0.5 AS BIGINT) AS pred
+         |FROM zf CROSS JOIN w$iters ORDER BY doc_id""".stripMargin
+
+    val evalSql: String =
+      s"""WITH $prefix,
+         |scored AS (
+         |  SELECT CAST(y AS BIGINT) AS label,
+         |    CAST($scoreExpr >= 0.5 AS BIGINT) AS pred
+         |  FROM zf CROSS JOIN w$iters)
+         |SELECT label, pred, count(*) AS n FROM scored GROUP BY label, pred
+         |ORDER BY label, pred""".stripMargin
+
+    val disagreementsSql: String =
+      s"""WITH $prefix
+         |SELECT doc_id, CAST(y AS BIGINT) AS label, $scoreExpr AS score
+         |FROM zf CROSS JOIN w$iters
+         |ORDER BY round(abs($scoreExpr - y), 9) DESC, doc_id ASC LIMIT 25""".stripMargin
+  }
 
   /** Portable token-array CTE (positions preserved) for the n-gram oracle —
     * DuckDB list-lambda spelling of Dedup.tokenArray. */
@@ -2798,6 +2963,10 @@ object SparkEntry {
          |    AND mean_word_len <= 10.0 AND alpha_word_frac >= 0.8
          |    AND n_stop_hits >= 2 AS BIGINT) AS pass
          |FROM sig ORDER BY doc_id""".stripMargin,
+    "quality_classifier_weights" -> ClfOracle.weightsSql,
+    "quality_classifier_scores" -> ClfOracle.scoresSql,
+    "quality_classifier_eval" -> ClfOracle.evalSql,
+    "quality_classifier_disagreements" -> ClfOracle.disagreementsSql,
     "token_length_histogram" ->
       s"""WITH $toksCte,
          |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc GROUP BY 1)

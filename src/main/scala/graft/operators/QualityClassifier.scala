@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+
+/** In-frame quality CLASSIFIER — the fastText-classifier-shaped component a
+  * production data pipeline pairs with its rule-based filters: a logistic
+  * model over the one-pass text-surface statistics, trained DataFrame-side
+  * by full-batch gradient descent and scored corpus-wide as one codegen'd
+  * map stage.
+  *
+  * The training target is the Gopher rule conjunction
+  * ([[TextAnalysis.gopherRules]] `pass`) — the rule-distillation shape used
+  * in practice: hard heuristic labels in, a smooth calibrated score out, so
+  * downstream curation can threshold, sample by score, or inspect the
+  * documents where the smooth model DISAGREES with the brittle rules
+  * (the [[disagreementsWith]] query).
+  *
+  * Reference scope note: the reference engine (NZJ-Jimmy/TF-IDF_MapReduce,
+  * WordCount.java:61-100 normalize→count) stops at TF-IDF; this extends the
+  * same scan machinery to the model-based quality scoring step an LLM data
+  * pipeline runs beside it.
+  *
+  * Scale design (100 TB): training touches the corpus as (a) ONE surface
+  * scan producing 9 doubles per document, (b) ONE standardization
+  * aggregate, then (c) `iters` gradient aggregates over the CACHED
+  * 9-column feature frame — each a tree-aggregated 9-scalar reduce (the
+  * distributed-LR shape MLlib uses). Nothing driver-side ever holds more
+  * than 9 weights. Scoring is a single whole-stage-codegen map over the
+  * surface scan with the 9 weights inlined as literals — no join, no
+  * shuffle.
+  *
+  * Determinism (the md5-portable claim, pinned by [[layoutDeterminismGate]]
+  * and the cross-layout spec): every cross-row reduction routes through
+  * DECIMAL(28,9) after a `round(·, 9)` — decimal sums are exact and
+  * order-independent, so gradients (and therefore the trained weights) are
+  * bit-identical under any partitioning. Per-row arithmetic is fixed-order
+  * IEEE double work (`exp` ulp wobble is damped by the per-step round-9,
+  * the house rule), and the driver-side weight update re-rounds with the
+  * same HALF_UP scale-9 rule Spark's `round` applies.
+  */
+object QualityClassifier {
+
+  /** Feature order is the MODEL's contract: weights, oracle SQL, and the
+    * scoring expression all index features by this sequence. */
+  val FeatureNames: Seq[String] =
+    Seq("x_alpha", "x_digit", "x_punct", "x_ws", "x_stop", "x_mwl", "x_awf", "x_wc")
+
+  val DefaultIters = 30
+  val DefaultLr = 1.0
+
+  /** Trained model: intercept + one (weight, mean, std) triple per feature.
+    * `sigma(j) == 0` marks a constant feature (its z-score is defined as 0,
+    * so the weight stays at its 0 init — degenerate features are inert, not
+    * NaN factories). */
+  final case class Model(intercept: Double, weights: Array[Double],
+      mu: Array[Double], sigma: Array[Double]) {
+    require(weights.length == FeatureNames.size &&
+      mu.length == FeatureNames.size && sigma.length == FeatureNames.size,
+      "model arity must match FeatureNames")
+  }
+
+  /** Spark's `round(expr, 9)` on the driver: HALF_UP at scale 9 via the
+    * exact decimal expansion of the double (the RpProject kernel rule —
+    * `BigDecimal.valueOf` goes through the double's shortest decimal
+    * rendering exactly like Spark's Round expression). */
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Raw features + rule label in ONE one-pass surface scan (no second
+    * gopherRules join — the same `surfaceStats` struct feeds both). Every
+    * column is spelled identically in the DuckDB oracle CTE. */
+  def featureFrame(docs: DataFrame): DataFrame = {
+    val st = TextFunctions.surfaceStats(col("text"))
+    val n = st.getField("n_chars").cast("double")
+    val alpha = st.getField("n_alpha").cast("double")
+    val digit = st.getField("n_digit").cast("double")
+    val punct = st.getField("n_punct").cast("double")
+    val ws = st.getField("n_ws").cast("double")
+    val nTok = st.getField("n_tokens")
+    val nTokD = nTok.cast("double")
+    val stopHits = st.getField("n_stop_hits")
+    val meanLen = round(st.getField("sum_word_len").cast("double") / nTokD, 9)
+    val alphaFrac = round(st.getField("n_alpha_words").cast("double") / nTokD, 9)
+    val pass = nTok >= 50L && nTok <= 100000L &&
+      meanLen >= 3.0 && meanLen <= 10.0 && alphaFrac >= 0.8 && stopHits >= 2L
+    docs.select(
+      col("doc_id"),
+      round(alpha / n, 9).as("x_alpha"),
+      round(digit / n, 9).as("x_digit"),
+      round(punct / n, 9).as("x_punct"),
+      round(ws / n, 9).as("x_ws"),
+      round(stopHits.cast("double") / nTokD, 9).as("x_stop"),
+      round(st.getField("sum_word_len").cast("double") / nTokD / lit(10.0), 9)
+        .as("x_mwl"),
+      alphaFrac.as("x_awf"),
+      round(least(nTokD, lit(1000.0)) / lit(1000.0), 9).as("x_wc"),
+      pass.cast("double").as("y"))
+  }
+
+  private val dec = DecimalType(28, 9)
+
+  /** Standardization statistics in one aggregate: per feature the
+    * decimal-routed mean and the population std via E[x²] − E[x]²
+    * (each moment rounded to 9 before the subtraction, matching the
+    * oracle's spelling digit for digit). */
+  private def fitStats(feats: DataFrame): (Long, Array[Double], Array[Double]) = {
+    val aggs = count(lit(1)).as("n_docs") +:
+      FeatureNames.flatMap { f =>
+        Seq(sum(col(f).cast(dec)).as(s"sx_$f"),
+          sum(round(col(f) * col(f), 9).cast(dec)).as(s"sxx_$f"))
+      }
+    val row = feats.agg(aggs.head, aggs.tail: _*).head()
+    val nD = row.getAs[Long]("n_docs").toDouble
+    val mu = new Array[Double](FeatureNames.size)
+    val sigma = new Array[Double](FeatureNames.size)
+    FeatureNames.zipWithIndex.foreach { case (f, j) =>
+      val sx = row.getAs[java.math.BigDecimal](s"sx_$f").doubleValue()
+      val sxx = row.getAs[java.math.BigDecimal](s"sxx_$f").doubleValue()
+      val m = round9(sx / nD)
+      mu(j) = m
+      sigma(j) = round9(math.sqrt(math.max(round9(sxx / nD) - m * m, 0.0)))
+    }
+    (row.getAs[Long]("n_docs"), mu, sigma)
+  }
+
+  /** Z-score columns for a known (mu, sigma) — literals inlined so the
+    * transform is pure codegen map work. */
+  private def zCols(mu: Array[Double], sigma: Array[Double]): Seq[Column] =
+    FeatureNames.zipWithIndex.map { case (f, j) =>
+      if (sigma(j) > 0.0) round((col(f) - lit(mu(j))) / lit(sigma(j)), 9).as(s"z_$f")
+      else lit(0.0).as(s"z_$f")
+    }
+
+  /** The fixed-order logistic linear term over z-columns: `wb + Σ wj·zj`
+    * rounded to 9 (left-associated addition, the oracle's exact order). */
+  private def zLinear(intercept: Double, w: Array[Double]): Column =
+    round(FeatureNames.zipWithIndex.foldLeft(lit(intercept): Column) {
+      case (acc, (f, j)) => acc + lit(w(j)) * col(s"z_$f")
+    }, 9)
+
+  private def sigmoid9(z: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
+
+  /** Full-batch gradient descent, `iters` fixed iterations from a zero
+    * init. Each iteration is ONE aggregate over the pinned z-frame:
+    * `g_j = Σ round((p − y)·z_j, 9)` as DECIMAL(28,9) (order-independent),
+    * then the 9-scalar driver update `w ← round9(w − lr·g/n)`.
+    *
+    * THROW gate: the decimal-summed mean log-loss of the trained model must
+    * beat the zero-init loss (ln 2) — a silently diverged fit (bad lr)
+    * fails the build instead of shipping a worse-than-chance scorer. */
+  def fit(feats: DataFrame, iters: Int = DefaultIters, lr: Double = DefaultLr): Model = {
+    val (n, mu, sigma) = fitStats(feats)
+    require(n > 0, "cannot fit a classifier on an empty corpus")
+    val nD = n.toDouble
+    val zf = feats.select((col("y") +: zCols(mu, sigma)): _*).scopedPersist()
+    zf.count() // pin: 30 iterations re-read this frame, never the corpus
+    try {
+      var intercept = 0.0
+      val w = new Array[Double](FeatureNames.size)
+      for (_ <- 0 until iters) {
+        val p = sigmoid9(zLinear(intercept, w))
+        val diff = p - col("y")
+        val aggs = sum(round(diff * lit(1.0), 9).cast(dec)).as("gb") +:
+          FeatureNames.map(f => sum(round(diff * col(s"z_$f"), 9).cast(dec)).as(s"g_$f"))
+        val row = zf.agg(aggs.head, aggs.tail: _*).head()
+        intercept = round9(intercept - lr * row.getAs[java.math.BigDecimal]("gb")
+          .doubleValue() / nD)
+        FeatureNames.zipWithIndex.foreach { case (f, j) =>
+          w(j) = round9(w(j) - lr * row.getAs[java.math.BigDecimal](s"g_$f")
+            .doubleValue() / nD)
+        }
+      }
+      val loss = meanLogLoss(zf, Model(intercept, w, mu, sigma))
+      require(loss < 0.6931471805599453, // ln 2 = the zero-init loss, exact
+        s"classifier training diverged: final log-loss $loss >= ln 2")
+      Model(intercept, w, mu, sigma)
+    } finally zf.unpersist()
+  }
+
+  /** Decimal-summed mean log-loss of `model` over a z-frame (training
+    * diagnostics + the divergence gate; clamped away from log 0). */
+  private def meanLogLoss(zf: DataFrame, model: Model): Double = {
+    val p = sigmoid9(zLinear(model.intercept, model.weights))
+    val term = -(col("y") * log(greatest(p, lit(1e-9))) +
+      (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-9))))
+    val row = zf.agg(sum(round(term, 9).cast(dec)).as("s"), count(lit(1)).as("n")).head()
+    row.getAs[java.math.BigDecimal]("s").doubleValue() / row.getAs[Long]("n")
+  }
+
+  /** The model as its 9-row storable form `(feature, weight, mu, sigma)` —
+    * `_intercept` carries (0, 1) standardization so [[modelFromRows]] can
+    * rebuild scoring without special cases. */
+  def weightsDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    val rows = ("_intercept", round9(model.intercept), 0.0, 1.0) +:
+      FeatureNames.zipWithIndex.map { case (f, j) =>
+        (f, round9(model.weights(j)), model.mu(j), model.sigma(j))
+      }
+    rows.toDF("feature", "weight", "mu", "sigma").orderBy("feature")
+  }
+
+  /** Rebuild a [[Model]] from its stored 9-row form (bounded collect — 9
+    * rows by schema, the PQ-codebook pattern). */
+  def modelFromRows(weights: DataFrame): Model = {
+    val m = weights.select("feature", "weight", "mu", "sigma").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    require(m.contains("_intercept") && FeatureNames.forall(m.contains),
+      s"stored classifier weights are missing features: got ${m.keySet}")
+    Model(m("_intercept")._1,
+      FeatureNames.map(f => m(f)._1).toArray,
+      FeatureNames.map(f => m(f)._2).toArray,
+      FeatureNames.map(f => m(f)._3).toArray)
+  }
+
+  /** Corpus-wide scoring from a STORED model: one codegen map pass over the
+    * surface scan, weights inlined as literals (no join — the asset is 9
+    * rows). Output: (doc_id, label, score, pred), doc_id-ordered. */
+  def scoreWith(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val model = modelFromRows(weights)
+    val zf = featureFrame(docs).select(
+      (col("doc_id") +: col("y") +: zCols(model.mu, model.sigma)): _*)
+    val p = sigmoid9(zLinear(model.intercept, model.weights))
+    zf.select(col("doc_id"), col("y").cast("long").as("label"),
+        p.as("score"), (p >= 0.5).cast("long").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Confusion matrix of the smooth model against its own rule labels —
+    * the distillation-quality dashboard (how faithful is the classifier,
+    * and in which direction does it deviate). */
+  def evalWith(docs: DataFrame, weights: DataFrame): DataFrame =
+    scoreWith(docs, weights).groupBy("label", "pred")
+      .agg(count(lit(1)).as("n")).orderBy("label", "pred")
+
+  /** Documents where the smooth score most disagrees with the hard rule
+    * label — the curation reviewer's worklist (borderline rule decisions
+    * the model prices differently). */
+  def disagreementsWith(docs: DataFrame, weights: DataFrame, k: Int = 25): DataFrame =
+    scoreWith(docs, weights)
+      .select(col("doc_id"), col("label"), col("score"))
+      .orderBy(round(abs(col("score") - col("label").cast("double")), 9).desc,
+        col("doc_id").asc)
+      .limit(k)
+
+  /** Cross-layout determinism gate: the md5-portable claim, pinned the way
+    * the coded-vs-full gates pin recall. On a FIXED deterministic document
+    * sample (md5-ordered `sampleN`, so gate cost is corpus-size-independent)
+    * it (a) trains the classifier under two different partitionings and
+    * requires bit-identical weights, and (b) rebuilds the sample's
+    * (term, doc) counts under the same two layouts and requires identical
+    * order-independent digests. THROWs on any divergence; the returned rows
+    * are the audit trail. */
+  def layoutDeterminismGate(docs: DataFrame, sampleN: Int = 512): DataFrame =
+    layoutDeterminismGateImpl(docs, sampleN, mutationIters = 0)
+
+  /** [[layoutDeterminismGate]] with a seeded-mutation hook for the THROW
+    * spec: `mutationIters > 0` shortens the SECOND training run by that
+    * many iterations — a deliberate kernel divergence the gate must
+    * refuse. Test-only (the public gate pins it to 0). */
+  private[graft] def layoutDeterminismGateImpl(docs: DataFrame, sampleN: Int,
+      mutationIters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sample = docs
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(sampleN)
+      .scopedPersist()
+    sample.count()
+    try {
+      // 12 iterations, not the serving model's 30: layout-dependent drift
+      // in a decimal-routed sum would surface on the FIRST divergent
+      // gradient (weights feed forward), so the gate doesn't need full
+      // convergence — it needs bounded cost in the standing registry
+      // (30 tiny driver-synchronized jobs per fit is the expense here,
+      // not row count).
+      val gateIters = 12
+      val fa = featureFrame(sample.repartition(3))
+      val fb = featureFrame(sample.repartition(11, col("doc_id")))
+      val ma = fit(fa, iters = gateIters)
+      val mb = fit(fb, iters = gateIters - mutationIters)
+      val wa = round9(ma.intercept) +: ma.weights.map(round9)
+      val wb = round9(mb.intercept) +: mb.weights.map(round9)
+      val wMatch = java.util.Arrays.equals(wa, wb) &&
+        java.util.Arrays.equals(ma.mu, mb.mu) && java.util.Arrays.equals(ma.sigma, mb.sigma)
+
+      def termDigest(d: DataFrame): (Long, Long) = {
+        val counts = d.select(col("doc_id"), explode(Curation.tokenArray).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        val r = counts.agg(
+          sum(crc32(concat_ws("\u0001", col("doc_id").cast("string"), col("term"),
+            col("cnt").cast("string")))).as("digest"),
+          count(lit(1)).as("n")).head()
+        (r.getAs[Long]("digest"), r.getAs[Long]("n"))
+      }
+      val (da, na) = termDigest(sample.repartition(3))
+      val (db, nb) = termDigest(sample.repartition(11, col("doc_id")))
+      val tMatch = da == db && na == nb
+
+      require(wMatch, "layout determinism violated: classifier weights differ " +
+        s"across partitionings (${wa.mkString(",")} vs ${wb.mkString(",")})")
+      require(tMatch, "layout determinism violated: term-count digests differ " +
+        s"across partitionings ($da/$na vs $db/$nb)")
+      Seq(
+        ("classifier_weights", sampleN.toLong, wa.map(v => f"$v%.9f").mkString(","),
+          if (wMatch) 1L else 0L),
+        ("term_counts", na, da.toString, if (tMatch) 1L else 0L))
+        .toDF("component", "n_rows", "digest", "layout_match")
+        .orderBy("component")
+    } finally sample.unpersist()
+  }
+}

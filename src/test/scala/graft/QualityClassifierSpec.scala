@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityClassifier
+import graft.operators.QualityClassifier.{FeatureNames, Model}
+
+/** The in-frame logistic quality classifier: exact parity of the
+  * distributed fit against a literal single-node reimplementation,
+  * layout invariance (the decimal-routing claim), the divergence THROW,
+  * model round-trip, distillation accuracy, and the cross-layout
+  * determinism gate including its seeded-mutation THROW. */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic corpus whose Gopher labels straddle the 50-word rule:
+    * two stopwords + a run of plain words (mean word length in band,
+    * all-alpha), plus a few digit-bearing docs so x_digit varies. */
+  private def corpus(n: Int = 96) = {
+    val docs = (1 to n).map { i =>
+      val words = 8 + (i * 13) % 90
+      val body = Seq.fill(words)("alpha").mkString(" ")
+      val digits = if (i % 11 == 0) " a1b22c333" else ""
+      (i.toLong, s"the and $body$digits")
+    }
+    docs.toDF("doc_id", "text")
+  }
+
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  private def dec9(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+
+  /** Literal single-node reimplementation of QualityClassifier.fit over
+    * collected feature rows — BigDecimal accumulators for every cross-row
+    * sum, fixed-order double arithmetic per row, HALF_UP scale-9 rounding
+    * at exactly the steps the DataFrame spelling rounds. Shares no code
+    * with the operator. */
+  private def literalFit(rows: Seq[(Array[Double], Double)], iters: Int,
+      lr: Double): Model = {
+    val nF = FeatureNames.size
+    val n = rows.size.toDouble
+    val mu = new Array[Double](nF)
+    val sigma = new Array[Double](nF)
+    for (j <- 0 until nF) {
+      var sx = java.math.BigDecimal.ZERO
+      var sxx = java.math.BigDecimal.ZERO
+      rows.foreach { case (x, _) =>
+        sx = sx.add(dec9(x(j)))
+        sxx = sxx.add(dec9(x(j) * x(j)))
+      }
+      val m = round9(sx.doubleValue() / n)
+      mu(j) = m
+      sigma(j) = round9(math.sqrt(math.max(round9(sxx.doubleValue() / n) - m * m, 0.0)))
+    }
+    val z = rows.map { case (x, _) =>
+      Array.tabulate(nF)(j =>
+        if (sigma(j) > 0.0) round9((x(j) - mu(j)) / sigma(j)) else 0.0)
+    }
+    var wb = 0.0
+    val w = new Array[Double](nF)
+    for (_ <- 0 until iters) {
+      var gb = java.math.BigDecimal.ZERO
+      val g = Array.fill(nF)(java.math.BigDecimal.ZERO)
+      rows.zip(z).foreach { case ((_, y), zr) =>
+        var lin = wb
+        for (j <- 0 until nF) lin += w(j) * zr(j)
+        val p = round9(1.0 / (1.0 + java.lang.Math.exp(-round9(lin))))
+        gb = gb.add(dec9((p - y) * 1.0))
+        for (j <- 0 until nF) g(j) = g(j).add(dec9((p - y) * zr(j)))
+      }
+      wb = round9(wb - lr * gb.doubleValue() / n)
+      for (j <- 0 until nF) w(j) = round9(w(j) - lr * g(j).doubleValue() / n)
+    }
+    Model(wb, w, mu, sigma)
+  }
+
+  private def collectFeatures(docs: org.apache.spark.sql.DataFrame) =
+    QualityClassifier.featureFrame(docs)
+      .select((FeatureNames.map(col) :+ col("y")): _*)
+      .collect()
+      .map(r => (Array.tabulate(FeatureNames.size)(r.getDouble), r.getDouble(FeatureNames.size)))
+      .toSeq
+
+  test("fit equals a literal single-node reimplementation bit-for-bit") {
+    val docs = corpus()
+    val spark1 = QualityClassifier.fit(QualityClassifier.featureFrame(docs))
+    val lit1 = literalFit(collectFeatures(docs), QualityClassifier.DefaultIters,
+      QualityClassifier.DefaultLr)
+    assert(spark1.intercept == lit1.intercept)
+    assert(spark1.weights.toSeq == lit1.weights.toSeq)
+    assert(spark1.mu.toSeq == lit1.mu.toSeq)
+    assert(spark1.sigma.toSeq == lit1.sigma.toSeq)
+  }
+
+  test("fit is bit-identical across partitionings (decimal-routed gradients)") {
+    val docs = corpus()
+    val a = QualityClassifier.fit(QualityClassifier.featureFrame(docs.repartition(2)))
+    val b = QualityClassifier.fit(
+      QualityClassifier.featureFrame(docs.repartition(7, col("doc_id"))))
+    assert(a.intercept == b.intercept && a.weights.toSeq == b.weights.toSeq)
+    assert(a.mu.toSeq == b.mu.toSeq && a.sigma.toSeq == b.sigma.toSeq)
+  }
+
+  test("constant features are inert: zero weight, zero sigma") {
+    // x_punct is constant-0 on this corpus (no punctuation characters)
+    val m = QualityClassifier.fit(QualityClassifier.featureFrame(corpus()))
+    val j = FeatureNames.indexOf("x_punct")
+    assert(m.sigma(j) == 0.0 && m.weights(j) == 0.0)
+  }
+
+  test("fit THROWS when training diverges (seeded sign-flipped update)") {
+    // gradient ASCENT: loss can only leave the ln-2 zero-init level upward,
+    // so the divergence gate must refuse the trained model
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.fit(QualityClassifier.featureFrame(corpus()), lr = -0.5)
+    }
+    assert(e.getMessage.contains("diverged"))
+  }
+
+  test("weightsDf round-trips through modelFromRows") {
+    val m = QualityClassifier.fit(QualityClassifier.featureFrame(corpus()))
+    val back = QualityClassifier.modelFromRows(
+      QualityClassifier.weightsDf(spark, m))
+    assert(back.intercept == round9(m.intercept))
+    assert(back.weights.toSeq == m.weights.toSeq.map(round9))
+    assert(back.mu.toSeq == m.mu.toSeq && back.sigma.toSeq == m.sigma.toSeq)
+  }
+
+  test("distilled scores beat the majority baseline on a separable corpus") {
+    val docs = corpus()
+    val weights = QualityClassifier.weightsDf(spark,
+      QualityClassifier.fit(QualityClassifier.featureFrame(docs)))
+    val conf = QualityClassifier.evalWith(docs, weights)
+      .as[(Long, Long, Long)].collect()
+    val total = conf.map(_._3).sum.toDouble
+    val correct = conf.filter(r => r._1 == r._2).map(_._3).sum.toDouble
+    val pos = conf.filter(_._1 == 1L).map(_._3).sum.toDouble
+    val majority = math.max(pos, total - pos) / total
+    assert(correct / total > majority + 0.05,
+      s"accuracy ${correct / total} should beat majority $majority")
+    // scores and preds agree with the stored-threshold contract
+    val scored = QualityClassifier.scoreWith(docs, weights)
+      .select("score", "pred").as[(Double, Long)].collect()
+    scored.foreach { case (s, p) => assert((s >= 0.5) == (p == 1L)) }
+  }
+
+  test("disagreements surface rule/model conflicts most-divergent first") {
+    val docs = corpus()
+    val weights = QualityClassifier.weightsDf(spark,
+      QualityClassifier.fit(QualityClassifier.featureFrame(docs)))
+    val top = QualityClassifier.disagreementsWith(docs, weights, 10)
+      .select("label", "score").as[(Long, Double)].collect()
+    val gaps = top.map { case (l, s) => math.abs(s - l.toDouble) }
+    assert(gaps.sameElements(gaps.sortBy(-(_: Double))), "descending by divergence")
+  }
+
+  test("layoutDeterminismGate passes clean and THROWS on a seeded mutation") {
+    val docs = corpus()
+    val rows = QualityClassifier.layoutDeterminismGate(docs, sampleN = 48)
+      .select("component", "layout_match").as[(String, Long)].collect().toMap
+    assert(rows == Map("classifier_weights" -> 1L, "term_counts" -> 1L))
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.layoutDeterminismGateImpl(docs, sampleN = 48,
+        mutationIters = 5)
+    }
+    assert(e.getMessage.contains("layout determinism violated"))
+  }
+}
