@@ -25,7 +25,38 @@ object Bench {
       .replaceAll("Lambda\\$[^,\\s)]+", "Lambda")
       .replaceAll("@[0-9a-fA-F]+", "@x")
       .replaceAll("\\d+", "N")
-      .linesIterator.map(stabilizeDistinctRewrite).mkString("\n")
+      .linesIterator.map(l => stabilizeDistinctRewrite(stripTruncationTails(l)))
+      .mkString("\n")
+
+  /** Truncated metadata strings (DataFilters/ReadSchema at
+    * spark.sql.maxMetadataStringLength) end mid-token at a byte offset
+    * that can SHIFT when an upstream variable-length token (a JVM
+    * identity hash like `[J@5ccf3a` vs `[J@91b2c4d8`) differs across
+    * runs: the r9 `embedding_rp_components` fingerprint flap. Normalize
+    * by cutting the partial token back to the nearest boundary so only
+    * the `...` marker remains. Hand-rolled linear scan, NOT a regex —
+    * `\\S*\\.\\.\\.` backtracks quadratically per token and plan dumps
+    * carry multi-KB single tokens (struct ReadSchemas), which turned the
+    * first spelling into minutes of driver CPU per plan. The session
+    * also raises the metadata length so truncation is rare to begin
+    * with; this handles the plans that still overflow it. */
+  private[graft] def stripTruncationTails(line: String): String = {
+    var j = line.indexOf("...")
+    if (j < 0) return line
+    val sb = new java.lang.StringBuilder(line.length)
+    var i = 0
+    while (j >= 0) {
+      var k = j
+      while (k > i && !Character.isWhitespace(line.charAt(k - 1)) &&
+             line.charAt(k - 1) != '[' && line.charAt(k - 1) != '(' &&
+             line.charAt(k - 1) != ',') k -= 1
+      sb.append(line, i, k).append("...")
+      i = j + 3
+      j = line.indexOf("...", i)
+    }
+    sb.append(line, i, line.length)
+    sb.toString
+  }
 
   /** RewriteDistinctAggregates lays out its Expand projections — and the
     * column SLOTS within them, and therefore the downstream HashAggregate

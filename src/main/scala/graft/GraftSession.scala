@@ -24,6 +24,16 @@ object GraftSession {
       // in ObjectHashAggregate; the default 128-key fallback would push
       // every realistic cardinality to slow sort-based aggregation.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // plan-text fingerprints hash scan metadata (DataFilters/
+      // PushedFilters): at the 100-char default these strings truncate at
+      // a byte offset that MOVES when an embedded JVM identity hash
+      // (e.g. a codegen'd expression's `[J@<hex>` mask argument) prints
+      // with a different hex LENGTH, flapping the canonical form across
+      // otherwise identical runs (r9: embedding_rp_components). Print
+      // enough that registry plans don't truncate (the canonicalizer's
+      // stripTruncationTails covers the rest); 1 KiB, not unbounded —
+      // plan-dump cost rides on every explain and fingerprint pass.
+      .config("spark.sql.maxMetadataStringLength", "1024")
 
   def create(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

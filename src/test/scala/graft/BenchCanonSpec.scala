@@ -75,6 +75,22 @@ class BenchCanonSpec extends AnyFunSuite {
     assert(c != d)
   }
 
+  test("a truncation cutoff shifted mid-token normalizes away; a real pre-cutoff difference does not") {
+    // the r9 flapper: DataFilters truncates at maxMetadataStringLength,
+    // and an embedded `[J@<identityHash>` whose hex LENGTH varies per JVM
+    // shifts the cutoff — the partial trailing token differed (`is...` vs
+    // `isn...`) while the plan was identical
+    val a = Bench.canonicalPlan(
+      "FileScan parquet [vec_id#1,embedding#2] DataFilters: [(size(graft_rp_project(cast(embedding#2 as array<double>), [J@5ccf3a, 32, 64), false) > 0), is...")
+    val b = Bench.canonicalPlan(
+      "FileScan parquet [vec_id#1,embedding#2] DataFilters: [(size(graft_rp_project(cast(embedding#2 as array<double>), [J@91b2c4d8, 32, 64), false) > 0), isn...")
+    assert(a == b)
+    // a difference BEFORE the cutoff must still change the form
+    val c = Bench.canonicalPlan(
+      "FileScan parquet [vec_id#1,embedding#2] DataFilters: [(size(graft_jl_project(cast(embedding#2 as array<double>), [J@5ccf3a, 32, 64), false) > 0), is...")
+    assert(a != c)
+  }
+
   test("structural changes survive: a lost broadcast changes the canonical form") {
     val broadcastJoin = Bench.canonicalPlan(
       "BroadcastHashJoin [term#87], [term#23], Inner, BuildRight, false")
