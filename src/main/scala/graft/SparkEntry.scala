@@ -1256,6 +1256,27 @@ object SparkEntry {
     // md5-portable decimal-routing claim the way recall gates pin recall
     "layout_determinism_gate" -> ((s, dir) =>
       operators.QualityClassifier.layoutDeterminismGate(Tables.documents(s, dir))),
+    // CLASSIFIER-SCORE-WEIGHTED CURATION — the step a pipeline takes once
+    // it trusts the distilled model. Score-weighted stable sampling: each
+    // document survives with probability = its classifier score (md5-coin,
+    // content-stable, pure map work — no shuffle, no rank window):
+    "classifier_weighted_sample" -> ((s, dir) =>
+      operators.QualityClassifier.scoreWeightedSample(Tables.documents(s, dir),
+        qualityClassifierWeightsAsset(s, dir))),
+    // the manifest re-cut by the model: the per-source bottom-quartile
+    // RANK cut (two windows per source at 100 TB) replaced by the model's
+    // threshold predicate — a pure map decision; both verdicts reported
+    // per document so the switch is auditable
+    "manifest_by_classifier" -> ((s, dir) =>
+      operators.QualityClassifier.manifestByClassifier(
+        manifestAsset(s, dir).orderBy("doc_id"),
+        Tables.documents(s, dir), qualityClassifierWeightsAsset(s, dir))),
+    // per-source switch-impact 2x2: doc and TOKEN mass by
+    // (kept_rule, kept_clf) — what flipping the quality cut changes
+    "manifest_classifier_delta" -> ((s, dir) =>
+      operators.QualityClassifier.manifestClassifierDelta(
+        manifestAsset(s, dir).orderBy("doc_id"),
+        Tables.documents(s, dir), qualityClassifierWeightsAsset(s, dir))),
     // SEMANTIC decontamination: embedding-cosine leakage vs the held-out
     // benchmark split (vec_id % 53, mirroring the gram family's doc_id
     // split) — benchmark broadcast, one map pass over the corpus. The
@@ -1745,6 +1766,20 @@ object SparkEntry {
         toks.where(col("doc_id") % 53 === 0))
         .orderBy("doc_id")
     }),
+    // the classifier refresh protocol's batch shape: stateless model
+    // scoring stamped with the weights asset's content-derived version
+    // (the stamp a stream consumer audits to see WHICH model scored each
+    // row). The stream side — per-micro-batch version poll + model swap
+    // on retrain — is MemoryStream-spec'd in StreamingSpec.
+    "streams_classifier_scores_batch" -> ((s, dir) => {
+      val weights = qualityClassifierWeightsAsset(s, dir)
+      graft.streaming.Streams.classifierScoreWithModel(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        operators.QualityClassifier.modelFromRows(weights))
+        .withColumn("index_version",
+          lit(operators.QualityClassifier.modelVersion(weights)))
+        .orderBy("doc_id")
+    }),
     // --- Similarity search ---
     // embedding-table hygiene audit: one-row dim/null/norm report gating
     // any index build over a new embedding drop
@@ -2074,6 +2109,48 @@ object SparkEntry {
          |SELECT doc_id, CAST(y AS BIGINT) AS label, $scoreExpr AS score
          |FROM zf CROSS JOIN w$iters
          |ORDER BY round(abs($scoreExpr - y), 9) DESC, doc_id ASC LIMIT 25""".stripMargin
+
+    // score-weighted stable sample: survive iff the md5-uniform coin
+    // (exact power-of-two division — bit-portable, no rounding needed)
+    // lands under the classifier score
+    val sampleSql: String =
+      s"""WITH $prefix,
+         |coins AS (
+         |  SELECT doc_id, $scoreExpr AS score,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |      / 4294967296.0 AS u
+         |  FROM zf CROSS JOIN w$iters)
+         |SELECT doc_id, score, u FROM coins WHERE u < score ORDER BY doc_id""".stripMargin
+
+    // the per-doc scored verdict pair shared by both manifest-switch
+    // oracles: manifest CTE chain + the unrolled training + one join
+    private val manifestJoinedCte: String =
+      s"""$manifestOracleCtes,
+         |${prefix},
+         |clf AS (
+         |  SELECT doc_id, $scoreExpr AS score,
+         |    CAST($scoreExpr >= 0.5 AS BIGINT) AS pred
+         |  FROM zf CROSS JOIN w$iters),
+         |joined AS (
+         |  SELECT m.doc_id, m.source, m.n_tokens, c.score,
+         |    m.kept AS kept_rule,
+         |    CAST(CASE WHEN m.exact_dup = 0 AND m.near_dup = 0
+         |      AND m.contaminated = 0 AND c.pred = 1 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS kept_clf
+         |  FROM manifest m JOIN clf c ON c.doc_id = m.doc_id)""".stripMargin
+
+    val manifestByClfSql: String =
+      s"""$manifestJoinedCte
+         |SELECT doc_id, source, n_tokens, score, kept_rule, kept_clf,
+         |  CAST(kept_rule <> kept_clf AS BIGINT) AS changed
+         |FROM joined ORDER BY doc_id""".stripMargin
+
+    val manifestDeltaSql: String =
+      s"""$manifestJoinedCte
+         |SELECT source, kept_rule, kept_clf, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM joined GROUP BY 1, 2, 3
+         |ORDER BY source, kept_rule, kept_clf""".stripMargin
   }
 
   /** Portable token-array CTE (positions preserved) for the n-gram oracle —
@@ -2967,6 +3044,9 @@ object SparkEntry {
     "quality_classifier_scores" -> ClfOracle.scoresSql,
     "quality_classifier_eval" -> ClfOracle.evalSql,
     "quality_classifier_disagreements" -> ClfOracle.disagreementsSql,
+    "classifier_weighted_sample" -> ClfOracle.sampleSql,
+    "manifest_by_classifier" -> ClfOracle.manifestByClfSql,
+    "manifest_classifier_delta" -> ClfOracle.manifestDeltaSql,
     "token_length_histogram" ->
       s"""WITH $toksCte,
          |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc GROUP BY 1)

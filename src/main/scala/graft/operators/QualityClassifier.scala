@@ -219,17 +219,100 @@ object QualityClassifier {
       FeatureNames.map(f => m(f)._3).toArray)
   }
 
-  /** Corpus-wide scoring from a STORED model: one codegen map pass over the
-    * surface scan, weights inlined as literals (no join — the asset is 9
-    * rows). Output: (doc_id, label, score, pred), doc_id-ordered. */
-  def scoreWith(docs: DataFrame, weights: DataFrame): DataFrame = {
-    val model = modelFromRows(weights)
+  /** Unordered scoring rows for a known [[Model]] — the stateless form a
+    * STREAM micro-batch scores with (streams cannot sort; batch callers
+    * order on top). One codegen map pass, weights inlined as literals. */
+  def scoreRows(docs: DataFrame, model: Model): DataFrame = {
     val zf = featureFrame(docs).select(
       (col("doc_id") +: col("y") +: zCols(model.mu, model.sigma)): _*)
     val p = sigmoid9(zLinear(model.intercept, model.weights))
     zf.select(col("doc_id"), col("y").cast("long").as("label"),
-        p.as("score"), (p >= 0.5).cast("long").as("pred"))
+      p.as("score"), (p >= 0.5).cast("long").as("pred"))
+  }
+
+  /** Corpus-wide scoring from a STORED model: one codegen map pass over the
+    * surface scan, weights inlined as literals (no join — the asset is 9
+    * rows). Output: (doc_id, label, score, pred), doc_id-ordered. */
+  def scoreWith(docs: DataFrame, weights: DataFrame): DataFrame =
+    scoreRows(docs, modelFromRows(weights)).orderBy("doc_id")
+
+  /** Score-weighted stable sampling — the step a pipeline takes once it
+    * trusts the distilled model: each document survives with probability
+    * equal to its classifier SCORE (smooth quality-proportional retention,
+    * vs the rule conjunction's hard keep/drop). The coin is the house
+    * md5-uniform ([[TextAnalysis.stableSample]]'s key hash mapped to
+    * [0, 1) by the exact power-of-two division, so the comparison is
+    * bit-portable to the SQL oracle): content-stable — the same documents
+    * survive on every engine and every run — and pure map work on top of
+    * the one-pass scoring scan (no shuffle, no rank window; holds at any
+    * corpus size). Output: the surviving rows (doc_id, score, u),
+    * doc_id-ordered. */
+  def scoreWeightedSample(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val model = modelFromRows(weights)
+    // first 8 md5 hex digits as a 32-bit uniform; /2^32 is an exact
+    // power-of-two division of an exactly-representable integer, so `u`
+    // is BIT-identical on any engine and `u < score` needs no rounding
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    scoreRows(docs, model)
+      .withColumn("u", u)
+      .where(col("u") < col("score"))
+      .select("doc_id", "score", "u")
       .orderBy("doc_id")
+  }
+
+  /** The curation manifest re-cut by the CLASSIFIER: the rule-based
+    * per-source bottom-quartile `low_quality` rank cut (two window
+    * functions per source at 100 TB) is replaced by the model's own
+    * threshold predicate `score >= 0.5` — a pure map decision with NO
+    * per-source sort, the scale win that motivates distillation. Joins the
+    * stored manifest (dedup/decon flags unchanged) with the scoring scan
+    * and reports both verdicts per document so the switch is auditable.
+    * Output: (doc_id, source, n_tokens, score, kept_rule, kept_clf,
+    * changed), doc_id-ordered. */
+  def manifestByClassifier(manifest: DataFrame, docs: DataFrame,
+      weights: DataFrame): DataFrame = {
+    val scores = scoreRows(docs, modelFromRows(weights))
+      .select(col("doc_id"), col("score"), col("pred"))
+    manifest
+      .select("doc_id", "source", "n_tokens", "exact_dup", "near_dup",
+        "contaminated", "kept")
+      .join(scores, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("score"),
+        col("kept").as("kept_rule"),
+        (col("exact_dup") === 0 && col("near_dup") === 0 &&
+          col("contaminated") === 0 && col("pred") === 1)
+          .cast("long").as("kept_clf"))
+      .withColumn("changed", (col("kept_rule") =!= col("kept_clf")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source switch-impact summary over [[manifestByClassifier]]: the
+    * 2×2 (kept_rule, kept_clf) cell counts with document AND token mass —
+    * the table a curation owner reads before flipping the quality cut from
+    * rules to the model (token mass is what the training batch actually
+    * feels). */
+  def manifestClassifierDelta(manifest: DataFrame, docs: DataFrame,
+      weights: DataFrame): DataFrame =
+    manifestByClassifier(manifest, docs, weights)
+      .groupBy("source", "kept_rule", "kept_clf")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("source", "kept_rule", "kept_clf")
+
+  /** Content-derived version stamp of a stored weights asset (bounded — 9
+    * rows by schema): moves iff the model's values move, so a stream
+    * serving layer ([[graft.streaming.Streams.withRefreshingModel]]) can
+    * poll it per micro-batch and re-broadcast only on a real retrain.
+    * Deterministic across JVMs (fixed decimal rendering, fixed order). */
+  def modelVersion(weights: DataFrame): Long = {
+    val m = modelFromRows(weights)
+    val rendered = (f"${m.intercept}%.9f" +:
+      FeatureNames.indices.flatMap(j => Seq(
+        f"${m.weights(j)}%.9f", f"${m.mu(j)}%.9f", f"${m.sigma(j)}%.9f")))
+      .mkString(",")
+    val crc = new java.util.zip.CRC32()
+    crc.update(rendered.getBytes("UTF-8"))
+    crc.getValue
   }
 
   /** Confusion matrix of the smooth model against its own rule labels —

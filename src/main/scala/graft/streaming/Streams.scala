@@ -320,6 +320,35 @@ object Streams {
       (batch, bloom) => streamingDecontaminateWithModel(batch, bloom, n, flagRatio),
       checkpointDir)(sink)
 
+  /** Stateless quality-classifier scoring of a document stream — the
+    * model-based sibling of the Bloom gates: each row gets the smooth
+    * score plus the hard rule label from ONE surface-stats map pass
+    * ([[graft.operators.QualityClassifier.scoreRows]] — no sort, no
+    * shuffle, no state store, so the shape holds on an unbounded stream).
+    * The model argument keeps the snapshot OUTSIDE the plan so the refresh
+    * protocol can swap it per micro-batch. */
+  def classifierScoreWithModel(docs: DataFrame,
+      model: graft.operators.QualityClassifier.Model): DataFrame =
+    graft.operators.QualityClassifier.scoreRows(docs, model)
+
+  /** Classifier scoring under the refresh protocol: a batch-side retrain
+    * (new corpus drop, recalibrated rules) republishes the 9-row weights
+    * asset and bumps its content-derived version stamp
+    * ([[graft.operators.QualityClassifier.modelVersion]]); rows arriving
+    * after the bump score against the NEW weights without a stream
+    * restart — closing train-batch → serve-stream for the MODEL the way
+    * [[exactSubstrGateWithRefresh]] closes it for the indexes.
+    * `loadModel` is typically `modelFromRows` over the re-read asset. */
+  def classifierScoreWithRefresh(docs: DataFrame,
+      currentVersion: () => Long,
+      loadModel: () => graft.operators.QualityClassifier.Model,
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    withRefreshingModel[graft.operators.QualityClassifier.Model](docs,
+      currentVersion, loadModel,
+      (batch, model) => classifierScoreWithModel(batch, model),
+      checkpointDir)(sink)
+
   /** Stream-stream interval join: right rows within
     * `[left.t - lower, left.t + upper]` for the same key. The explicit
     * time bound is what makes this viable on unbounded streams — with both

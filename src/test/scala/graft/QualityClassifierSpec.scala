@@ -157,6 +157,76 @@ class QualityClassifierSpec extends SparkSpec {
     assert(gaps.sameElements(gaps.sortBy(-(_: Double))), "descending by divergence")
   }
 
+  test("scoreWeightedSample keeps exactly the docs whose md5 coin lands under the score") {
+    val docs = corpus()
+    val weights = QualityClassifier.weightsDf(spark,
+      QualityClassifier.fit(QualityClassifier.featureFrame(docs)))
+    // literal JVM coin: first 8 md5 hex digits of the doc_id string / 2^32
+    def coin(docId: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0
+    }
+    val scores = QualityClassifier.scoreWith(docs, weights)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val expected = scores.collect { case (id, s) if coin(id) < s => id }.toSet
+    val got = QualityClassifier.scoreWeightedSample(docs, weights)
+      .select("doc_id", "score", "u").as[(Long, Double, Double)].collect()
+    assert(got.map(_._1).toSet == expected)
+    got.foreach { case (id, s, u) =>
+      assert(u == coin(id) && s == scores(id) && u < s)
+    }
+    // the sample is non-trivial on this corpus: some kept, some dropped
+    assert(expected.nonEmpty && expected.size < scores.size)
+  }
+
+  test("manifestByClassifier re-cuts only the quality leg; delta sums preserve mass") {
+    val docs = corpus()
+    val weights = QualityClassifier.weightsDf(spark,
+      QualityClassifier.fit(QualityClassifier.featureFrame(docs)))
+    // hand-made manifest: doc 1 exact-dup, doc 2 contaminated, rest clean;
+    // sources split by parity; rule cut keeps multiples of 3 only
+    val manifest = corpus().select(col("doc_id")).as[Long].collect().toSeq.map { id =>
+      val exactDup = if (id == 1L) 1L else 0L
+      val contaminated = if (id == 2L) 1L else 0L
+      val lowQ = if (id % 3 == 0) 0L else 1L
+      val kept = if (exactDup == 0 && contaminated == 0 && lowQ == 0) 1L else 0L
+      (id, if (id % 2 == 0) "even" else "odd", 10L + id, 0.5,
+        exactDup, 0L, contaminated, lowQ, kept)
+    }.toDF("doc_id", "source", "n_tokens", "quality", "exact_dup",
+      "near_dup", "contaminated", "low_quality", "kept")
+    val preds = QualityClassifier.scoreWith(docs, weights)
+      .select("doc_id", "pred").as[(Long, Long)].collect().toMap
+    val rows = QualityClassifier.manifestByClassifier(manifest, docs, weights)
+      .select("doc_id", "source", "n_tokens", "kept_rule", "kept_clf", "changed")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(rows.length == preds.size)
+    rows.foreach { case (id, src, nTok, keptRule, keptClf, changed) =>
+      val expectClf =
+        if (id == 1L || id == 2L) 0L // dedup/decon flags always veto
+        else preds(id)
+      assert(keptClf == expectClf, s"doc $id")
+      assert(changed == (if (keptRule != keptClf) 1L else 0L))
+      assert(src == (if (id % 2 == 0) "even" else "odd") && nTok == 10L + id)
+    }
+    // the per-source 2x2 partitions the manifest: counts and token mass sum back
+    val delta = QualityClassifier.manifestClassifierDelta(manifest, docs, weights)
+      .select("n_docs", "n_tokens").as[(Long, Long)].collect()
+    assert(delta.map(_._1).sum == rows.length)
+    assert(delta.map(_._2).sum == rows.map(_._3).sum)
+  }
+
+  test("modelVersion is content-derived: stable on re-read, moves on retrain") {
+    val m = QualityClassifier.fit(QualityClassifier.featureFrame(corpus()))
+    val w1 = QualityClassifier.weightsDf(spark, m)
+    assert(QualityClassifier.modelVersion(w1) ==
+      QualityClassifier.modelVersion(QualityClassifier.weightsDf(spark, m)))
+    val bumped = Model(m.intercept + 0.25, m.weights, m.mu, m.sigma)
+    assert(QualityClassifier.modelVersion(w1) !=
+      QualityClassifier.modelVersion(QualityClassifier.weightsDf(spark, bumped)))
+  }
+
   test("layoutDeterminismGate passes clean and THROWS on a seeded mutation") {
     val docs = corpus()
     val rows = QualityClassifier.layoutDeterminismGate(docs, sampleN = 48)

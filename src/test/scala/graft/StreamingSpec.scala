@@ -277,6 +277,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifier refresh: a batch-side retrain reaches the running stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.QualityClassifier
+    val k = QualityClassifier.FeatureNames.size
+    // constant models (zero feature weights): score = sigmoid(intercept),
+    // so the swap is visible as a score change on identical input text
+    def constModel(b: Double) = QualityClassifier.Model(
+      b, Array.fill(k)(0.0), Array.fill(k)(0.0), Array.fill(k)(1.0))
+    def sigmoid9(z: Double): Double =
+      java.math.BigDecimal.valueOf(1.0 / (1.0 + math.exp(-z)))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    @volatile var version = 1L
+    @volatile var stored = constModel(-2.0)
+    var loads = 0
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.classifierScoreWithRefresh(
+      in.toDF.toDF("doc_id", "text"),
+      currentVersion = () => version,
+      loadModel = () => { loads += 1; stored }) { (df, _) =>
+      buf.synchronized {
+        buf ++= df.select("doc_id", "score", "index_version")
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      }
+      ()
+    }
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      assert(buf.toSet == Set((1L, sigmoid9(-2.0), 1L)))
+      assert(loads == 1, "unchanged version must not reload the model")
+      // batch-tier retrain lands: new weights + version bump
+      stored = constModel(2.0); version = 2L
+      in.addData((2L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      // the same text scores differently under the new model, stamped v2
+      assert(buf.toSet == Set((1L, sigmoid9(-2.0), 1L), (2L, sigmoid9(2.0), 2L)))
+      assert(loads == 2, "exactly one reload per version change")
+    } finally q.stop()
+  }
+
   test("streamingDecontaminate runs live: per-row gate, batch parity, no state") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
