@@ -469,8 +469,25 @@ object SparkEntry {
       val prev =
         if (level == 24) exactSubstrWindowsAsset(s, dir).select("doc_id", "pos")
         else exactSubstrLevelAsset(s, dir, level / 2)
-      ExactSubstr.cascadeStep(
-        operators.Scaling.fanOut(tokenArraysAsset(s, dir)), prev, level / 2)
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      // store the level hash beside each mark (r9: the probe key
+      // incremental cascade maintenance needs — one extra kernel pass
+      // over marked docs at build time)
+      ExactSubstr.withLevelHashes(toks,
+        ExactSubstr.cascadeStep(toks, prev, level / 2), level)
+    }
+
+  /** The l24 cascade level over the PRE-APPEND corpus slice — the stored
+    * level the cascade-merge replay updates (the level sibling of
+    * `exact_substr_windows_old90`), hashes attached like every stored
+    * level. */
+  private def exactSubstrOldL24Asset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "exact_substr_marks_old90_l24") {
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+        .where(col("doc_id") % 10 =!= 9)
+      ExactSubstr.withLevelHashes(toks,
+        ExactSubstr.cascadeStep(toks,
+          exactSubstrOldWindowsAsset(s, dir).select("doc_id", "pos"), 12), 24)
     }
 
   /** All four stored cascade levels, base first — the input shape the
@@ -620,6 +637,7 @@ object SparkEntry {
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
     "exact_substr_hashes_l12" -> ((s, d) => { exactSubstrHashesAsset(s, d); () }),
     "exact_substr_windows_old90" -> ((s, d) => { exactSubstrOldWindowsAsset(s, d); () }),
+    "exact_substr_marks_old90_l24" -> ((s, d) => { exactSubstrOldL24Asset(s, d); () }),
     "exact_substr_marks_l24" -> ((s, d) => { exactSubstrLevelAsset(s, d, 24); () }),
     "exact_substr_marks_l48" -> ((s, d) => { exactSubstrLevelAsset(s, d, 48); () }),
     "exact_substr_marks_l96" -> ((s, d) => { exactSubstrLevelAsset(s, d, 96); () }),
@@ -1452,6 +1470,38 @@ object SparkEntry {
         exactSubstrOldWindowsAsset(s, dir),
         toks.where(col("doc_id") % 10 === 9), 12)
       ExactSubstr.spansFromVerified(merged, 12)
+    }),
+    // the stored l24 cascade level's marked rows, occ + corpus-first
+    // witness flattened — pins the LEVEL assets (which three strip/profile
+    // consumers serve from) against a direct duplicated-24-gram oracle
+    "exact_substr_level_marks" -> ((s, dir) =>
+      exactSubstrLevelAsset(s, dir, 24)
+        .select(col("doc_id"), col("pos"), col("occ"),
+          col("canon").getField("doc_id").as("canon_doc"),
+          col("canon").getField("pos").as("canon_pos"))
+        .orderBy("doc_id", "pos")),
+    // INCREMENTAL CASCADE maintenance (closes the family the r9 base
+    // merge opened): the doc_id % 10 == 9 append batch merged up one
+    // stored cascade doubling — level candidates come from
+    // changed-half-adjacent closure pairs plus stored-hash probes, so old
+    // content is read only for touched documents. SERVING-shaped: the
+    // merged base truth is the stored full-corpus index (its equality
+    // with the live base merge is what exact_substr_incremental_merge's
+    // oracle pins — re-running that merge here would double the
+    // registry's top entry for no coverage). The merged l24 level must
+    // reproduce the full rebuild's (shares the level-marks oracle); the
+    // live-base-merge driver is spec-pinned in ExactSubstrSpec.
+    "exact_substr_cascade_merge" -> ((s, dir) => {
+      val merged = ExactSubstr.mergeLevelsIncremental(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
+        exactSubstrWindowsAsset(s, dir),
+        exactSubstrOldWindowsAsset(s, dir),
+        Seq(24 -> exactSubstrOldL24Asset(s, dir)), 12)
+      merged.last._2
+        .select(col("doc_id"), col("pos"), col("occ"),
+          col("canon").getField("doc_id").as("canon_doc"),
+          col("canon").getField("pos").as("canon_pos"))
+        .orderBy("doc_id", "pos")
     }),
     // regions with provenance: the canonical occurrence of each region's
     // opening window — "duplicated from where"
@@ -2416,6 +2466,8 @@ object SparkEntry {
       // shares its sibling's oracle verbatim
       ("tfidf_incremental_merge" -> m("tfidf_full")) +
       ("exact_substr_incremental_merge" -> m("exact_substr_spans")) +
+      // the cascade merge must reproduce the full rebuild's l24 level
+      ("exact_substr_cascade_merge" -> m("exact_substr_level_marks")) +
       ("streams_term_counts_batch" -> m("term_counts")) +
       // Bloom prefilter has no false negatives → identical final output
       ("decontaminate_bloom" -> m("decontaminate_overlap")) +
@@ -3476,6 +3528,28 @@ object SparkEntry {
          |SELECT e.doc_id, e.pos, CAST(max(e.m) AS BIGINT) AS match_len
          |FROM ext e JOIN dupm USING (m, gram)
          |GROUP BY 1, 2
+         |ORDER BY doc_id, pos""".stripMargin,
+    // stored l24 level marks (and, shared, the cascade-merge replay):
+    // duplicated 24-gram start positions with occ + corpus-first witness
+    "exact_substr_level_marks" ->
+      s"""WITH $toksArrCte,
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(a[pos:pos+23], ' ') AS gram
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a) - 22)) AS pos
+         |        FROM toksarr WHERE len(a) >= 24) u
+         |),
+         |wc AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_doc,
+         |    first_value(pos) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_pos
+         |  FROM wins
+         |)
+         |SELECT doc_id, pos, CAST(occ AS BIGINT) AS occ, canon_doc, canon_pos
+         |FROM wc WHERE occ >= 2
          |ORDER BY doc_id, pos""".stripMargin,
     // spans + provenance: canonical occurrence (corpus-first by
     // (doc_id, pos)) of each region's opening window

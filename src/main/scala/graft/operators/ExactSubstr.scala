@@ -169,6 +169,144 @@ object ExactSubstr {
       .unionByName(verifiedCand)
   }
 
+  /** Attach the `level`-window rolling hash to a marked set — the narrow
+    * probe key incremental CASCADE maintenance needs (an append can touch
+    * a stored level gram only through a hash-equal window, so stored
+    * levels carry their hashes the way the base index stores
+    * `exact_substr_hashes_l12`). One kernel pass restricted to documents
+    * owning marks; no broadcast hint — the marked-doc set scales with the
+    * duplicated fraction, not the batch. */
+  def withLevelHashes(toks: DataFrame, marks: DataFrame, level: Int): DataFrame = {
+    val markedDocs = marks.select("doc_id").distinct()
+    val h = windowHashesFromTokens(
+      toks.join(markedDocs, Seq("doc_id"), "left_semi"), level)
+    marks.join(h, Seq("doc_id", "pos"))
+  }
+
+  /** One LEVEL of incremental cascade maintenance — the stored marked set
+    * at `level` updated for an append, given the already-MERGED half-level
+    * truth. Produces exactly what [[cascadeStep]] over the union corpus
+    * would (spec-pinned), touching old content only for candidate
+    * documents.
+    *
+    * Candidates, and why they are CLOSED over every touched gram (a gram
+    * whose (occ, canon) row set changes): append-only corpora only ADD
+    * occurrences, and any added occurrence of a `level`-gram lives in a
+    * new document — so a touched gram has (a) new-document occurrences,
+    * whose half-marks are new rows (⇒ `changedHalf`) and which pass the
+    * half-closure over `mergedHalf`, and (b) old occurrences. An old
+    * occurrence of a touched gram either was already duplicated
+    * pre-append — then it sits in `storedLevel` with the SAME hash as the
+    * new occurrence and the hash probe finds it — or was UNIQUE
+    * pre-append and flips only through a new content-equal twin: the twin
+    * shares its half-grams, so those half-grams gain occurrences and the
+    * old position's half rows CHANGE (new rows, or occ bumps — `occ`
+    * inequality is what `changed` detection compares), putting the old
+    * position in the changed-adjacent closure. Grams with no new
+    * occurrence keep their stored rows via the anti-join; a hash
+    * collision only promotes untouched rows into the verify, which
+    * recomputes them identically (all their occurrences are stored, and
+    * the probe pulls every stored row of the colliding hash).
+    *
+    * Scale shape: closure + changed-adjacency are narrow (doc_id, pos)
+    * joins over the merged half marks; level hashes are computed only for
+    * enabled-candidate documents; the probe hash set is bounded by the
+    * append's touched fraction (broadcast, like the base merge — a batch
+    * too large to broadcast would bucket both hash tables instead); the
+    * content verify reads token arrays only for candidate documents. */
+  def mergeLevelIncremental(unionToks: DataFrame, storedLevel: DataFrame,
+      mergedHalf: DataFrame, changedHalf: DataFrame, level: Int): DataFrame = {
+    require(level % 2 == 0, s"level $level must be even (a cascade doubling)")
+    val half = level / 2
+    val mh = mergedHalf.select("doc_id", "pos")
+    // half-closure over the merged truth: marks at p AND p + half
+    val closure = mh.join(
+      mh.select(col("doc_id"), (col("pos") - half).as("pos")),
+      Seq("doc_id", "pos"))
+    // ...restricted to pairs involving a changed half mark (at p or p+half)
+    val ch = changedHalf.select("doc_id", "pos")
+    val changedAdj = ch.unionByName(
+      ch.select(col("doc_id"), (col("pos") - half).as("pos"))).distinct()
+    // referenced once (straight into the hash pass) — no pin needed
+    val enabled = closure.join(changedAdj, Seq("doc_id", "pos"), "left_semi")
+    // level hashes for enabled positions only (content read: enabled docs)
+    val enabledH = pin(withLevelHashes(unionToks, enabled, level))
+    // stored occurrences of touched (or hash-colliding) grams
+    val storedHit = pin(storedLevel.join(
+      broadcast(enabledH.select("wh").distinct()), "wh"))
+    val candPos = pin(enabledH.select("doc_id", "pos")
+      .unionByName(storedHit.select("doc_id", "pos")).distinct())
+    val candDocs = broadcast(candPos.select("doc_id").distinct())
+    val verified = verifyCandidates(
+      unionToks.join(candDocs, Seq("doc_id"), "left_semi"), candPos, level)
+    // re-attach hashes (every candidate's hash is already known: enabled
+    // side computed it, stored side stored it) and splice over the index
+    val whMap = enabledH.select("doc_id", "pos", "wh")
+      .unionByName(storedHit.select("doc_id", "pos", "wh"))
+      .dropDuplicates("doc_id", "pos")
+    val verifiedWh = verified.join(whMap, Seq("doc_id", "pos"))
+      .select("doc_id", "pos", "occ", "canon", "wh")
+    storedLevel.join(candPos, Seq("doc_id", "pos"), "left_anti")
+      .select("doc_id", "pos", "occ", "canon", "wh")
+      .unionByName(verifiedWh)
+  }
+
+  /** Incremental maintenance of the WHOLE cascade family — base verified
+    * index plus every stored level — for one append batch: the base merges
+    * via [[mergeVerifiedIncremental]], then each level merges bottom-up
+    * via [[mergeLevelIncremental]] with the previous level's merged truth
+    * and its changed-row set (`occ`-sensitive anti-join — occ can only
+    * grow under append, and an unchanged occ implies an unchanged
+    * occurrence set, hence unchanged canon). Returns (length, merged)
+    * base-first, each pinned (the iterative-operator frame discipline).
+    *
+    * `storedLevels` must be the stored PRE-append levels with their `wh`
+    * column ([[withLevelHashes]]), ascending, each exactly doubling. */
+  def mergeCascadeIncremental(oldToks: DataFrame, oldHashes: DataFrame,
+      oldVerified: DataFrame, storedLevels: Seq[(Int, DataFrame)],
+      newToks: DataFrame, baseLen: Int): Seq[(Int, DataFrame)] = {
+    val unionToks = oldToks.select("doc_id", "tokens")
+      .unionByName(newToks.select("doc_id", "tokens"))
+    val mergedBase = pin(
+      mergeVerifiedIncremental(oldToks, oldHashes, oldVerified, newToks, baseLen))
+    (baseLen, mergedBase) +:
+      mergeLevelsIncremental(unionToks, mergedBase, oldVerified, storedLevels,
+        baseLen)
+  }
+
+  /** The LEVEL half of [[mergeCascadeIncremental]], for callers that
+    * already hold the merged base truth (the serving-shaped replay reads
+    * the stored full-corpus index, whose equality with the live base
+    * merge the base replay's oracle pins — re-running the base merge
+    * inside the level replay would double the registry's most expensive
+    * entry for no added coverage). `mergedBase` must be the POST-append
+    * base index; `oldVerified` the pre-append one; changed rows are
+    * derived `occ`-sensitively here. */
+  def mergeLevelsIncremental(unionToks: DataFrame, mergedBase: DataFrame,
+      oldVerified: DataFrame, storedLevels: Seq[(Int, DataFrame)],
+      baseLen: Int): Seq[(Int, DataFrame)] = {
+    def changedVs(merged: DataFrame, stored: DataFrame): DataFrame =
+      pin(merged.join(stored.select("doc_id", "pos", "occ"),
+        Seq("doc_id", "pos", "occ"), "left_anti").select("doc_id", "pos"))
+    val out = Seq.newBuilder[(Int, DataFrame)]
+    var mergedHalf = mergedBase.select("doc_id", "pos")
+    var changedHalf = changedVs(mergedBase, oldVerified)
+    var halfLen = baseLen
+    for ((level, stored) <- storedLevels) {
+      require(level == 2 * halfLen,
+        s"stored levels must double: got $level after $halfLen")
+      val merged = pin(
+        mergeLevelIncremental(unionToks, stored, mergedHalf, changedHalf, level))
+      // the changed set only feeds the NEXT doubling — skip its barrier
+      // on the last level
+      if (storedLevels.last._1 != level) changedHalf = changedVs(merged, stored)
+      mergedHalf = merged.select("doc_id", "pos")
+      halfLen = level
+      out += ((level, merged))
+    }
+    out.result()
+  }
+
   /** Shared verify tail: slice the exact `n`-token gram for every
     * candidate position (per-doc regroup, local slicing — only candidate
     * windows materialize a string) and keep the content groups occurring

@@ -543,6 +543,80 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("cascade merge == full rebuild at every level on planted corpora") {
+    val rnd = new scala.util.Random(7L)
+    val alphabet = Vector("a", "b", "c", "d", "e", "f", "g")
+    def levelRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "pos", "occ", "canon.doc_id", "canon.pos")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    def storedLevel(toks: org.apache.spark.sql.DataFrame,
+        prev: org.apache.spark.sql.DataFrame, level: Int) =
+      ExactSubstr.withLevelHashes(toks,
+        ExactSubstr.cascadeStep(toks, prev.select("doc_id", "pos"), level / 2), level)
+    for (trial <- 1 to 3) {
+      val all = (0 until 8).map { i =>
+        (i.toLong, Seq.fill(14 + rnd.nextInt(18))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      // plant a LONG cross-batch clone (>= 2 doublings above base 3) so
+      // the upper levels change THROUGH the merge: old doc 0's chunk
+      // appended to new doc 7 — its 12-windows may be unique pre-append
+      val chunk = all(0)._2.take(12 + rnd.nextInt(4))
+      val newIds = Set(6L, 7L)
+      val planted = all.updated(7, (7L, all(7)._2 ++ chunk))
+      val (oldDf, newDf, allDf) = (toksOf(planted.filterNot(d => newIds(d._1))),
+        toksOf(planted.filter(d => newIds(d._1))), toksOf(planted))
+      val oldBase = ExactSubstr.duplicateWindowsFromTokens(oldDf, 3)
+      val oldL6 = storedLevel(oldDf, oldBase, 6)
+      val oldL12 = storedLevel(oldDf, oldL6, 12)
+      val merged = ExactSubstr.mergeCascadeIncremental(
+        oldDf, ExactSubstr.windowHashesFromTokens(oldDf, 3), oldBase,
+        Seq(6 -> oldL6, 12 -> oldL12), newDf, 3)
+      val fullBase = ExactSubstr.duplicateWindowsFromTokens(allDf, 3)
+      val fullL6 = ExactSubstr.cascadeStep(allDf, fullBase, 3)
+      val fullL12 = ExactSubstr.cascadeStep(allDf, fullL6, 6)
+      assert(merged.map(_._1) == Seq(3, 6, 12))
+      assert(levelRows(merged(0)._2) == levelRows(fullBase), s"trial $trial base")
+      assert(levelRows(merged(1)._2) == levelRows(fullL6), s"trial $trial l6")
+      assert(levelRows(merged(2)._2) == levelRows(fullL12), s"trial $trial l12")
+      // the merged levels carry CORRECT hashes (the next append's probe key)
+      for ((lvl, m) <- merged.drop(1)) {
+        val wrongWh = m.join(
+          ExactSubstr.windowHashesFromTokens(allDf, lvl)
+            .withColumnRenamed("wh", "expected_wh"),
+          Seq("doc_id", "pos"))
+          .where(org.apache.spark.sql.functions.col("wh") =!=
+            org.apache.spark.sql.functions.col("expected_wh")).count()
+        assert(wrongWh == 0L, s"trial $trial level $lvl hashes")
+      }
+    }
+  }
+
+  test("cascade merge degenerate batches: empty new, empty old") {
+    val docs = Seq(
+      (1L, Seq.fill(3)(Seq("x", "y", "z", "w")).flatten),
+      (2L, Seq("x", "y", "z", "w") ++ Seq("q", "r", "s", "t")))
+    val df = toksOf(docs)
+    val none = toksOf(Seq.empty[(Long, Seq[String])])
+    val base = ExactSubstr.duplicateWindowsFromTokens(df, 2)
+    val l4 = ExactSubstr.withLevelHashes(df,
+      ExactSubstr.cascadeStep(df, base.select("doc_id", "pos"), 2), 4)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "pos", "occ").as[(Long, Long, Long)].collect().toSet
+    // empty append: every stored level passes through untouched
+    val mEmpty = ExactSubstr.mergeCascadeIncremental(
+      df, ExactSubstr.windowHashesFromTokens(df, 2), base,
+      Seq(4 -> l4), none, 2)
+    assert(rows(mEmpty(1)._2) == rows(l4))
+    // empty old index: the merge IS the fresh cascade over the batch
+    val emptyBase = ExactSubstr.duplicateWindowsFromTokens(none, 2)
+    val mFresh = ExactSubstr.mergeCascadeIncremental(
+      none, ExactSubstr.windowHashesFromTokens(none, 2), emptyBase,
+      Seq(4 -> ExactSubstr.withLevelHashes(none,
+        ExactSubstr.cascadeStep(none, emptyBase.select("doc_id", "pos"), 2), 4)),
+      df, 2)
+    assert(rows(mFresh(1)._2) == rows(l4))
+  }
+
   test("incremental merge degenerate batches: empty new, empty old") {
     val docs = Seq((1L, Seq("x", "y", "z", "x", "y", "z")), (2L, Seq("q", "r", "s")))
     val df = toksOf(docs)
