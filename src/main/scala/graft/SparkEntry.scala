@@ -1538,6 +1538,21 @@ object SparkEntry {
     // profile can't serve
     "exact_substr_match_lengths" -> ((s, dir) =>
       matchLengthsAsset(s, dir).orderBy("doc_id", "pos")),
+    // NOTE — ExactSubstr.matchLengthsIncremental (incremental match-length
+    // maintenance, the last rebuild-on-append asset in the family) is
+    // deliberately NOT a registered replay: the operator's cost is the
+    // iterative bisection's fixed barrier chain plus work proportional to
+    // the duplication NEIGHBORHOOD of the change, and the fixture plants
+    // verbatim twins so densely (SCALE_r09 density_note) that ANY
+    // non-trivial changed sample's neighborhood is the whole corpus — a
+    // registry entry would re-price the full rebuild (measured 13.5 s at
+    // sf0.01, ~2× the registry's top entry, invariant to sampling the
+    // changed set) and measure fixture density, not the operator. Full
+    // equality with the rebuilt table is spec-pinned on planted corpora
+    // (incl. forced hash collisions and the empty batch) in
+    // ExactSubstrSpec, the same treatment as the full-corpus suffix-rank
+    // construction; the registered cascade merge exercises the shared
+    // changed-marks/neighborhood machinery in-registry.
     // gate: candidate-verify must mark EXACTLY the string-keyed window
     // family's positions at the family's n (zero lost, zero unverified).
     // Runs the LIVE pipeline (not the asset — this gates the pipeline)

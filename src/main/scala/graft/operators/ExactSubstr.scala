@@ -286,8 +286,7 @@ object ExactSubstr {
       oldVerified: DataFrame, storedLevels: Seq[(Int, DataFrame)],
       baseLen: Int): Seq[(Int, DataFrame)] = {
     def changedVs(merged: DataFrame, stored: DataFrame): DataFrame =
-      pin(merged.join(stored.select("doc_id", "pos", "occ"),
-        Seq("doc_id", "pos", "occ"), "left_anti").select("doc_id", "pos"))
+      pin(changedMarks(merged, stored))
     val out = Seq.newBuilder[(Int, DataFrame)]
     var mergedHalf = mergedBase.select("doc_id", "pos")
     var changedHalf = changedVs(mergedBase, oldVerified)
@@ -594,7 +593,18 @@ object ExactSubstr {
     * restrict once to documents owning base marks). Each pass's search
     * state is [[pin]]ned, so the plan stays flat. */
   def matchLengthsFromLevels(toks: DataFrame,
-      levels: Seq[(Int, DataFrame)], probeHashBits: Int = 64): DataFrame = {
+      levels: Seq[(Int, DataFrame)], probeHashBits: Int = 64): DataFrame =
+    matchLengthsCore(toks, levels, probeHashBits, restrictTo = None)
+
+  /** [[matchLengthsFromLevels]] with the bisection STATE optionally
+    * restricted to a (doc_id, pos) subset — the incremental-maintenance
+    * hook: candidate POOLS stay closure-complete over whatever levels the
+    * caller passes (restricting them is the caller's responsibility and
+    * must preserve every true bucket mate), while `done` membership and
+    * the band search run only for the restricted positions. */
+  private def matchLengthsCore(toks: DataFrame,
+      levels: Seq[(Int, DataFrame)], probeHashBits: Int,
+      restrictTo: Option[DataFrame]): DataFrame = {
     require(levels.nonEmpty, "matchLengthsFromLevels: no levels")
     require(probeHashBits >= 1 && probeHashBits <= 64,
       s"probeHashBits must be in [1, 64], got $probeHashBits")
@@ -615,10 +625,16 @@ object ExactSubstr {
       .join(base.select("doc_id").distinct(), "doc_id"))
     // top-level members are exactly the cap (their true length is >= cap);
     // every other position bisects its band [l, 2l)
-    val done = markedByLevel(cap)
+    def restrict(df: DataFrame): DataFrame = restrictTo match {
+      case Some(r) =>
+        df.join(r.select("doc_id", "pos"), Seq("doc_id", "pos"), "left_semi")
+      case None => df
+    }
+    val done = restrict(markedByLevel(cap))
       .select(col("doc_id"), col("pos"), lit(cap.toLong).as("match_len"))
     val bands = lens.sliding(2).collect { case Seq(l, l2) =>
-      markedByLevel(l).join(markedByLevel(l2), Seq("doc_id", "pos"), "left_anti")
+      restrict(markedByLevel(l))
+        .join(markedByLevel(l2), Seq("doc_id", "pos"), "left_anti")
         .select(col("doc_id"), col("pos"),
           lit(l.toLong).as("lo"), lit(l2.toLong).as("hi"))
     }.toSeq
@@ -791,6 +807,67 @@ object ExactSubstr {
     val dup = grams.groupBy("m", "gram").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2).select("m", "gram")
     grams.join(dup, Seq("m", "gram")).select("doc_id", "pos", "m")
+  }
+
+  /** New-or-changed rows of a merged marked set vs its stored pre-append
+    * form — `occ`-sensitive: under append occ only grows, and an
+    * unchanged occ implies an unchanged occurrence set (hence unchanged
+    * canon), so the (doc_id, pos, occ) anti-join is exactly the touched
+    * positions. Shared by the cascade and match-length maintenance. */
+  def changedMarks(merged: DataFrame, stored: DataFrame): DataFrame =
+    merged.join(stored.select("doc_id", "pos", "occ"),
+      Seq("doc_id", "pos", "occ"), "left_anti").select("doc_id", "pos")
+
+  /** INCREMENTAL match-length maintenance — the stored `dupLen` table
+    * updated for an append without re-searching the whole duplicated
+    * fraction. Exactness: dupLen can only GROW under append, and any
+    * growth at position p implies a new occurrence of a longer gram
+    * whose 12-token prefix therefore gains an occurrence — so p's BASE
+    * row changes occ, and [[changedMarks]] of the base index is exactly
+    * the set of positions whose length can have moved (plus every
+    * new-document mark, whose base rows are new). Untouched rows pass
+    * through from the stored table.
+    *
+    * Work shape: the bisection STATE shrinks to the changed positions,
+    * and the probe pools / token side shrink to the duplication
+    * NEIGHBORHOOD of the change — documents owning a base row whose
+    * gram group (identified by the stored 16-byte `canon`, never the
+    * gram string) is shared with a changed row. Every true bucket mate
+    * of a changed position's m-probe shares its m-gram, hence its
+    * 12-prefix, hence its canon group — so the restriction keeps
+    * accepts complete while the corpus and the untouched duplicated
+    * mass are never rescanned. Collision victims fall back to literal
+    * bisection inside the same neighborhood, so the result is exact at
+    * any hash width (same contract as the full build). */
+  def matchLengthsIncremental(unionToks: DataFrame,
+      mergedLevels: Seq[(Int, DataFrame)], storedML: DataFrame,
+      changedBase: DataFrame, probeHashBits: Int = 64): DataFrame = {
+    require(mergedLevels.nonEmpty, "matchLengthsIncremental: no levels")
+    val base = mergedLevels.head._2
+    val changedKeys = pin(changedBase.select("doc_id", "pos"))
+    val changedCanon = base
+      .join(changedKeys, Seq("doc_id", "pos"), "left_semi")
+      .select("canon").distinct()
+    val nbrDocs = pin(base.join(changedCanon, Seq("canon"), "left_semi")
+      .select("doc_id").distinct())
+    // pin each restricted level: referenced by several band anti-joins and
+    // probe pools below, and the lineage cut strips the CACHED level
+    // plan's preserved partitioning claim — an InMemoryTableScan behind a
+    // broadcast semi-join still advertises its cached hash partitioning,
+    // and two levels cached at different actual partition counts would
+    // zip unaligned in the band anti-join (the sf0.01 List(32, 64)
+    // failure this replaced)
+    val rLevels = mergedLevels.map { case (l, m) =>
+      (l, pin(m.join(nbrDocs, Seq("doc_id"), "left_semi")
+        .select("doc_id", "pos"))) }
+    val rToks = unionToks.select("doc_id", "tokens")
+      .join(nbrDocs, Seq("doc_id"), "left_semi")
+    val recomputed = matchLengthsCore(rToks, rLevels, probeHashBits,
+      restrictTo = Some(changedKeys))
+    storedML.select("doc_id", "pos", "match_len")
+      .join(changedKeys, Seq("doc_id", "pos"), "left_anti")
+      .unionByName(recomputed.select("doc_id", "pos", "match_len"))
+      .orderBy("doc_id", "pos")
   }
 
   /** [[matchLengthsFromLevels]] building its own cascade from the base

@@ -591,6 +591,65 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("incremental match lengths == full recompute on planted corpora (incl. forced collisions)") {
+    val rnd = new scala.util.Random(41L)
+    val alphabet = Vector("a", "b", "c", "d", "e", "f")
+    def mlRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "pos", "match_len")
+        .as[(Long, Long, Long)].collect().toSet
+    def storedLevel(toks: org.apache.spark.sql.DataFrame,
+        prev: org.apache.spark.sql.DataFrame, level: Int) =
+      ExactSubstr.withLevelHashes(toks,
+        ExactSubstr.cascadeStep(toks, prev.select("doc_id", "pos"), level / 2), level)
+    for (trial <- 1 to 2) {
+      val all = (0 until 8).map { i =>
+        (i.toLong, Seq.fill(14 + rnd.nextInt(16))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      // a long cross-batch clone GROWS an old position's match length
+      // in place (band-internal growth, the occ-propagation case) and
+      // flips others
+      val chunk = all(0)._2.take(11 + rnd.nextInt(4))
+      val newIds = Set(6L, 7L)
+      val planted = all.updated(7, (7L, all(7)._2 ++ chunk))
+      val (oldDf, newDf, allDf) = (toksOf(planted.filterNot(d => newIds(d._1))),
+        toksOf(planted.filter(d => newIds(d._1))), toksOf(planted))
+      val oldBase = ExactSubstr.duplicateWindowsFromTokens(oldDf, 3)
+      val oldL6 = storedLevel(oldDf, oldBase, 6)
+      val oldL12 = storedLevel(oldDf, oldL6, 12)
+      val oldML = ExactSubstr.matchLengthsFromLevels(oldDf,
+        Seq(3 -> oldBase, 6 -> oldL6, 12 -> oldL12))
+      val merged = ExactSubstr.mergeCascadeIncremental(
+        oldDf, ExactSubstr.windowHashesFromTokens(oldDf, 3), oldBase,
+        Seq(6 -> oldL6, 12 -> oldL12), newDf, 3)
+      val changed = ExactSubstr.changedMarks(merged.head._2, oldBase)
+      val full = ExactSubstr.matchLengthsFromLevels(allDf, merged)
+      assert(mlRows(ExactSubstr.matchLengthsIncremental(
+        allDf, merged, oldML, changed)) == mlRows(full), s"trial $trial")
+      // masked probe hashes force collisions: fallback keeps it exact
+      assert(mlRows(ExactSubstr.matchLengthsIncremental(
+        allDf, merged, oldML, changed, probeHashBits = 2)) == mlRows(full),
+        s"trial $trial masked")
+    }
+  }
+
+  test("incremental match lengths: empty batch passes the stored table through") {
+    val docs = Seq(
+      (1L, Seq.fill(3)(Seq("x", "y", "z", "w")).flatten),
+      (2L, Seq("x", "y", "z", "w") ++ Seq("q", "r", "s", "t")))
+    val df = toksOf(docs)
+    val base = ExactSubstr.duplicateWindowsFromTokens(df, 2)
+    val l4 = ExactSubstr.withLevelHashes(df,
+      ExactSubstr.cascadeStep(df, base.select("doc_id", "pos"), 2), 4)
+    val levels = Seq(2 -> base, 4 -> l4)
+    val ml = ExactSubstr.matchLengthsFromLevels(df, levels)
+    val none = ExactSubstr.changedMarks(base, base) // empty by construction
+    assert(none.isEmpty)
+    val out = ExactSubstr.matchLengthsIncremental(df, levels, ml, none)
+      .select("doc_id", "pos", "match_len").as[(Long, Long, Long)].collect().toSet
+    assert(out == ml.select("doc_id", "pos", "match_len")
+      .as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("cascade merge degenerate batches: empty new, empty old") {
     val docs = Seq(
       (1L, Seq.fill(3)(Seq("x", "y", "z", "w")).flatten),
