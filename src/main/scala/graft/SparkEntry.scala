@@ -1295,6 +1295,17 @@ object SparkEntry {
       operators.QualityClassifier.manifestClassifierDelta(
         manifestAsset(s, dir).orderBy("doc_id"),
         Tables.documents(s, dir), qualityClassifierWeightsAsset(s, dir))),
+    // domain mixing × quality weighting as ONE coin flip: survive with
+    // probability rate(source) × score — the quality-aware refinement
+    // of the flat per-source sampler (same md5 coin, single scan,
+    // source rides through the scoring pass)
+    "classifier_source_mix_sample" -> ((s, dir) => {
+      val rates = ((0 to 4).map(i => s"src$i" -> 0.4) ++
+        (5 to 9).map(i => s"src$i" -> 0.2) ++
+        (10 to 19).map(i => s"src$i" -> 0.05)).toMap
+      operators.QualityClassifier.scoreWeightedSourceSample(
+        Tables.documents(s, dir), qualityClassifierWeightsAsset(s, dir), rates)
+    }),
     // SEMANTIC decontamination: embedding-cosine leakage vs the held-out
     // benchmark split (vec_id % 53, mirroring the gram family's doc_id
     // split) — benchmark broadcast, one map pass over the corpus. The
@@ -2186,6 +2197,23 @@ object SparkEntry {
          |      / 4294967296.0 AS u
          |  FROM zf CROSS JOIN w$iters)
          |SELECT doc_id, score, u FROM coins WHERE u < score ORDER BY doc_id""".stripMargin
+
+    // domain mixing × quality: survive iff the md5 coin lands under
+    // rate(source) × score (one IEEE multiply of bit-portable doubles)
+    val sourceMixSql: String =
+      s"""WITH $prefix,
+         |coins AS (
+         |  SELECT zf.doc_id, d.source, $scoreExpr AS score,
+         |    CAST(CAST(('0x' || substr(md5(CAST(zf.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |      / 4294967296.0 AS u,
+         |    CASE WHEN d.source IN ('src0','src1','src2','src3','src4') THEN 0.4
+         |         WHEN d.source IN ('src5','src6','src7','src8','src9') THEN 0.2
+         |         WHEN d.source IN ('src10','src11','src12','src13','src14',
+         |                           'src15','src16','src17','src18','src19') THEN 0.05
+         |         ELSE 0.0 END AS rate
+         |  FROM zf CROSS JOIN w$iters JOIN documents d ON d.doc_id = zf.doc_id)
+         |SELECT doc_id, source, score, u FROM coins WHERE u < rate * score
+         |ORDER BY doc_id""".stripMargin
 
     // the per-doc scored verdict pair shared by both manifest-switch
     // oracles: manifest CTE chain + the unrolled training + one join
@@ -3112,6 +3140,7 @@ object SparkEntry {
     "quality_classifier_eval" -> ClfOracle.evalSql,
     "quality_classifier_disagreements" -> ClfOracle.disagreementsSql,
     "classifier_weighted_sample" -> ClfOracle.sampleSql,
+    "classifier_source_mix_sample" -> ClfOracle.sourceMixSql,
     "manifest_by_classifier" -> ClfOracle.manifestByClfSql,
     "manifest_classifier_delta" -> ClfOracle.manifestDeltaSql,
     "token_length_histogram" ->

@@ -73,8 +73,10 @@ object QualityClassifier {
 
   /** Raw features + rule label in ONE one-pass surface scan (no second
     * gopherRules join — the same `surfaceStats` struct feeds both). Every
-    * column is spelled identically in the DuckDB oracle CTE. */
-  def featureFrame(docs: DataFrame): DataFrame = {
+    * column is spelled identically in the DuckDB oracle CTE. `carry`
+    * names extra input columns to ride along (e.g. `source` for the
+    * mixing sampler), keeping downstream consumers single-pass. */
+  def featureFrame(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val st = TextFunctions.surfaceStats(col("text"))
     val n = st.getField("n_chars").cast("double")
     val alpha = st.getField("n_alpha").cast("double")
@@ -89,7 +91,7 @@ object QualityClassifier {
     val pass = nTok >= 50L && nTok <= 100000L &&
       meanLen >= 3.0 && meanLen <= 10.0 && alphaFrac >= 0.8 && stopHits >= 2L
     docs.select(
-      col("doc_id"),
+      (col("doc_id") +: carry.map(col)) ++ Seq(
       round(alpha / n, 9).as("x_alpha"),
       round(digit / n, 9).as("x_digit"),
       round(punct / n, 9).as("x_punct"),
@@ -99,7 +101,7 @@ object QualityClassifier {
         .as("x_mwl"),
       alphaFrac.as("x_awf"),
       round(least(nTokD, lit(1000.0)) / lit(1000.0), 9).as("x_wc"),
-      pass.cast("double").as("y"))
+      pass.cast("double").as("y")): _*)
   }
 
   private val dec = DecimalType(28, 9)
@@ -222,12 +224,13 @@ object QualityClassifier {
   /** Unordered scoring rows for a known [[Model]] — the stateless form a
     * STREAM micro-batch scores with (streams cannot sort; batch callers
     * order on top). One codegen map pass, weights inlined as literals. */
-  def scoreRows(docs: DataFrame, model: Model): DataFrame = {
-    val zf = featureFrame(docs).select(
-      (col("doc_id") +: col("y") +: zCols(model.mu, model.sigma)): _*)
+  def scoreRows(docs: DataFrame, model: Model, carry: Seq[String] = Nil): DataFrame = {
+    val zf = featureFrame(docs, carry).select(
+      ((col("doc_id") +: carry.map(col)) ++ (col("y") +: zCols(model.mu, model.sigma))): _*)
     val p = sigmoid9(zLinear(model.intercept, model.weights))
-    zf.select(col("doc_id"), col("y").cast("long").as("label"),
-      p.as("score"), (p >= 0.5).cast("long").as("pred"))
+    zf.select((col("doc_id") +: carry.map(col)) ++ Seq(
+      col("y").cast("long").as("label"),
+      p.as("score"), (p >= 0.5).cast("long").as("pred")): _*)
   }
 
   /** Corpus-wide scoring from a STORED model: one codegen map pass over the
@@ -258,6 +261,34 @@ object QualityClassifier {
       .withColumn("u", u)
       .where(col("u") < col("score"))
       .select("doc_id", "score", "u")
+      .orderBy("doc_id")
+  }
+
+  /** Score-weighted source MIXING — domain mixing and quality weighting
+    * as ONE coin flip: a document from source `s` survives with
+    * probability `rates(s) × score` (its domain rate scaled by its own
+    * classifier score), so a 0.4-rate web source keeps its best
+    * documents at nearly 0.4 and its worst at nearly 0 — the
+    * quality-aware refinement of [[TextAnalysis.weightedSourceSample]]'s
+    * flat per-source rates. Sources absent from `rates` keep nothing
+    * (rate 0, the flat sampler's contract). The coin is the same exact
+    * md5 uniform; the threshold is one IEEE multiply of two
+    * bit-portable doubles, so `u < rate·score` is engine-exact with no
+    * rounding. Single pass: `source` rides through the scoring scan
+    * (`carry`), no join. Output: surviving (doc_id, source, score, u),
+    * doc_id-ordered. */
+  def scoreWeightedSourceSample(docs: DataFrame, weights: DataFrame,
+      rates: Map[String, Double]): DataFrame = {
+    val model = modelFromRows(weights)
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val rate = rates.foldLeft(lit(0.0): Column) { case (acc, (source, r)) =>
+      when(col("source") === source, lit(r)).otherwise(acc)
+    }
+    scoreRows(docs, model, carry = Seq("source"))
+      .withColumn("u", u)
+      .where(col("u") < rate * col("score"))
+      .select("doc_id", "source", "score", "u")
       .orderBy("doc_id")
   }
 

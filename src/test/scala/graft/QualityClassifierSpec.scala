@@ -217,6 +217,34 @@ class QualityClassifierSpec extends SparkSpec {
     assert(delta.map(_._2).sum == rows.map(_._3).sum)
   }
 
+  test("scoreWeightedSourceSample: rate x score coin; absent sources keep nothing") {
+    val docs = corpus().withColumn("source",
+      concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    val weights = QualityClassifier.weightsDf(spark,
+      QualityClassifier.fit(QualityClassifier.featureFrame(docs)))
+    def coin(docId: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0
+    }
+    val rates = Map("s0" -> 1.0, "s1" -> 0.3) // s2 absent -> keeps nothing
+    val scores = QualityClassifier.scoreWith(docs, weights)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val expected = scores.collect {
+      case (id, s) if coin(id) < rates.getOrElse("s" + (id % 3), 0.0) * s => id
+    }.toSet
+    val got = QualityClassifier.scoreWeightedSourceSample(docs, weights, rates)
+      .select("doc_id", "source", "score", "u")
+      .as[(Long, String, Double, Double)].collect()
+    assert(got.map(_._1).toSet == expected)
+    got.foreach { case (id, src, s, u) =>
+      assert(src == "s" + (id % 3) && s == scores(id) && u == coin(id))
+      assert(src != "s2", "absent source must keep nothing")
+    }
+    assert(expected.nonEmpty && expected.size < scores.size)
+  }
+
   test("modelVersion is content-derived: stable on re-read, moves on retrain") {
     val m = QualityClassifier.fit(QualityClassifier.featureFrame(corpus()))
     val w1 = QualityClassifier.weightsDf(spark, m)
