@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{Curation, ExactSubstr, Tfidf}
+import graft.operators.{CacheScope, Curation, ExactSubstr, Tfidf}
 import graft.sources.Tables
 
 /** Exact-substring dedup ([[graft.operators.ExactSubstr]]) against two
@@ -521,7 +521,7 @@ class ExactSubstrSpec extends SparkSpec {
     def asRows(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "pos", "gram", "occ", "canon.doc_id", "canon.pos")
         .as[(Long, Long, String, Long, Long, Long)].collect().toSet
-    for (trial <- 1 to 5) {
+    for (trial <- 1 to 5) CacheScope {
       val all = (0 until 8).map { i =>
         (i.toLong, Seq.fill(10 + rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.size))))
       }
@@ -553,7 +553,10 @@ class ExactSubstrSpec extends SparkSpec {
         prev: org.apache.spark.sql.DataFrame, level: Int) =
       ExactSubstr.withLevelHashes(toks,
         ExactSubstr.cascadeStep(toks, prev.select("doc_id", "pos"), level / 2), level)
-    for (trial <- 1 to 3) {
+    // CacheScope per trial: the merge drivers pin (persist) a dozen
+    // frames each — unscoped, three trials' caches stack on the suite's
+    // shared session and starve later suites' broadcasts
+    for (trial <- 1 to 3) CacheScope {
       val all = (0 until 8).map { i =>
         (i.toLong, Seq.fill(14 + rnd.nextInt(18))(alphabet(rnd.nextInt(alphabet.size))))
       }
@@ -601,7 +604,9 @@ class ExactSubstrSpec extends SparkSpec {
         prev: org.apache.spark.sql.DataFrame, level: Int) =
       ExactSubstr.withLevelHashes(toks,
         ExactSubstr.cascadeStep(toks, prev.select("doc_id", "pos"), level / 2), level)
-    for (trial <- 1 to 2) {
+    // CacheScope per trial: two full + two incremental length searches
+    // pin tens of frames each — scoped so the suite's session stays lean
+    for (trial <- 1 to 2) CacheScope {
       val all = (0 until 8).map { i =>
         (i.toLong, Seq.fill(14 + rnd.nextInt(16))(alphabet(rnd.nextInt(alphabet.size))))
       }
@@ -633,6 +638,7 @@ class ExactSubstrSpec extends SparkSpec {
   }
 
   test("incremental match lengths: empty batch passes the stored table through") {
+    CacheScope {
     val docs = Seq(
       (1L, Seq.fill(3)(Seq("x", "y", "z", "w")).flatten),
       (2L, Seq("x", "y", "z", "w") ++ Seq("q", "r", "s", "t")))
@@ -648,9 +654,11 @@ class ExactSubstrSpec extends SparkSpec {
       .select("doc_id", "pos", "match_len").as[(Long, Long, Long)].collect().toSet
     assert(out == ml.select("doc_id", "pos", "match_len")
       .as[(Long, Long, Long)].collect().toSet)
+    }
   }
 
   test("cascade merge degenerate batches: empty new, empty old") {
+    CacheScope {
     val docs = Seq(
       (1L, Seq.fill(3)(Seq("x", "y", "z", "w")).flatten),
       (2L, Seq("x", "y", "z", "w") ++ Seq("q", "r", "s", "t")))
@@ -674,6 +682,7 @@ class ExactSubstrSpec extends SparkSpec {
         ExactSubstr.cascadeStep(none, emptyBase.select("doc_id", "pos"), 2), 4)),
       df, 2)
     assert(rows(mFresh(1)._2) == rows(l4))
+    }
   }
 
   test("incremental merge degenerate batches: empty new, empty old") {
