@@ -2085,13 +2085,16 @@ object SparkEntry {
       s"round(CAST(len(list_filter($split, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)\n" +
         s"      / len($split), 9)"
 
+    // char ratios guarded like the Spark featureFrame: NULL (never a
+    // division) on zero-char documents; token ratios need no guard —
+    // len(regexp_split_to_array(...)) >= 1 by the keep-empties semantics
     private val featsCte =
       s"""feats AS MATERIALIZED (
          |  SELECT doc_id,
-         |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 9) AS x_alpha,
-         |    round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 9) AS x_digit,
-         |    round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text), 9) AS x_punct,
-         |    round(CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE) / length(text), 9) AS x_ws,
+         |    CASE WHEN length(text) > 0 THEN round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 9) END AS x_alpha,
+         |    CASE WHEN length(text) > 0 THEN round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 9) END AS x_digit,
+         |    CASE WHEN length(text) > 0 THEN round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text), 9) END AS x_punct,
+         |    CASE WHEN length(text) > 0 THEN round(CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE) / length(text), 9) END AS x_ws,
          |    round(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
          |          / len($split), 9) AS x_stop,
          |    round(CAST(list_sum(list_transform($split, w -> length(w))) AS DOUBLE)
@@ -2119,15 +2122,24 @@ object SparkEntry {
             s"round(sqrt(greatest(round(sxx${i + 1} / n_docs, 9)" +
               s" - round(sx${i + 1} / n_docs, 9) * round(sx${i + 1} / n_docs, 9), 0.0)), 9) AS s${i + 1}")
         }).mkString(",\n    ")
-      s"mu0 AS MATERIALIZED (\n  SELECT $mu0\n  FROM feats\n),\n" +
+      s"mu0 AS MATERIALIZED (\n  SELECT $mu0\n  FROM trainable\n),\n" +
         s"mu AS MATERIALIZED (\n  SELECT $mu\n  FROM mu0\n)"
     }
 
-    private val zfCte = {
+    // trainable = rows with every feature defined (fit's degenerate-doc
+    // filter); zf keeps ALL docs for scoring (degenerate -> NULL z ->
+    // NULL score/pred, the Spark scoreRows contract), zft is the
+    // training z-frame the gradient iterations fold over
+    private val trainableCte =
+      "trainable AS MATERIALIZED (\n  SELECT * FROM feats\n  WHERE " +
+        xs.map(x => s"$x IS NOT NULL").mkString(" AND ") + "\n)"
+
+    private val zfCtes = {
       val zc = xs.zipWithIndex.map { case (x, i) =>
         s"CASE WHEN s${i + 1} > 0.0 THEN round(($x - m${i + 1}) / s${i + 1}, 9) ELSE 0.0 END AS z${i + 1}"
       }.mkString(",\n    ")
-      s"zf AS MATERIALIZED (\n  SELECT doc_id, y,\n    $zc\n  FROM feats CROSS JOIN mu\n)"
+      s"zf AS MATERIALIZED (\n  SELECT doc_id, y,\n    $zc\n  FROM feats CROSS JOIN mu\n),\n" +
+        s"zft AS MATERIALIZED (\n  SELECT doc_id, y,\n    $zc\n  FROM trainable CROSS JOIN mu\n)"
     }
 
     private val zExpr =
@@ -2145,14 +2157,15 @@ object SparkEntry {
           s"round(w${i + 1} - $lr * CAST(g${i + 1} AS DOUBLE) / n_docs, 9) AS w${i + 1}"))
         .mkString(",\n    ")
       s"g$k AS MATERIALIZED (\n  SELECT $gcols\n" +
-        s"  FROM (SELECT y, $zNames, $scoreExpr AS p FROM zf CROSS JOIN w$k) s$k\n),\n" +
+        s"  FROM (SELECT y, $zNames, $scoreExpr AS p FROM zft CROSS JOIN w$k) s$k\n),\n" +
         s"w${k + 1} AS MATERIALIZED (\n  SELECT $upd\n  FROM g$k CROSS JOIN w$k CROSS JOIN mu\n)"
     }
 
     private val w0Cte = "w0 AS MATERIALIZED (SELECT " +
       ("0.0 AS wb" +: xs.indices.map(i => s"0.0 AS w${i + 1}")).mkString(", ") + ")"
 
-    val prefix: String = Seq(featsCte, muCtes, zfCte, w0Cte).mkString(",\n") + ",\n" +
+    val prefix: String = Seq(featsCte, trainableCte, muCtes, zfCtes, w0Cte)
+      .mkString(",\n") + ",\n" +
       (0 until iters).map(iterCtes).mkString(",\n")
 
     val weightsSql: String = {
@@ -3942,8 +3955,10 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster)
          |ORDER BY d.doc_id""".stripMargin,
-    // keeper = the highest-quality cluster member (ties -> min doc_id);
-    // the quality expression is the quality_score oracle's, verbatim
+    // keeper = the highest-quality cluster member (ties -> min doc_id;
+    // unscored members rank below every real score via the explicit
+    // null-last flag, any sign of score); the quality expression is the
+    // quality_score oracle's, verbatim
     "dedup_apply_keep_best" ->
       s"""$clusterLabelsCte,
          |q AS (
@@ -3957,7 +3972,8 @@ object SparkEntry {
          |k AS (
          |  SELECT l.doc_id,
          |    row_number() OVER (PARTITION BY l.cluster
-         |      ORDER BY coalesce(q.quality, -1.0) DESC, l.doc_id ASC) AS rn
+         |      ORDER BY CASE WHEN q.quality IS NULL THEN 1 ELSE 0 END ASC,
+         |        coalesce(-q.quality, 0.0) ASC, l.doc_id ASC) AS rn
          |  FROM labels l LEFT JOIN q USING (doc_id))
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM k WHERE rn > 1)

@@ -614,23 +614,25 @@ object Dedup {
     * clusters routinely mix a clean original with boilerplate-wrapped
     * mirrors and the min-id copy is arbitrary. `scores` is any per-doc
     * (doc_id, `scoreCol`) table (the quality-score operator's output, a
-    * perplexity score, …); a NULL/absent score ranks below every real one
-    * (scores here are non-negative ratios, so −1 is a strict floor).
+    * perplexity `avg_logprob`, …) of ANY sign — a NULL/absent score ranks
+    * below every real one via an explicit null-last flag, not a sentinel
+    * floor (a −1 floor would outrank genuinely negative scores).
     *
     * Scale shape: keeper election is one narrow agg over the (doc_id,
-    * cluster, score) join — `min(struct(−score, doc_id))` per cluster, no
-    * window, no sort; losers are narrow (doc_id) rows and the corpus is
-    * anti-joined exactly as in [[applyDedupLabels]] — document text never
-    * moves. */
+    * cluster, score) join — `min(struct(isnull, −score, doc_id))` per
+    * cluster, no window, no sort; losers are narrow (doc_id) rows and the
+    * corpus is anti-joined exactly as in [[applyDedupLabels]] — document
+    * text never moves. */
   def applyDedupLabelsKeepBest(docs: DataFrame, labels: DataFrame,
       scores: DataFrame, scoreCol: String = "quality"): DataFrame = {
-    val sc = scores.select(col("doc_id"),
-      coalesce(col(scoreCol).cast("double"), lit(-1.0)).as("s"))
+    val sc = scores.select(col("doc_id"), col(scoreCol).cast("double").as("s"))
+    // total order: scored before unscored, then score DESC, then doc_id ASC
+    // (the flag keys the null group; `ns` is pinned to 0.0 there so the
+    // struct comparison never consults a NULL field)
     val keeper = labels.join(sc, Seq("doc_id"), "left")
-      .select(col("cluster"), col("doc_id"),
-        coalesce(col("s"), lit(-1.0)).as("s"))
       .groupBy("cluster")
-      .agg(min(struct((-col("s")).as("ns"), col("doc_id").as("kd"))).as("k"))
+      .agg(min(struct(col("s").isNull.cast("int").as("nn"),
+        coalesce(-col("s"), lit(0.0)).as("ns"), col("doc_id").as("kd"))).as("k"))
       .select(col("cluster"), col("k.kd").as("keep_doc"))
     val losers = labels.join(keeper, "cluster")
       .where(col("doc_id") =!= col("keep_doc"))

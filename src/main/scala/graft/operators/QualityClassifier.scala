@@ -71,11 +71,28 @@ object QualityClassifier {
     java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
+  /** Locale-independent fixed-9 decimal rendering for version stamps and
+    * digests — the `f"%.9f"` interpolator formats with the JVM DEFAULT
+    * locale, so a comma-decimal locale would shift every CRC and fake a
+    * model change on the refresh protocol. */
+  private def fmt9(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.9f", Double.box(v))
+
   /** Raw features + rule label in ONE one-pass surface scan (no second
     * gopherRules join — the same `surfaceStats` struct feeds both). Every
     * column is spelled identically in the DuckDB oracle CTE. `carry`
     * names extra input columns to ride along (e.g. `source` for the
-    * mixing sampler), keeping downstream consumers single-pass. */
+    * mixing sampler), keeping downstream consumers single-pass.
+    *
+    * DEGENERATE documents (zero characters, or zero tokens) have no
+    * defined ratio features: the char-ratio columns are NULL when
+    * `n_chars = 0` and the token-ratio columns NULL when `n_tokens = 0`
+    * (guarded divisions — never a divide-by-zero, ANSI or not). Their
+    * rule label `y` is still a hard 0 (a token-less document cannot pass
+    * the ≥50-token rule), downstream scoring yields NULL score/pred for
+    * them (documented on [[scoreRows]]), and [[fit]] excludes them from
+    * training so they cannot bias the standardization moments or the
+    * gradient scale. */
   def featureFrame(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val st = TextFunctions.surfaceStats(col("text"))
     val n = st.getField("n_chars").cast("double")
@@ -86,18 +103,23 @@ object QualityClassifier {
     val nTok = st.getField("n_tokens")
     val nTokD = nTok.cast("double")
     val stopHits = st.getField("n_stop_hits")
-    val meanLen = round(st.getField("sum_word_len").cast("double") / nTokD, 9)
-    val alphaFrac = round(st.getField("n_alpha_words").cast("double") / nTokD, 9)
+    // charRatio/tokRatio: NULL (not an error, not a NaN) on degenerate
+    // documents — the `when` keeps the division inside the guarded branch
+    val charRatio = (c: Column) => when(n > 0.0, round(c / n, 9))
+    val tokRatio = (c: Column) => when(nTokD > 0.0, round(c / nTokD, 9))
+    val meanLen = tokRatio(st.getField("sum_word_len").cast("double"))
+    val alphaFrac = tokRatio(st.getField("n_alpha_words").cast("double"))
     val pass = nTok >= 50L && nTok <= 100000L &&
       meanLen >= 3.0 && meanLen <= 10.0 && alphaFrac >= 0.8 && stopHits >= 2L
     docs.select(
       (col("doc_id") +: carry.map(col)) ++ Seq(
-      round(alpha / n, 9).as("x_alpha"),
-      round(digit / n, 9).as("x_digit"),
-      round(punct / n, 9).as("x_punct"),
-      round(ws / n, 9).as("x_ws"),
-      round(stopHits.cast("double") / nTokD, 9).as("x_stop"),
-      round(st.getField("sum_word_len").cast("double") / nTokD / lit(10.0), 9)
+      charRatio(alpha).as("x_alpha"),
+      charRatio(digit).as("x_digit"),
+      charRatio(punct).as("x_punct"),
+      charRatio(ws).as("x_ws"),
+      tokRatio(stopHits.cast("double")).as("x_stop"),
+      when(nTokD > 0.0,
+        round(st.getField("sum_word_len").cast("double") / nTokD / lit(10.0), 9))
         .as("x_mwl"),
       alphaFrac.as("x_awf"),
       round(least(nTokD, lit(1000.0)) / lit(1000.0), 9).as("x_wc"),
@@ -109,7 +131,9 @@ object QualityClassifier {
   /** Standardization statistics in one aggregate: per feature the
     * decimal-routed mean and the population std via E[x²] − E[x]²
     * (each moment rounded to 9 before the subtraction, matching the
-    * oracle's spelling digit for digit). */
+    * oracle's spelling digit for digit). Contract: every input row has
+    * all features non-null ([[fit]] pre-filters degenerate documents), so
+    * the all-row `count` IS the per-feature denominator. */
   private def fitStats(feats: DataFrame): (Long, Array[Double], Array[Double]) = {
     val aggs = count(lit(1)).as("n_docs") +:
       FeatureNames.flatMap { f =>
@@ -157,10 +181,15 @@ object QualityClassifier {
     * beat the zero-init loss (ln 2) — a silently diverged fit (bad lr)
     * fails the build instead of shipping a worse-than-chance scorer. */
   def fit(feats: DataFrame, iters: Int = DefaultIters, lr: Double = DefaultLr): Model = {
-    val (n, mu, sigma) = fitStats(feats)
+    // training set = rows with every feature defined: degenerate documents
+    // (zero chars / zero tokens → NULL ratio features, see [[featureFrame]])
+    // would otherwise skew mu/sigma (null-skipping sums over an all-row
+    // count) and the gradient scale 1/n
+    val trainable = feats.where(FeatureNames.map(col(_).isNotNull).reduce(_ && _))
+    val (n, mu, sigma) = fitStats(trainable)
     require(n > 0, "cannot fit a classifier on an empty corpus")
     val nD = n.toDouble
-    val zf = feats.select((col("y") +: zCols(mu, sigma)): _*).scopedPersist()
+    val zf = trainable.select((col("y") +: zCols(mu, sigma)): _*).scopedPersist()
     zf.count() // pin: 30 iterations re-read this frame, never the corpus
     try {
       var intercept = 0.0
@@ -223,7 +252,12 @@ object QualityClassifier {
 
   /** Unordered scoring rows for a known [[Model]] — the stateless form a
     * STREAM micro-batch scores with (streams cannot sort; batch callers
-    * order on top). One codegen map pass, weights inlined as literals. */
+    * order on top). One codegen map pass, weights inlined as literals.
+    * Degenerate documents (NULL ratio features, see [[featureFrame]])
+    * come through with NULL score and NULL pred — kept visible for the
+    * caller to route, never silently dropped (in [[manifestByClassifier]]
+    * their `kept_clf` is NULL — "no model verdict" — unless a dedup/decon
+    * flag already forces the drop to a hard 0). */
   def scoreRows(docs: DataFrame, model: Model, carry: Seq[String] = Nil): DataFrame = {
     val zf = featureFrame(docs, carry).select(
       ((col("doc_id") +: carry.map(col)) ++ (col("y") +: zCols(model.mu, model.sigma))): _*)
@@ -337,9 +371,9 @@ object QualityClassifier {
     * Deterministic across JVMs (fixed decimal rendering, fixed order). */
   def modelVersion(weights: DataFrame): Long = {
     val m = modelFromRows(weights)
-    val rendered = (f"${m.intercept}%.9f" +:
+    val rendered = (fmt9(m.intercept) +:
       FeatureNames.indices.flatMap(j => Seq(
-        f"${m.weights(j)}%.9f", f"${m.mu(j)}%.9f", f"${m.sigma(j)}%.9f")))
+        fmt9(m.weights(j)), fmt9(m.mu(j)), fmt9(m.sigma(j)))))
       .mkString(",")
     val crc = new java.util.zip.CRC32()
     crc.update(rendered.getBytes("UTF-8"))
@@ -421,7 +455,7 @@ object QualityClassifier {
       require(tMatch, "layout determinism violated: term-count digests differ " +
         s"across partitionings ($da/$na vs $db/$nb)")
       Seq(
-        ("classifier_weights", sampleN.toLong, wa.map(v => f"$v%.9f").mkString(","),
+        ("classifier_weights", sampleN.toLong, wa.map(fmt9).mkString(","),
           if (wMatch) 1L else 0L),
         ("term_counts", na, da.toString, if (tMatch) 1L else 0L))
         .toDF("component", "n_rows", "digest", "layout_match")

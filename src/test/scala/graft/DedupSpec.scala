@@ -187,6 +187,21 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Seq(2L, 3L, 4L, 6L, 7L, 8L))
   }
 
+  test("applyDedupLabelsKeepBest: null still loses under NEGATIVE scores (perplexity)") {
+    // avg_logprob-style scores are negative; a sentinel floor like -1.0
+    // would let an UNSCORED doc outrank real members — the explicit
+    // null-last flag must not
+    val docs = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "cluster")
+    // cluster 1: doc 1 scored -5.2 (worse than -1), doc 2 UNSCORED ->
+    // doc 1 must keep; cluster 3: -9.9 vs -2.4 -> the higher (-2.4) keeps
+    val scores = Seq((1L, Some(-5.2)), (3L, Some(-9.9)), (4L, Some(-2.4)))
+      .toDF("doc_id", "avg_logprob")
+    val kept = Dedup.applyDedupLabelsKeepBest(docs, labels, scores, "avg_logprob")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
   test("applyDedupLabelsKeepBest degenerates to applyDedupLabels under uniform scores") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "cluster")

@@ -255,6 +255,48 @@ class QualityClassifierSpec extends SparkSpec {
       QualityClassifier.modelVersion(QualityClassifier.weightsDf(spark, bumped)))
   }
 
+  test("modelVersion is locale-independent (comma-decimal default locale)") {
+    // the version stamp renders weights as fixed-9 decimals; a JVM whose
+    // default locale writes ',' for the decimal point must produce the
+    // SAME CRC or every refresh poll on that JVM fakes a retrain
+    val m = QualityClassifier.fit(QualityClassifier.featureFrame(corpus()))
+    val w = QualityClassifier.weightsDf(spark, m)
+    val before = QualityClassifier.modelVersion(w)
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      assert(QualityClassifier.modelVersion(w) == before)
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("degenerate documents: excluded from training, scored NULL, never dropped") {
+    val clean = corpus()
+    // one zero-char doc and one whitespace-only doc ride along; the
+    // whitespace doc has chars (so char ratios are defined) but its rule
+    // label is a hard 0 — only the ZERO-CHAR doc is feature-degenerate
+    val dirty = clean.union(Seq((9001L, ""), (9002L, "   ")).toDF("doc_id", "text"))
+    val mClean = QualityClassifier.fit(QualityClassifier.featureFrame(clean))
+    val mDirty = QualityClassifier.fit(QualityClassifier.featureFrame(dirty))
+    // the zero-char doc contributes nothing to mu/sigma or the gradients;
+    // the whitespace doc DOES train (all its features are defined)
+    val mRef = QualityClassifier.fit(QualityClassifier.featureFrame(
+      clean.union(Seq((9002L, "   ")).toDF("doc_id", "text"))))
+    assert(mDirty.intercept == mRef.intercept)
+    assert(mDirty.weights.toSeq == mRef.weights.toSeq)
+    assert(mDirty.mu.toSeq == mRef.mu.toSeq && mDirty.sigma.toSeq == mRef.sigma.toSeq)
+    assert(mDirty.weights.toSeq != mClean.weights.toSeq ||
+      mDirty.mu.toSeq != mClean.mu.toSeq) // the whitespace doc is not a no-op
+    // scoring keeps the degenerate doc visible with NULL score/pred
+    val scored = QualityClassifier.scoreWith(dirty,
+      QualityClassifier.weightsDf(spark, mDirty))
+    val row = scored.where(col("doc_id") === 9001L)
+      .select("score", "pred").collect()
+    assert(row.length == 1 && row(0).isNullAt(0) && row(0).isNullAt(1))
+    val ws = scored.where(col("doc_id") === 9002L).select("score").collect()
+    assert(ws.length == 1 && !ws(0).isNullAt(0))
+    assert(scored.count() == dirty.count())
+  }
+
   test("layoutDeterminismGate passes clean and THROWS on a seeded mutation") {
     val docs = corpus()
     val rows = QualityClassifier.layoutDeterminismGate(docs, sampleN = 48)
