@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, ExactSubstr, Relational, Similarity, TextAnalysis, Tfidf}
+import graft.operators.{Curation, Dedup, ExactSubstr, Paragraphs, Relational, Similarity, TextAnalysis, Tfidf}
 import graft.sources.Tables
 
 /** Driver contract — flagship entry, declared queries, and their DuckDB
@@ -1636,6 +1636,24 @@ object SparkEntry {
         TextAnalysis.qualityScore(Tables.documents(s, dir))
           .select("doc_id", "quality"))
         .select("doc_id", "source").orderBy("doc_id")),
+    // CCNet-style paragraph dedup: every paragraph content keeps its
+    // first corpus occurrence; later occurrences strip out of their docs
+    // (the boilerplate remover document-level dedup can't express) —
+    // output fingerprints the cleaned text instead of shipping it
+    "paragraph_dedup_strip" -> ((s, dir) =>
+      Paragraphs.paragraphDedupStrip(Tables.documents(s, dir), paraTokens = 16)
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          md5(col("text_clean").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")),
+    // per-source paragraph duplication rates (how boilerplate-heavy each
+    // source is at paragraph granularity)
+    "paragraph_dup_stats" -> ((s, dir) =>
+      Paragraphs.paragraphDupStats(Tables.documents(s, dir), paraTokens = 16)),
+    // the boilerplate worklist: most-repeated paragraph contents, heap
+    // top-k, deterministic ties
+    "paragraph_dup_topk" -> ((s, dir) =>
+      Paragraphs.boilerplateParagraphs(Tables.documents(s, dir),
+        paraTokens = 16, k = 50)),
     // overlapping token-window chunking (context-length splitting)
     "chunk_documents" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir), 64, 16)),
@@ -2261,6 +2279,26 @@ object SparkEntry {
 
   /** Portable token-array CTE (positions preserved) for the n-gram oracle —
     * DuckDB list-lambda spelling of Dedup.tokenArray. */
+  /** Shared paragraph-dedup oracle prefix (WITH included): RAW whitespace
+    * token arrays, fixed 16-token blocks keyed by the portable md5 of
+    * their single-space re-join, and the per-content occurrence rank
+    * (`rn = 1` is the corpus-first keeper — min (doc_id, para_idx)). */
+  private val paraOracleCtes =
+    """WITH rawtoks AS (
+      |  SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS a
+      |  FROM documents),
+      |paras AS (
+      |  SELECT doc_id, source, CAST(i AS BIGINT) AS para_idx,
+      |    md5(array_to_string(list_slice(a, CAST(i * 16 + 1 AS BIGINT),
+      |      CAST(least(i * 16 + 16, len(a)) AS BIGINT)), ' ')) AS fp
+      |  FROM (SELECT doc_id, source, a,
+      |          unnest(range(0, CAST(ceil(len(a) / 16.0) AS BIGINT))) AS i
+      |        FROM rawtoks)),
+      |pmarked AS (
+      |  SELECT doc_id, source, para_idx, fp,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
+      |  FROM paras)""".stripMargin
+
   private val toksArrCte =
     """toksarr AS (
       |  SELECT doc_id, list_filter(list_transform(
@@ -3978,6 +4016,42 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM k WHERE rn > 1)
          |ORDER BY d.doc_id""".stripMargin,
+    // paragraph dedup family: RAW whitespace tokens (verbatim round-trip,
+    // not the normalized tf-idf stream), 16-token blocks, md5 content
+    // keys (portable across engines), keeper = min (doc_id, para_idx)
+    "paragraph_dedup_strip" ->
+      s"""$paraOracleCtes,
+         |dr AS (
+         |  SELECT doc_id, list(para_idx) AS dropped
+         |  FROM pmarked WHERE rn > 1 GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(ceil(len(t.a) / 16.0) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(len(dr.dropped), 0) AS BIGINT) AS n_dropped,
+         |  md5(CASE WHEN dr.doc_id IS NULL THEN t.text
+         |    -- coalesce: duckdb's array_to_string([]) is NULL, spark's
+         |    -- array_join([]) is '' (the fully-stripped-document row)
+         |    ELSE coalesce(array_to_string(list_filter(t.a, (x, i) ->
+         |      NOT list_contains(dr.dropped, CAST(floor((i - 1) / 16) AS BIGINT))), ' '), '')
+         |    END) AS clean_fp
+         |FROM rawtoks t LEFT JOIN dr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "paragraph_dup_stats" ->
+      s"""$paraOracleCtes
+         |SELECT source, count(*) AS n_paras,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 9) AS dup_rate
+         |FROM pmarked GROUP BY source ORDER BY source""".stripMargin,
+    "paragraph_dup_topk" ->
+      s"""$paraOracleCtes,
+         |occ AS (
+         |  SELECT fp, doc_id, para_idx, rn,
+         |    count(*) OVER (PARTITION BY fp) AS n
+         |  FROM pmarked)
+         |SELECT fp, CAST(n AS BIGINT) AS n_occurrences,
+         |  doc_id AS first_doc, para_idx AS first_para_idx
+         |FROM occ WHERE rn = 1 AND n > 1
+         |ORDER BY n_occurrences DESC, fp ASC LIMIT 50""".stripMargin,
     "training_data_manifest" ->
       s"""$manifestOracleCtes
          |SELECT doc_id, source, n_tokens, quality, exact_dup, near_dup,

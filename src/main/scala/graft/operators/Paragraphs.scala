@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Paragraph-level corpus deduplication — the CCNet/ RefinedWeb-style
+  * middle ground between document-exact dedup ([[Dedup.exact]]) and
+  * substring dedup ([[ExactSubstr]]): the corpus is cut into paragraphs,
+  * every paragraph CONTENT keeps exactly its first occurrence corpus-wide
+  * (min `(doc_id, para_idx)`), and later occurrences are stripped out of
+  * their documents while the surrounding novel text survives. This is the
+  * filter that removes boilerplate (headers, footers, license blocks,
+  * navigation chrome) which document-level dedup can't touch — the
+  * wrapping documents differ — and which is cheaper than the rolling-hash
+  * substring index when paragraph granularity is enough.
+  *
+  * Paragraph model: the fixture corpus is single-line text, so the
+  * paragraph cut is FIXED-WIDTH — `paraTokens` consecutive raw whitespace
+  * tokens per paragraph, last one ragged (a real corpus would split on
+  * blank lines first and apply the same operators; the dedup/strip logic
+  * is agnostic to how `(doc_id, para_idx, fp)` rows were cut). Tokens are
+  * the RAW `split(text, "\\s+")` stream — paragraphs must round-trip
+  * verbatim content, so no normalization (unlike the tf-idf tokenizer).
+  *
+  * Scale shape (the 100 TB contract):
+  *  - paragraph rows carry a 16-byte md5 fingerprint, doc_id, and index —
+  *    paragraph TEXT never shuffles; the keeper election is one
+  *    `min(struct(doc_id, para_idx))` aggregate keyed by fingerprint
+  *    (narrow rows, collision-bound like every hash-keyed dedup here);
+  *  - the strip touches only documents that LOST at least one paragraph:
+  *    loser keys aggregate to a per-doc int array (narrow), inner-join the
+  *    corpus for the rewrite, and untouched documents pass through via
+  *    anti-join with their text verbatim — corpus text moves only for the
+  *    duplicated fraction;
+  *  - the boilerplate report is a bounded heap top-k, never a full sort.
+  */
+object Paragraphs {
+
+  /** Raw whitespace token array — Java split semantics (keeps leading
+    * empties; `\s` = `[ \t\n\x0B\f\r]`), spelled identically in the
+    * DuckDB oracle via `regexp_split_to_array`. */
+  private def rawToks = split(col("text"), "\\s+")
+
+  /** Paragraph rows `(doc_id[, carry...], para_idx, n_paras, fp)` — the
+    * corpus cut into `paraTokens`-token blocks, each fingerprinted with
+    * the portable md5 of its single-space re-joined content. Text does
+    * not leave this projection. */
+  def paragraphs(docs: DataFrame, paraTokens: Int = 16,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(paraTokens > 0, s"paraTokens must be positive, got $paraTokens")
+    val p = paraTokens
+    docs.select((col("doc_id") +: carry.map(col)) :+ rawToks.as("a"): _*)
+      .withColumn("n_paras",
+        ceil(size(col("a")) / lit(p.toDouble)).cast("long"))
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(col("n_paras"),
+        posexplode(expr(
+          s"transform(sequence(0, n_paras - 1), i -> array_join(slice(a, CAST(i * $p + 1 AS INT), $p), ' '))"))
+          .as(Seq("para_idx", "para"))): _*)
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(
+        col("para_idx").cast("long").as("para_idx"), col("n_paras"),
+        md5(col("para").cast("binary")).as("fp")): _*)
+  }
+
+  /** First-occurrence keeper per distinct paragraph content: the minimum
+    * `(doc_id, para_idx)` over its occurrences — deterministic,
+    * engine-portable, and the convention every dedup operator here uses. */
+  private def keepers(paras: DataFrame): DataFrame =
+    paras.groupBy("fp")
+      .agg(min(struct(col("doc_id").as("d"), col("para_idx").as("p"))).as("k"))
+
+  /** LOSER occurrences `(doc_id[, carry...], para_idx)`: every paragraph
+    * occurrence whose content's first occurrence is elsewhere. */
+  def duplicateParagraphs(paras: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    paras.join(keepers(paras.select("fp", "doc_id", "para_idx")), "fp")
+      .where(col("doc_id") =!= col("k.d") || col("para_idx") =!= col("k.p"))
+      .select((col("doc_id") +: carry.map(col)) :+ col("para_idx"): _*)
+
+  /** The dedup STRIP: drop every repeated paragraph occurrence, keep the
+    * rest of each document. Output per input document: `(doc_id, source,
+    * n_paras, n_dropped, text_clean)` — documents losing nothing pass
+    * through with their text verbatim; rewritten documents re-join kept
+    * tokens with single spaces; a fully-duplicated document survives as a
+    * row with empty `text_clean` (callers decide whether to drop it). */
+  def paragraphDedupStrip(docs: DataFrame, paraTokens: Int = 16): DataFrame = {
+    val p = paraTokens
+    val paras = paragraphs(docs, p)
+    val dropped = duplicateParagraphs(paras)
+      .groupBy("doc_id").agg(collect_set(col("para_idx")).as("dropped"))
+    val nParas = ceil(size(rawToks) / lit(p.toDouble)).cast("long").as("n_paras")
+    // rewrite only the touched documents: kept tokens = those whose
+    // 0-based block index is not in the dropped set, one map pass
+    val touched = docs.join(dropped, "doc_id")
+      .select(col("doc_id"), col("source"), nParas,
+        size(col("dropped")).cast("long").as("n_dropped"),
+        expr(s"array_join(filter(split(text, '\\\\s+'), (t, i) -> " +
+          s"NOT array_contains(dropped, CAST(i div $p AS BIGINT))), ' ')")
+          .as("text_clean"))
+    val untouched = docs.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), nParas,
+        lit(0L).as("n_dropped"), col("text").as("text_clean"))
+    touched.unionByName(untouched)
+  }
+
+  /** Per-source duplication report `(source, n_paras, n_dup, dup_rate)` —
+    * how much of each source is corpus-repeated boilerplate at paragraph
+    * granularity. One pass over the paragraph rows: the keeper join marks
+    * each occurrence, the aggregate is narrow. */
+  def paragraphDupStats(docs: DataFrame, paraTokens: Int = 16): DataFrame = {
+    val paras = paragraphs(docs, paraTokens, carry = Seq("source"))
+    paras.join(keepers(paras.select("fp", "doc_id", "para_idx")), "fp")
+      .select(col("source"),
+        (col("doc_id") =!= col("k.d") || col("para_idx") =!= col("k.p"))
+          .cast("long").as("dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_paras"), sum("dup").as("n_dup"))
+      .select(col("source"), col("n_paras"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_paras"), 9).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  /** The boilerplate worklist: the `k` most-repeated paragraph contents
+    * `(fp, n_occurrences, first_doc, first_para_idx)` — what a curation
+    * owner reads to decide whether a template should be stripped at the
+    * source. Bounded: heap top-k on the occurrence count (TakeOrdered,
+    * no full sort), deterministic ties by fingerprint. */
+  def boilerplateParagraphs(docs: DataFrame, paraTokens: Int = 16,
+      k: Int = 50): DataFrame =
+    paragraphs(docs, paraTokens)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id").as("d"), col("para_idx").as("p"))).as("kmin"))
+      .where(col("n_occurrences") > 1L)
+      .select(col("fp"), col("n_occurrences"),
+        col("kmin.d").as("first_doc"), col("kmin.p").as("first_para_idx"))
+      .orderBy(col("n_occurrences").desc, col("fp").asc)
+      .limit(k)
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Paragraphs
+
+/** Paragraph-level (CCNet-style) dedup: hand-computed strip goldens,
+  * first-occurrence keeper determinism, per-source stats, the boilerplate
+  * top-k, and idempotence of the strip on its own (non-empty) output. */
+class ParagraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // P=4 fixture: doc 3 is an exact twin of doc 1; doc 4's SECOND block
+  // repeats doc 1's first; doc 2 contains the same tokens a b c d but
+  // MISALIGNED (different blocks -> no dup); doc 6 repeats one block
+  // internally three times
+  private def corpus = Seq(
+    (1L, "a b c d e f g h", "s0"),
+    (2L, "x y a b c d z", "s0"),
+    (3L, "a b c d e f g h", "s1"),
+    (4L, "q r s t a b c d", "s1"),
+    (5L, "a b c d", "s1"),
+    (6L, "m m m m m m m m m m m m", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("paragraphDedupStrip: first occurrence keeps, later occurrences strip") {
+    val got = Paragraphs.paragraphDedupStrip(corpus, paraTokens = 4)
+      .select("doc_id", "n_paras", "n_dropped", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, "a b c d e f g h"),  // keeper of both its blocks
+      (2L, 2L, 0L, "x y a b c d z"),    // misaligned content is NOT a dup
+      (3L, 2L, 2L, ""),                 // exact twin: fully stripped, row kept
+      (4L, 2L, 1L, "q r s t"),          // lost only its repeated block
+      (5L, 1L, 1L, ""),                 // its single block is doc 1's first
+      (6L, 3L, 2L, "m m m m")))         // within-doc repetition collapses
+  }
+
+  test("untouched documents pass through verbatim (not re-joined)") {
+    val weird = Seq((7L, "only unique tokens here", "s0")).toDF("doc_id", "text", "source")
+    val got = Paragraphs.paragraphDedupStrip(corpus.union(weird), paraTokens = 4)
+      .where(col("doc_id") === 7L).select("text_clean").as[String].head()
+    assert(got == "only unique tokens here")
+  }
+
+  test("paragraphDupStats: per-source occurrence and dup counts") {
+    val got = Paragraphs.paragraphDupStats(corpus, paraTokens = 4)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // s0: doc1 (2 paras, keepers) + doc2 (2 paras, unique) -> 0 dups
+    // s1: doc3 (2 dup) + doc4 (1 of 2 dup) + doc5 (1 dup) -> 4 of 5
+    // s2: doc6 -> 2 of 3 dup
+    assert(got == Seq(
+      ("s0", 4L, 0L, 0.0),
+      ("s1", 5L, 4L, 0.8),
+      ("s2", 3L, 2L, round9(2.0 / 3.0))))
+  }
+
+  test("boilerplateParagraphs: most-repeated contents first, deterministic ties") {
+    val got = Paragraphs.boilerplateParagraphs(corpus, paraTokens = 4, k = 10)
+      .select("n_occurrences", "first_doc", "first_para_idx")
+      .as[(Long, Long, Long)].collect().toSeq
+    // "a b c d": doc1#0, doc3#0, doc4#1, doc5#0 -> 4 occurrences;
+    // "m m m m": 3; "e f g h": doc1#1, doc3#1 -> 2
+    assert(got == Seq((4L, 1L, 0L), (3L, 6L, 0L), (2L, 1L, 1L)))
+  }
+
+  test("strip is idempotent on its non-empty output") {
+    val once = Paragraphs.paragraphDedupStrip(corpus, paraTokens = 4)
+      .where(col("text_clean") =!= "")
+      .select(col("doc_id"), col("text_clean").as("text"), col("source"))
+    val twice = Paragraphs.paragraphDedupStrip(once, paraTokens = 4)
+    assert(twice.where(col("n_dropped") > 0L).count() == 0L)
+    val again = twice.select("doc_id", "text_clean")
+      .as[(Long, String)].collect().toMap
+    val before = once.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(again == before)
+  }
+
+  test("ragged last paragraph dedups only against equal-content blocks") {
+    // doc 11's 2-token tail equals doc 10's FULL text (one 2-token para):
+    // content-equal -> the later occurrence strips
+    val docs = Seq(
+      (10L, "tail end", "s0"),
+      (11L, "u v w x tail end", "s0")
+    ).toDF("doc_id", "text", "source")
+    val got = Paragraphs.paragraphDedupStrip(docs, paraTokens = 4)
+      .select("doc_id", "n_dropped", "text_clean")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 0L, "tail end"), (11L, 1L, "u v w x")))
+  }
+
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+}
