@@ -280,6 +280,19 @@ object SparkEntry {
 
   /** Exact n-gram pair table at the LOOSEST consumed bar (0.2 — the
     * precision gates' loose slice); tighter consumers filter `jaccard`. */
+  /** Scored frame for the token-budget selectors: the quality score as
+    * `score` plus the raw whitespace token count — one surface scan and
+    * a narrow self-join, spelled identically in the shared oracle. */
+  private def budgetScoredFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nt = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.surfaceStats(col("text"))
+        .getField("n_tokens").cast("long").as("n_tokens"))
+    TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality").as("score"))
+      .join(nt, "doc_id")
+  }
+
   private def exactPairsAsset(s: SparkSession, dir: String): DataFrame =
     corpusAsset(s, dir, "ngram_pairs") {
       Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.2)
@@ -1268,6 +1281,12 @@ object SparkEntry {
     "quality_classifier_disagreements" -> ((s, dir) =>
       operators.QualityClassifier.disagreementsWith(Tables.documents(s, dir),
         qualityClassifierWeightsAsset(s, dir), 25)),
+    // calibration curve vs the rule labels: confusion counts and
+    // precision/recall/F1 per candidate score cut (one scoring pass,
+    // literal grid explode, partial-agg before the shuffle)
+    "classifier_pr_curve" -> ((s, dir) =>
+      operators.QualityClassifier.prCurve(Tables.documents(s, dir),
+        qualityClassifierWeightsAsset(s, dir))),
     // cross-layout determinism gate (THROWs on divergence): classifier
     // training and term counting on a FIXED 512-doc sample must be
     // bit-identical under two different partitionings — pins the
@@ -1654,6 +1673,22 @@ object SparkEntry {
     "paragraph_dup_topk" -> ((s, dir) =>
       Paragraphs.boilerplateParagraphs(Tables.documents(s, dir),
         paraTokens = 16, k = 50)),
+    // greedy token-budget selection: keep the best-scored prefix whose
+    // token total fits the budget — exact global-window spelling...
+    "token_budget_select" -> ((s, dir) =>
+      Curation.tokenBudgetSelect(budgetScoredFrame(s, dir), 20000L)),
+    // ...and the scale spelling (bounded score histogram broadcast, the
+    // running-sum window runs on ONE boundary bucket, not the corpus);
+    // both select the identical doc set and share the oracle
+    "token_budget_select_bucketed" -> ((s, dir) =>
+      Curation.tokenBudgetSelectBucketed(budgetScoredFrame(s, dir), 20000L)),
+    // temperature-resampled source mixing (share^alpha rule, alpha=0.5
+    // -> IEEE sqrt, engine-exact): the rate table...
+    "temperature_mix_rates" -> ((s, dir) =>
+      Curation.temperatureMixRates(Tables.documents(s, dir), 0.5, 15000L)),
+    // ...and its md5-coin application (map-side flip per document)
+    "temperature_mix_sample" -> ((s, dir) =>
+      Curation.temperatureMixSample(Tables.documents(s, dir), 0.5, 15000L)),
     // overlapping token-window chunking (context-length splitting)
     "chunk_documents" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir), 64, 16)),
@@ -2246,6 +2281,33 @@ object SparkEntry {
          |SELECT doc_id, source, score, u FROM coins WHERE u < rate * score
          |ORDER BY doc_id""".stripMargin
 
+    val prCurveSql: String = {
+      val grid = operators.QualityClassifier.PrThresholds
+        .map(t => s"CAST($t AS DOUBLE)").mkString(", ")
+      s"""WITH $prefix,
+         |scored AS (
+         |  SELECT CAST(y AS BIGINT) AS y, $scoreExpr AS score
+         |  FROM zf CROSS JOIN w$iters
+         |  WHERE $scoreExpr IS NOT NULL),
+         |grid AS (SELECT unnest([$grid]) AS threshold),
+         |cnt AS (
+         |  SELECT g.threshold,
+         |    CAST(sum(CASE WHEN s.score >= g.threshold AND s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN s.score >= g.threshold AND s.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN s.score < g.threshold AND s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN s.score < g.threshold AND s.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM scored s CROSS JOIN grid g GROUP BY g.threshold),
+         |pr AS (
+         |  SELECT threshold, tp, fp, fn, tn,
+         |    CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 9) END AS precision,
+         |    CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 9) END AS recall
+         |  FROM cnt)
+         |SELECT threshold, tp, fp, fn, tn, precision, recall,
+         |  CASE WHEN precision + recall > 0 THEN
+         |    round(2.0 * precision * recall / (precision + recall), 9) END AS f1
+         |FROM pr ORDER BY threshold""".stripMargin
+    }
+
     // the per-doc scored verdict pair shared by both manifest-switch
     // oracles: manifest CTE chain + the unrolled training + one join
     private val manifestJoinedCte: String =
@@ -2279,6 +2341,54 @@ object SparkEntry {
 
   /** Portable token-array CTE (positions preserved) for the n-gram oracle —
     * DuckDB list-lambda spelling of Dedup.tokenArray. */
+  /** Shared token-budget oracle prefix: the quality score (verbatim
+    * `quality_score` spelling) + raw token counts, then the global
+    * `(score DESC, doc_id)` running token total. BOTH budget selectors
+    * compare against this one SQL — the bucketed spelling must select
+    * the identical document set. */
+  private lazy val budgetScoredCtes =
+    s"""WITH qs AS (
+       |  SELECT doc_id,
+       |    round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+       |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+       |      + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.1
+       |      + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+       |              / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS score,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, score, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM qs)""".stripMargin
+
+  private lazy val tokenBudgetSql =
+    s"""$budgetScoredCtes
+       |SELECT doc_id, score, n_tokens FROM cum
+       |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
+
+  /** Shared temperature-mixing oracle prefix: per-source token mass,
+    * share, sqrt-tempered probability (alpha = 0.5 — IEEE sqrt, engine
+    * exact), and the capped per-document acceptance rate; every cross-row
+    * sum DECIMAL-routed, every nonterminating step rounded to 9. */
+  private val tempMixCtes =
+    """WITH ps AS (
+      |  SELECT source, CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM ps),
+      |sh AS (
+      |  SELECT source, n_tokens,
+      |    round(CAST(n_tokens AS DOUBLE) / total, 9) AS share,
+      |    round(sqrt(round(CAST(n_tokens AS DOUBLE) / total, 9)), 9) AS p_raw
+      |  FROM ps CROSS JOIN tt),
+      |pz AS (SELECT CAST(sum(CAST(p_raw AS DECIMAL(28,9))) AS DOUBLE) AS psum FROM sh),
+      |mix AS (
+      |  SELECT source, n_tokens, share,
+      |    round(p_raw / psum, 9) AS p,
+      |    round(least(CAST(1.0 AS DOUBLE),
+      |      round(p_raw / psum, 9) * 15000.0 / n_tokens), 9) AS rate
+      |  FROM sh CROSS JOIN pz)""".stripMargin
+
   /** Shared paragraph-dedup oracle prefix (WITH included): RAW whitespace
     * token arrays, fixed 16-token blocks keyed by the portable md5 of
     * their single-space re-join, and the per-content occurrence rank
@@ -3190,6 +3300,7 @@ object SparkEntry {
     "quality_classifier_scores" -> ClfOracle.scoresSql,
     "quality_classifier_eval" -> ClfOracle.evalSql,
     "quality_classifier_disagreements" -> ClfOracle.disagreementsSql,
+    "classifier_pr_curve" -> ClfOracle.prCurveSql,
     "classifier_weighted_sample" -> ClfOracle.sampleSql,
     "classifier_source_mix_sample" -> ClfOracle.sourceMixSql,
     "manifest_by_classifier" -> ClfOracle.manifestByClfSql,
@@ -4042,6 +4153,20 @@ object SparkEntry {
          |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 9) AS dup_rate
          |FROM pmarked GROUP BY source ORDER BY source""".stripMargin,
+    // both budget selectors compare against the ONE exact spelling —
+    // the bucketed scale path must pick the identical document set
+    "token_budget_select" -> tokenBudgetSql,
+    "token_budget_select_bucketed" -> tokenBudgetSql,
+    "temperature_mix_rates" ->
+      s"""$tempMixCtes
+         |SELECT source, n_tokens, share, p, rate FROM mix
+         |ORDER BY source""".stripMargin,
+    "temperature_mix_sample" ->
+      s"""$tempMixCtes
+         |SELECT d.doc_id, d.source FROM documents d JOIN mix USING (source)
+         |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    / 4294967296.0 < mix.rate
+         |ORDER BY d.doc_id""".stripMargin,
     "paragraph_dup_topk" ->
       s"""$paraOracleCtes,
          |occ AS (

@@ -834,4 +834,151 @@ object Curation {
           .otherwise(lit(0.0)).as("dup_token_frac"))
       .orderBy("doc_id")
   }
+
+  // --------------------------------------------------------------------
+  // Token-budget corpus selection
+  // --------------------------------------------------------------------
+
+  /** Greedy token-budget selection, EXACT spelling: order documents by
+    * `(score DESC, doc_id ASC)` and keep the maximal prefix whose running
+    * token total stays within `budgetTokens` (the doc that would cross
+    * the budget — and everything after it — drops; greedy prefix, not a
+    * knapsack). `scored` is any `(doc_id, score, n_tokens)` frame with
+    * non-null scores.
+    *
+    * This spelling ranks the WHOLE corpus through one unpartitioned
+    * running-sum window — a single-reducer funnel that does not survive
+    * 100 TB. It exists as the semantic contract and the oracle shape;
+    * the scale path is [[tokenBudgetSelectBucketed]], which selects the
+    * IDENTICAL document set (shared oracle) without the global sort. */
+  def tokenBudgetSelect(scored: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(Long.MinValue, 0)
+    scored.select(col("doc_id"), col("score"), col("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "score", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** [[tokenBudgetSelect]] without the global sort — the 100 TB path.
+    * Scores histogram into `floor(score / bucketWidth)` buckets; the
+    * per-bucket token totals are a BOUNDED driver artifact (for a [0, 1]
+    * quality score at the default width that is ≤ 1001 rows — the
+    * PQ-codebook collect pattern, enforced by a hard cap). The driver
+    * walks buckets best-first to find the single BOUNDARY bucket where
+    * the running total crosses the budget: buckets above it keep
+    * entirely (a broadcast-literal map filter), buckets below drop, and
+    * only the boundary bucket's rows — one bucket, not the corpus —
+    * run the exact `(score DESC, doc_id)` running-sum window against the
+    * budget remainder.
+    *
+    * Bucket cuts respect the global order (`floor` is monotone: a higher
+    * bucket strictly outscores a lower one, and the within-bucket window
+    * re-applies the exact order), so the selected set is IDENTICAL to
+    * [[tokenBudgetSelect]] — the two registry queries share one oracle. */
+  def tokenBudgetSelectBucketed(scored: DataFrame, budgetTokens: Long,
+      bucketWidth: Double = 0.001): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(bucketWidth > 0.0, s"bucketWidth must be positive, got $bucketWidth")
+    val bucket = floor(col("score") / lit(bucketWidth)).cast("long")
+    val hist = scored.groupBy(bucket.as("bucket"))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    require(hist.length <= 65536,
+      s"score histogram has ${hist.length} buckets — widen bucketWidth " +
+        "(the driver artifact must stay bounded)")
+    // walk best-first: cum = tokens of fully-kept buckets; the boundary
+    // bucket is the first whose total would cross the budget
+    var cum = 0L
+    var cutoff = Option.empty[(Long, Long)] // (boundary bucket, its remaining budget)
+    val it = hist.iterator
+    while (it.hasNext && cutoff.isEmpty) {
+      val (b, t) = it.next()
+      if (cum + t > budgetTokens) cutoff = Some((b, budgetTokens - cum))
+      else cum += t
+    }
+    val base = scored.select(col("doc_id"), col("score"), col("n_tokens"),
+      bucket.as("bucket"))
+    val kept = cutoff match {
+      case None => base // the whole corpus fits the budget
+      case Some((c, rem)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .rowsBetween(Long.MinValue, 0)
+        val edge = base.where(col("bucket") === c)
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .where(col("cum_tokens") <= rem)
+          .drop("cum_tokens")
+        base.where(col("bucket") > c).unionByName(edge)
+    }
+    kept.select("doc_id", "score", "n_tokens").orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // Temperature-based source mixing
+  // --------------------------------------------------------------------
+
+  /** Temperature-resampled source rates (the multilingual-LM mixing rule:
+    * sample source `s` proportionally to `share_s^alpha`, `alpha < 1`
+    * up-weighting the tail): per source the token mass, corpus share,
+    * tempered probability `p = share^alpha / Σ share^alpha`, and the
+    * per-document acceptance rate `min(1, p·targetTokens / tokens_s)`
+    * that realizes `p` of a `targetTokens` budget in expectation.
+    *
+    * Complement of [[TextAnalysis.sourceTemperaturePlan]]: that one
+    * reports RELATIVE down-sampling rates (max-normalized `p^(α−1)`, no
+    * budget — the "shrink big sources toward the smallest" audit view);
+    * this one solves for an ABSOLUTE token target and pairs with
+    * [[temperatureMixSample]], which actually applies the rates.
+    *
+    * Engine-exact arithmetic: every cross-row sum routes through
+    * DECIMAL(28,9), every nonterminating step is rounded to 9 (house
+    * float-parity rules), and `alpha = 0.5` dispatches to IEEE `sqrt`
+    * (correctly rounded on every engine, unlike `pow`). The whole frame
+    * is #sources rows — the totals ride broadcast one-row cross joins. */
+  def temperatureMixRates(docs: DataFrame, alpha: Double,
+      targetTokens: Long): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    val nt = graft.functions.TextFunctions.surfaceStats(col("text"))
+      .getField("n_tokens")
+    val perSource = docs.select(col("source"), nt.as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("total"))
+    val tempered = if (alpha == 0.5) (c: Column) => sqrt(c)
+      else (c: Column) => pow(c, lit(alpha))
+    val sh = perSource.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n_tokens").cast("double") / col("total"), 9))
+      .withColumn("p_raw", round(tempered(col("share")), 9))
+    val psum = sh.agg(
+      sum(col("p_raw").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double").as("psum"))
+    sh.crossJoin(broadcast(psum))
+      .withColumn("p", round(col("p_raw") / col("psum"), 9))
+      .withColumn("rate", round(least(lit(1.0),
+        col("p") * lit(targetTokens.toDouble) / col("n_tokens").cast("double")), 9))
+      .select("source", "n_tokens", "share", "p", "rate")
+      .orderBy("source")
+  }
+
+  /** Apply [[temperatureMixRates]] as a stable per-document sample: the
+    * house md5 coin (exact power-of-two division, bit-portable) against
+    * the broadcast per-source rate — domain rebalancing as one map-side
+    * coin flip per document, no shuffle of text, holds at any corpus
+    * size. Output: surviving `(doc_id, source)`, doc_id-ordered. */
+  def temperatureMixSample(docs: DataFrame, alpha: Double,
+      targetTokens: Long): DataFrame = {
+    val rates = temperatureMixRates(docs, alpha, targetTokens)
+      .select("source", "rate")
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    docs.join(broadcast(rates), "source")
+      .withColumn("u", u)
+      .where(col("u") < col("rate"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
 }

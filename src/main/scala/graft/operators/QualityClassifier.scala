@@ -387,6 +387,49 @@ object QualityClassifier {
     scoreWith(docs, weights).groupBy("label", "pred")
       .agg(count(lit(1)).as("n")).orderBy("label", "pred")
 
+  /** Fixed threshold grid of [[prCurve]] — tenths, spelled identically
+    * (same double literals) in the DuckDB oracle. */
+  val PrThresholds: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** Calibration curve of the distilled model against its own rule
+    * labels: per candidate threshold the confusion counts and
+    * precision / recall / F1 — the table a curation owner reads to pick
+    * the score cut (0.5 is [[manifestByClassifier]]'s default; this
+    * shows what any other cut would trade). One scoring pass; the grid
+    * is a literal array explode, so the pre-aggregation inflation is
+    * `|grid|×` map-side rows that partial-aggregate back to `|grid|`
+    * rows before the shuffle — no second corpus scan per threshold.
+    * Degenerate NULL-score documents are excluded (no model verdict to
+    * grade); empty cells yield NULL precision/recall/F1, never a
+    * divide-by-zero. */
+  def prCurve(docs: DataFrame, weights: DataFrame,
+      thresholds: Seq[Double] = PrThresholds): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve needs at least one threshold")
+    val scored = scoreRows(docs, modelFromRows(weights))
+      .where(col("score").isNotNull)
+      .select(col("label"), col("score"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val cell = (p: Column, y: Column) =>
+      sum((p && y).cast("long"))
+    val pos = col("score") >= col("threshold")
+    val counts = scored.groupBy("threshold").agg(
+      cell(pos, col("label") === 1L).as("tp"),
+      cell(pos, col("label") === 0L).as("fp"),
+      cell(!pos, col("label") === 1L).as("fn"),
+      cell(!pos, col("label") === 0L).as("tn"))
+    val precision = when(col("tp") + col("fp") > 0L,
+      round(col("tp").cast("double") / (col("tp") + col("fp")), 9))
+    val recall = when(col("tp") + col("fn") > 0L,
+      round(col("tp").cast("double") / (col("tp") + col("fn")), 9))
+    counts
+      .withColumn("precision", precision)
+      .withColumn("recall", recall)
+      .withColumn("f1", when(col("precision") + col("recall") > 0.0,
+        round(lit(2.0) * col("precision") * col("recall")
+          / (col("precision") + col("recall")), 9)))
+      .orderBy("threshold")
+  }
+
   /** Documents where the smooth score most disagrees with the hard rule
     * label — the curation reviewer's worklist (borderline rule decisions
     * the model prices differently). */

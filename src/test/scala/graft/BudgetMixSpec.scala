@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Token-budget selection (exact vs bucketed parity across widths,
+  * budgets, and tie shapes) and temperature-based source mixing
+  * (hand-computed rates, tail up-weighting, the md5-coin sample against
+  * an independent JVM md5 spelling). */
+class BudgetMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Deterministic scored frame with deliberate score ties (4-digit
+    * scores force same-bucket and same-score collisions). */
+  private def scoredFrame(n: Int) = {
+    val rnd = new scala.util.Random(42)
+    (1 to n).map { i =>
+      val s = math.floor(rnd.nextDouble() * 10000.0) / 10000.0
+      (i.toLong, s, 1L + rnd.nextInt(50))
+    }.toDF("doc_id", "score", "n_tokens")
+  }
+
+  test("tokenBudgetSelect keeps the maximal greedy prefix by (score desc, doc_id)") {
+    val scored = Seq(
+      (1L, 0.9, 10L), (2L, 0.8, 10L), (3L, 0.8, 5L), (4L, 0.7, 100L), (5L, 0.6, 1L)
+    ).toDF("doc_id", "score", "n_tokens")
+    // order: 1(10) 2(20) 3(25) 4(125) 5(126); budget 25 -> {1,2,3};
+    // doc 4 crosses and greedy STOPS (doc 5 would fit but is after the cross)
+    val kept = Curation.tokenBudgetSelect(scored, 25L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+    assert(Curation.tokenBudgetSelect(scored, 9L).count() == 0L)
+    assert(Curation.tokenBudgetSelect(scored, 1000L).count() == 5L)
+  }
+
+  test("bucketed selection equals the exact spelling across widths and budgets") {
+    val scored = scoredFrame(200).cache()
+    val total = scored.agg(sum("n_tokens")).as[Long].head()
+    try {
+      for (width <- Seq(0.001, 0.01, 0.3, 1000.0);
+           budget <- Seq(0L, 1L, 37L, total / 3, total - 1, total, total + 10)) {
+        val exact = Curation.tokenBudgetSelect(scored, budget)
+          .select("doc_id").as[Long].collect().toSet
+        val bucketed = Curation.tokenBudgetSelectBucketed(scored, budget, width)
+          .select("doc_id").as[Long].collect().toSet
+        assert(bucketed == exact, s"width=$width budget=$budget: " +
+          s"bucketed ${bucketed.size} vs exact ${exact.size}")
+      }
+    } finally scored.unpersist()
+  }
+
+  private def mixDocs = {
+    // token counts by construction: src_a 400 tokens over 4 docs,
+    // src_b 80 over 2, src_c 20 over 1 (total 500)
+    val rows =
+      (1 to 4).map(i => (i.toLong, Seq.fill(100)("w").mkString(" "), "src_a")) ++
+      (5 to 6).map(i => (i.toLong, Seq.fill(40)("w").mkString(" "), "src_b")) :+
+      ((7L, Seq.fill(20)("w").mkString(" "), "src_c"))
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("temperatureMixRates: alpha=0.5 up-weights the tail, rates cap at 1") {
+    val got = Curation.temperatureMixRates(mixDocs, 0.5, targetTokens = 250L)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val shares = Map("src_a" -> 0.8, "src_b" -> 0.16, "src_c" -> 0.04)
+    val praw = shares.map { case (s, v) => s -> round9(math.sqrt(round9(v))) }
+    val psum = praw.values.map(round9).sum
+    for (s <- shares.keys) {
+      val (_, nt, share, p, rate) = got(s)
+      assert(share == round9(shares(s)))
+      val pExp = round9(praw(s) / psum)
+      assert(p == pExp, s"$s p=$p expected $pExp")
+      assert(rate == round9(math.min(1.0, pExp * 250.0 / nt)))
+    }
+    // temperature flattening: tail source's tempered p exceeds its share,
+    // head source's sits below
+    assert(got("src_c")._4 > shares("src_c") && got("src_a")._4 < shares("src_a"))
+    // a tiny source with a big target caps at rate 1
+    val capped = Curation.temperatureMixRates(mixDocs, 0.5, targetTokens = 100000L)
+      .where(col("source") === "src_c").select("rate").as[Double].head()
+    assert(capped == 1.0)
+  }
+
+  test("temperatureMixRates: alpha=1 reduces to proportional shares") {
+    val got = Curation.temperatureMixRates(mixDocs, 1.0, targetTokens = 250L)
+      .select("source", "share", "p").as[(String, Double, Double)].collect()
+    got.foreach { case (s, share, p) =>
+      assert(math.abs(p - share) < 1e-6, s"$s: p=$p share=$share") }
+  }
+
+  test("temperatureMixSample keeps exactly the docs whose md5 coin lands under the rate") {
+    val rates = Curation.temperatureMixRates(mixDocs, 0.5, targetTokens = 250L)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    // independent JVM md5 spelling of the house coin
+    def coin(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val srcOf = mixDocs.select("doc_id", "source")
+      .as[(Long, String)].collect().toMap
+    val expected = srcOf.keySet.filter(id => coin(id) < rates(srcOf(id)))
+    val got = Curation.temperatureMixSample(mixDocs, 0.5, targetTokens = 250L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty && got.size < srcOf.size)
+  }
+}

@@ -255,6 +255,28 @@ class QualityClassifierSpec extends SparkSpec {
       QualityClassifier.modelVersion(QualityClassifier.weightsDf(spark, bumped)))
   }
 
+  test("prCurve cells reconcile with collected scores at every threshold") {
+    val docs = corpus()
+    val m = QualityClassifier.fit(QualityClassifier.featureFrame(docs))
+    val w = QualityClassifier.weightsDf(spark, m)
+    val scored = QualityClassifier.scoreWith(docs, w)
+      .select("label", "score").as[(Long, Double)].collect()
+    val got = QualityClassifier.prCurve(docs, w)
+      .select("threshold", "tp", "fp", "fn", "tn")
+      .as[(Double, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == QualityClassifier.PrThresholds)
+    got.foreach { case (t, tp, fp, fn, tn) =>
+      assert(tp == scored.count { case (y, s) => s >= t && y == 1L })
+      assert(fp == scored.count { case (y, s) => s >= t && y == 0L })
+      assert(fn == scored.count { case (y, s) => s < t && y == 1L })
+      assert(tp + fp + fn + tn == scored.length.toLong)
+    }
+    // recall is monotone non-increasing in the threshold
+    val recalls = QualityClassifier.prCurve(docs, w)
+      .select("recall").as[Option[Double]].collect().flatten
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+  }
+
   test("modelVersion is locale-independent (comma-decimal default locale)") {
     // the version stamp renders weights as fixed-9 decimals; a JVM whose
     // default locale writes ',' for the decimal point must produce the
