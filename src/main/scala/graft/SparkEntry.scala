@@ -1887,6 +1887,17 @@ object SparkEntry {
         .withColumn("index_version", lit(version))
         .orderBy("doc_id")
     }),
+    // paragraph-family ingest gate (batch shape, rows-only — Bloom
+    // estimates): index = the even-doc half's paragraph hashes, every
+    // document scored statelessly with the SHARED cut+hash spelling;
+    // refresh protocol MemoryStream-spec'd beside the other gates
+    "streams_paragraph_gate_batch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      graft.streaming.Streams.streamingParagraphFlag(
+        docs, docs.where(col("doc_id") % 2 === 0),
+        paraTokens = 16, flagRatio = 0.5)
+        .orderBy("doc_id")
+    }),
     "streams_decontaminate_batch" -> ((s, dir) => {
       val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
       graft.streaming.Streams.streamingDecontaminate(

@@ -61,6 +61,20 @@ object Paragraphs {
         md5(col("para").cast("binary")).as("fp")): _*)
   }
 
+  /** Per-block 64-bit hash array of `text` — xxhash64 over each
+    * paragraph's single-space re-join. This is the SHARED batch/stream
+    * spelling for the ingest Bloom gate
+    * ([[graft.streaming.Streams.streamingParagraphFlag]]): the corpus
+    * index and the arriving row must cut, join, and hash identically or
+    * the Bloom silently loses its no-false-negative guarantee. */
+  def paragraphHashesExpr(paraTokens: Int): org.apache.spark.sql.Column = {
+    require(paraTokens > 0, s"paraTokens must be positive, got $paraTokens")
+    val p = paraTokens
+    expr(
+      s"transform(sequence(0, CAST(ceil(size(split(text, '\\\\s+')) / $p.0) AS INT) - 1), " +
+        s"i -> xxhash64(array_join(slice(split(text, '\\\\s+'), CAST(i * $p + 1 AS INT), $p), ' ')))")
+  }
+
   /** First-occurrence keeper per distinct paragraph content: the minimum
     * `(doc_id, para_idx)` over its occurrences — deterministic,
     * engine-portable, and the convention every dedup operator here uses. */

@@ -251,6 +251,73 @@ object Streams {
         (col("dup_window_frac") >= flagRatio).cast("long"))
   }
 
+  /** Paragraph-level ingest dup gate, trained-model side: a Bloom over
+    * the xxhash64 of every paragraph block in the corpus snapshot — one
+    * batch aggregation pass ([[graft.operators.Paragraphs.paragraphHashesExpr]]
+    * is the shared cut+hash spelling, so the stream side can never hash
+    * differently). Null when the corpus is empty. Completes the
+    * paragraph-dedup family batch → stream the way the dup-window Bloom
+    * does for exact-substring dedup. */
+  def paragraphDupBloom(corpus: DataFrame, paraTokens: Int = 16,
+      expectedItems: Long = 1L << 20): Array[Byte] = {
+    import graft.operators.Paragraphs
+    corpus
+      .select(explode(Paragraphs.paragraphHashesExpr(paraTokens)).as("h"))
+      .agg(expr(s"graft_bloom_agg(h, ${expectedItems}L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Paragraph dup gate with the Bloom prebuilt (serving shape): each
+    * arriving document cuts its own paragraph blocks, hashes them with
+    * the SHARED kernel spelling, and counts Bloom membership — stateless
+    * per-row map work, no explode, no state store. Over-estimates only
+    * (Bloom false positives), the right failure direction for an ingest
+    * gate; flagged rows get the exact batch re-check
+    * ([[graft.operators.Paragraphs.duplicateParagraphs]]) offline.
+    * Output: (doc_id, n_paras, n_dup_hits, dup_para_frac, flagged). */
+  def streamingParagraphFlagWithModel(docs: DataFrame, bloom: Array[Byte],
+      paraTokens: Int = 16, flagRatio: Double = 0.5): DataFrame = {
+    import graft.operators.Paragraphs
+    val hits =
+      if (bloom == null) lit(0L)
+      else size(filter(col("phs"), h =>
+        call_function("graft_bloom_contains", lit(bloom), h))).cast("long")
+    docs
+      .withColumn("phs", Paragraphs.paragraphHashesExpr(paraTokens))
+      .select(col("doc_id"),
+        size(col("phs")).cast("long").as("n_paras"),
+        hits.as("n_dup_hits"))
+      .withColumn("dup_para_frac",
+        when(col("n_paras") > 0,
+          round(col("n_dup_hits").cast("double") / col("n_paras"), 9))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged",
+        (col("dup_para_frac") >= flagRatio).cast("long"))
+  }
+
+  /** [[streamingParagraphFlagWithModel]] with the Bloom built inline from
+    * a corpus snapshot (batch-mode convenience / spec form). */
+  def streamingParagraphFlag(docs: DataFrame, corpus: DataFrame,
+      paraTokens: Int = 16, flagRatio: Double = 0.5,
+      expectedItems: Long = 1L << 20): DataFrame =
+    streamingParagraphFlagWithModel(docs,
+      paragraphDupBloom(corpus, paraTokens, expectedItems),
+      paraTokens, flagRatio)
+
+  /** [[streamingParagraphFlag]] under the refresh protocol: a corpus drop
+    * that re-cuts the paragraph index re-broadcasts the Bloom on the next
+    * micro-batch, no stream restart — same loop as the dup-window and
+    * decontamination gates. */
+  def paragraphGateWithRefresh(docs: DataFrame,
+      currentVersion: () => Long, loadModel: () => Array[Byte],
+      paraTokens: Int = 16, flagRatio: Double = 0.5,
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    withRefreshingModel[Array[Byte]](docs, currentVersion, loadModel,
+      (batch, bloom) =>
+        streamingParagraphFlagWithModel(batch, bloom, paraTokens, flagRatio),
+      checkpointDir)(sink)
+
   /** Serve a stream against a REFRESHABLE model snapshot — the protocol
     * that closes the batch-index-maintenance → stream-serving loop: the
     * gates above embed their trained blob (dup-window Bloom, decon Bloom)

@@ -400,6 +400,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed token-budget selector never windows the full corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val scored = graft.operators.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality").as("score"))
+      .join(docs.select(col("doc_id"),
+        graft.functions.TextFunctions.surfaceStats(col("text"))
+          .getField("n_tokens").cast("long").as("n_tokens")), "doc_id")
+      .cache()
+    try {
+      scored.count()
+      // budget the whole corpus fits: no window, no sort anywhere
+      val all = graft.operators.Curation.tokenBudgetSelectBucketed(
+        scored, budgetTokens = 100000000L)
+      all.collect()
+      val pAll = plan(all)
+      assert(!pAll.contains("Window"),
+        "an all-fits budget must not plan a window:\n" + pAll.take(2000))
+      // crossing budget: a window exists, but only above the boundary-
+      // bucket filter — the full-corpus branch stays window-free
+      val cut = graft.operators.Curation.tokenBudgetSelectBucketed(
+        scored, budgetTokens = 500L)
+      cut.collect()
+      val pCut = plan(cut)
+      assert(pCut.contains("Window"), pCut.take(2000))
+      // the boundary-bucket equality (FLOOR(score / width) = c) must sit
+      // BELOW the window — the only windowed rows are that one bucket's
+      assert("(?s)Window.*?FLOOR\\(\\(score#\\d+ / 0\\.001\\)\\) = \\d+".r
+        .findFirstIn(pCut).isDefined,
+        "the window input must be the boundary-bucket filter:\n" + pCut.take(3000))
+    } finally scored.unpersist()
+  }
+
   test("decontaminateSemantic broadcasts the benchmark; corpus shuffles only to aggregate") {
     val df = graft.operators.Curation.decontaminateSemantic(
       Tables.embeddings(spark, dir),

@@ -694,4 +694,64 @@ class StreamingSpec extends SparkSpec {
       assert(seen.sorted.toSeq == Seq(10L, 11L, 20L, 21L, 30L, 31L))
     } finally q.stop()
   }
+
+  test("paragraph gate: aligned blocks flag, misaligned content does not") {
+    val corpus = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "a b c d e f g h"),   // both blocks known -> frac 1
+      (2L, "a b c d w1 x1 y1 z1"), // one of two -> frac 0.5 (>= flags)
+      (3L, "w2 x2 y2 z2 q r s t"), // nothing known -> 0
+      (4L, "e f g h"),           // its single block is an index block -> 1
+      (5L, "z a b c d")          // misaligned copy: blocks [z a b c],[d] -> 0
+    ).toDF("doc_id", "text")
+    val got = Streams.streamingParagraphFlag(incoming, corpus,
+      paraTokens = 4, flagRatio = 0.5)
+      .select("doc_id", "n_paras", "n_dup_hits", "flagged")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 2L, 1L), (2L, 2L, 1L, 1L), (3L, 2L, 0L, 0L),
+      (4L, 1L, 1L, 1L), (5L, 2L, 0L, 0L)))
+    // no false negatives by construction: the batch/stream hash spellings
+    // are the same expression, pinned here by the exact counts above
+  }
+
+  test("paragraph gate refresh: a corpus re-cut reaches the running stream") {
+    implicit val sqlCtx = spark.sqlContext
+    def bloomFor(texts: Seq[String]): Array[Byte] =
+      Streams.paragraphDupBloom(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), paraTokens = 4)
+    val paraA = "alpha beta gamma delta"
+    val paraB = "epsilon zeta eta theta"
+    val bloom1 = bloomFor(Seq(paraA))
+    val bloom2 = bloomFor(Seq(paraA, paraB))
+    @volatile var version = 1L
+    @volatile var stored = bloom1
+    var loads = 0
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.paragraphGateWithRefresh(
+      in.toDF.toDF("doc_id", "text"),
+      currentVersion = () => version,
+      loadModel = () => { loads += 1; stored },
+      paraTokens = 4, flagRatio = 0.5) { (df, _) =>
+      buf.synchronized {
+        buf ++= df.select("doc_id", "flagged", "index_version")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      ()
+    }
+    try {
+      in.addData((10L, paraA), (11L, paraB))
+      q.processAllAvailable()
+      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L)))
+      assert(loads == 1, "unchanged version must not reload the model")
+      stored = bloom2
+      version = 2L
+      in.addData((20L, paraA), (21L, paraB))
+      q.processAllAvailable()
+      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L),
+        (20L, 1L, 2L), (21L, 1L, 2L)))
+      assert(loads == 2, "exactly one reload per version change")
+    } finally q.stop()
+  }
 }
