@@ -61,8 +61,11 @@ object ExactSubstr {
     * (`monotonically_increasing_id`) against recomputation under a
     * different partition layout. */
   private def pin(df: DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
     val p = df.scopedPersist()
     p.count()
+    if (sys.env.contains("GRAFT_PIN_PROFILE"))
+      println(f"[pin] ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${df.columns.mkString(",")}")
     df.sparkSession.createDataFrame(p.rdd, p.schema)
   }
 
@@ -137,9 +140,9 @@ object ExactSubstr {
   def mergeVerifiedIncremental(oldToks: DataFrame, oldHashes: DataFrame,
       oldVerified: DataFrame, newToks: DataFrame, n: Int): DataFrame = {
     // each multiply-referenced frame is pin()ned: a lazy reuse EMBEDS its
-    // whole upstream per reference and the merge references newH three
-    // times, oldHit twice, the candidates twice — unpinned this compiled
-    // a 200-exchange plan (the depth-profile lesson, again)
+    // whole upstream per reference and the merge references newH twice
+    // and the candidates twice — unpinned this compiled a 200-exchange
+    // plan (the depth-profile lesson, again)
     val newH = pin(windowHashesFromTokens(newToks, n))
     // the batch's distinct hashes are broadcast-sized (8 bytes each — an
     // append batch is bounded, unlike the corpus), so the stored index is
@@ -148,17 +151,25 @@ object ExactSubstr {
     // instead bucket/partition both hash tables by hash range and
     // equi-join co-located — drop the hints, keep the shape.
     val newWh = broadcast(newH.select("wh").distinct())
-    val oldHit = pin(oldHashes.join(newWh, "wh"))
-    val oldCand = oldHit.select("doc_id", "pos")
-    val newNewDup = newH.groupBy("wh").agg(count(lit(1)).as("c"))
-      .where(col("c") >= 2).select("wh")
-    val newCand = newH
-      .join(broadcast(newNewDup.unionByName(oldHit.select("wh")).distinct()),
-        "wh")
-      .select("doc_id", "pos")
+    val oldHit = oldHashes.join(newWh, "wh").select("wh", "doc_id", "pos")
+    // candidates in ONE grouped filter (the r10 merge diet — this used to
+    // be two broadcast unions plus a pinned oldHit): over newH ∪ oldHit,
+    // a window is a candidate iff its hash group has ≥ 2 union
+    // occurrences. Equivalent to the old oldCand/newCand spelling: every
+    // oldHit position has ≥ 1 new hash-mate (≥ 2 total, all emitted), a
+    // new position qualifies iff it collides in-batch or hits the old
+    // index, and a unique new window (count 1) drops — the same set,
+    // with oldHit now referenced ONCE (no pin barrier, no second
+    // broadcast build). Collisions only ADD candidates; the content
+    // verify rejects them.
+    // persisted (no count barrier — both references materialize inside
+    // the one candPos job), mirroring the base build's winHashes cache
+    val u = newH.select("wh", "doc_id", "pos").unionByName(oldHit).scopedPersist()
+    val dupWh = u.groupBy("wh").agg(count(lit(1)).as("c")).where(col("c") >= 2)
     // distinct: a caller whose old/new doc sets overlap must not count a
     // position's gram twice in the verify
-    val candPos = pin(oldCand.unionByName(newCand).distinct())
+    val candPos = pin(u.join(dupWh.select("wh"), "wh")
+      .select("doc_id", "pos").distinct())
     val candDocs = broadcast(candPos.select("doc_id").distinct())
     val toksCand = oldToks.join(candDocs, Seq("doc_id"), "left_semi")
       .unionByName(newToks.join(candDocs, Seq("doc_id"), "left_semi"))
