@@ -865,28 +865,54 @@ object Curation {
 
   /** [[tokenBudgetSelect]] without the global sort — the 100 TB path.
     * Scores histogram into `floor(score / bucketWidth)` buckets; the
-    * per-bucket token totals are a BOUNDED driver artifact (for a [0, 1]
-    * quality score at the default width that is ≤ 1001 rows — the
-    * PQ-codebook collect pattern, enforced by a hard cap). The driver
-    * walks buckets best-first to find the single BOUNDARY bucket where
-    * the running total crosses the budget: buckets above it keep
-    * entirely (a broadcast-literal map filter), buckets below drop, and
-    * only the boundary bucket's rows — one bucket, not the corpus —
-    * run the exact `(score DESC, doc_id)` running-sum window against the
-    * budget remainder.
+    * per-bucket token totals are a BOUNDED driver artifact (the
+    * PQ-codebook collect pattern — a [0, 1] quality score at the default
+    * width yields ~1001 rows; the hard cap enforced is 65536 buckets, so
+    * unbounded-range scores at a too-narrow width fail loudly instead of
+    * collecting the corpus). The driver walks buckets best-first to find
+    * the single BOUNDARY bucket where the running total crosses the
+    * budget: buckets above it keep entirely (a broadcast-literal map
+    * filter), buckets below drop, and only the boundary bucket's rows —
+    * one bucket, not the corpus — run the exact `(score DESC, doc_id)`
+    * running-sum window against the budget remainder.
     *
     * Bucket cuts respect the global order (`floor` is monotone: a higher
     * bucket strictly outscores a lower one, and the within-bucket window
     * re-applies the exact order), so the selected set is IDENTICAL to
-    * [[tokenBudgetSelect]] — the two registry queries share one oracle. */
+    * [[tokenBudgetSelect]] — the two registry queries share one oracle.
+    *
+    * Consistency contract: the histogram collect and the final keep/drop
+    * scan are TWO actions, so the narrow `(doc_id, score, n_tokens,
+    * bucket)` projection is persisted across them — a nondeterministic
+    * or recomputed-differently input can't make the driver's bucket
+    * totals disagree with the second scan and silently select a wrong
+    * set. NULL scores / token counts are rejected up front (they carry
+    * no defined rank and would otherwise surface as an opaque NPE inside
+    * the histogram collect). */
   def tokenBudgetSelectBucketed(scored: DataFrame, budgetTokens: Long,
       bucketWidth: Double = 0.001): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     require(bucketWidth > 0.0, s"bucketWidth must be positive, got $bucketWidth")
     val bucket = floor(col("score") / lit(bucketWidth)).cast("long")
-    val hist = scored.groupBy(bucket.as("bucket"))
-      .agg(sum(col("n_tokens")).as("toks"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val base = scored.select(col("doc_id"), col("score"), col("n_tokens"),
+      bucket.as("bucket")).scopedPersist()
+    // ONE action serves both the guard and the totals: a NULL score rows
+    // into the NULL-key group, a NULL n_tokens makes count(n_tokens) lag
+    // count(*) for its bucket — both refuse with a named error instead of
+    // an NPE mid-collect
+    val histRows = base.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("toks"), count(lit(1)).as("n"),
+        count(col("n_tokens")).as("n_tok"))
+      .collect()
+    histRows.find(_.isNullAt(0)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"scored frame has ${r.getLong(2)} NULL-score row(s) — a budget " +
+          "selection needs every row ranked; filter or score them first")
+    }
+    require(histRows.forall(r => r.getLong(2) == r.getLong(3)),
+      "scored frame has NULL n_tokens row(s) — a budget selection needs " +
+        "every row's token mass; filter or count them first")
+    val hist = histRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     require(hist.length <= 65536,
       s"score histogram has ${hist.length} buckets — widen bucketWidth " +
         "(the driver artifact must stay bounded)")
@@ -900,8 +926,6 @@ object Curation {
       if (cum + t > budgetTokens) cutoff = Some((b, budgetTokens - cum))
       else cum += t
     }
-    val base = scored.select(col("doc_id"), col("score"), col("n_tokens"),
-      bucket.as("bucket"))
     val kept = cutoff match {
       case None => base // the whole corpus fits the budget
       case Some((c, rem)) =>

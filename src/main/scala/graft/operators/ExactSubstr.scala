@@ -65,7 +65,8 @@ object ExactSubstr {
     val p = df.scopedPersist()
     p.count()
     if (sys.env.contains("GRAFT_PIN_PROFILE"))
-      println(f"[pin] ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${df.columns.mkString(",")}")
+      println(String.format(java.util.Locale.ROOT, "[pin] %6.2f s  %s",
+        Double.box((System.nanoTime() - t0) / 1e9), df.columns.mkString(",")))
     df.sparkSession.createDataFrame(p.rdd, p.schema)
   }
 

@@ -187,7 +187,9 @@ object QualityClassifier {
     // count) and the gradient scale 1/n
     val trainable = feats.where(FeatureNames.map(col(_).isNotNull).reduce(_ && _))
     val (n, mu, sigma) = fitStats(trainable)
-    require(n > 0, "cannot fit a classifier on an empty corpus")
+    require(n > 0, "cannot fit a classifier: no trainable documents — the " +
+      "corpus is empty or every document is degenerate (zero chars / zero " +
+      "tokens, excluded from training by the NULL-feature filter)")
     val nD = n.toDouble
     val zf = trainable.select((col("y") +: zCols(mu, sigma)): _*).scopedPersist()
     zf.count() // pin: 30 iterations re-read this frame, never the corpus

@@ -43,15 +43,35 @@ class BudgetMixSpec extends SparkSpec {
     val total = scored.agg(sum("n_tokens")).as[Long].head()
     try {
       for (width <- Seq(0.001, 0.01, 0.3, 1000.0);
-           budget <- Seq(0L, 1L, 37L, total / 3, total - 1, total, total + 10)) {
-        val exact = Curation.tokenBudgetSelect(scored, budget)
-          .select("doc_id").as[Long].collect().toSet
-        val bucketed = Curation.tokenBudgetSelectBucketed(scored, budget, width)
-          .select("doc_id").as[Long].collect().toSet
-        assert(bucketed == exact, s"width=$width budget=$budget: " +
-          s"bucketed ${bucketed.size} vs exact ${exact.size}")
-      }
+           budget <- Seq(0L, 1L, 37L, total / 3, total - 1, total, total + 10))
+        graft.operators.CacheScope {
+          val exact = Curation.tokenBudgetSelect(scored, budget)
+            .select("doc_id").as[Long].collect().toSet
+          val bucketed = Curation.tokenBudgetSelectBucketed(scored, budget, width)
+            .select("doc_id").as[Long].collect().toSet
+          assert(bucketed == exact, s"width=$width budget=$budget: " +
+            s"bucketed ${bucketed.size} vs exact ${exact.size}")
+        }
     } finally scored.unpersist()
+  }
+
+  test("bucketed selection refuses NULL scores and NULL token counts by name") {
+    val nullScore = Seq((1L, Some(0.9), Some(10L)), (2L, None, Some(5L)))
+      .toDF("doc_id", "score", "n_tokens")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.CacheScope {
+        Curation.tokenBudgetSelectBucketed(nullScore, 100L).collect()
+      }
+    }
+    assert(e1.getMessage.contains("NULL-score"), e1.getMessage)
+    val nullToks = Seq((1L, Some(0.9), Some(10L)), (2L, Some(0.8), None))
+      .toDF("doc_id", "score", "n_tokens")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.CacheScope {
+        Curation.tokenBudgetSelectBucketed(nullToks, 100L).collect()
+      }
+    }
+    assert(e2.getMessage.contains("NULL n_tokens"), e2.getMessage)
   }
 
   private def mixDocs = {

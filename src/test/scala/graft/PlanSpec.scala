@@ -409,7 +409,7 @@ class PlanSpec extends SparkSpec {
         graft.functions.TextFunctions.surfaceStats(col("text"))
           .getField("n_tokens").cast("long").as("n_tokens")), "doc_id")
       .cache()
-    try {
+    try graft.operators.CacheScope {
       scored.count()
       // budget the whole corpus fits: no window, no sort anywhere
       val all = graft.operators.Curation.tokenBudgetSelectBucketed(
@@ -425,9 +425,10 @@ class PlanSpec extends SparkSpec {
       cut.collect()
       val pCut = plan(cut)
       assert(pCut.contains("Window"), pCut.take(2000))
-      // the boundary-bucket equality (FLOOR(score / width) = c) must sit
-      // BELOW the window — the only windowed rows are that one bucket's
-      assert("(?s)Window.*?FLOOR\\(\\(score#\\d+ / 0\\.001\\)\\) = \\d+".r
+      // the boundary-bucket equality must sit BELOW the window — the only
+      // windowed rows are that one bucket's (the bucket column is served
+      // from the consistency persist, so the predicate is on `bucket`)
+      assert("(?s)Window.*?bucket#\\d+L? = \\d+".r
         .findFirstIn(pCut).isDefined,
         "the window input must be the boundary-bucket filter:\n" + pCut.take(3000))
     } finally scored.unpersist()
