@@ -1673,6 +1673,34 @@ object SparkEntry {
     "paragraph_dup_topk" -> ((s, dir) =>
       Paragraphs.boilerplateParagraphs(Tables.documents(s, dir),
         paraTokens = 16, k = 50)),
+    // paragraph dedup over REAL (delimiter-cut) paragraph boundaries —
+    // the fixture corpus is single-line, so the registry exercises the
+    // delimiter machinery with a word separator (every ` table ` run
+    // ends a paragraph); a multi-line corpus passes `\n{2,}`. Touched
+    // documents re-join with the canonical "\n\n"; untouched pass
+    // verbatim
+    "paragraph_dedup_strip_delim" -> ((s, dir) =>
+      Paragraphs.paragraphDedupStripByDelimiter(
+          Tables.documents(s, dir), "\\s+table\\s+")
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          md5(col("text_clean").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")),
+    "paragraph_dup_stats_delim" -> ((s, dir) =>
+      Paragraphs.paragraphDupStatsByDelimiter(
+        Tables.documents(s, dir), "\\s+table\\s+")),
+    // paragraph-level DECONTAMINATION: the benchmark-leak family's third
+    // granularity (doc-drop / token-span / paragraph) — strip every
+    // corpus paragraph whose content appears in the benchmark split;
+    // benchmark fingerprints broadcast, only contaminated docs rewrite
+    "paragraph_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Paragraphs.paragraphDecontaminate(
+          docs.where(col("doc_id") % 53 =!= 0),
+          docs.where(col("doc_id") % 53 === 0), paraTokens = 16)
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          md5(col("text_clean").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
     // greedy token-budget selection: keep the best-scored prefix whose
     // token total fits the budget — exact global-window spelling...
     "token_budget_select" -> ((s, dir) =>
@@ -2419,6 +2447,25 @@ object SparkEntry {
       |  SELECT doc_id, source, para_idx, fp,
       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
       |  FROM paras)""".stripMargin
+
+  /** Shared DELIMITER-cut paragraph oracle prefix (WITH included): split
+    * on the ` table ` word separator (the registry's stand-in for a
+    * blank-line delimiter on the single-line fixture), empty paragraphs
+    * filtered at cut time, md5 content keys, corpus-first keeper rank. */
+  private val delimParaOracleCtes =
+    """WITH dps AS (
+      |  SELECT doc_id, source, text,
+      |    list_filter(regexp_split_to_array(text, '\s+table\s+'), p -> p <> '') AS ps
+      |  FROM documents),
+      |dparas AS (
+      |  SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS para_idx, md5(ps[i]) AS fp
+      |  FROM (SELECT doc_id, source, ps,
+      |          unnest(range(1, len(ps) + 1)) AS i
+      |        FROM dps)),
+      |dmarked AS (
+      |  SELECT doc_id, source, para_idx, fp,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
+      |  FROM dparas)""".stripMargin
 
   private val toksArrCte =
     """toksarr AS (
@@ -4178,6 +4225,58 @@ object SparkEntry {
          |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
          |    / 4294967296.0 < mix.rate
          |ORDER BY d.doc_id""".stripMargin,
+    "paragraph_dedup_strip_delim" ->
+      s"""$delimParaOracleCtes,
+         |dr AS (
+         |  SELECT doc_id, list(para_idx) AS dropped
+         |  FROM dmarked WHERE rn > 1 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ps) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(len(dr.dropped), 0) AS BIGINT) AS n_dropped,
+         |  md5(CASE WHEN dr.doc_id IS NULL THEN d.text
+         |    ELSE coalesce(array_to_string(list_filter(d.ps, (x, i) ->
+         |      NOT list_contains(dr.dropped, CAST(i - 1 AS BIGINT))),
+         |      chr(10) || chr(10)), '')
+         |    END) AS clean_fp
+         |FROM dps d LEFT JOIN dr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "paragraph_dup_stats_delim" ->
+      s"""$delimParaOracleCtes
+         |SELECT source, count(*) AS n_paras,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 9) AS dup_rate
+         |FROM dmarked GROUP BY source ORDER BY source""".stripMargin,
+    "paragraph_decontaminate" ->
+      """WITH crt AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS a
+        |  FROM documents WHERE doc_id % 53 <> 0),
+        |brt AS (
+        |  SELECT regexp_split_to_array(text, '\s+') AS a
+        |  FROM documents WHERE doc_id % 53 = 0),
+        |bfp AS (
+        |  SELECT DISTINCT md5(array_to_string(list_slice(a,
+        |    CAST(i * 16 + 1 AS BIGINT),
+        |    CAST(least(i * 16 + 16, len(a)) AS BIGINT)), ' ')) AS fp
+        |  FROM (SELECT a, unnest(range(0, CAST(ceil(len(a) / 16.0) AS BIGINT))) AS i
+        |        FROM brt)),
+        |cp AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+        |    md5(array_to_string(list_slice(a, CAST(i * 16 + 1 AS BIGINT),
+        |      CAST(least(i * 16 + 16, len(a)) AS BIGINT)), ' ')) AS fp
+        |  FROM (SELECT doc_id, a, unnest(range(0, CAST(ceil(len(a) / 16.0) AS BIGINT))) AS i
+        |        FROM crt)),
+        |dr AS (
+        |  SELECT doc_id, list(para_idx) AS dropped
+        |  FROM cp JOIN bfp USING (fp) GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(ceil(len(c.a) / 16.0) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(len(dr.dropped), 0) AS BIGINT) AS n_dropped,
+        |  md5(CASE WHEN dr.doc_id IS NULL THEN c.text
+        |    ELSE coalesce(array_to_string(list_filter(c.a, (x, i) ->
+        |      NOT list_contains(dr.dropped, CAST(floor((i - 1) / 16) AS BIGINT))), ' '), '')
+        |    END) AS clean_fp
+        |FROM crt c LEFT JOIN dr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "paragraph_dup_topk" ->
       s"""$paraOracleCtes,
          |occ AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Paragraph-level corpus deduplication — the CCNet/ RefinedWeb-style
@@ -119,8 +119,12 @@ object Paragraphs {
     * how much of each source is corpus-repeated boilerplate at paragraph
     * granularity. One pass over the paragraph rows: the keeper join marks
     * each occurrence, the aggregate is narrow. */
-  def paragraphDupStats(docs: DataFrame, paraTokens: Int = 16): DataFrame = {
-    val paras = paragraphs(docs, paraTokens, carry = Seq("source"))
+  def paragraphDupStats(docs: DataFrame, paraTokens: Int = 16): DataFrame =
+    dupStatsFrom(paragraphs(docs, paraTokens, carry = Seq("source")))
+
+  /** Per-source duplication report over any paragraph-row frame carrying
+    * `source` — shared by the fixed-width and delimiter cuts. */
+  private def dupStatsFrom(paras: DataFrame): DataFrame =
     paras.join(keepers(paras.select("fp", "doc_id", "para_idx")), "fp")
       .select(col("source"),
         (col("doc_id") =!= col("k.d") || col("para_idx") =!= col("k.p"))
@@ -130,6 +134,125 @@ object Paragraphs {
       .select(col("source"), col("n_paras"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_paras"), 9).as("dup_rate"))
       .orderBy("source")
+
+  // --------------------------------------------------------------------
+  // Delimiter-cut paragraphs (real paragraph boundaries) + paragraph-
+  // level decontamination. The dedup/strip tail is IDENTICAL to the
+  // fixed-width family — only the cut differs — so both route through
+  // the shared array-cut internals below.
+  // --------------------------------------------------------------------
+
+  /** Paragraph ARRAY cut by a delimiter regex (blank line `\n{2,}`,
+    * single newline `\n`, or any separator pattern a corpus uses).
+    * Empty paragraphs — leading/trailing/adjacent delimiters — carry no
+    * content and are filtered at cut time, so they can neither "dedup"
+    * against each other nor survive a rewrite. */
+  private def delimParas(delim: String): Column =
+    filter(split(col("text"), delim), (p: Column) => p =!= lit(""))
+
+  /** Fixed-width paragraph ARRAY — the same `paraTokens`-token blocks as
+    * [[paragraphs]], as one array column (the generic-cut spelling the
+    * decontaminator shares with the delimiter family). */
+  private def fixedParas(p: Int): Column = expr(
+    s"transform(sequence(0, CAST(ceil(size(split(text, '\\\\s+')) / $p.0) AS INT) - 1), " +
+      s"i -> array_join(slice(split(text, '\\\\s+'), CAST(i * $p + 1 AS INT), $p), ' '))")
+
+  /** Paragraph rows `(doc_id[, carry...], para_idx, n_paras, fp)` from an
+    * arbitrary paragraph-array cut — text never leaves the projection,
+    * only the 16-byte md5 content key rides the shuffle. */
+  private def parasFromArray(docs: DataFrame, parr: Column,
+      carry: Seq[String]): DataFrame =
+    docs.select((col("doc_id") +: carry.map(col)) :+ parr.as("ps"): _*)
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(
+        size(col("ps")).cast("long").as("n_paras"),
+        posexplode(col("ps")).as(Seq("para_idx", "para"))): _*)
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(
+        col("para_idx").cast("long").as("para_idx"), col("n_paras"),
+        md5(col("para").cast("binary")).as("fp")): _*)
+
+  /** Shared rewrite: drop each document's `dropped` paragraph indexes
+    * (a per-doc long array, the only state that joins the corpus) and
+    * re-join the kept paragraphs with `joiner`; documents losing nothing
+    * pass through with their text VERBATIM (original delimiters intact —
+    * only touched documents normalize to the canonical joiner). */
+  private def stripByDropped(docs: DataFrame, parr: Column, joiner: String,
+      dropped: DataFrame): DataFrame = {
+    val nParas = size(parr).cast("long").as("n_paras")
+    val touched = docs.join(dropped, "doc_id")
+      .select(col("doc_id"), col("source"), nParas,
+        size(col("dropped")).cast("long").as("n_dropped"),
+        array_join(filter(parr, (_: Column, i: Column) =>
+          not(array_contains(col("dropped"), i.cast("long")))), joiner)
+          .as("text_clean"))
+    val untouched = docs.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), nParas,
+        lit(0L).as("n_dropped"), col("text").as("text_clean"))
+    touched.unionByName(untouched)
+  }
+
+  /** Paragraph rows over REAL paragraph boundaries: `delim` is the
+    * separator regex (`\n{2,}` for blank-line paragraphs, `\n` for
+    * line-granularity). Same output shape as [[paragraphs]] — every
+    * downstream operator (keeper election, dup stats, strip) is cut-
+    * agnostic. */
+  def paragraphsByDelimiter(docs: DataFrame, delim: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(delim.nonEmpty, "delimiter regex must be non-empty")
+    parasFromArray(docs, delimParas(delim), carry)
+  }
+
+  /** [[paragraphDedupStrip]] over delimiter-cut paragraphs: every
+    * paragraph content keeps its corpus-first occurrence, later
+    * occurrences strip, and rewritten documents re-join with `joiner`
+    * (the canonical paragraph separator — `"\n\n"` restores blank-line
+    * form; untouched documents keep their original text verbatim). */
+  def paragraphDedupStripByDelimiter(docs: DataFrame, delim: String,
+      joiner: String = "\n\n"): DataFrame = {
+    require(delim.nonEmpty, "delimiter regex must be non-empty")
+    val parr = delimParas(delim)
+    val dropped = duplicateParagraphs(parasFromArray(docs, parr, Nil))
+      .groupBy("doc_id").agg(collect_set(col("para_idx")).as("dropped"))
+    stripByDropped(docs, parr, joiner, dropped)
+  }
+
+  /** [[paragraphDupStats]] over delimiter-cut paragraphs. */
+  def paragraphDupStatsByDelimiter(docs: DataFrame, delim: String): DataFrame =
+    dupStatsFrom(parasFromArray(docs, delimParas(delim), Seq("source")))
+
+  /** Paragraph-level DECONTAMINATION: strip every corpus paragraph whose
+    * content appears anywhere in the benchmark suite — the third
+    * granularity of the benchmark-leak family (doc-drop:
+    * [[Curation.decontaminate]]; token-span:
+    * [[Curation.decontaminateStripSpans]]; paragraph: here). The
+    * benchmark side reduces to its DISTINCT paragraph fingerprints — a
+    * bounded eval-suite artifact, broadcast — so the corpus scan is one
+    * map-side semi-join; only contaminated documents rewrite. */
+  def paragraphDecontaminateBy(corpus: DataFrame, parr: Column,
+      joiner: String, benchFps: DataFrame): DataFrame = {
+    val paras = parasFromArray(corpus, parr, Nil)
+    val dropped = paras
+      .join(broadcast(benchFps.select("fp").distinct()), "fp")
+      .groupBy("doc_id").agg(collect_set(col("para_idx")).as("dropped"))
+    stripByDropped(corpus, parr, joiner, dropped)
+  }
+
+  /** Fixed-width paragraph decontamination — corpus and benchmark cut
+    * with the same `paraTokens` blocks (the cuts MUST match or leaked
+    * text hides across block boundaries; for sub-block leakage use the
+    * token-span family). */
+  def paragraphDecontaminate(corpus: DataFrame, bench: DataFrame,
+      paraTokens: Int = 16): DataFrame = {
+    require(paraTokens > 0, s"paraTokens must be positive, got $paraTokens")
+    paragraphDecontaminateBy(corpus, fixedParas(paraTokens), " ",
+      paragraphs(bench, paraTokens).select("fp"))
+  }
+
+  /** Delimiter-cut paragraph decontamination. */
+  def paragraphDecontaminateByDelimiter(corpus: DataFrame, bench: DataFrame,
+      delim: String, joiner: String = "\n\n"): DataFrame = {
+    require(delim.nonEmpty, "delimiter regex must be non-empty")
+    paragraphDecontaminateBy(corpus, delimParas(delim), joiner,
+      parasFromArray(bench, delimParas(delim), Nil).select("fp"))
   }
 
   /** The boilerplate worklist: the `k` most-repeated paragraph contents

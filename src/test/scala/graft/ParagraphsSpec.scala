@@ -90,6 +90,94 @@ class ParagraphsSpec extends SparkSpec {
     assert(got == Seq((10L, 0L, "tail end"), (11L, 1L, "u v w x")))
   }
 
+  // ---------------------------------------------------------------
+  // delimiter-cut family: REAL paragraph boundaries (blank lines)
+  // ---------------------------------------------------------------
+
+  // multi-line corpus: "dup para" repeats across docs 11/13 and twice
+  // inside 14 (once behind a TRIPLE newline — `\n{2,}` must still cut)
+  private def mlCorpus = Seq(
+    (11L, "intro one\n\ndup para\n\nclose one", "s0"),
+    (12L, "fresh text only", "s0"),
+    (13L, "dup para\n\nnovel tail", "s1"),
+    (14L, "dup para\n\n\ndup para\n\nend bit", "s1"),
+    (15L, "dup para", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("paragraphsByDelimiter cuts on the regex and filters empty paragraphs") {
+    val rows = Paragraphs.paragraphsByDelimiter(
+        Seq((1L, "\n\nhead\n\n\ntail\n\n", "s0")).toDF("doc_id", "text", "source"),
+        "\\n{2,}")
+      .select("doc_id", "para_idx", "n_paras")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    // leading/trailing/adjacent delimiters yield no empty paragraphs
+    assert(rows == Seq((1L, 0L, 2L), (1L, 1L, 2L)))
+  }
+
+  test("delimiter strip: corpus-first keeper, canonical joiner on touched docs only") {
+    val got = Paragraphs.paragraphDedupStripByDelimiter(mlCorpus, "\\n{2,}")
+      .select("doc_id", "n_paras", "n_dropped", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (11L, 3L, 0L, "intro one\n\ndup para\n\nclose one"), // keeper, VERBATIM
+      (12L, 1L, 0L, "fresh text only"),
+      (13L, 2L, 1L, "novel tail"),
+      (14L, 3L, 2L, "end bit"), // both repeats drop, incl. the \n\n\n one
+      (15L, 1L, 1L, "")))       // fully-duplicated doc survives as a row
+  }
+
+  test("delimiter strip is idempotent on its non-empty output") {
+    val once = Paragraphs.paragraphDedupStripByDelimiter(mlCorpus, "\\n{2,}")
+      .where(col("text_clean") =!= "")
+      .select(col("doc_id"), col("text_clean").as("text"), col("source"))
+    val twice = Paragraphs.paragraphDedupStripByDelimiter(once, "\\n{2,}")
+    assert(twice.where(col("n_dropped") > 0L).count() == 0L)
+  }
+
+  test("delimiter dup stats per source") {
+    val got = Paragraphs.paragraphDupStatsByDelimiter(mlCorpus, "\\n{2,}")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // s0: 3 + 1 paras, all keepers/unique; s1: 2 + 3 paras, 3 dups;
+    // s2: 1 para, dup
+    assert(got == Seq(
+      ("s0", 4L, 0L, 0.0),
+      ("s1", 5L, 3L, 0.6),
+      ("s2", 1L, 1L, 1.0)))
+  }
+
+  test("fixed-width paragraph decontamination strips benchmark-leaked blocks") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h", "s0"),  // block 0 leaks
+      (2L, "x y z w", "s0"),          // clean
+      (3L, "a b c d", "s1")           // fully leaked
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, "a b c d", "eval")).toDF("doc_id", "text", "source")
+    val got = Paragraphs.paragraphDecontaminate(corpus, bench, paraTokens = 4)
+      .select("doc_id", "n_paras", "n_dropped", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, "e f g h"),
+      (2L, 1L, 0L, "x y z w"),
+      (3L, 1L, 1L, "")))
+  }
+
+  test("delimiter paragraph decontamination strips by content, not position") {
+    val corpus = Seq(
+      (1L, "keep me\n\nleaked paragraph text\n\nalso keep", "s0"),
+      (2L, "only original content", "s0")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq(
+      (100L, "benchmark intro\n\nleaked paragraph text", "eval")
+    ).toDF("doc_id", "text", "source")
+    val got = Paragraphs.paragraphDecontaminateByDelimiter(
+        corpus, bench, "\\n{2,}")
+      .select("doc_id", "n_dropped", "text_clean")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, "keep me\n\nalso keep"),
+      (2L, 0L, "only original content")))
+  }
+
   private def round9(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
       .doubleValue()
