@@ -293,6 +293,21 @@ object SparkEntry {
       .join(nt, "doc_id")
   }
 
+  /** Scored frame for the CLASSIFIER-composed budget selectors: model
+    * score (weights asset, one codegen scan) + raw token counts;
+    * degenerate documents score NULL — no defined rank — and are
+    * filtered here, matching the oracle's IS NOT NULL. */
+  private def classifierBudgetFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nt = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.surfaceStats(col("text"))
+        .getField("n_tokens").cast("long").as("n_tokens"))
+    operators.QualityClassifier.scoreWith(docs, qualityClassifierWeightsAsset(s, dir))
+      .select(col("doc_id"), col("score"))
+      .where(col("score").isNotNull)
+      .join(nt, "doc_id")
+  }
+
   private def exactPairsAsset(s: SparkSession, dir: String): DataFrame =
     corpusAsset(s, dir, "ngram_pairs") {
       Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.2)
@@ -1710,6 +1725,16 @@ object SparkEntry {
     // both select the identical doc set and share the oracle
     "token_budget_select_bucketed" -> ((s, dir) =>
       Curation.tokenBudgetSelectBucketed(budgetScoredFrame(s, dir), 20000L)),
+    // budget selection composed with the TRAINED classifier: the score
+    // column is the model's sigmoid (served from the weights asset, one
+    // codegen scan) instead of the rule-based quality; degenerate
+    // documents (NULL score — no defined rank) are filtered explicitly.
+    // Exact spelling and the bucketed 100 TB path share ONE oracle whose
+    // score chain is the unrolled-training CTE stack
+    "token_budget_select_classifier" -> ((s, dir) =>
+      Curation.tokenBudgetSelect(classifierBudgetFrame(s, dir), 20000L)),
+    "token_budget_select_classifier_bucketed" -> ((s, dir) =>
+      Curation.tokenBudgetSelectBucketed(classifierBudgetFrame(s, dir), 20000L)),
     // temperature-resampled source mixing (share^alpha rule, alpha=0.5
     // -> IEEE sqrt, engine-exact): the rate table...
     "temperature_mix_rates" -> ((s, dir) =>
@@ -2346,6 +2371,28 @@ object SparkEntry {
          |    round(2.0 * precision * recall / (precision + recall), 9) END AS f1
          |FROM pr ORDER BY threshold""".stripMargin
     }
+
+    // classifier-composed token budget: model score (unrolled training)
+    // + raw token counts, NULL scores (degenerate docs) excluded, then
+    // the exact global running-sum window — shared by the exact and
+    // bucketed registry spellings
+    val budgetSql: String =
+      s"""WITH $prefix,
+         |clfscored AS (
+         |  SELECT doc_id, $scoreExpr AS score
+         |  FROM zf CROSS JOIN w$iters
+         |  WHERE $scoreExpr IS NOT NULL),
+         |nt AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT s.doc_id, s.score, nt.n_tokens,
+         |    sum(nt.n_tokens) OVER (ORDER BY s.score DESC, s.doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM clfscored s JOIN nt USING (doc_id))
+         |SELECT doc_id, score, n_tokens FROM cum
+         |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
 
     // the per-doc scored verdict pair shared by both manifest-switch
     // oracles: manifest CTE chain + the unrolled training + one join
@@ -4215,6 +4262,8 @@ object SparkEntry {
     // the bucketed scale path must pick the identical document set
     "token_budget_select" -> tokenBudgetSql,
     "token_budget_select_bucketed" -> tokenBudgetSql,
+    "token_budget_select_classifier" -> ClfOracle.budgetSql,
+    "token_budget_select_classifier_bucketed" -> ClfOracle.budgetSql,
     "temperature_mix_rates" ->
       s"""$tempMixCtes
          |SELECT source, n_tokens, share, p, rate FROM mix
