@@ -70,6 +70,20 @@ object ExactSubstr {
     df.sparkSession.createDataFrame(p.rdd, p.schema)
   }
 
+  /** [[pin]] without the synchronous materialize: persist + LINEAGE-CUT
+    * only. `p.rdd` compiles the physical plan but runs NO job, so the
+    * wrapped frame keeps the tiny `LogicalRDD` plan (every action renders
+    * the plan string for the SQL listener — an un-cut merge level OOMed a
+    * 4 GiB heap on plan TEXT alone) while the cache is populated by
+    * whichever downstream job touches it first, instead of a dedicated
+    * count barrier. DETERMINISTIC frames only: concurrent first readers
+    * may compute a partition twice, so a nondeterministic id would fork —
+    * every frame in the merge family is content-derived. */
+  private def lazyPin(df: DataFrame): DataFrame = {
+    val p = df.scopedPersist()
+    df.sparkSession.createDataFrame(p.rdd, p.schema)
+  }
+
   /** Verified duplicated `n`-token windows over the shared token-array
     * asset `(doc_id, tokens)`: (doc_id, pos, gram, occ, canon) with `pos`
     * 1-based, `occ` the gram's corpus-wide occurrence count (≥ 2) and
@@ -169,13 +183,17 @@ object ExactSubstr {
     val dupWh = u.groupBy("wh").agg(count(lit(1)).as("c")).where(col("c") >= 2)
     // distinct: a caller whose old/new doc sets overlap must not count a
     // position's gram twice in the verify
-    val candPos = pin(u.join(dupWh.select("wh"), "wh")
+    // lazyPin (the r11 barrier diet): lineage still cut, but the cache is
+    // populated by the first downstream job instead of a dedicated count
+    // barrier — the merge path is deterministic, so compute-once needs
+    // only the persist
+    val candPos = lazyPin(u.join(dupWh.select("wh"), "wh")
       .select("doc_id", "pos").distinct())
     val candDocs = broadcast(candPos.select("doc_id").distinct())
     val toksCand = oldToks.join(candDocs, Seq("doc_id"), "left_semi")
       .unionByName(newToks.join(candDocs, Seq("doc_id"), "left_semi"))
       .select("doc_id", "tokens")
-    val verifiedCand = pin(verifyCandidates(toksCand, candPos, n))
+    val verifiedCand = lazyPin(verifyCandidates(toksCand, candPos, n))
     oldVerified
       .join(verifiedCand.select("doc_id", "pos"), Seq("doc_id", "pos"), "left_anti")
       .unionByName(verifiedCand)
@@ -241,12 +259,17 @@ object ExactSubstr {
       ch.select(col("doc_id"), (col("pos") - half).as("pos"))).distinct()
     // referenced once (straight into the hash pass) — no pin needed
     val enabled = closure.join(changedAdj, Seq("doc_id", "pos"), "left_semi")
-    // level hashes for enabled positions only (content read: enabled docs)
-    val enabledH = pin(withLevelHashes(unionToks, enabled, level))
+    // level hashes for enabled positions only (content read: enabled docs).
+    // lazyPin (the r11 barrier diet, like the base merge): every frame
+    // below is referenced 2-3 times but deterministic, so the persist
+    // alone guarantees compute-once — the count barriers were ~40% of the
+    // level's wall time — while the lineage cut keeps plan text flat (the
+    // first un-cut attempt OOMed the spec heap rendering the plan string).
+    val enabledH = lazyPin(withLevelHashes(unionToks, enabled, level))
     // stored occurrences of touched (or hash-colliding) grams
-    val storedHit = pin(storedLevel.join(
+    val storedHit = lazyPin(storedLevel.join(
       broadcast(enabledH.select("wh").distinct()), "wh"))
-    val candPos = pin(enabledH.select("doc_id", "pos")
+    val candPos = lazyPin(enabledH.select("doc_id", "pos")
       .unionByName(storedHit.select("doc_id", "pos")).distinct())
     val candDocs = broadcast(candPos.select("doc_id").distinct())
     val verified = verifyCandidates(
@@ -279,7 +302,7 @@ object ExactSubstr {
       newToks: DataFrame, baseLen: Int): Seq[(Int, DataFrame)] = {
     val unionToks = oldToks.select("doc_id", "tokens")
       .unionByName(newToks.select("doc_id", "tokens"))
-    val mergedBase = pin(
+    val mergedBase = lazyPin(
       mergeVerifiedIncremental(oldToks, oldHashes, oldVerified, newToks, baseLen))
     (baseLen, mergedBase) +:
       mergeLevelsIncremental(unionToks, mergedBase, oldVerified, storedLevels,
@@ -297,8 +320,10 @@ object ExactSubstr {
   def mergeLevelsIncremental(unionToks: DataFrame, mergedBase: DataFrame,
       oldVerified: DataFrame, storedLevels: Seq[(Int, DataFrame)],
       baseLen: Int): Seq[(Int, DataFrame)] = {
+    // changed sets lazyPin (referenced twice inside the next level's
+    // adjacency union — deterministic, persist + lineage cut is enough)
     def changedVs(merged: DataFrame, stored: DataFrame): DataFrame =
-      pin(changedMarks(merged, stored))
+      lazyPin(changedMarks(merged, stored))
     val out = Seq.newBuilder[(Int, DataFrame)]
     var mergedHalf = mergedBase.select("doc_id", "pos")
     var changedHalf = changedVs(mergedBase, oldVerified)
@@ -306,10 +331,13 @@ object ExactSubstr {
     for ((level, stored) <- storedLevels) {
       require(level == 2 * halfLen,
         s"stored levels must double: got $level after $halfLen")
-      val merged = pin(
+      // every level lazyPins: the NEXT level's half-closure self-joins
+      // this frame (lineage cut mandatory), but the materialize barrier
+      // is not — the next level's first job (or the caller's action)
+      // populates the cache
+      val merged = lazyPin(
         mergeLevelIncremental(unionToks, stored, mergedHalf, changedHalf, level))
-      // the changed set only feeds the NEXT doubling — skip its barrier
-      // on the last level
+      // the changed set only feeds the NEXT doubling — skip it on the last
       if (storedLevels.last._1 != level) changedHalf = changedVs(merged, stored)
       mergedHalf = merged.select("doc_id", "pos")
       halfLen = level
