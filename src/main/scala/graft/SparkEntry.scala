@@ -436,6 +436,16 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)))
     }
 
+  /** Pre-enriched KN3 model (one row per trigram type, every scoring
+    * statistic inline + the type/vocab scalars) — corpus-trained KN3
+    * serving joins this ONCE instead of running five stat joins per
+    * query execution. */
+  private def kn3ModelAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "kn3_model") {
+      TextAnalysis.kn3EnrichedModel(trigramCountsAsset(s, dir),
+        termCountsAsset(s, dir))
+    }
+
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
     * whole span-dedup family (detect/stats/strip, exact + hashed) marks
     * back against; as an asset the corpus tokenizes + windows ONCE per
@@ -660,6 +670,7 @@ object SparkEntry {
     "ivf_lloyd_cents" -> ((s, d) => { lloydCentroidsAsset(s, d); () }),
     "bigram_counts" -> ((s, d) => { bigramCountsAsset(s, d); () }),
     "trigram_counts" -> ((s, d) => { trigramCountsAsset(s, d); () }),
+    "kn3_model" -> ((s, d) => { kn3ModelAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
@@ -1302,6 +1313,12 @@ object SparkEntry {
     "classifier_pr_curve" -> ((s, dir) =>
       operators.QualityClassifier.prCurve(Tables.documents(s, dir),
         qualityClassifierWeightsAsset(s, dir))),
+    // operating-point selection: the grid threshold with the highest
+    // recall among those meeting the precision floor — "tolerate ≤ 10%
+    // junk" turned into a concrete score cut, one deterministic row
+    "classifier_threshold_at_precision" -> ((s, dir) =>
+      operators.QualityClassifier.thresholdAtPrecision(Tables.documents(s, dir),
+        qualityClassifierWeightsAsset(s, dir), targetPrecision = 0.9)),
     // cross-layout determinism gate (THROWs on divergence): classifier
     // training and term counting on a FIXED 512-doc sample must be
     // bit-identical under two different partitionings — pins the
@@ -1380,13 +1397,13 @@ object SparkEntry {
     // larger-context model a CCNet-grade filter ships; all statistics
     // aggregate from the one trigram-counts asset
     "lm_doc_scores_kn3" -> ((s, dir) =>
-      TextAnalysis.lmDocScoresKn3FromModel(
+      TextAnalysis.lmDocScoresKn3Served(
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
-        trigramCountsAsset(s, dir), termCountsAsset(s, dir))),
+        kn3ModelAsset(s, dir))),
     "perplexity_buckets_kn3" -> ((s, dir) =>
-      TextAnalysis.perplexityBucketsKn3(Tables.documents(s, dir),
+      TextAnalysis.perplexityBucketsKn3Served(Tables.documents(s, dir),
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
-        trigramCountsAsset(s, dir), termCountsAsset(s, dir))),
+        kn3ModelAsset(s, dir))),
     // thresholds-broadcast forms of the per-source ranking filters — the
     // 100 TB escape hatch (quantile sketch + broadcast, no per-source
     // sort). Rank-exact siblings stay the oracle queries; these are
@@ -1400,9 +1417,36 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         bigramCountsAsset(s, dir))),
     "perplexity_buckets_sampled_kn3" -> ((s, dir) =>
-      TextAnalysis.perplexityBucketsSampledKn3(Tables.documents(s, dir),
+      TextAnalysis.perplexityBucketsSampledKn3Served(Tables.documents(s, dir),
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
-        trigramCountsAsset(s, dir), termCountsAsset(s, dir))),
+        kn3ModelAsset(s, dir))),
+    // perplexity-CONTRAST (Moore–Lewis cross-entropy difference): every
+    // doc scored by an IN-DOMAIN trigram KN model (trained on the same
+    // held-out target split the DSIR/decontamination family uses) and the
+    // general corpus model; delta ranks "like the target domain". The
+    // in-domain model scores held-out text, so the KN3 backoff arms run
+    // for real — and the oracle replays them branch-for-branch.
+    "perplexity_contrast_kn3" -> ((s, dir) => {
+      val toksAll = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      TextAnalysis.perplexityContrastKn3(toksAll,
+        TextAnalysis.trigramCountsFromTokens(
+          toksAll.where(col("doc_id") % 53 === 0)),
+        termCountsAsset(s, dir).where(col("doc_id") % 53 === 0),
+        kn3ModelAsset(s, dir))
+        .orderBy("doc_id")
+    }),
+    // the SELECTION head over the contrast: top-64 most-in-domain raw
+    // docs (TakeOrderedAndProject, no full sort)
+    "perplexity_contrast_top64" -> ((s, dir) => {
+      val toksAll = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      Tfidf.topKByValue(
+        TextAnalysis.perplexityContrastKn3(toksAll,
+          TextAnalysis.trigramCountsFromTokens(
+            toksAll.where(col("doc_id") % 53 === 0)),
+          termCountsAsset(s, dir).where(col("doc_id") % 53 === 0),
+          kn3ModelAsset(s, dir)),
+        "domain_delta", 64, Seq("doc_id"))
+    }),
     // topic-rebalancing cap over the SemDeDup cluster assignment: at most
     // `cap` representatives per semantic cluster, rank-exact
     "cluster_balanced_sample" -> ((s, dir) =>
@@ -1670,6 +1714,14 @@ object SparkEntry {
         TextAnalysis.qualityScore(Tables.documents(s, dir))
           .select("doc_id", "quality"))
         .select("doc_id", "source").orderBy("doc_id")),
+    // SOFT dedup: per-doc training weights instead of drops —
+    // 1/cluster_size over the near-dup components × the document's
+    // paragraph-novelty share (corpus-first paragraph blocks)
+    "dedup_soft_weights" -> ((s, dir) =>
+      Dedup.softDedupWeights(Tables.documents(s, dir),
+        dedupLabelsAsset(s, dir),
+        Paragraphs.paragraphDupPerDoc(Tables.documents(s, dir), paraTokens = 16))
+        .orderBy("doc_id")),
     // CCNet-style paragraph dedup: every paragraph content keeps its
     // first corpus occurrence; later occurrences strip out of their docs
     // (the boilerplate remover document-level dedup can't express) —
@@ -2345,7 +2397,9 @@ object SparkEntry {
          |SELECT doc_id, source, score, u FROM coins WHERE u < rate * score
          |ORDER BY doc_id""".stripMargin
 
-    val prCurveSql: String = {
+    // full PR rows (through the f1 column) shared by the curve and the
+    // operating-point selection — one definition, two final clauses
+    private val prRowsCtes: String = {
       val grid = operators.QualityClassifier.PrThresholds
         .map(t => s"CAST($t AS DOUBLE)").mkString(", ")
       s"""WITH $prefix,
@@ -2365,12 +2419,25 @@ object SparkEntry {
          |  SELECT threshold, tp, fp, fn, tn,
          |    CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 9) END AS precision,
          |    CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 9) END AS recall
-         |  FROM cnt)
-         |SELECT threshold, tp, fp, fn, tn, precision, recall,
-         |  CASE WHEN precision + recall > 0 THEN
-         |    round(2.0 * precision * recall / (precision + recall), 9) END AS f1
-         |FROM pr ORDER BY threshold""".stripMargin
+         |  FROM cnt),
+         |prf AS (
+         |  SELECT threshold, tp, fp, fn, tn, precision, recall,
+         |    CASE WHEN precision + recall > 0 THEN
+         |      round(2.0 * precision * recall / (precision + recall), 9) END AS f1
+         |  FROM pr)""".stripMargin
     }
+
+    val prCurveSql: String =
+      s"""$prRowsCtes
+         |SELECT threshold, tp, fp, fn, tn, precision, recall, f1
+         |FROM prf ORDER BY threshold""".stripMargin
+
+    // max recall subject to the precision floor, smallest-threshold tie
+    val thresholdAtPrecisionSql: String =
+      s"""$prRowsCtes
+         |SELECT threshold, tp, fp, fn, tn, precision, recall, f1
+         |FROM prf WHERE precision IS NOT NULL AND precision >= 0.9
+         |ORDER BY recall DESC, threshold ASC LIMIT 1""".stripMargin
 
     // classifier-composed token budget: model score (unrolled training)
     // + raw token counts, NULL scores (degenerate docs) excluded, then
@@ -2668,6 +2735,59 @@ object SparkEntry {
        |       JOIN ct2 USING (w2, w3) JOIN md USING (w2) JOIN ct1 USING (w3)
        |  GROUP BY doc_id
        |)""".stripMargin
+
+  /** Perplexity-CONTRAST CTE chain: the general lmkn3 chain plus an
+    * IN-DOMAIN model over the `doc_id % 53 = 0` target split, scored with
+    * the FULL backoff CASE ladder (unseen trigram → bigram continuation →
+    * unigram → uniform 1/V), spelled branch-for-branch as the Spark
+    * `lmDocScoresKn3FromModel` column — the one oracle where the backoff
+    * arms genuinely fire (held-out text under a subset-trained model). */
+  private lazy val pplContrastCtes: String = {
+    val p1 = "CASE WHEN ct1i.cont3 IS NOT NULL" +
+      " THEN CAST(ct1i.cont3 AS DOUBLE) / ncti.n_ct" +
+      " ELSE CAST(1 AS DOUBLE) / vszi.v_size END"
+    val lam2 = "((0.75 * mdi.n1p_mid) / mdi.mid_ctx)"
+    val p2 = "CASE WHEN mdi.mid_ctx IS NOT NULL THEN" +
+      " (CASE WHEN ct2i.cont23 IS NOT NULL" +
+      s" THEN (CAST(ct2i.cont23 AS DOUBLE) - 0.75) / mdi.mid_ctx + $lam2 * ($p1)" +
+      s" ELSE $lam2 * ($p1) END)" +
+      s" ELSE ($p1) END"
+    val lam3 = "((0.75 * cx3i.n1p_fwd12) / cx3i.c12)"
+    val p3 = "CASE WHEN cx3i.c12 IS NOT NULL THEN" +
+      " (CASE WHEN tc3i.n_abc IS NOT NULL" +
+      s" THEN (CAST(tc3i.n_abc AS DOUBLE) - 0.75) / cx3i.c12 + $lam3 * ($p2)" +
+      s" ELSE $lam3 * ($p2) END)" +
+      s" ELSE ($p2) END"
+    s"""WITH $toksCte,
+       |$lmKn3DocCte,
+       |tgi AS (SELECT w1, w2, w3 FROM tg WHERE doc_id % 53 = 0),
+       |tc3i AS (SELECT w1, w2, w3, count(*) AS n_abc FROM tgi GROUP BY 1, 2, 3),
+       |cx3i AS (SELECT w1, w2, CAST(sum(n_abc) AS BIGINT) AS c12,
+       |                count(*) AS n1p_fwd12 FROM tc3i GROUP BY 1, 2),
+       |ct2i AS (SELECT w2, w3, count(*) AS cont23 FROM tc3i GROUP BY 1, 2),
+       |mdi AS (SELECT w2, CAST(sum(cont23) AS BIGINT) AS mid_ctx,
+       |               count(*) AS n1p_mid FROM ct2i GROUP BY 1),
+       |ct1i AS (SELECT w3, count(*) AS cont3 FROM ct2i GROUP BY 1),
+       |ncti AS (SELECT count(*) AS n_ct FROM ct2i),
+       |vszi AS (SELECT count(DISTINCT term) AS v_size FROM tc WHERE doc_id % 53 = 0),
+       |lmkni AS (
+       |  SELECT s.doc_id, count(*) AS n_transitions,
+       |    round(CAST(sum(CAST(round(ln($p3), 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / count(*), 9) AS avg_logprob
+       |  FROM tg s
+       |  LEFT JOIN tc3i USING (w1, w2, w3)
+       |  LEFT JOIN cx3i USING (w1, w2)
+       |  LEFT JOIN ct2i USING (w2, w3)
+       |  LEFT JOIN mdi USING (w2)
+       |  LEFT JOIN ct1i USING (w3)
+       |  CROSS JOIN ncti CROSS JOIN vszi
+       |  GROUP BY s.doc_id),
+       |ctr AS (
+       |  SELECT g.doc_id, g.n_transitions,
+       |    i.avg_logprob AS logprob_in, g.avg_logprob AS logprob_gen,
+       |    round(i.avg_logprob - g.avg_logprob, 9) AS domain_delta
+       |  FROM lmkn3 g JOIN lmkni i USING (doc_id))""".stripMargin
+  }
 
   // near-dup cluster labels via recursive reachability over the capped
   // exact-verifier pairs — shared by the cluster and apply-dedup oracles
@@ -3406,6 +3526,7 @@ object SparkEntry {
     "quality_classifier_eval" -> ClfOracle.evalSql,
     "quality_classifier_disagreements" -> ClfOracle.disagreementsSql,
     "classifier_pr_curve" -> ClfOracle.prCurveSql,
+    "classifier_threshold_at_precision" -> ClfOracle.thresholdAtPrecisionSql,
     "classifier_weighted_sample" -> ClfOracle.sampleSql,
     "classifier_source_mix_sample" -> ClfOracle.sourceMixSql,
     "manifest_by_classifier" -> ClfOracle.manifestByClfSql,
@@ -4209,6 +4330,27 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster)
          |ORDER BY d.doc_id""".stripMargin,
+    // soft dedup: weight = (1/cluster_size) * paragraph-novelty share —
+    // the near-dup components and the fixed-width paragraph keeper rank
+    // composed into one per-doc training weight
+    "dedup_soft_weights" ->
+      s"""$clusterLabelsCte,
+         |${paraOracleCtes.stripPrefix("WITH ")},
+         |pd AS (
+         |  SELECT doc_id, count(*) AS n_paras,
+         |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM pmarked GROUP BY 1),
+         |csize AS (SELECT cluster, count(*) AS cs FROM labels GROUP BY 1),
+         |dw AS (
+         |  SELECT d.doc_id, CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size
+         |  FROM documents d
+         |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |  LEFT JOIN csize USING (cluster))
+         |SELECT dw.doc_id, cluster_size, n_paras, n_dup,
+         |  round((CAST(1 AS DOUBLE) / cluster_size)
+         |    * (1 - CAST(n_dup AS DOUBLE) / n_paras), 9) AS weight
+         |FROM dw JOIN pd USING (doc_id)
+         |ORDER BY dw.doc_id""".stripMargin,
     // keeper = the highest-quality cluster member (ties -> min doc_id;
     // unscored members rank below every real score via the explicit
     // null-last flag, any sign of score); the quality expression is the
@@ -5051,6 +5193,14 @@ object SparkEntry {
       s"""WITH $lmKn3DocCte
          |SELECT doc_id, n_transitions, avg_logprob FROM lmkn3
          |ORDER BY doc_id""".stripMargin,
+    "perplexity_contrast_kn3" ->
+      s"""$pplContrastCtes
+         |SELECT doc_id, n_transitions, logprob_in, logprob_gen, domain_delta
+         |FROM ctr ORDER BY doc_id""".stripMargin,
+    "perplexity_contrast_top64" ->
+      s"""$pplContrastCtes
+         |SELECT doc_id, n_transitions, logprob_in, logprob_gen, domain_delta
+         |FROM ctr ORDER BY domain_delta DESC, doc_id ASC LIMIT 64""".stripMargin,
     "perplexity_buckets_kn3" ->
       s"""WITH $lmKn3DocCte,
          |j AS (

@@ -640,6 +640,43 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** SOFT dedup — training WEIGHTS instead of drops (the SoftDeDup
+    * policy: down-weight duplicated data so the loss sees each content
+    * roughly once, rather than discarding near-duplicate documents whose
+    * non-duplicated remainder still carries signal). Two redundancy
+    * signals compose multiplicatively per document:
+    *
+    *  - frequency weight `1 / cluster_size` over the near-dup connected
+    *    components (`labels`; documents outside every cluster weigh 1) —
+    *    a cluster's total sampling mass stays ~1 however many copies it
+    *    has;
+    *  - paragraph novelty `1 − n_dup / n_paras` from
+    *    [[Paragraphs.paragraphDupPerDoc]] — the share of the document's
+    *    paragraph blocks whose content is corpus-novel, so boilerplate-
+    *    heavy documents shrink even when no whole-document twin exists. A
+    *    fully-boilerplate document weighs 0 (keep the row; the trainer
+    *    decides whether weight-0 rows are dropped).
+    *
+    * `weight = round((1/cluster_size) · (1 − n_dup/n_paras), 9)`.
+    *
+    * Scale shape: cluster sizes are one narrow aggregate of the bounded
+    * labels asset LEFT-joined back to doc ids; the paragraph profile is
+    * one fp-keyed hash pass. No text moves; output is one narrow row per
+    * document. */
+  def softDedupWeights(docs: DataFrame, labels: DataFrame,
+      paraDup: DataFrame): DataFrame = {
+    val csize = labels.groupBy("cluster").agg(count(lit(1)).as("cs"))
+    val dcs = docs.select("doc_id")
+      .join(labels.join(csize, "cluster").select("doc_id", "cs"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cs"), lit(1L)).as("cluster_size"))
+    dcs.join(paraDup, "doc_id")
+      .select(col("doc_id"), col("cluster_size"), col("n_paras"), col("n_dup"),
+        round((lit(1.0) / col("cluster_size"))
+          * (lit(1.0) - col("n_dup").cast("double") / col("n_paras")), 9)
+          .as("weight"))
+  }
+
   /** Portable tokenized-text array (position-preserving), shared by the
     * n-gram operators and spelled identically in the DuckDB oracle. */
   private def tokenArray = expr(

@@ -122,6 +122,21 @@ object Paragraphs {
   def paragraphDupStats(docs: DataFrame, paraTokens: Int = 16): DataFrame =
     dupStatsFrom(paragraphs(docs, paraTokens, carry = Seq("source")))
 
+  /** Per-DOCUMENT duplication profile `(doc_id, n_paras, n_dup)` over the
+    * whole corpus — every document appears (each has ≥ 1 paragraph, the
+    * empty-text block included), `n_dup` counting its paragraph
+    * occurrences whose content first appeared elsewhere. The redundancy
+    * input to [[Dedup.softDedupWeights]]; same narrow fp-keyed keeper
+    * election as the strip, text never shuffles. */
+  def paragraphDupPerDoc(docs: DataFrame, paraTokens: Int = 16): DataFrame = {
+    val paras = paragraphs(docs, paraTokens)
+    paras.join(keepers(paras.select("fp", "doc_id", "para_idx")), "fp")
+      .select(col("doc_id"), col("n_paras"),
+        (col("doc_id") =!= col("k.d") || col("para_idx") =!= col("k.p"))
+          .cast("long").as("dup"))
+      .groupBy("doc_id", "n_paras").agg(sum("dup").as("n_dup"))
+  }
+
   /** Per-source duplication report over any paragraph-row frame carrying
     * `source` — shared by the fixed-width and delimiter cuts. */
   private def dupStatsFrom(paras: DataFrame): DataFrame =

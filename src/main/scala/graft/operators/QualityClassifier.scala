@@ -432,6 +432,25 @@ object QualityClassifier {
       .orderBy("threshold")
   }
 
+  /** Operating-point selection off the PR curve: the threshold that
+    * maximizes RECALL subject to a precision floor — the standard way a
+    * curation pipeline turns "we can tolerate X% junk" into a concrete
+    * score cut. Deterministic: among grid thresholds with
+    * `precision ≥ target`, highest recall wins, ties break on the
+    * smallest threshold (thresholds are unique in the grid, so the row is
+    * unique); an unreachable target yields zero rows — the honest answer,
+    * not a silent fallback. One row out; cost identical to [[prCurve]]. */
+  def thresholdAtPrecision(docs: DataFrame, weights: DataFrame,
+      targetPrecision: Double,
+      thresholds: Seq[Double] = PrThresholds): DataFrame = {
+    require(targetPrecision > 0.0 && targetPrecision <= 1.0,
+      s"targetPrecision must be in (0, 1], got $targetPrecision")
+    prCurve(docs, weights, thresholds)
+      .where(col("precision").isNotNull && col("precision") >= targetPrecision)
+      .orderBy(col("recall").desc, col("threshold").asc)
+      .limit(1)
+  }
+
   /** Documents where the smooth score most disagrees with the hard rule
     * label — the curation reviewer's worklist (borderline rule decisions
     * the model prices differently). */

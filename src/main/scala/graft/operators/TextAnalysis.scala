@@ -687,44 +687,119 @@ object TextAnalysis {
   def lmDocScoresKn3FromModel(toks: DataFrame, trigrams: DataFrame,
       tc: DataFrame, d: Double = 0.75): DataFrame = {
     require(d > 0.0 && d < 1.0, s"discount d=$d must be in (0, 1)")
-    val ctx = trigrams.groupBy("w1", "w2")
-      .agg(sum("n_abc").as("c12"), count(lit(1)).as("n1p_fwd12"))
-    val cont2 = trigrams.groupBy("w2", "w3").agg(count(lit(1)).as("cont23"))
-    val mid = cont2.groupBy("w2")
-      .agg(sum("cont23").as("mid_ctx"), count(lit(1)).as("n1p_mid"))
-    val cont1 = cont2.groupBy("w3").agg(count(lit(1)).as("cont3"))
-    val types = cont2.agg(count(lit(1)).as("n_ct"))
-    val vocab = tc.agg(count_distinct(col("term")).as("v_size"))
-    val p1 = when(col("cont3").isNotNull,
-        col("cont3").cast("double") / col("n_ct"))
-      .otherwise(lit(1.0) / col("v_size"))
-    val p2 = when(col("mid_ctx").isNotNull,
-        when(col("cont23").isNotNull,
-          (col("cont23").cast("double") - d) / col("mid_ctx")
-            + ((lit(d) * col("n1p_mid")) / col("mid_ctx")) * p1)
-          .otherwise(((lit(d) * col("n1p_mid")) / col("mid_ctx")) * p1))
-      .otherwise(p1)
-    val p3 = when(col("c12").isNotNull,
-        when(col("n_abc").isNotNull,
-          (col("n_abc").cast("double") - d) / col("c12")
-            + ((lit(d) * col("n1p_fwd12")) / col("c12")) * p2)
-          .otherwise(((lit(d) * col("n1p_fwd12")) / col("c12")) * p2))
-      .otherwise(p2)
-    adjacentTriples(toks, "tokens", Seq("doc_id"))
-      .join(trigrams, Seq("w1", "w2", "w3"), "left")
-      .join(ctx, Seq("w1", "w2"), "left")
-      .join(cont2, Seq("w2", "w3"), "left")
-      .join(mid, Seq("w2"), "left")
-      .join(cont1, Seq("w3"), "left")
-      .crossJoin(broadcast(types))
-      .crossJoin(broadcast(vocab))
-      .withColumn("logp", round(log(p3), 9))
+    kn3Join(adjacentTriples(toks, "tokens", Seq("doc_id")),
+        kn3ModelTables(trigrams, tc, ""))
+      .withColumn("logp", round(log(kn3P3(d, "")), 9))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_transitions"),
         sum(col("logp").cast("decimal(18,9)")).as("lp_sum"))
       .select(col("doc_id"), col("n_transitions"),
         round(col("lp_sum").cast("double") / col("n_transitions"), 9).as("avg_logprob"))
       .orderBy("doc_id")
+  }
+
+  /** PRE-ENRICHED KN3 model table — one row per trigram TYPE carrying
+    * every statistic its scoring needs (`n_abc, c12, n1p_fwd12, cont23,
+    * mid_ctx, n1p_mid, cont3`) plus the type/vocab scalars as constant
+    * columns (parquet RLE makes them free). Built ONCE per dataset as an
+    * asset, so corpus-trained serving collapses from five stat joins per
+    * scoring pass to ONE `(w1, w2, w3)` join — the 100 TB serving shape:
+    * model-building cost lives in the asset farm, not in every query.
+    * Only valid for scoring text whose transitions the model has seen
+    * (corpus-trained self-scoring); held-out scoring needs the per-order
+    * backoff tables and stays on [[lmDocScoresKn3FromModel]]. */
+  def kn3EnrichedModel(trigrams: DataFrame, tc: DataFrame): DataFrame = {
+    val m = kn3ModelTables(trigrams, tc, "")
+    m.tri.join(m.ctx, Seq("w1", "w2"))
+      .join(m.cont2, Seq("w2", "w3"))
+      .join(m.mid, Seq("w2"))
+      .join(m.cont1, Seq("w3"))
+      .crossJoin(broadcast(m.types))
+      .crossJoin(broadcast(m.vocab))
+  }
+
+  /** Corpus-trained KN3 scoring served from [[kn3EnrichedModel]] — one
+    * model join, values identical to [[lmDocScoresKn3FromModel]] on the
+    * same counts (spec-pinned; the inner join is complete because every
+    * scored transition is a model row by the corpus-trained contract). */
+  def lmDocScoresKn3Served(toks: DataFrame, enriched: DataFrame,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"discount d=$d must be in (0, 1)")
+    adjacentTriples(toks, "tokens", Seq("doc_id"))
+      .join(enriched, Seq("w1", "w2", "w3"))
+      .withColumn("logp", round(log(kn3P3(d, "")), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("logp").cast("decimal(18,9)")).as("lp_sum"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(col("lp_sum").cast("double") / col("n_transitions"), 9).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** [[perplexityBucketsKn3]] served from the enriched model asset. */
+  def perplexityBucketsKn3Served(docs: DataFrame, toks: DataFrame,
+      enriched: DataFrame, d: Double = 0.75): DataFrame =
+    bucketByFluency(docs, lmDocScoresKn3Served(toks, enriched, d))
+
+  /** [[perplexityBucketsSampledKn3]] served from the enriched model. */
+  def perplexityBucketsSampledKn3Served(docs: DataFrame, toks: DataFrame,
+      enriched: DataFrame, d: Double = 0.75, accuracy: Int = 100000): DataFrame =
+    bucketByFluencyThresholds(docs, lmDocScoresKn3Served(toks, enriched, d),
+      accuracy)
+
+  /** The KN3 model as frames: the trigram table plus its five statistic
+    * aggregates and the vocab scalar, stat columns suffixed `suf` so two
+    * models can ride ONE join cascade (the fused contrast scorer). */
+  private case class Kn3Model(tri: DataFrame, ctx: DataFrame, cont2: DataFrame,
+      mid: DataFrame, cont1: DataFrame, types: DataFrame, vocab: DataFrame)
+
+  private def kn3ModelTables(trigrams: DataFrame, tc: DataFrame,
+      suf: String): Kn3Model = {
+    val ctx = trigrams.groupBy("w1", "w2")
+      .agg(sum("n_abc").as(s"c12$suf"), count(lit(1)).as(s"n1p_fwd12$suf"))
+    val cont2 = trigrams.groupBy("w2", "w3").agg(count(lit(1)).as("cont23"))
+    val mid = cont2.groupBy("w2")
+      .agg(sum("cont23").as(s"mid_ctx$suf"), count(lit(1)).as(s"n1p_mid$suf"))
+    val cont1 = cont2.groupBy("w3").agg(count(lit(1)).as(s"cont3$suf"))
+    val types = cont2.agg(count(lit(1)).as(s"n_ct$suf"))
+    val vocab = tc.agg(count_distinct(col("term")).as(s"v_size$suf"))
+    Kn3Model(trigrams.withColumnRenamed("n_abc", s"n_abc$suf"), ctx,
+      cont2.withColumnRenamed("cont23", s"cont23$suf"), mid, cont1, types, vocab)
+  }
+
+  /** One model-join cascade over a transition stream — five left key
+    * joins plus the broadcast one-row type/vocab frames. */
+  private def kn3Join(stream: DataFrame, m: Kn3Model): DataFrame =
+    stream.join(m.tri, Seq("w1", "w2", "w3"), "left")
+      .join(m.ctx, Seq("w1", "w2"), "left")
+      .join(m.cont2, Seq("w2", "w3"), "left")
+      .join(m.mid, Seq("w2"), "left")
+      .join(m.cont1, Seq("w3"), "left")
+      .crossJoin(broadcast(m.types))
+      .crossJoin(broadcast(m.vocab))
+
+  /** THE interpolated-KN3 probability column — the single spelling of the
+    * p₃(p₂(p₁)) formula with its backoff CASE ladder, over `suf`-suffixed
+    * statistic columns; both the single-model scorer and the fused
+    * contrast scorer build their probabilities from this one definition
+    * (and the DuckDB oracle replays it branch-for-branch). */
+  private def kn3P3(d: Double, suf: String): Column = {
+    def c(n: String) = col(n + suf)
+    val p1 = when(c("cont3").isNotNull,
+        c("cont3").cast("double") / c("n_ct"))
+      .otherwise(lit(1.0) / c("v_size"))
+    val p2 = when(c("mid_ctx").isNotNull,
+        when(c("cont23").isNotNull,
+          (c("cont23").cast("double") - d) / c("mid_ctx")
+            + ((lit(d) * c("n1p_mid")) / c("mid_ctx")) * p1)
+          .otherwise(((lit(d) * c("n1p_mid")) / c("mid_ctx")) * p1))
+      .otherwise(p1)
+    when(c("c12").isNotNull,
+        when(c("n_abc").isNotNull,
+          (c("n_abc").cast("double") - d) / c("c12")
+            + ((lit(d) * c("n1p_fwd12")) / c("c12")) * p2)
+          .otherwise(((lit(d) * c("n1p_fwd12")) / c("c12")) * p2))
+      .otherwise(p2)
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
@@ -762,6 +837,61 @@ object TextAnalysis {
   def perplexityBucketsKn3(docs: DataFrame, toks: DataFrame,
       trigrams: DataFrame, tc: DataFrame, d: Double = 0.75): DataFrame =
     bucketByFluency(docs, lmDocScoresKn3FromModel(toks, trigrams, tc, d))
+
+  /** Perplexity-CONTRAST scoring — the CCNet/importance-sampling selection
+    * signal in its LM form (Wenzek et al. 2020 score against an in-domain
+    * KenLM; the cross-entropy-DIFFERENCE ranking is the Moore–Lewis 2010
+    * "Intelligent selection of language model training data" criterion):
+    * every document is scored by TWO trigram interpolated Kneser–Ney
+    * models — one trained on an IN-DOMAIN target corpus, one on the
+    * general corpus — and ranked by `domain_delta = avg_logprob_in −
+    * avg_logprob_gen`. A positive delta reads "more like the target domain
+    * than the general web", robust to the document-length and topic-
+    * frequency effects that make a single-model perplexity cut favor
+    * generic text.
+    *
+    * Unlike the corpus-trained registry queries, the in-domain model here
+    * genuinely scores HELD-OUT text, so the [[lmDocScoresKn3FromModel]]
+    * backoff arms (unseen trigram → bigram continuation → unigram →
+    * uniform 1/V) are exercised for real — and replayed branch-for-branch
+    * by the DuckDB oracle's CASE chain.
+    *
+    * Scale shape: FUSED single pass — ONE transition stream carries the
+    * in-domain backoff ladder (suffixed stat columns) plus ONE complete
+    * join against the pre-enriched general model
+    * ([[kn3EnrichedModel]] asset), and one per-doc aggregate computes
+    * both means; the corpus-sized stream is scanned and shuffled once.
+    * Values are bit-identical to composing two
+    * [[lmDocScoresKn3FromModel]] passes (same column formula, same
+    * rounding — spec-pinned). The in-domain model aggregates over the
+    * target split only; at 100 TB that split is a fixed curated corpus,
+    * so the in-domain model tables are constant-sized. */
+  def perplexityContrastKn3(toks: DataFrame, trigramsIn: DataFrame,
+      tcIn: DataFrame, enrichedGen: DataFrame, d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"discount d=$d must be in (0, 1)")
+    val mi = kn3ModelTables(trigramsIn, tcIn, "_i")
+    // the general model is corpus-trained — served from the pre-enriched
+    // asset as ONE complete join; only the held-out in-domain side needs
+    // the per-order backoff ladder
+    val statCols = Seq("n_abc", "c12", "n1p_fwd12", "cont23", "mid_ctx",
+      "n1p_mid", "cont3", "n_ct", "v_size")
+    val gen = enrichedGen.select(
+      Seq("w1", "w2", "w3").map(col) ++
+        statCols.map(n => col(n).as(n + "_g")): _*)
+    kn3Join(adjacentTriples(toks, "tokens", Seq("doc_id")), mi)
+      .join(gen, Seq("w1", "w2", "w3"))
+      .withColumn("logp_i", round(log(kn3P3(d, "_i")), 9))
+      .withColumn("logp_g", round(log(kn3P3(d, "_g")), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("logp_i").cast("decimal(18,9)")).as("lpi"),
+        sum(col("logp_g").cast("decimal(18,9)")).as("lpg"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(col("lpi").cast("double") / col("n_transitions"), 9).as("logprob_in"),
+        round(col("lpg").cast("double") / col("n_transitions"), 9).as("logprob_gen"))
+      .withColumn("domain_delta",
+        round(col("logprob_in") - col("logprob_gen"), 9))
+  }
 
   private def bucketByFluency(docs: DataFrame, lmScores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

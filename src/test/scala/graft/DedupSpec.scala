@@ -322,4 +322,24 @@ class DedupSpec extends SparkSpec {
       .select("shingle_hash").as[Long].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("softDedupWeights: 1/cluster_size x paragraph novelty; singletons weigh 1") {
+    // paraTokens=2: doc 10/11 exact twins (one cluster; 11's blocks all
+    // lose the corpus-first election), doc 12 an unclustered singleton
+    // whose FIRST block is doc 10's boilerplate, doc 13 fully novel
+    val docs = Seq(
+      (10L, "s", "aa bb cc dd"),
+      (11L, "s", "aa bb cc dd"),
+      (12L, "s", "aa bb zz ww"),
+      (13L, "s", "qq rr")).toDF("doc_id", "source", "text")
+    val labels = Seq((10L, 10L), (11L, 10L)).toDF("doc_id", "cluster")
+    val pd = graft.operators.Paragraphs.paragraphDupPerDoc(docs, paraTokens = 2)
+    val got = Dedup.softDedupWeights(docs, labels, pd).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (10L, 2L, 2L, 0L, 0.5),   // corpus-first copy: full novelty, half mass
+      (11L, 2L, 2L, 2L, 0.0),   // every block duplicated -> zero weight
+      (12L, 1L, 2L, 1L, 0.5),   // boilerplate half gone, novel half kept
+      (13L, 1L, 1L, 0L, 1.0)))  // untouched document keeps weight 1
+  }
 }

@@ -330,4 +330,28 @@ class QualityClassifierSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("layout determinism violated"))
   }
+
+  test("thresholdAtPrecision: max recall under the floor; unreachable floor -> no row") {
+    val docs = corpus()
+    val w = QualityClassifier.weightsDf(spark,
+      QualityClassifier.fit(QualityClassifier.featureFrame(docs)))
+    val curve = QualityClassifier.prCurve(docs, w)
+      .select("threshold", "precision", "recall")
+      .as[(Double, Option[Double], Option[Double])].collect().toSeq
+    // pick a floor every defined-precision row can meet, so the winner is
+    // simply the max-recall row (smallest-threshold tie)
+    val target = curve.flatMap(_._2).min
+    val best = curve.filter(_._2.exists(_ >= target))
+      .maxBy(r => (r._3.get, -r._1))
+    val got = QualityClassifier.thresholdAtPrecision(docs, w, target)
+      .select("threshold", "precision", "recall")
+      .as[(Double, Option[Double], Option[Double])].collect().toSeq
+    assert(got.map(_._1) == Seq(best._1))
+    assert(got.head._2.exists(_ >= target))
+    // a floor above the curve's best precision yields ZERO rows (honest),
+    // never a silent fallback
+    val maxP = curve.flatMap(_._2).max
+    if (maxP < 1.0)
+      assert(QualityClassifier.thresholdAtPrecision(docs, w, 1.0).count() == 0L)
+  }
 }

@@ -742,4 +742,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e0.sorted == (0L until 50L).toSeq)  // a permutation, nothing lost
     assert(e0 != e1)                           // epochs reshuffle
   }
+
+  test("perplexityContrastKn3: delta = in-domain minus general, backoff live on alien text") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = Seq(
+      (0L, Seq("a", "b", "a", "b", "a")),     // the in-domain training doc
+      (1L, Seq("a", "b", "a")),               // reads in-domain
+      (2L, Seq("x", "y", "x", "y", "x"))      // alien: every trigram unseen in-domain
+    ).toDF("doc_id", "tokens")
+    val inToks = toks.where(col("doc_id") === 0L)
+    val triIn = TextAnalysis.trigramCountsFromTokens(inToks)
+    val tcIn = Seq(("a", 0L, 3L), ("b", 0L, 2L)).toDF("term", "doc_id", "cnt")
+    val triG = TextAnalysis.trigramCountsFromTokens(toks)
+    val tcG = Seq(("a", 0L, 1L), ("b", 0L, 1L), ("x", 2L, 3L), ("y", 2L, 2L))
+      .toDF("term", "doc_id", "cnt")
+    val got = TextAnalysis.perplexityContrastKn3(toks, triIn, tcIn,
+        TextAnalysis.kn3EnrichedModel(triG, tcG))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val inS = TextAnalysis.lmDocScoresKn3FromModel(toks, triIn, tcIn)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val genS = TextAnalysis.lmDocScoresKn3FromModel(toks, triG, tcG)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.map(_._1) == Seq(0L, 1L, 2L))
+    // the delta is EXACTLY the difference of the two scorers' outputs
+    got.foreach { r =>
+      assert(r._3 == inS(r._1) && r._4 == genS(r._1))
+      assert(r._5 == r9(inS(r._1) - genS(r._1)))
+    }
+    // Moore–Lewis direction: the in-domain-looking doc outranks the alien
+    val delta = got.map(r => r._1 -> r._5).toMap
+    assert(delta(1L) > delta(2L))
+    // the alien doc only scores in-domain through the backoff ladder
+    // (all its w3 are unseen -> the uniform 1/V arm), and it is a real
+    // finite score, far below the in-domain doc's
+    assert(inS(2L) < inS(1L) && !inS(2L).isNaN && !inS(2L).isInfinite)
+  }
+
+  test("kn3 enriched-model serving == the five-join scorer on corpus-trained counts") {
+    val toks = operators.Tfidf.tokenArrays(
+      sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val tri = TextAnalysis.trigramCountsFromTokens(toks)
+    val tc = operators.Tfidf.termCounts(
+      operators.Tfidf.tokenizePortable(
+        sources.Tables.documents(spark, "/root/testdata/sf0.001")))
+    val enriched = TextAnalysis.kn3EnrichedModel(tri, tc)
+    val served = TextAnalysis.lmDocScoresKn3Served(toks, enriched)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val full = TextAnalysis.lmDocScoresKn3FromModel(toks, tri, tc)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(served == full && served.nonEmpty)
+  }
 }
