@@ -1967,6 +1967,14 @@ object SparkEntry {
       graft.streaming.Streams.streamingSpanDedup(
         Tables.documents(s, dir).select("doc_id", "text"), n = 5).toDF()
         .orderBy("doc_id", "pos")),
+    // ingest-time per-source token quota: greedy-prefix admission (the
+    // batch budget selector's semantics) with refusals kept for audit;
+    // per-source counter state, batch shape == the running-sum window
+    "streams_token_quota_batch" -> ((s, dir) =>
+      graft.streaming.Streams.streamingTokenQuota(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        budgetPerSource = 800L).toDF()
+        .orderBy("doc_id")),
     // stateless at-ingest leakage gate: benchmark Bloom literal + per-row
     // array-domain gram scoring (bloom estimates → rows-only; the spec
     // pins zero false negatives vs the exact batch check)
@@ -4177,6 +4185,19 @@ object SparkEntry {
          |SELECT doc_id, pos, first_doc, first_pos
          |FROM marked WHERE occ >= 2 AND rn > 1
          |ORDER BY doc_id, pos""".stripMargin,
+    "streams_token_quota_batch" ->
+      """WITH nt AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS running_tokens
+        |  FROM nt)
+        |SELECT doc_id, source, n_tokens, running_tokens,
+        |  CAST(running_tokens <= 800 AS BIGINT) AS admitted
+        |FROM cum ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       s"""WITH $toksCte,
          |$toksArrCte,

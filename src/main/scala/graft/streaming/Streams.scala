@@ -673,6 +673,55 @@ object Streams {
         })
   }
 
+  case class QuotaDoc(doc_id: Long, source: String, n_tokens: Long)
+  case class QuotaDecision(doc_id: Long, source: String, n_tokens: Long,
+      running_tokens: Long, admitted: Long)
+
+  /** Streaming per-source token-budget QUOTA — the ingest-time twin of
+    * the batch [[graft.operators.Curation.tokenBudgetSelect]] family: each
+    * source admits documents until its token budget is crossed; every
+    * arrival stays visible with its decision (`admitted` 1/0) so refusals
+    * audit instead of vanishing. Semantics deliberately match the batch
+    * selector's GREEDY PREFIX: `running_tokens` accumulates EVERY arrival
+    * (refused included) and a document is admitted iff the running total
+    * stays within budget — once a source crosses its budget, everything
+    * later is refused. (The skip-and-continue variant that back-fills
+    * small documents after a big refusal is NOT used: it disagrees with
+    * the batch selector, and its sequential state is order-fragile at
+    * ingest.)
+    *
+    * State per source is ONE long counter keyed by source name — bounded
+    * by the source vocabulary, so there is NO timeout eviction: a quota
+    * that silently resets on idleness would re-admit past its budget.
+    *
+    * Batch mode feeds each source group sorted by `doc_id`, so the
+    * decisions are exactly the per-source running-sum window — the
+    * registered `streams_token_quota_batch` query is oracle-checked
+    * against that spelling. In streaming mode arrival order decides
+    * within each micro-batch (sorted by doc_id inside a batch, state
+    * carrying across batches). */
+  def streamingTokenQuota(docs: DataFrame, budgetPerSource: Long): Dataset[QuotaDecision] = {
+    require(budgetPerSource > 0, s"budgetPerSource must be positive, got $budgetPerSource")
+    import docs.sparkSession.implicits._
+    val rows = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .as[QuotaDoc]
+    rows.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, batch: Iterator[QuotaDoc], state: GroupState[Long]) => {
+          var used = state.getOption.getOrElse(0L)
+          val out = List.newBuilder[QuotaDecision]
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            used += d.n_tokens
+            out += QuotaDecision(d.doc_id, source, d.n_tokens, used,
+              if (used <= budgetPerSource) 1L else 0L)
+          }
+          state.update(used)
+          out.result().iterator
+        })
+  }
+
   case class GramOcc(gh: Long, doc_id: Long, pos: Long)
   case class SpanHit(doc_id: Long, pos: Long, first_doc: Long, first_pos: Long)
 

@@ -754,4 +754,30 @@ class StreamingSpec extends SparkSpec {
       assert(loads == 2, "exactly one reload per version change")
     } finally q.stop()
   }
+
+  test("streamingTokenQuota: per-source budget carries across micro-batches, never resets") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF.toDF("doc_id", "source", "text")
+    // budget 5 tokens per source; every doc is 3 tokens
+    val q = Streams.streamingTokenQuota(docs, budgetPerSource = 5L).toDF()
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: source a admits doc 1 (3 <= 5) and refuses doc 2 (6 > 5);
+      // source b admits its first doc
+      in.addData((1L, "a", "x y z"), (2L, "a", "x y z"), (3L, "b", "x y z"))
+      q.processAllAvailable()
+      // batch 2: source a stays refused (state carried, no reset);
+      // source b crosses its budget now
+      in.addData((4L, "a", "x y z"), (5L, "b", "x y z"))
+      q.processAllAvailable()
+      val got = spark.table("quota_out")
+        .select("doc_id", "running_tokens", "admitted")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, 3L, 1L), (2L, 6L, 0L), (3L, 3L, 1L),
+        (4L, 9L, 0L), (5L, 6L, 0L)))
+    } finally q.stop()
+  }
 }
