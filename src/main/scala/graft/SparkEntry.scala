@@ -446,6 +446,20 @@ object SparkEntry {
         termCountsAsset(s, dir))
     }
 
+  /** Per-doc perplexity-contrast scores (Moore–Lewis delta vs the
+    * held-out target split) — the fused two-model scoring pass runs once
+    * per dataset; the score query and both selection heads serve from the
+    * parquet (the bm25/term-counts serving pattern). */
+  private def contrastScoresAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "contrast_scores") {
+      val toksAll = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      TextAnalysis.perplexityContrastKn3(toksAll,
+        TextAnalysis.trigramCountsFromTokens(
+          toksAll.where(col("doc_id") % 53 === 0)),
+        termCountsAsset(s, dir).where(col("doc_id") % 53 === 0),
+        kn3ModelAsset(s, dir))
+    }
+
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
     * whole span-dedup family (detect/stats/strip, exact + hashed) marks
     * back against; as an asset the corpus tokenizes + windows ONCE per
@@ -671,6 +685,7 @@ object SparkEntry {
     "bigram_counts" -> ((s, d) => { bigramCountsAsset(s, d); () }),
     "trigram_counts" -> ((s, d) => { trigramCountsAsset(s, d); () }),
     "kn3_model" -> ((s, d) => { kn3ModelAsset(s, d); () }),
+    "contrast_scores" -> ((s, d) => { contrastScoresAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
@@ -1426,26 +1441,27 @@ object SparkEntry {
     // general corpus model; delta ranks "like the target domain". The
     // in-domain model scores held-out text, so the KN3 backoff arms run
     // for real — and the oracle replays them branch-for-branch.
-    "perplexity_contrast_kn3" -> ((s, dir) => {
-      val toksAll = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-      TextAnalysis.perplexityContrastKn3(toksAll,
-        TextAnalysis.trigramCountsFromTokens(
-          toksAll.where(col("doc_id") % 53 === 0)),
-        termCountsAsset(s, dir).where(col("doc_id") % 53 === 0),
-        kn3ModelAsset(s, dir))
-        .orderBy("doc_id")
-    }),
+    // scores serve from the contrast_scores asset (the fused two-model
+    // pass runs once per dataset in the asset farm); the oracle replays
+    // the FULL pipeline, so asset correctness is pinned here
+    "perplexity_contrast_kn3" -> ((s, dir) =>
+      contrastScoresAsset(s, dir).orderBy("doc_id")),
     // the SELECTION head over the contrast: top-64 most-in-domain raw
     // docs (TakeOrderedAndProject, no full sort)
-    "perplexity_contrast_top64" -> ((s, dir) => {
-      val toksAll = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-      Tfidf.topKByValue(
-        TextAnalysis.perplexityContrastKn3(toksAll,
-          TextAnalysis.trigramCountsFromTokens(
-            toksAll.where(col("doc_id") % 53 === 0)),
-          termCountsAsset(s, dir).where(col("doc_id") % 53 === 0),
-          kn3ModelAsset(s, dir)),
-        "domain_delta", 64, Seq("doc_id"))
+    "perplexity_contrast_top64" -> ((s, dir) =>
+      Tfidf.topKByValue(contrastScoresAsset(s, dir),
+        "domain_delta", 64, Seq("doc_id"))),
+    // the Moore–Lewis selection RECIPE end-to-end: most-in-domain docs
+    // under an absolute token budget (contrast delta drives the budget
+    // selector's exact greedy-prefix window); docs too short to score
+    // (<3 portable tokens) have no delta and are excluded on both sides
+    "token_budget_select_contrast" -> ((s, dir) => {
+      val delta = contrastScoresAsset(s, dir)
+        .select(col("doc_id"), col("domain_delta").as("score"))
+      val nt = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      Curation.tokenBudgetSelect(delta.join(nt, "doc_id"),
+        budgetTokens = 6000L)
     }),
     // topic-rebalancing cap over the SemDeDup cluster assignment: at most
     // `cap` representatives per semantic cluster, rank-exact
@@ -1722,6 +1738,14 @@ object SparkEntry {
         dedupLabelsAsset(s, dir),
         Paragraphs.paragraphDupPerDoc(Tables.documents(s, dir), paraTokens = 16))
         .orderBy("doc_id")),
+    // ...and the soft policy APPLIED: survive with probability = soft
+    // weight on the content-stable md5 coin (expected cluster mass 1)
+    "dedup_soft_sample" -> ((s, dir) =>
+      Dedup.softDedupSample(
+        Dedup.softDedupWeights(Tables.documents(s, dir),
+          dedupLabelsAsset(s, dir),
+          Paragraphs.paragraphDupPerDoc(Tables.documents(s, dir),
+            paraTokens = 16)))),
     // CCNet-style paragraph dedup: every paragraph content keeps its
     // first corpus occurrence; later occurrences strip out of their docs
     // (the boilerplate remover document-level dedup can't express) —
@@ -4372,6 +4396,32 @@ object SparkEntry {
          |    * (1 - CAST(n_dup AS DOUBLE) / n_paras), 9) AS weight
          |FROM dw JOIN pd USING (doc_id)
          |ORDER BY dw.doc_id""".stripMargin,
+    // the soft policy applied: md5-coin survival with p = the soft weight
+    "dedup_soft_sample" ->
+      s"""$clusterLabelsCte,
+         |${paraOracleCtes.stripPrefix("WITH ")},
+         |pd AS (
+         |  SELECT doc_id, count(*) AS n_paras,
+         |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM pmarked GROUP BY 1),
+         |csize AS (SELECT cluster, count(*) AS cs FROM labels GROUP BY 1),
+         |dw AS (
+         |  SELECT d.doc_id, CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size
+         |  FROM documents d
+         |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |  LEFT JOIN csize USING (cluster)),
+         |sw AS (
+         |  SELECT dw.doc_id,
+         |    round((CAST(1 AS DOUBLE) / cluster_size)
+         |      * (1 - CAST(n_dup AS DOUBLE) / n_paras), 9) AS weight
+         |  FROM dw JOIN pd USING (doc_id)),
+         |coin AS (
+         |  SELECT doc_id, weight,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |      / 4294967296.0 AS u
+         |  FROM sw)
+         |SELECT doc_id, weight, u FROM coin
+         |WHERE u < weight ORDER BY doc_id""".stripMargin,
     // keeper = the highest-quality cluster member (ties -> min doc_id;
     // unscored members rank below every real score via the explicit
     // null-last flag, any sign of score); the quality expression is the
@@ -5222,6 +5272,22 @@ object SparkEntry {
       s"""$pplContrastCtes
          |SELECT doc_id, n_transitions, logprob_in, logprob_gen, domain_delta
          |FROM ctr ORDER BY domain_delta DESC, doc_id ASC LIMIT 64""".stripMargin,
+    "token_budget_select_contrast" ->
+      s"""$pplContrastCtes,
+         |ntq AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |scq AS (
+         |  SELECT ctr.doc_id, ctr.domain_delta AS score, ntq.n_tokens
+         |  FROM ctr JOIN ntq USING (doc_id)),
+         |cumq AS (
+         |  SELECT doc_id, score, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM scq)
+         |SELECT doc_id, score, n_tokens FROM cumq
+         |WHERE cum_tokens <= 6000 ORDER BY doc_id""".stripMargin,
     "perplexity_buckets_kn3" ->
       s"""WITH $lmKn3DocCte,
          |j AS (

@@ -677,6 +677,22 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Weight-proportional SAMPLE over [[softDedupWeights]] — the soft
+    * policy actually applied: each document survives with probability
+    * equal to its soft weight, on the content-stable md5 coin every
+    * sampler here uses (first 8 md5 hex digits of the doc id as a 32-bit
+    * uniform; `u < weight` needs no rounding because /2³² is an exact
+    * power-of-two division). An expected-cluster-mass-1, boilerplate-
+    * discounted corpus in ONE map pass — no shuffle, no rank window. */
+  def softDedupSample(weights: DataFrame): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    weights.withColumn("u", u)
+      .where(col("u") < col("weight"))
+      .select("doc_id", "weight", "u")
+      .orderBy("doc_id")
+  }
+
   /** Portable tokenized-text array (position-preserving), shared by the
     * n-gram operators and spelled identically in the DuckDB oracle. */
   private def tokenArray = expr(

@@ -485,4 +485,11 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
       "expected codegen'd project stage:\n" + p.take(2000))
   }
+
+  test("contrast selection head heaps (TakeOrderedAndProject), never a full sort") {
+    val df = SparkEntry.queries("perplexity_contrast_top64")(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must heap:\n" + p.take(2000))
+  }
 }
