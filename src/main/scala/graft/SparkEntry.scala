@@ -460,6 +460,16 @@ object SparkEntry {
         kn3ModelAsset(s, dir))
     }
 
+  /** The paragraph keeper store over the pre-append corpus slice
+    * (doc_id % 10 ≠ 9 — the same replay split every incremental index
+    * uses): "the stored paragraph index before the batch arrived". */
+  private def paragraphKeepersOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "paragraph_keepers_old90") {
+      Paragraphs.paragraphKeepers(
+        Tables.documents(s, dir).where(col("doc_id") % 10 =!= 9),
+        paraTokens = 16)
+    }
+
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
     * whole span-dedup family (detect/stats/strip, exact + hashed) marks
     * back against; as an asset the corpus tokenizes + windows ONCE per
@@ -686,6 +696,7 @@ object SparkEntry {
     "trigram_counts" -> ((s, d) => { trigramCountsAsset(s, d); () }),
     "kn3_model" -> ((s, d) => { kn3ModelAsset(s, d); () }),
     "contrast_scores" -> ((s, d) => { contrastScoresAsset(s, d); () }),
+    "paragraph_keepers_old90" -> ((s, d) => { paragraphKeepersOldAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
@@ -1752,6 +1763,18 @@ object SparkEntry {
     // output fingerprints the cleaned text instead of shipping it
     "paragraph_dedup_strip" -> ((s, dir) =>
       Paragraphs.paragraphDedupStrip(Tables.documents(s, dir), paraTokens = 16)
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          md5(col("text_clean").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")),
+    // INCREMENTAL paragraph dedup: the stored keeper index (pre-append
+    // slice) absorbs an append batch — first-arrived keepers never move,
+    // so only the new documents strip; the oracle replays arrival order
+    // (old rows rank before new) over the full corpus
+    "paragraph_dedup_incremental" -> ((s, dir) =>
+      Paragraphs.paragraphDedupIncremental(
+        paragraphKeepersOldAsset(s, dir),
+        Tables.documents(s, dir).where(col("doc_id") % 10 === 9),
+        paraTokens = 16)._2
         .select(col("doc_id"), col("n_paras"), col("n_dropped"),
           md5(col("text_clean").cast("binary")).as("clean_fp"))
         .orderBy("doc_id")),
@@ -4471,6 +4494,28 @@ object SparkEntry {
          |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 9) AS dup_rate
          |FROM pmarked GROUP BY source ORDER BY source""".stripMargin,
+    // arrival-order keepers (old slice ranks before the append batch),
+    // strip replayed for the NEW documents only
+    "paragraph_dedup_incremental" ->
+      s"""$paraOracleCtes,
+         |amarked AS (
+         |  SELECT doc_id, para_idx, fp,
+         |    row_number() OVER (PARTITION BY fp
+         |      ORDER BY (doc_id % 10 = 9), doc_id, para_idx) AS rn
+         |  FROM paras),
+         |dri AS (
+         |  SELECT doc_id, list(para_idx) AS dropped
+         |  FROM amarked WHERE rn > 1 AND doc_id % 10 = 9 GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(ceil(len(t.a) / 16.0) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(len(dri.dropped), 0) AS BIGINT) AS n_dropped,
+         |  md5(CASE WHEN dri.doc_id IS NULL THEN t.text
+         |    ELSE coalesce(array_to_string(list_filter(t.a, (x, i) ->
+         |      NOT list_contains(dri.dropped, CAST(floor((i - 1) / 16) AS BIGINT))), ' '), '')
+         |    END) AS clean_fp
+         |FROM rawtoks t LEFT JOIN dri USING (doc_id)
+         |WHERE t.doc_id % 10 = 9
+         |ORDER BY t.doc_id""".stripMargin,
     // both budget selectors compare against the ONE exact spelling —
     // the bucketed scale path must pick the identical document set
     "token_budget_select" -> tokenBudgetSql,

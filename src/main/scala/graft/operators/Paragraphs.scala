@@ -115,6 +115,59 @@ object Paragraphs {
     touched.unionByName(untouched)
   }
 
+  /** The paragraph KEEPER STORE `(fp, doc_id, para_idx)` — one row per
+    * distinct paragraph content with its first corpus occurrence; the
+    * stored index [[paragraphDedupIncremental]] maintains. Narrow
+    * (16-byte key + position), collision-bound like every hash-keyed
+    * store here. */
+  def paragraphKeepers(docs: DataFrame, paraTokens: Int = 16): DataFrame =
+    keepers(paragraphs(docs, paraTokens).select("fp", "doc_id", "para_idx"))
+      .select(col("fp"), col("k.d").as("doc_id"), col("k.p").as("para_idx"))
+
+  /** INCREMENTAL paragraph-dedup maintenance for an append-only corpus —
+    * the paragraph-granularity member of the incremental index family
+    * (document level: [[Dedup]] incremental; window level:
+    * [[ExactSubstr]] merges). Keeper convention is FIRST-ARRIVED — the
+    * streaming ingest store's semantics, deliberately NOT a corpus-min
+    * re-election: a stored keeper never moves, so strip outputs written
+    * for earlier batches are IMMUTABLE and an append touches ONLY the new
+    * batch. (Re-electing by corpus-min would let a new low-id document
+    * steal keeperships and retroactively strip ALREADY-SERVED text — the
+    * exact-substring index must re-verify occurrences because occ counts
+    * change meaning; a keeper store does not.)
+    *
+    * Returns `(mergedKeepers, strippedNew)`:
+    *  - mergedKeepers = `storedKeepers` ∪ the batch-first occurrences of
+    *    never-stored fingerprints;
+    *  - strippedNew = the strip output for the NEW documents only — a new
+    *    paragraph drops iff its content is stored, or an earlier batch
+    *    row (min `(doc_id, para_idx)` within the batch) owns it.
+    *
+    * Scale shape: the batch's fingerprints probe the store with one
+    * fp-keyed join of narrow rows; old corpus text never moves — only new
+    * documents rewrite, through the same shared strip tail as the batch
+    * dedup. */
+  def paragraphDedupIncremental(storedKeepers: DataFrame, newDocs: DataFrame,
+      paraTokens: Int = 16): (DataFrame, DataFrame) = {
+    require(paraTokens > 0, s"paraTokens must be positive, got $paraTokens")
+    val paras = paragraphs(newDocs, paraTokens)
+    val storedFps = storedKeepers.select("fp")
+    val batchFirst = keepers(paras.select("fp", "doc_id", "para_idx"))
+    val droppedOccs = paras
+      .join(storedFps.withColumn("stored", lit(1L)), Seq("fp"), "left")
+      .join(batchFirst, "fp")
+      .where(col("stored").isNotNull ||
+        col("doc_id") =!= col("k.d") || col("para_idx") =!= col("k.p"))
+      .select("doc_id", "para_idx")
+    val dropped = droppedOccs.groupBy("doc_id")
+      .agg(collect_set(col("para_idx")).as("dropped"))
+    val newKeepers = batchFirst.join(storedFps, Seq("fp"), "left_anti")
+      .select(col("fp"), col("k.d").as("doc_id"), col("k.p").as("para_idx"))
+    val merged = storedKeepers.select("fp", "doc_id", "para_idx")
+      .unionByName(newKeepers)
+    (merged, stripByDropped(newDocs, fixedParas(paraTokens), " ", dropped))
+  }
+
   /** Per-source duplication report `(source, n_paras, n_dup, dup_rate)` —
     * how much of each source is corpus-repeated boilerplate at paragraph
     * granularity. One pass over the paragraph rows: the keeper join marks

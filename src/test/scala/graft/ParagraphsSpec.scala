@@ -10,6 +10,40 @@ import graft.operators.Paragraphs
 class ParagraphsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("paragraphDedupIncremental: stored keepers never move, only the batch strips") {
+    val old = Seq(
+      (1L, "s", "aa bb cc dd"),      // keepers: "aa bb", "cc dd"
+      (2L, "s", "ee ff")).toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (9L, "s", "aa bb zz ww"),      // "aa bb" stored -> drops; "zz ww" novel
+      (19L, "s", "zz ww qq rr")      // "zz ww" batch-first at doc 9 -> drops
+    ).toDF("doc_id", "source", "text")
+    val stored = Paragraphs.paragraphKeepers(old, paraTokens = 2)
+    val (merged, stripped) =
+      Paragraphs.paragraphDedupIncremental(stored, batch, paraTokens = 2)
+    val got = stripped.select("doc_id", "n_dropped", "text_clean")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(9L -> ((1L, "zz ww")), 19L -> ((1L, "qq rr"))))
+    // merged store = old keepers + the batch's first novel occurrences
+    val mergedSet = merged.select("doc_id", "para_idx")
+      .as[(Long, Long)].collect().toSet
+    assert(mergedSet == Set((1L, 0L), (1L, 1L), (2L, 0L), (9L, 1L), (19L, 1L)))
+    // ids increasing => incremental == the full-corpus rebuild restricted
+    // to the batch (arrival order == corpus order)
+    val full = Paragraphs.paragraphDedupStrip(old.unionByName(batch), paraTokens = 2)
+      .where($"doc_id" >= 9L).select("doc_id", "n_dropped", "text_clean")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(full == got)
+    // a second empty-batch merge is a no-op (store immutability)
+    val (merged2, stripped2) = Paragraphs.paragraphDedupIncremental(
+      merged, batch.limit(0), paraTokens = 2)
+    assert(stripped2.count() == 0L)
+    assert(merged2.select("doc_id", "para_idx").as[(Long, Long)]
+      .collect().toSet == mergedSet)
+  }
+
   // P=4 fixture: doc 3 is an exact twin of doc 1; doc 4's SECOND block
   // repeats doc 1's first; doc 2 contains the same tokens a b c d but
   // MISALIGNED (different blocks -> no dup); doc 6 repeats one block
