@@ -1,0 +1,43 @@
+#!/bin/bash
+# End-of-round record pipeline: full verify+check -> bench run1 -> bench
+# run2 -> sf1 fixture + leg. Sequential (two sbt processes conflict on the
+# build lock); aborts on first failure; progress in /tmp/${ROUND}_status.
+#
+#   ROUND=r12 dev/run_records.sh        # ~80 min end to end
+#   ROUND=r12 python3 dev/assemble_records.py
+#
+# Run the FULL test suite first (sbt -batch test) — this script records
+# measurements; it does not gate correctness of the specs.
+# If the scale gate flags one silly ratio afterwards: measure that entry
+# ISOLATED (SPARK_GRAFT_BENCH_ONLY / SPARK_GRAFT_BENCH_ASSETS); if the
+# isolated number is clean, re-run the WHOLE sf1 leg and re-assemble with
+# SF1_LOG pointing at the new log — never patch a single entry into a
+# record.
+set -u
+ROUND="${ROUND:?set ROUND, e.g. ROUND=r12}"
+cd /root/repo
+status() { echo "$(date +%H:%M:%S) $1" >> "/tmp/${ROUND}_status"; }
+
+status "verify: start"
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/${ROUND}_out" > "/tmp/${ROUND}_verify.log" 2>&1
+if [ $? -ne 0 ] && ! grep -q "\[verify\].*ok" "/tmp/${ROUND}_verify.log"; then status "verify: sbt FAILED"; exit 1; fi
+python3 dev/check.py /root/testdata/sf0.01 "/tmp/${ROUND}_out" > "/tmp/${ROUND}_check.log" 2>&1
+if grep -q "^FAIL\|^ERR" "/tmp/${ROUND}_check.log"; then status "check: FAILURES (see /tmp/${ROUND}_check.log)"; exit 1; fi
+status "verify+check: PASS"
+
+status "bench run1: start"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > "/tmp/${ROUND}_bench1.log" 2>&1
+cp target/plans.json "/tmp/${ROUND}_plans_run1.json" || { status "bench run1: no plans.json"; exit 1; }
+status "bench run1: done"
+
+status "bench run2: start"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > "/tmp/${ROUND}_bench2.log" 2>&1
+cp target/plans.json "/tmp/${ROUND}_plans_run2.json" || { status "bench run2: no plans.json"; exit 1; }
+status "bench run2: done"
+
+status "sf1 fixture: start"
+python3 dev/make_sf1.py > "/tmp/${ROUND}_sf1gen.log" 2>&1 || { status "make_sf1 FAILED"; exit 1; }
+status "sf1 bench: start"
+SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt -batch "runMain graft.Bench" > "/tmp/${ROUND}_bench_sf1.log" 2>&1
+status "sf1 bench: done"
+status "ALL DONE"
