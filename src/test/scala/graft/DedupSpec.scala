@@ -342,4 +342,56 @@ class DedupSpec extends SparkSpec {
       (12L, 1L, 2L, 1L, 0.5),   // boilerplate half gone, novel half kept
       (13L, 1L, 1L, 0L, 1.0)))  // untouched document keeps weight 1
   }
+
+  test("softDedupWeights == single-node recompute on a random planted corpus") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val p = 3
+    // random docs; every third doc replays an earlier doc's text (twins)
+    val texts = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    (0L until 40L).foreach { i =>
+      val t =
+        if (i % 3 == 2 && texts.nonEmpty) texts(rnd.nextInt(texts.size))._2
+        else Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      texts += ((i, t))
+    }
+    val docs = texts.toSeq.map { case (i, t) => (i, "s", t) }
+      .toDF("doc_id", "source", "text")
+    // cluster exact twins by text (a stand-in near-dup labeling)
+    val byText = texts.groupBy(_._2).values.filter(_.size >= 2)
+    val labels = byText.flatMap { g =>
+      val c = g.map(_._1).min; g.map(t => (t._1, c))
+    }.toSeq.toDF("doc_id", "cluster")
+    val got = Dedup.softDedupWeights(docs, labels,
+      graft.operators.Paragraphs.paragraphDupPerDoc(docs, p))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // literal single-node recompute
+    val clusterSize = byText.flatMap { g =>
+      g.map(t => t._1 -> g.size.toLong)
+    }.toMap.withDefaultValue(1L)
+    def paras(t: String): Seq[(Int, String)] =
+      t.split("\\s+", -1).toSeq.grouped(p).map(_.mkString(" ")).zipWithIndex
+        .map { case (s, i) => (i, s) }.toSeq
+    val seen = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    val dupOf = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val nOf = scala.collection.mutable.Map.empty[Long, Long]
+    texts.sortBy(_._1).foreach { case (id, t) =>
+      val ps = paras(t)
+      nOf(id) = ps.size.toLong
+      ps.foreach { case (i, s) =>
+        seen.get(s) match {
+          case Some(_) => dupOf(id) += 1L
+          case None    => seen(s) = (id, i)
+        }
+      }
+    }
+    val expected = (0L until 40L).map { id =>
+      val w = r9((1.0 / clusterSize(id)) * (1.0 - dupOf(id).toDouble / nOf(id)))
+      (id, clusterSize(id), nOf(id), dupOf(id), w)
+    }
+    assert(got == expected)
+  }
 }

@@ -44,6 +44,41 @@ class ParagraphsSpec extends SparkSpec {
       .collect().toSet == mergedSet)
   }
 
+  test("paragraphDedupIncremental == full rebuild on random increasing-id corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 3) {
+      val texts = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      (0L until 30L).foreach { i =>
+        val t =
+          if (i % 4 == 3 && texts.nonEmpty) texts(rnd.nextInt(texts.size))._2
+          else Seq.fill(1 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" ")
+        texts += ((i, t))
+      }
+      val all = texts.toSeq.map { case (i, t) => (i, "s", t) }
+        .toDF("doc_id", "source", "text")
+      val old = all.where($"doc_id" < 20L)
+      val batch = all.where($"doc_id" >= 20L)
+      val (merged, stripped) = Paragraphs.paragraphDedupIncremental(
+        Paragraphs.paragraphKeepers(old, paraTokens = 3), batch, paraTokens = 3)
+      // ids increase old -> new, so arrival order == corpus order and the
+      // incremental strip must equal the full rebuild on the batch slice
+      val expect = Paragraphs.paragraphDedupStrip(all, paraTokens = 3)
+        .where($"doc_id" >= 20L)
+        .select("doc_id", "n_paras", "n_dropped", "text_clean")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val got = stripped.select("doc_id", "n_paras", "n_dropped", "text_clean")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expect, s"trial $trial")
+      // the merged store equals a from-scratch keeper build over the union
+      val rebuilt = Paragraphs.paragraphKeepers(all, paraTokens = 3)
+        .as[(String, Long, Long)].collect().toSet
+      assert(merged.as[(String, Long, Long)].collect().toSet == rebuilt,
+        s"trial $trial store")
+    }
+  }
+
   // P=4 fixture: doc 3 is an exact twin of doc 1; doc 4's SECOND block
   // repeats doc 1's first; doc 2 contains the same tokens a b c d but
   // MISALIGNED (different blocks -> no dup); doc 6 repeats one block

@@ -780,4 +780,30 @@ class StreamingSpec extends SparkSpec {
         (4L, 9L, 0L), (5L, 6L, 0L)))
     } finally q.stop()
   }
+
+  test("streamingTokenQuota batch mode == the per-source running-sum window") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 120L).map { i =>
+      (i, s"src${rnd.nextInt(4)}",
+        Seq.fill(1 + rnd.nextInt(20))("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budget = 60L
+    val got = Streams.streamingTokenQuota(docs, budget).toDF()
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val expected = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("admitted",
+        (col("running_tokens") <= budget).cast("long"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the budget genuinely cuts: both decisions occur
+    assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+  }
 }
