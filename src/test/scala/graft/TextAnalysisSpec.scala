@@ -780,6 +780,84 @@ class TextAnalysisSpec extends SparkSpec {
     assert(inS(2L) < inS(1L) && !inS(2L).isNaN && !inS(2L).isInfinite)
   }
 
+  test("perplexityContrastKn3 == a literal single-node KN3-with-backoff recompute") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = 0.75
+    // literal model: every statistic a type count over the trigram list
+    case class M(tri: Map[(String, String, String), Long],
+        cx: Map[(String, String), (Long, Int)], ct2: Map[(String, String), Int],
+        mid: Map[String, (Long, Int)], ct1: Map[String, Int], nCt: Int, v: Int)
+    def model(docs: Seq[Seq[String]], vocab: Set[String]): M = {
+      val tris = docs.filter(_.size >= 3)
+        .flatMap(t => t.sliding(3).map(w => (w(0), w(1), w(2))))
+      val tri = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cx = tri.groupBy(k => (k._1._1, k._1._2)).view
+        .mapValues(g => (g.values.sum, g.size)).toMap
+      val ct2 = tri.keys.toSeq.map(k => (k._2, k._3)).groupBy(identity).view
+        .mapValues(_.size).toMap
+      val mid = ct2.groupBy(_._1._1).view
+        .mapValues(g => (g.values.map(_.toLong).sum, g.size)).toMap
+      val ct1 = ct2.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+      M(tri, cx, ct2, mid, ct1, ct2.size, vocab.size)
+    }
+    def score(m: M, toks: Seq[String]): Option[(Long, Double)] = {
+      if (toks.size < 3) return None
+      val lps = toks.sliding(3).toSeq.map { w =>
+        val (w1, w2, w3) = (w(0), w(1), w(2))
+        val p1 = m.ct1.get(w3) match {
+          case Some(c) => c.toDouble / m.nCt
+          case None    => 1.0 / m.v
+        }
+        val p2 = m.mid.get(w2) match {
+          case Some((mc, nm)) => m.ct2.get((w2, w3)) match {
+            case Some(c) => (c.toDouble - d) / mc + ((d * nm) / mc) * p1
+            case None    => ((d * nm) / mc) * p1
+          }
+          case None => p1
+        }
+        val p3 = m.cx.get((w1, w2)) match {
+          case Some((c12, nf)) => m.tri.get((w1, w2, w3)) match {
+            case Some(c) => (c.toDouble - d) / c12 + ((d * nf) / c12) * p2
+            case None    => ((d * nf) / c12) * p2
+          }
+          case None => p2
+        }
+        BigDecimal(r9(math.log(p3)))
+      }
+      Some((lps.size.toLong, r9((lps.sum / lps.size).toDouble)))
+    }
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpus = (0L until 25L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val toksDf = corpus.toDF("doc_id", "tokens")
+    val inDocs = corpus.filter(_._1 % 3 == 0)
+    def tcOf(ds: Seq[(Long, Seq[String])]) =
+      ds.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+        .groupBy(identity).map { case ((t, id), g) => (t, id, g.size.toLong) }
+        .toSeq.toDF("term", "doc_id", "cnt")
+    val triIn = TextAnalysis.trigramCountsFromTokens(
+      toksDf.where(col("doc_id") % 3 === 0))
+    val got = TextAnalysis.perplexityContrastKn3(toksDf, triIn, tcOf(inDocs),
+        TextAnalysis.kn3EnrichedModel(
+          TextAnalysis.trigramCountsFromTokens(toksDf), tcOf(corpus)))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val mIn = model(inDocs.map(_._2), inDocs.flatMap(_._2).toSet)
+    val mGen = model(corpus.map(_._2), corpus.flatMap(_._2).toSet)
+    val expected = corpus.flatMap { case (id, ts) =>
+      for (si <- score(mIn, ts); sg <- score(mGen, ts))
+        yield (id, si._1, si._2, sg._2, r9(si._2 - sg._2))
+    }
+    assert(got == expected && got.nonEmpty)
+    // the random split really exercises the backoff: at least one doc
+    // contains a trigram the in-domain model never saw
+    assert(corpus.exists { case (_, ts) => ts.size >= 3 &&
+      ts.sliding(3).exists(w => !mIn.tri.contains((w(0), w(1), w(2)))) })
+  }
+
   test("kn3 enriched-model serving == the five-join scorer on corpus-trained counts") {
     val toks = operators.Tfidf.tokenArrays(
       sources.Tables.documents(spark, "/root/testdata/sf0.001"))
