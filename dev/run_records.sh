@@ -27,11 +27,13 @@ status "verify+check: PASS"
 
 status "bench run1: start"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > "/tmp/${ROUND}_bench1.log" 2>&1
+if [ $? -ne 0 ]; then status "bench run1: sbt FAILED (see /tmp/${ROUND}_bench1.log)"; exit 1; fi
 cp target/plans.json "/tmp/${ROUND}_plans_run1.json" || { status "bench run1: no plans.json"; exit 1; }
 status "bench run1: done"
 
 status "bench run2: start"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > "/tmp/${ROUND}_bench2.log" 2>&1
+if [ $? -ne 0 ]; then status "bench run2: sbt FAILED (see /tmp/${ROUND}_bench2.log)"; exit 1; fi
 cp target/plans.json "/tmp/${ROUND}_plans_run2.json" || { status "bench run2: no plans.json"; exit 1; }
 status "bench run2: done"
 
@@ -39,5 +41,6 @@ status "sf1 fixture: start"
 python3 dev/make_sf1.py > "/tmp/${ROUND}_sf1gen.log" 2>&1 || { status "make_sf1 FAILED"; exit 1; }
 status "sf1 bench: start"
 SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt -batch "runMain graft.Bench" > "/tmp/${ROUND}_bench_sf1.log" 2>&1
+if [ $? -ne 0 ]; then status "sf1 bench: sbt FAILED (see /tmp/${ROUND}_bench_sf1.log)"; exit 1; fi
 status "sf1 bench: done"
 status "ALL DONE"

@@ -446,6 +446,15 @@ object SparkEntry {
         termCountsAsset(s, dir))
     }
 
+  /** Pre-enriched bigram-KN model — the kn3_model's bigram twin: one row
+    * per bigram type with all three statistics inline, so corpus-trained
+    * KN2 serving is ONE join per query instead of three stat aggregates
+    * + joins per execution. */
+  private def kn2ModelAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "kn2_model") {
+      TextAnalysis.kn2EnrichedModel(bigramCountsAsset(s, dir))
+    }
+
   /** Per-doc perplexity-contrast scores (Moore–Lewis delta vs the
     * held-out target split) — the fused two-model scoring pass runs once
     * per dataset; the score query and both selection heads serve from the
@@ -694,6 +703,7 @@ object SparkEntry {
     "ivf_lloyd_cents" -> ((s, d) => { lloydCentroidsAsset(s, d); () }),
     "bigram_counts" -> ((s, d) => { bigramCountsAsset(s, d); () }),
     "trigram_counts" -> ((s, d) => { trigramCountsAsset(s, d); () }),
+    "kn2_model" -> ((s, d) => { kn2ModelAsset(s, d); () }),
     "kn3_model" -> ((s, d) => { kn3ModelAsset(s, d); () }),
     "contrast_scores" -> ((s, d) => { contrastScoresAsset(s, d); () }),
     "paragraph_keepers_old90" -> ((s, d) => { paragraphKeepersOldAsset(s, d); () }),
@@ -1409,15 +1419,17 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
         bigramCountsAsset(s, dir), termCountsAsset(s, dir))),
     // Kneser–Ney (interpolated absolute-discount) LM scoring + the same
-    // tercile cut over it — the smoothing a real CCNet filter ships
+    // tercile cut over it — the smoothing a real CCNet filter ships;
+    // corpus-trained serving reads the pre-enriched kn2_model asset
+    // (ONE model join per pass, the kn3 serving shape)
     "lm_doc_scores_kn" -> ((s, dir) =>
-      TextAnalysis.lmDocScoresKnFromModel(
+      TextAnalysis.lmDocScoresKnServed(
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
-        bigramCountsAsset(s, dir))),
+        kn2ModelAsset(s, dir))),
     "perplexity_buckets_kn" -> ((s, dir) =>
-      TextAnalysis.perplexityBucketsKn(Tables.documents(s, dir),
+      TextAnalysis.perplexityBucketsKnServed(Tables.documents(s, dir),
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
-        bigramCountsAsset(s, dir))),
+        kn2ModelAsset(s, dir))),
     // TRIGRAM interpolated Kneser–Ney (Chen & Goodman interpolated form,
     // continuation counts at every lower order) + its tercile cut — the
     // larger-context model a CCNet-grade filter ships; all statistics
@@ -1439,9 +1451,9 @@ object SparkEntry {
       TextAnalysis.qualityRankFilterSampled(Tables.documents(s, dir),
         dropFraction = 0.25)),
     "perplexity_buckets_sampled_kn" -> ((s, dir) =>
-      TextAnalysis.perplexityBucketsSampledKn(Tables.documents(s, dir),
+      TextAnalysis.perplexityBucketsSampledKnServed(Tables.documents(s, dir),
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
-        bigramCountsAsset(s, dir))),
+        kn2ModelAsset(s, dir))),
     "perplexity_buckets_sampled_kn3" -> ((s, dir) =>
       TextAnalysis.perplexityBucketsSampledKn3Served(Tables.documents(s, dir),
         operators.Scaling.fanOut(tokenArraysAsset(s, dir)),
@@ -2015,12 +2027,15 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "text"), n = 5).toDF()
         .orderBy("doc_id", "pos")),
     // ingest-time per-source token quota: greedy-prefix admission (the
-    // batch budget selector's semantics) with refusals kept for audit;
-    // per-source counter state, batch shape == the running-sum window
+    // batch budget selector's semantics) with refusals kept for audit.
+    // Registered on the BATCH spelling — a spillable per-source
+    // running-sum window (no whole-source group buffered in one task);
+    // the stateful flatMapGroupsWithState twin serves the true stream
+    // only and is pinned row-identical by the StreamingSpec parity spec
     "streams_token_quota_batch" -> ((s, dir) =>
-      graft.streaming.Streams.streamingTokenQuota(
+      graft.streaming.Streams.tokenQuotaBatch(
         Tables.documents(s, dir).select("doc_id", "source", "text"),
-        budgetPerSource = 800L).toDF()
+        budgetPerSource = 800L)
         .orderBy("doc_id")),
     // stateless at-ingest leakage gate: benchmark Bloom literal + per-row
     // array-domain gram scoring (bloom estimates → rows-only; the spec

@@ -886,25 +886,37 @@ object Curation {
     * bucket)` projection is persisted across them — a nondeterministic
     * or recomputed-differently input can't make the driver's bucket
     * totals disagree with the second scan and silently select a wrong
-    * set. NULL scores / token counts are rejected up front (they carry
-    * no defined rank and would otherwise surface as an opaque NPE inside
-    * the histogram collect). */
+    * set. NULL or NaN scores / NULL token counts are rejected up front
+    * (a NULL score carries no defined rank; a NaN score would silently
+    * bucket while the exact spelling's `ORDER BY score DESC` ranks NaN
+    * above every real score — the two spellings' "identical doc set"
+    * contract would break; a NULL n_tokens would NPE mid-collect). */
   def tokenBudgetSelectBucketed(scored: DataFrame, budgetTokens: Long,
       bucketWidth: Double = 0.001): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     require(bucketWidth > 0.0, s"bucketWidth must be positive, got $bucketWidth")
-    val bucket = floor(col("score") / lit(bucketWidth)).cast("long")
+    // NaN routes to the NULL bucket (instead of ANSI-casting to a bogus
+    // bucket id) so the one-action guard below sees it; the NaN count
+    // distinguishes the two refusals by name
+    val bucket = when(isnan(col("score")), lit(null))
+      .otherwise(floor(col("score") / lit(bucketWidth)).cast("long"))
     val base = scored.select(col("doc_id"), col("score"), col("n_tokens"),
       bucket.as("bucket")).scopedPersist()
-    // ONE action serves both the guard and the totals: a NULL score rows
-    // into the NULL-key group, a NULL n_tokens makes count(n_tokens) lag
-    // count(*) for its bucket — both refuse with a named error instead of
-    // an NPE mid-collect
+    // ONE action serves both the guards and the totals: a NULL/NaN score
+    // rows into the NULL-key group (NaN counted separately), a NULL
+    // n_tokens makes count(n_tokens) lag count(*) for its bucket — all
+    // three refuse with a named error instead of an NPE mid-collect
     val histRows = base.groupBy("bucket")
       .agg(sum(col("n_tokens")).as("toks"), count(lit(1)).as("n"),
-        count(col("n_tokens")).as("n_tok"))
+        count(col("n_tokens")).as("n_tok"),
+        count(when(isnan(col("score")), lit(1))).as("n_nan"))
       .collect()
     histRows.find(_.isNullAt(0)).foreach { r =>
+      if (r.getLong(4) > 0)
+        throw new IllegalArgumentException(
+          s"scored frame has ${r.getLong(4)} NaN-score row(s) — NaN has no " +
+            "defined rank (the exact selector would order it above every " +
+            "real score); filter or re-score them first")
       throw new IllegalArgumentException(
         s"scored frame has ${r.getLong(2)} NULL-score row(s) — a budget " +
           "selection needs every row ranked; filter or score them first")

@@ -627,15 +627,30 @@ object TextAnalysis {
   def lmDocScoresKnFromModel(toks: DataFrame, bigrams: DataFrame,
       d: Double = 0.75): DataFrame = {
     require(d > 0.0 && d < 1.0, s"discount d=$d must be in (0, 1)")
-    val ctxCounts = bigrams.groupBy("w1")
-      .agg(sum("n_ab").as("n_ctx"), count(lit(1)).as("n1p_fwd"))
-    val contCounts = bigrams.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
-    val types = bigrams.agg(count(lit(1)).as("n_types"))
-    adjacentPairs(toks, "tokens", Seq("doc_id"))
+    val (ctxCounts, contCounts, types) = kn2ModelTables(bigrams)
+    kn2Aggregate(adjacentPairs(toks, "tokens", Seq("doc_id"))
       .join(bigrams, Seq("w1", "w2"))
       .join(ctxCounts, Seq("w1"))
       .join(contCounts, Seq("w2"))
-      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(types)), d)
+  }
+
+  /** The bigram-KN model's three statistic aggregates — ONE spelling for
+    * the per-query joins ([[lmDocScoresKnFromModel]]) and the pre-enriched
+    * asset ([[kn2EnrichedModel]]), so the two serving paths can never
+    * disagree on a statistic's definition. */
+  private def kn2ModelTables(bigrams: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    bigrams.groupBy("w1")
+      .agg(sum("n_ab").as("n_ctx"), count(lit(1)).as("n1p_fwd")),
+    bigrams.groupBy("w2").agg(count(lit(1)).as("n1p_rev")),
+    bigrams.agg(count(lit(1)).as("n_types")))
+
+  /** THE interpolated-KN2 scoring tail — the `p_KN` double (fixed
+    * operation order, bit-identical across engines), the 9-rounded `ln`,
+    * and the DECIMAL-routed per-doc mean; shared by the stat-join and
+    * enriched-asset paths. */
+  private def kn2Aggregate(joined: DataFrame, d: Double): DataFrame =
+    joined
       .withColumn("pkn",
         (col("n_ab").cast("double") - d) / col("n_ctx")
           + ((lit(d) * col("n1p_fwd")) / col("n_ctx"))
@@ -647,7 +662,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_transitions"),
         round(col("lp_sum").cast("double") / col("n_transitions"), 9).as("avg_logprob"))
       .orderBy("doc_id")
+
+  /** PRE-ENRICHED bigram-KN model table — one row per bigram TYPE
+    * carrying every scoring statistic (`n_ab, n_ctx, n1p_fwd, n1p_rev`)
+    * plus the type-count scalar as a constant column (parquet RLE makes
+    * it free): the bigram twin of [[kn3EnrichedModel]]. Built ONCE per
+    * dataset as an asset, so corpus-trained KN2 serving collapses from
+    * three stat joins per scoring pass to ONE `(w1, w2)` join. Only
+    * valid for corpus-trained self-scoring (seen transitions — the same
+    * contract as the trigram asset, [[kn3ServedUnseenTransitions]] is the
+    * audit); held-out scoring keeps the stat-join path. */
+  def kn2EnrichedModel(bigrams: DataFrame): DataFrame = {
+    val (ctxCounts, contCounts, types) = kn2ModelTables(bigrams)
+    bigrams.join(ctxCounts, Seq("w1"))
+      .join(contCounts, Seq("w2"))
+      .crossJoin(broadcast(types))
   }
+
+  /** Corpus-trained KN2 scoring served from [[kn2EnrichedModel]] — one
+    * model join, values identical to [[lmDocScoresKnFromModel]] on the
+    * same counts (same shared scoring tail; spec-pinned). */
+  def lmDocScoresKnServed(toks: DataFrame, enriched: DataFrame,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"discount d=$d must be in (0, 1)")
+    kn2Aggregate(adjacentPairs(toks, "tokens", Seq("doc_id"))
+      .join(enriched, Seq("w1", "w2")), d)
+  }
+
+  /** [[perplexityBucketsKn]] served from the enriched bigram model. */
+  def perplexityBucketsKnServed(docs: DataFrame, toks: DataFrame,
+      enriched: DataFrame, d: Double = 0.75): DataFrame =
+    bucketByFluency(docs, lmDocScoresKnServed(toks, enriched, d))
+
+  /** [[perplexityBucketsSampledKn]] served from the enriched bigram
+    * model — same sketch-threshold cut, one model join. */
+  def perplexityBucketsSampledKnServed(docs: DataFrame, toks: DataFrame,
+      enriched: DataFrame, d: Double = 0.75, accuracy: Int = 100000): DataFrame =
+    bucketByFluencyThresholds(docs, lmDocScoresKnServed(toks, enriched, d),
+      accuracy)
 
   /** TRIGRAM interpolated Kneser–Ney document scoring — the larger-context
     * model a CCNet-grade fluency filter actually ships (Chen & Goodman
@@ -735,6 +787,24 @@ object TextAnalysis {
         round(col("lp_sum").cast("double") / col("n_transitions"), 9).as("avg_logprob"))
       .orderBy("doc_id")
   }
+
+  /** Contract probe for the corpus-trained served scorers: the
+    * transitions in `toks` the enriched model has NEVER seen, with their
+    * owning documents. [[lmDocScoresKn3Served]] and
+    * [[perplexityContrastKn3]] inner-join the enriched model, so a caller
+    * violating the corpus-trained contract (scoring text whose
+    * transitions the model wasn't trained on) silently drops those
+    * transitions — `avg_logprob`/`n_transitions` shift instead of
+    * failing. This frame is the cheap audit: EMPTY under the contract
+    * (spec-pinned against the registry assets), and the assertion point
+    * for callers who need the contract enforced
+    * (`require(kn3ServedUnseenTransitions(...).isEmpty)`) — held-out
+    * scoring belongs on [[lmDocScoresKn3FromModel]]'s backoff ladder
+    * instead. One anti-join of the transition stream against the model
+    * keys; no stats move. */
+  def kn3ServedUnseenTransitions(toks: DataFrame, enriched: DataFrame): DataFrame =
+    adjacentTriples(toks, "tokens", Seq("doc_id"))
+      .join(enriched.select("w1", "w2", "w3"), Seq("w1", "w2", "w3"), "left_anti")
 
   /** [[perplexityBucketsKn3]] served from the enriched model asset. */
   def perplexityBucketsKn3Served(docs: DataFrame, toks: DataFrame,

@@ -694,18 +694,21 @@ object Streams {
     * by the source vocabulary, so there is NO timeout eviction: a quota
     * that silently resets on idleness would re-admit past its budget.
     *
-    * Batch mode feeds each source group sorted by `doc_id`, so the
-    * decisions are exactly the per-source running-sum window — the
-    * registered `streams_token_quota_batch` query is oracle-checked
-    * against that spelling. In streaming mode arrival order decides
-    * within each micro-batch (sorted by doc_id inside a batch, state
-    * carrying across batches). */
+    * THIS OPERATOR IS FOR THE TRUE STREAM ONLY, where each
+    * `flatMapGroupsWithState` group is micro-batch-bounded (admission is
+    * inherently serial per source, so a per-batch sort inside the group
+    * is the honest cost). Running it in BATCH mode would materialize and
+    * sort an entire source's corpus inside one executor task — an
+    * O(source) heap buffer on a skewed source. The batch shape is
+    * [[tokenQuotaBatch]], a spillable sort-based window producing the
+    * IDENTICAL decisions (parity spec in `StreamingSpec`): each group
+    * arrives sorted by `doc_id` there, so both spellings are the same
+    * per-source running sum. */
   def streamingTokenQuota(docs: DataFrame, budgetPerSource: Long): Dataset[QuotaDecision] = {
     require(budgetPerSource > 0, s"budgetPerSource must be positive, got $budgetPerSource")
     import docs.sparkSession.implicits._
     val rows = docs.select(col("doc_id").cast("long").as("doc_id"),
-        col("source"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        col("source"), quotaTokenCol(docs).as("n_tokens"))
       .as[QuotaDoc]
     rows.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -720,6 +723,38 @@ object Streams {
           state.update(used)
           out.result().iterator
         })
+  }
+
+  /** Shared token-count spelling for the quota family: prefer a
+    * precomputed `n_tokens` column when the upstream already carries one
+    * (an ingest pipeline usually counted tokens earlier in the same
+    * scan); otherwise derive it from `text` with the batch selectors'
+    * definition (raw whitespace split). */
+  private def quotaTokenCol(docs: DataFrame): org.apache.spark.sql.Column =
+    if (docs.columns.contains("n_tokens")) col("n_tokens").cast("long")
+    else size(split(col("text"), "\\s+")).cast("long")
+
+  /** The per-source token quota's BATCH spelling — the scale-safe shape
+    * for scoring a full corpus: one spillable sort-based window
+    * (`sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)`) instead
+    * of buffering each source inside a single `flatMapGroupsWithState`
+    * task. Semantics are exactly [[streamingTokenQuota]]'s greedy-prefix
+    * admission with every arrival kept for audit (`admitted` 1/0, running
+    * total accumulates refused rows too), and batch-mode
+    * `streamingTokenQuota` — doc_id-sorted groups — produces the
+    * identical rows (parity spec in `StreamingSpec`). At 100 TB a
+    * source-skewed corpus (one web crawl ≈ 90 % of mass) sorts and spills
+    * inside the window's exchange instead of one executor heap. */
+  def tokenQuotaBatch(docs: DataFrame, budgetPerSource: Long): DataFrame = {
+    require(budgetPerSource > 0, s"budgetPerSource must be positive, got $budgetPerSource")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        quotaTokenCol(docs).as("n_tokens"))
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("admitted",
+        (col("running_tokens") <= lit(budgetPerSource)).cast("long"))
   }
 
   case class GramOcc(gh: Long, doc_id: Long, pos: Long)

@@ -74,6 +74,29 @@ class BudgetMixSpec extends SparkSpec {
     assert(e2.getMessage.contains("NULL n_tokens"), e2.getMessage)
   }
 
+  test("bucketed selection refuses NaN scores by name (exact/bucketed contract)") {
+    // NaN would bucket silently while the exact spelling's ORDER BY
+    // score DESC ranks NaN above every real score — the 'identical doc
+    // set' contract between the two spellings would break
+    val nanScore = Seq((1L, 0.9, 10L), (2L, Double.NaN, 5L))
+      .toDF("doc_id", "score", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.CacheScope {
+        Curation.tokenBudgetSelectBucketed(nanScore, 100L).collect()
+      }
+    }
+    assert(e.getMessage.contains("NaN-score"), e.getMessage)
+    // a NULL+NaN mix still names NaN (the more surprising defect) first
+    val both = Seq((1L, Some(0.9), 10L), (2L, Some(Double.NaN), 5L),
+      (3L, None, 5L)).toDF("doc_id", "score", "n_tokens")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.CacheScope {
+        Curation.tokenBudgetSelectBucketed(both, 100L).collect()
+      }
+    }
+    assert(e2.getMessage.contains("NaN-score"), e2.getMessage)
+  }
+
   private def mixDocs = {
     // token counts by construction: src_a 400 tokens over 4 docs,
     // src_b 80 over 2, src_c 20 over 1 (total 500)

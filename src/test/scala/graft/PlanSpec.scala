@@ -434,6 +434,23 @@ class PlanSpec extends SparkSpec {
     } finally scored.unpersist()
   }
 
+  test("batch token quota plans a spillable window, never a stateful group-materialize") {
+    val df = graft.streaming.Streams.tokenQuotaBatch(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      budgetPerSource = 800L)
+    df.collect()
+    val p = plan(df)
+    // the r11 weak mark: batch mode must NOT route through
+    // flatMapGroupsWithState (an O(source) heap buffer in one task) —
+    // the per-source running sum is a sort-based window that spills
+    assert(!p.contains("FlatMapGroupsWithState"),
+      "batch quota must not buffer whole sources in one task:\n" + p.take(2000))
+    assert(!p.contains("SerializeFromObject"),
+      "batch quota must stay in Tungsten rows (no object round-trip):\n" + p.take(2000))
+    assert(p.contains("Window"),
+      "the per-source running sum must be a window:\n" + p.take(2000))
+  }
+
   test("decontaminateSemantic broadcasts the benchmark; corpus shuffles only to aggregate") {
     val df = graft.operators.Curation.decontaminateSemantic(
       Tables.embeddings(spark, dir),

@@ -781,7 +781,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streamingTokenQuota batch mode == the per-source running-sum window") {
+  test("streamingTokenQuota batch mode == tokenQuotaBatch (the window spelling)") {
     val rnd = new scala.util.Random(11)
     val docs = (0L until 120L).map { i =>
       (i, s"src${rnd.nextInt(4)}",
@@ -791,19 +791,28 @@ class StreamingSpec extends SparkSpec {
     val got = Streams.streamingTokenQuota(docs, budget).toDF()
       .orderBy("doc_id")
       .as[(Long, String, Long, Long, Long)].collect().toSeq
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Long.MinValue, 0)
-    val expected = docs
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
-      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("admitted",
-        (col("running_tokens") <= budget).cast("long"))
+    val expected = Streams.tokenQuotaBatch(docs, budget)
       .orderBy("doc_id")
       .as[(Long, String, Long, Long, Long)].collect().toSeq
     assert(got == expected)
     // the budget genuinely cuts: both decisions occur
     assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+  }
+
+  test("tokenQuotaBatch prefers a precomputed n_tokens column") {
+    // n_tokens deliberately DISAGREES with the text so the test proves
+    // which one the operator reads
+    val docs = Seq((1L, "a", "x", 4L), (2L, "a", "x", 3L), (3L, "b", "x", 9L))
+      .toDF("doc_id", "source", "text", "n_tokens")
+    val got = Streams.tokenQuotaBatch(docs, budgetPerSource = 5L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 4L, 4L, 1L), (2L, "a", 3L, 7L, 0L),
+      (3L, "b", 9L, 9L, 0L)))
+    // ...and the streaming twin reads the same column (shared spelling)
+    val stream = Streams.streamingTokenQuota(docs, budgetPerSource = 5L).toDF()
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(stream == got)
   }
 }

@@ -872,4 +872,36 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(served == full && served.nonEmpty)
   }
+
+  test("kn2 enriched-model serving == the three-join scorer on corpus-trained counts") {
+    val toks = operators.Tfidf.tokenArrays(
+      sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val bi = TextAnalysis.bigramCountsFromTokens(toks)
+    val enriched = TextAnalysis.kn2EnrichedModel(bi)
+    val served = TextAnalysis.lmDocScoresKnServed(toks, enriched)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val full = TextAnalysis.lmDocScoresKnFromModel(toks, bi)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(served == full && served.nonEmpty)
+  }
+
+  test("kn3ServedUnseenTransitions: empty under the corpus-trained contract, names violations") {
+    val toks = operators.Tfidf.tokenArrays(
+      sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val tc = operators.Tfidf.termCounts(
+      operators.Tfidf.tokenizePortable(
+        sources.Tables.documents(spark, "/root/testdata/sf0.001")))
+    val enriched = TextAnalysis.kn3EnrichedModel(
+      TextAnalysis.trigramCountsFromTokens(toks), tc)
+    // corpus-trained: every scored transition is a model row
+    assert(TextAnalysis.kn3ServedUnseenTransitions(toks, enriched).isEmpty)
+    // a held-out document with a novel transition surfaces it — exactly
+    // the rows the served inner join would silently drop
+    val heldOut = Seq((999L, Seq("zzznovel", "zzzunseen", "zzzalien")))
+      .toDF("doc_id", "tokens")
+    val unseen = TextAnalysis.kn3ServedUnseenTransitions(heldOut, enriched)
+    assert(unseen.count() == 1L)
+    val servedRows = TextAnalysis.lmDocScoresKn3Served(heldOut, enriched).count()
+    assert(servedRows == 0L, "served scorer silently drops the unseen transition")
+  }
 }
