@@ -479,6 +479,17 @@ object SparkEntry {
         paraTokens = 16)
     }
 
+  /** The DELIMITER-cut keeper store over the same pre-append slice — the
+    * real-boundary sibling of `paragraph_keepers_old90` (real corpora cut
+    * on `\n{2,}`; the single-line fixture's stand-in separator is the
+    * registry's usual ` table ` word). */
+  private def paragraphKeepersDelimOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "paragraph_keepers_delim_old90") {
+      Paragraphs.paragraphKeepersByDelimiter(
+        Tables.documents(s, dir).where(col("doc_id") % 10 =!= 9),
+        "\\s+table\\s+")
+    }
+
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
     * whole span-dedup family (detect/stats/strip, exact + hashed) marks
     * back against; as an asset the corpus tokenizes + windows ONCE per
@@ -707,6 +718,7 @@ object SparkEntry {
     "kn3_model" -> ((s, d) => { kn3ModelAsset(s, d); () }),
     "contrast_scores" -> ((s, d) => { contrastScoresAsset(s, d); () }),
     "paragraph_keepers_old90" -> ((s, d) => { paragraphKeepersOldAsset(s, d); () }),
+    "paragraph_keepers_delim_old90" -> ((s, d) => { paragraphKeepersDelimOldAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
@@ -1790,6 +1802,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_paras"), col("n_dropped"),
           md5(col("text_clean").cast("binary")).as("clean_fp"))
         .orderBy("doc_id")),
+    // ...and the same incremental maintenance over REAL (delimiter-cut)
+    // paragraph boundaries — the cut real corpora use (`\n{2,}`; the
+    // fixture's stand-in separator as in the delim batch family); shares
+    // the cut-agnostic keeper/strip core with the fixed-width replay
+    "paragraph_dedup_incremental_delim" -> ((s, dir) =>
+      Paragraphs.paragraphDedupIncrementalByDelimiter(
+        paragraphKeepersDelimOldAsset(s, dir),
+        Tables.documents(s, dir).where(col("doc_id") % 10 === 9),
+        "\\s+table\\s+")._2
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          md5(col("text_clean").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")),
     // per-source paragraph duplication rates (how boilerplate-heavy each
     // source is at paragraph granularity)
     "paragraph_dup_stats" -> ((s, dir) =>
@@ -1853,6 +1877,12 @@ object SparkEntry {
     // ...and its md5-coin application (map-side flip per document)
     "temperature_mix_sample" -> ((s, dir) =>
       Curation.temperatureMixSample(Tables.documents(s, dir), 0.5, 15000L)),
+    // ...and the quota COMPOSITION: per-source ingest budgets = the
+    // mixing plan's tempered probability × the absolute token target
+    // (replaces the constant-budget quota's hand-picked 800; that query
+    // stays registered as the plain-quota form)
+    "token_quota_mix_composed" -> ((s, dir) =>
+      Curation.tokenQuotaMixComposed(Tables.documents(s, dir), 0.5, 15000L)),
     // overlapping token-window chunking (context-length splitting)
     "chunk_documents" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir), 64, 16)),
@@ -4531,6 +4561,28 @@ object SparkEntry {
          |FROM rawtoks t LEFT JOIN dri USING (doc_id)
          |WHERE t.doc_id % 10 = 9
          |ORDER BY t.doc_id""".stripMargin,
+    // arrival-order keepers over the DELIMITER cut (old slice ranks
+    // before the append batch), strip replayed for the NEW documents only
+    "paragraph_dedup_incremental_delim" ->
+      s"""$delimParaOracleCtes,
+         |admarked AS (
+         |  SELECT doc_id, para_idx, fp,
+         |    row_number() OVER (PARTITION BY fp
+         |      ORDER BY (doc_id % 10 = 9), doc_id, para_idx) AS rn
+         |  FROM dparas),
+         |drid AS (
+         |  SELECT doc_id, list(para_idx) AS dropped
+         |  FROM admarked WHERE rn > 1 AND doc_id % 10 = 9 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ps) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(len(drid.dropped), 0) AS BIGINT) AS n_dropped,
+         |  md5(CASE WHEN drid.doc_id IS NULL THEN d.text
+         |    ELSE coalesce(array_to_string(list_filter(d.ps, (x, i) ->
+         |      NOT list_contains(drid.dropped, CAST(i - 1 AS BIGINT))),
+         |      chr(10) || chr(10)), '')
+         |    END) AS clean_fp
+         |FROM dps d LEFT JOIN drid USING (doc_id)
+         |WHERE d.doc_id % 10 = 9
+         |ORDER BY d.doc_id""".stripMargin,
     // both budget selectors compare against the ONE exact spelling —
     // the bucketed scale path must pick the identical document set
     "token_budget_select" -> tokenBudgetSql,
@@ -4547,6 +4599,23 @@ object SparkEntry {
          |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
          |    / 4294967296.0 < mix.rate
          |ORDER BY d.doc_id""".stripMargin,
+    "token_quota_mix_composed" ->
+      s"""$tempMixCtes,
+         |ntq AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |runq AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS BIGINT) AS running_tokens
+         |  FROM ntq)
+         |SELECT r.doc_id, r.source, r.n_tokens, r.running_tokens,
+         |  mix.p * 15000.0 AS budget_tokens,
+         |  CAST(CAST(r.running_tokens AS DOUBLE) <= mix.p * 15000.0 AS BIGINT)
+         |    AS admitted
+         |FROM runq r JOIN mix USING (source)
+         |ORDER BY r.doc_id""".stripMargin,
     "paragraph_dedup_strip_delim" ->
       s"""$delimParaOracleCtes,
          |dr AS (

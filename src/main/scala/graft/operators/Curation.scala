@@ -1000,6 +1000,44 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Per-source ingest QUOTAS composed from the temperature-mixing plan —
+    * closing the ingest-admission ↔ mixing-plan loop: instead of a
+    * hand-picked constant budget per source
+    * ([[graft.streaming.Streams.tokenQuotaBatch]]'s registry form), each
+    * source's token budget is its tempered probability × the absolute
+    * token target (`p · targetTokens` — exactly the token mass
+    * [[temperatureMixRates]] plans for that source; greedy admission
+    * caps at the available mass implicitly). Decisions are the quota
+    * family's greedy prefix: running totals accumulate every arrival,
+    * refusals stay visible.
+    *
+    * Scale shape: the plan is #sources rows (broadcast); the corpus pays
+    * one narrow projection + one spillable per-source running-sum
+    * window — the same shape as the constant-budget batch quota.
+    * Parity: `p` is the 9-rounded plan probability and the budget is one
+    * IEEE double product, so the admission predicate replays exactly in
+    * the oracle. */
+  def tokenQuotaMixComposed(docs: DataFrame, alpha: Double,
+      targetTokens: Long): DataFrame = {
+    val budgets = temperatureMixRates(docs, alpha, targetTokens)
+      .select(col("source"),
+        (col("p") * lit(targetTokens.toDouble)).as("budget_tokens"))
+    val nt = graft.functions.TextFunctions.surfaceStats(col("text"))
+      .getField("n_tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    docs.select(col("doc_id"), col("source"), nt.cast("long").as("n_tokens"))
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets), "source")
+      .withColumn("admitted",
+        (col("running_tokens").cast("double") <= col("budget_tokens"))
+          .cast("long"))
+      .select("doc_id", "source", "n_tokens", "running_tokens",
+        "budget_tokens", "admitted")
+      .orderBy("doc_id")
+  }
+
   /** Apply [[temperatureMixRates]] as a stable per-document sample: the
     * house md5 coin (exact power-of-two division, bit-portable) against
     * the broadcast per-source rate — domain rebalancing as one map-side

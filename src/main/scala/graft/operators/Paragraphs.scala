@@ -150,7 +150,27 @@ object Paragraphs {
   def paragraphDedupIncremental(storedKeepers: DataFrame, newDocs: DataFrame,
       paraTokens: Int = 16): (DataFrame, DataFrame) = {
     require(paraTokens > 0, s"paraTokens must be positive, got $paraTokens")
-    val paras = paragraphs(newDocs, paraTokens)
+    paragraphDedupIncrementalBy(storedKeepers, newDocs,
+      fixedParas(paraTokens), " ")
+  }
+
+  /** [[paragraphDedupIncremental]] over REAL (delimiter-cut) paragraph
+    * boundaries — same FIRST-ARRIVED keeper-store semantics, same shared
+    * strip tail; only the cut differs (the store must have been built
+    * with the SAME `delim`, or content keys can't match —
+    * [[paragraphKeepersByDelimiter]] is the matching builder). */
+  def paragraphDedupIncrementalByDelimiter(storedKeepers: DataFrame,
+      newDocs: DataFrame, delim: String,
+      joiner: String = "\n\n"): (DataFrame, DataFrame) = {
+    require(delim.nonEmpty, "delimiter regex must be non-empty")
+    paragraphDedupIncrementalBy(storedKeepers, newDocs, delimParas(delim), joiner)
+  }
+
+  /** The cut-agnostic incremental core both registered cuts share. */
+  private def paragraphDedupIncrementalBy(storedKeepers: DataFrame,
+      newDocs: DataFrame, parr: Column,
+      joiner: String): (DataFrame, DataFrame) = {
+    val paras = parasFromArray(newDocs, parr, Nil)
     val storedFps = storedKeepers.select("fp")
     val batchFirst = keepers(paras.select("fp", "doc_id", "para_idx"))
     val droppedOccs = paras
@@ -165,7 +185,16 @@ object Paragraphs {
       .select(col("fp"), col("k.d").as("doc_id"), col("k.p").as("para_idx"))
     val merged = storedKeepers.select("fp", "doc_id", "para_idx")
       .unionByName(newKeepers)
-    (merged, stripByDropped(newDocs, fixedParas(paraTokens), " ", dropped))
+    (merged, stripByDropped(newDocs, parr, joiner, dropped))
+  }
+
+  /** The delimiter-cut keeper store — [[paragraphKeepers]]' sibling for
+    * [[paragraphDedupIncrementalByDelimiter]]. */
+  def paragraphKeepersByDelimiter(docs: DataFrame, delim: String): DataFrame = {
+    require(delim.nonEmpty, "delimiter regex must be non-empty")
+    keepers(parasFromArray(docs, delimParas(delim), Nil)
+        .select("fp", "doc_id", "para_idx"))
+      .select(col("fp"), col("k.d").as("doc_id"), col("k.p").as("para_idx"))
   }
 
   /** Per-source duplication report `(source, n_paras, n_dup, dup_rate)` —

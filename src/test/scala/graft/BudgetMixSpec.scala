@@ -154,4 +154,29 @@ class BudgetMixSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got == expected && got.nonEmpty && got.size < srcOf.size)
   }
+
+  test("tokenQuotaMixComposed: budgets = plan p × target, greedy prefix per source") {
+    val got = Curation.tokenQuotaMixComposed(mixDocs, 0.5, targetTokens = 250L)
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSeq
+    val p = Curation.temperatureMixRates(mixDocs, 0.5, targetTokens = 250L)
+      .select("source", "p").as[(String, Double)].collect().toMap
+    // hand-replay: per source in doc_id order, running totals accumulate
+    // every arrival, admitted while the total stays under p × target
+    val docs = Seq((1L, "src_a", 100L), (2L, "src_a", 100L), (3L, "src_a", 100L),
+      (4L, "src_a", 100L), (5L, "src_b", 40L), (6L, "src_b", 40L),
+      (7L, "src_c", 20L))
+    var run = Map.empty[String, Long].withDefaultValue(0L)
+    val expect = docs.map { case (id, src, nt) =>
+      val r = run(src) + nt; run += src -> r
+      val budget = p(src) * 250.0
+      (id, src, nt, r, budget, if (r.toDouble <= budget) 1L else 0L)
+    }
+    assert(got == expect)
+    // the composition genuinely decides: admits AND refusals occur, and
+    // the tail source's whole (tiny) mass is admitted while the head
+    // source is cut — the temperature flattening visible at ingest
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L))
+    assert(got.filter(_._2 == "src_c").forall(_._6 == 1L))
+    assert(got.count(r => r._2 == "src_a" && r._6 == 0L) >= 2)
+  }
 }

@@ -79,6 +79,36 @@ class ParagraphsSpec extends SparkSpec {
     }
   }
 
+  test("paragraphDedupIncrementalByDelimiter == full delimiter rebuild on increasing ids") {
+    val rnd = new scala.util.Random(29)
+    val paras = Vector("aa bb", "cc", "dd ee ff", "gg hh")
+    val texts = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    (0L until 24L).foreach { i =>
+      val t =
+        if (i % 4 == 3 && texts.nonEmpty) texts(rnd.nextInt(texts.size))._2
+        else Seq.fill(1 + rnd.nextInt(3))(paras(rnd.nextInt(paras.size)))
+          .mkString("\n\n")
+      texts += ((i, t))
+    }
+    val all = texts.toSeq.map { case (i, t) => (i, "s", t) }
+      .toDF("doc_id", "source", "text")
+    val old = all.where($"doc_id" < 16L)
+    val batch = all.where($"doc_id" >= 16L)
+    val (merged, stripped) = Paragraphs.paragraphDedupIncrementalByDelimiter(
+      Paragraphs.paragraphKeepersByDelimiter(old, "\\n{2,}"), batch, "\\n{2,}")
+    val expect = Paragraphs.paragraphDedupStripByDelimiter(all, "\\n{2,}")
+      .where($"doc_id" >= 16L)
+      .select("doc_id", "n_paras", "n_dropped", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val got = stripped.select("doc_id", "n_paras", "n_dropped", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+    // the merged store equals a from-scratch delimiter keeper build
+    val rebuilt = Paragraphs.paragraphKeepersByDelimiter(all, "\\n{2,}")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged.as[(String, Long, Long)].collect().toSet == rebuilt)
+  }
+
   // P=4 fixture: doc 3 is an exact twin of doc 1; doc 4's SECOND block
   // repeats doc 1's first; doc 2 contains the same tokens a b c d but
   // MISALIGNED (different blocks -> no dup); doc 6 repeats one block
