@@ -469,6 +469,38 @@ object SparkEntry {
         kn3ModelAsset(s, dir))
     }
 
+  /** Trigram counts over the pre-append corpus slice (doc_id % 10 ≠ 9) —
+    * the STORED general-model snapshot the contrast-score snapshot
+    * protocol serves from: batch scoring aggregates its per-order
+    * statistics from this narrow model table (model-sized work), never
+    * from a corpus rescan. */
+  private def trigramCountsOld90Asset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "trigram_counts_old90") {
+      TextAnalysis.trigramCountsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+          .where(col("doc_id") % 10 =!= 9))
+    }
+
+  /** Pre-append contrast scores — the stored snapshot-scored asset the
+    * incremental replay unions with the batch's fresh scores: every old
+    * document scored ONCE against the old90 snapshot models (in-domain =
+    * the pre-append curated split old90 ∩ %53; general = the old90
+    * trigram snapshot) and never re-scored until a snapshot rebuild.
+    * Both ladders run held-out form so the stored scores and any later
+    * batch's scores come from ONE spelling. */
+  private def contrastScoresOld90Asset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "contrast_scores_old90") {
+      val toksOld = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+        .where(col("doc_id") % 10 =!= 9)
+      TextAnalysis.perplexityContrastKn3Heldout(toksOld,
+        TextAnalysis.trigramCountsFromTokens(
+          toksOld.where(col("doc_id") % 53 === 0)),
+        termCountsAsset(s, dir)
+          .where(col("doc_id") % 10 =!= 9 && col("doc_id") % 53 === 0),
+        trigramCountsOld90Asset(s, dir),
+        termCountsAsset(s, dir).where(col("doc_id") % 10 =!= 9))
+    }
+
   /** The paragraph keeper store over the pre-append corpus slice
     * (doc_id % 10 ≠ 9 — the same replay split every incremental index
     * uses): "the stored paragraph index before the batch arrived". */
@@ -717,6 +749,8 @@ object SparkEntry {
     "kn2_model" -> ((s, d) => { kn2ModelAsset(s, d); () }),
     "kn3_model" -> ((s, d) => { kn3ModelAsset(s, d); () }),
     "contrast_scores" -> ((s, d) => { contrastScoresAsset(s, d); () }),
+    "trigram_counts_old90" -> ((s, d) => { trigramCountsOld90Asset(s, d); () }),
+    "contrast_scores_old90" -> ((s, d) => { contrastScoresOld90Asset(s, d); () }),
     "paragraph_keepers_old90" -> ((s, d) => { paragraphKeepersOldAsset(s, d); () }),
     "paragraph_keepers_delim_old90" -> ((s, d) => { paragraphKeepersDelimOldAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
@@ -1498,6 +1532,37 @@ object SparkEntry {
       Curation.tokenBudgetSelect(delta.join(nt, "doc_id"),
         budgetTokens = 6000L)
     }),
+    // INCREMENTAL contrast maintenance — the snapshot protocol that
+    // completes the incremental family for the one remaining asset:
+    // stored scores stay pinned to the model snapshot that produced them
+    // (immutable, like served strips), the append batch scores against
+    // the STORED old90 snapshot with BOTH backoff ladders live (general
+    // side held-out too — unseen batch transitions back off instead of
+    // dropping), at O(batch) corpus cost + model-sized stat aggregates.
+    // An exact changed-docs-only re-score is impossible for KN (global
+    // continuation scalars move under any new type — scaladoc on the
+    // operator); the rebuild cadence reads contrast_refresh_impact.
+    "perplexity_contrast_incremental" -> ((s, dir) => {
+      val toksAll = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      contrastScoresOld90Asset(s, dir)
+        .unionByName(TextAnalysis.perplexityContrastKn3Heldout(
+          toksAll.where(col("doc_id") % 10 === 9),
+          TextAnalysis.trigramCountsFromTokens(
+            toksAll.where(col("doc_id") % 10 =!= 9 && col("doc_id") % 53 === 0)),
+          termCountsAsset(s, dir)
+            .where(col("doc_id") % 10 =!= 9 && col("doc_id") % 53 === 0),
+          trigramCountsOld90Asset(s, dir),
+          termCountsAsset(s, dir).where(col("doc_id") % 10 =!= 9)))
+        .orderBy("doc_id")
+    }),
+    // ...and the rebuild-due audit: how the stored snapshot's global
+    // scalars would move under this batch — n_new_types > 0 means a
+    // rebuild re-prices every stored score; narrow type-key probes only
+    "contrast_refresh_impact" -> ((s, dir) =>
+      TextAnalysis.kn3RefreshImpact(trigramCountsOld90Asset(s, dir),
+        TextAnalysis.trigramCountsFromTokens(
+          operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+            .where(col("doc_id") % 10 === 9)))),
     // topic-rebalancing cap over the SemDeDup cluster assignment: at most
     // `cap` representatives per semantic cluster, rank-exact
     "cluster_balanced_sample" -> ((s, dir) =>
@@ -2836,50 +2901,69 @@ object SparkEntry {
        |  GROUP BY doc_id
        |)""".stripMargin
 
+  /** The interpolated-KN3 backoff CASE ladder over `x`-suffixed model
+    * table aliases (`tc3x cx3x ct2x mdx ct1x nctx vszx`) — ONE generator
+    * for every oracle that scores text under a subset-trained model
+    * (unseen trigram → bigram continuation → unigram → uniform 1/V),
+    * spelled branch-for-branch as the Spark `kn3P3` column. */
+  private def kn3LadderSql(x: String): String = {
+    val p1 = s"CASE WHEN ct1$x.cont3 IS NOT NULL" +
+      s" THEN CAST(ct1$x.cont3 AS DOUBLE) / nct$x.n_ct" +
+      s" ELSE CAST(1 AS DOUBLE) / vsz$x.v_size END"
+    val lam2 = s"((0.75 * md$x.n1p_mid) / md$x.mid_ctx)"
+    val p2 = s"CASE WHEN md$x.mid_ctx IS NOT NULL THEN" +
+      s" (CASE WHEN ct2$x.cont23 IS NOT NULL" +
+      s" THEN (CAST(ct2$x.cont23 AS DOUBLE) - 0.75) / md$x.mid_ctx + $lam2 * ($p1)" +
+      s" ELSE $lam2 * ($p1) END)" +
+      s" ELSE ($p1) END"
+    val lam3 = s"((0.75 * cx3$x.n1p_fwd12) / cx3$x.c12)"
+    s"CASE WHEN cx3$x.c12 IS NOT NULL THEN" +
+      s" (CASE WHEN tc3$x.n_abc IS NOT NULL" +
+      s" THEN (CAST(tc3$x.n_abc AS DOUBLE) - 0.75) / cx3$x.c12 + $lam3 * ($p2)" +
+      s" ELSE $lam3 * ($p2) END)" +
+      s" ELSE ($p2) END"
+  }
+
+  /** The KN3 per-order model tables (suffix `x`) trained on the `tg`
+    * rows matching `pred` (vocab from `tc` rows matching `tcPred`) —
+    * the SQL twin of the Spark `kn3ModelTables`. */
+  private def kn3ModelCtesSql(x: String, pred: String, tcPred: String): String =
+    s"""tg$x AS (SELECT w1, w2, w3 FROM tg WHERE $pred),
+       |tc3$x AS (SELECT w1, w2, w3, count(*) AS n_abc FROM tg$x GROUP BY 1, 2, 3),
+       |cx3$x AS (SELECT w1, w2, CAST(sum(n_abc) AS BIGINT) AS c12,
+       |                count(*) AS n1p_fwd12 FROM tc3$x GROUP BY 1, 2),
+       |ct2$x AS (SELECT w2, w3, count(*) AS cont23 FROM tc3$x GROUP BY 1, 2),
+       |md$x AS (SELECT w2, CAST(sum(cont23) AS BIGINT) AS mid_ctx,
+       |               count(*) AS n1p_mid FROM ct2$x GROUP BY 1),
+       |ct1$x AS (SELECT w3, count(*) AS cont3 FROM ct2$x GROUP BY 1),
+       |nct$x AS (SELECT count(*) AS n_ct FROM ct2$x),
+       |vsz$x AS (SELECT count(DISTINCT term) AS v_size FROM tc WHERE $tcPred)""".stripMargin
+
+  /** The `x`-suffixed model's five LEFT stat joins against the scored
+    * transition stream alias `s`. */
+  private def kn3LadderJoinsSql(x: String): String =
+    s"""LEFT JOIN tc3$x USING (w1, w2, w3)
+       |  LEFT JOIN cx3$x USING (w1, w2)
+       |  LEFT JOIN ct2$x USING (w2, w3)
+       |  LEFT JOIN md$x USING (w2)
+       |  LEFT JOIN ct1$x USING (w3)""".stripMargin
+
   /** Perplexity-CONTRAST CTE chain: the general lmkn3 chain plus an
     * IN-DOMAIN model over the `doc_id % 53 = 0` target split, scored with
     * the FULL backoff CASE ladder (unseen trigram → bigram continuation →
     * unigram → uniform 1/V), spelled branch-for-branch as the Spark
     * `lmDocScoresKn3FromModel` column — the one oracle where the backoff
     * arms genuinely fire (held-out text under a subset-trained model). */
-  private lazy val pplContrastCtes: String = {
-    val p1 = "CASE WHEN ct1i.cont3 IS NOT NULL" +
-      " THEN CAST(ct1i.cont3 AS DOUBLE) / ncti.n_ct" +
-      " ELSE CAST(1 AS DOUBLE) / vszi.v_size END"
-    val lam2 = "((0.75 * mdi.n1p_mid) / mdi.mid_ctx)"
-    val p2 = "CASE WHEN mdi.mid_ctx IS NOT NULL THEN" +
-      " (CASE WHEN ct2i.cont23 IS NOT NULL" +
-      s" THEN (CAST(ct2i.cont23 AS DOUBLE) - 0.75) / mdi.mid_ctx + $lam2 * ($p1)" +
-      s" ELSE $lam2 * ($p1) END)" +
-      s" ELSE ($p1) END"
-    val lam3 = "((0.75 * cx3i.n1p_fwd12) / cx3i.c12)"
-    val p3 = "CASE WHEN cx3i.c12 IS NOT NULL THEN" +
-      " (CASE WHEN tc3i.n_abc IS NOT NULL" +
-      s" THEN (CAST(tc3i.n_abc AS DOUBLE) - 0.75) / cx3i.c12 + $lam3 * ($p2)" +
-      s" ELSE $lam3 * ($p2) END)" +
-      s" ELSE ($p2) END"
+  private lazy val pplContrastCtes: String =
     s"""WITH $toksCte,
        |$lmKn3DocCte,
-       |tgi AS (SELECT w1, w2, w3 FROM tg WHERE doc_id % 53 = 0),
-       |tc3i AS (SELECT w1, w2, w3, count(*) AS n_abc FROM tgi GROUP BY 1, 2, 3),
-       |cx3i AS (SELECT w1, w2, CAST(sum(n_abc) AS BIGINT) AS c12,
-       |                count(*) AS n1p_fwd12 FROM tc3i GROUP BY 1, 2),
-       |ct2i AS (SELECT w2, w3, count(*) AS cont23 FROM tc3i GROUP BY 1, 2),
-       |mdi AS (SELECT w2, CAST(sum(cont23) AS BIGINT) AS mid_ctx,
-       |               count(*) AS n1p_mid FROM ct2i GROUP BY 1),
-       |ct1i AS (SELECT w3, count(*) AS cont3 FROM ct2i GROUP BY 1),
-       |ncti AS (SELECT count(*) AS n_ct FROM ct2i),
-       |vszi AS (SELECT count(DISTINCT term) AS v_size FROM tc WHERE doc_id % 53 = 0),
+       |${kn3ModelCtesSql("i", "doc_id % 53 = 0", "doc_id % 53 = 0")},
        |lmkni AS (
        |  SELECT s.doc_id, count(*) AS n_transitions,
-       |    round(CAST(sum(CAST(round(ln($p3), 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |    round(CAST(sum(CAST(round(ln(${kn3LadderSql("i")}), 9) AS DECIMAL(18,9))) AS DOUBLE)
        |      / count(*), 9) AS avg_logprob
        |  FROM tg s
-       |  LEFT JOIN tc3i USING (w1, w2, w3)
-       |  LEFT JOIN cx3i USING (w1, w2)
-       |  LEFT JOIN ct2i USING (w2, w3)
-       |  LEFT JOIN mdi USING (w2)
-       |  LEFT JOIN ct1i USING (w3)
+       |  ${kn3LadderJoinsSql("i")}
        |  CROSS JOIN ncti CROSS JOIN vszi
        |  GROUP BY s.doc_id),
        |ctr AS (
@@ -2887,7 +2971,42 @@ object SparkEntry {
        |    i.avg_logprob AS logprob_in, g.avg_logprob AS logprob_gen,
        |    round(i.avg_logprob - g.avg_logprob, 9) AS domain_delta
        |  FROM lmkn3 g JOIN lmkni i USING (doc_id))""".stripMargin
-  }
+
+  /** The raw trigram transition stream (`tg`) standalone — for oracles
+    * that need it without the full-corpus lmkn3 chain. */
+  private lazy val tgCte: String =
+    s"""$toksArrCte,
+       |tg AS (
+       |  SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+       |         split_part(g, ' ', 3) AS w3
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(a) - 1),
+       |                i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+       |        FROM toksarr WHERE len(a) >= 3) u)""".stripMargin
+
+  /** Incremental-contrast CTE chain: BOTH models trained on the
+    * pre-append slice (in-domain = old90 ∩ %53, general = old90), every
+    * document scored through both full backoff ladders — the snapshot
+    * protocol's definition replayed over old and batch rows alike. */
+  private lazy val pplContrastIncrementalSql: String =
+    s"""WITH $toksCte,
+       |$tgCte,
+       |${kn3ModelCtesSql("i", "doc_id % 53 = 0 AND doc_id % 10 <> 9",
+          "doc_id % 53 = 0 AND doc_id % 10 <> 9")},
+       |${kn3ModelCtesSql("g", "doc_id % 10 <> 9", "doc_id % 10 <> 9")},
+       |ctri AS (
+       |  SELECT s.doc_id, count(*) AS n_transitions,
+       |    round(CAST(sum(CAST(round(ln(${kn3LadderSql("i")}), 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / count(*), 9) AS logprob_in,
+       |    round(CAST(sum(CAST(round(ln(${kn3LadderSql("g")}), 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / count(*), 9) AS logprob_gen
+       |  FROM tg s
+       |  ${kn3LadderJoinsSql("i")}
+       |  ${kn3LadderJoinsSql("g")}
+       |  CROSS JOIN ncti CROSS JOIN vszi CROSS JOIN nctg CROSS JOIN vszg
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, n_transitions, logprob_in, logprob_gen,
+       |  round(logprob_in - logprob_gen, 9) AS domain_delta
+       |FROM ctri ORDER BY doc_id""".stripMargin
 
   // near-dup cluster labels via recursive reachability over the capped
   // exact-verifier pairs — shared by the cluster and apply-dedup oracles
@@ -5401,6 +5520,16 @@ object SparkEntry {
       s"""$pplContrastCtes
          |SELECT doc_id, n_transitions, logprob_in, logprob_gen, domain_delta
          |FROM ctr ORDER BY domain_delta DESC, doc_id ASC LIMIT 64""".stripMargin,
+    "perplexity_contrast_incremental" -> pplContrastIncrementalSql,
+    "contrast_refresh_impact" ->
+      s"""WITH $tgCte,
+         |told AS (SELECT DISTINCT w1, w2, w3 FROM tg WHERE doc_id % 10 <> 9),
+         |tbat AS (SELECT DISTINCT w1, w2, w3 FROM tg WHERE doc_id % 10 = 9)
+         |SELECT
+         |  count(CASE WHEN o.w1 IS NULL THEN 1 END) AS n_new_types,
+         |  count(CASE WHEN o.w1 IS NOT NULL THEN 1 END) AS n_grown_types
+         |FROM tbat b LEFT JOIN told o
+         |  ON b.w1 = o.w1 AND b.w2 = o.w2 AND b.w3 = o.w3""".stripMargin,
     "token_budget_select_contrast" ->
       s"""$pplContrastCtes,
          |ntq AS (

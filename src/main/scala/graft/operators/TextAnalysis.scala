@@ -963,6 +963,70 @@ object TextAnalysis {
         round(col("logprob_in") - col("logprob_gen"), 9))
   }
 
+  /** [[perplexityContrastKn3]] with BOTH models scoring held-out text —
+    * the snapshot-serving form incremental maintenance needs: the general
+    * model is a stored pre-append SNAPSHOT (its trigram-count asset), so
+    * an append batch's transitions may be unseen by EITHER side and both
+    * ladders run the full backoff CASE chain (no inner-join drops —
+    * `n_transitions` counts every transition of the scored text). One
+    * fused transition pass, one per-doc aggregate, exactly as the
+    * corpus-trained fused scorer.
+    *
+    * Why snapshot scoring IS the incremental contract here (and
+    * "re-score only moved documents" is not): interpolated KN's unigram
+    * level divides by GLOBAL continuation-type scalars (`N1+(··)`,
+    * `V`) — ANY append that introduces one new continuation type or
+    * vocabulary term moves every transition's probability, so an
+    * exact "changed documents only" re-score degenerates to the full
+    * corpus on real appends. The honest incremental protocol is the
+    * index family's refresh protocol: stored scores stay pinned to the
+    * model snapshot that produced them (immutable, like served strips),
+    * arriving batches score against the CURRENT snapshot at O(batch)
+    * corpus cost, and a snapshot rebuild re-scores wholesale on its own
+    * cadence ([[graft.streaming.Streams.withRefreshingModel]] is the
+    * serving-side swap). [[kn3RefreshImpact]] is the audit that says
+    * when a rebuild is due. */
+  def perplexityContrastKn3Heldout(toks: DataFrame, trigramsIn: DataFrame,
+      tcIn: DataFrame, trigramsGen: DataFrame, tcGen: DataFrame,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"discount d=$d must be in (0, 1)")
+    val mi = kn3ModelTables(trigramsIn, tcIn, "_i")
+    val mg = kn3ModelTables(trigramsGen, tcGen, "_g")
+    kn3Join(kn3Join(adjacentTriples(toks, "tokens", Seq("doc_id")), mi), mg)
+      .withColumn("logp_i", round(log(kn3P3(d, "_i")), 9))
+      .withColumn("logp_g", round(log(kn3P3(d, "_g")), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("logp_i").cast("decimal(18,9)")).as("lpi"),
+        sum(col("logp_g").cast("decimal(18,9)")).as("lpg"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(col("lpi").cast("double") / col("n_transitions"), 9).as("logprob_in"),
+        round(col("lpg").cast("double") / col("n_transitions"), 9).as("logprob_gen"))
+      .withColumn("domain_delta",
+        round(col("logprob_in") - col("logprob_gen"), 9))
+  }
+
+  /** Refresh-impact audit for a snapshot-scored KN3 model: given the
+    * STORED trigram types and an append batch's trigram counts, one row
+    * reporting how the model's global scalars would move under a rebuild —
+    * `n_new_types` (continuation types the batch introduces: these shift
+    * `N1+(··)` and with it EVERY stored score) and `n_grown_types`
+    * (existing trigram types whose counts grow: these move only documents
+    * whose transitions touch them). `n_new_types = 0` is the one case
+    * where a changed-keys-only re-score would be exact; otherwise a
+    * rebuild re-prices the whole corpus and this report is the trigger a
+    * refresh cadence reads. Both numbers are narrow type-key joins of the
+    * batch against the stored model — O(batch) probes, no corpus scan. */
+  def kn3RefreshImpact(storedTrigrams: DataFrame,
+      batchTrigrams: DataFrame): DataFrame = {
+    val stored = storedTrigrams
+      .select(col("w1"), col("w2"), col("w3"), lit(1L).as("seen"))
+    batchTrigrams.select("w1", "w2", "w3")
+      .join(stored, Seq("w1", "w2", "w3"), "left")
+      .agg(count(when(col("seen").isNull, lit(1))).as("n_new_types"),
+        count(when(col("seen").isNotNull, lit(1))).as("n_grown_types"))
+  }
+
   private def bucketByFluency(docs: DataFrame, lmScores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lm = lmScores.select("doc_id", "avg_logprob")

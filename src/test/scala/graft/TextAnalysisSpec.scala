@@ -873,6 +873,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(served == full && served.nonEmpty)
   }
 
+  test("heldout two-ladder contrast == two single-model backoff scorers composed") {
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    val corpus = (0L until 30L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val toksDf = corpus.toDF("doc_id", "tokens")
+    def tcOf(pred: Long => Boolean) = corpus.filter(c => pred(c._1))
+      .flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(identity).map { case ((t, id), g) => (t, id, g.size.toLong) }
+      .toSeq.toDF("term", "doc_id", "cnt")
+    // in-domain AND general are both PROPER subsets, so BOTH ladders'
+    // backoff arms fire on scored text (the snapshot-scored batch shape)
+    val triIn = TextAnalysis.trigramCountsFromTokens(
+      toksDf.where(col("doc_id") % 3 === 0))
+    val triGen = TextAnalysis.trigramCountsFromTokens(
+      toksDf.where(col("doc_id") % 5 =!= 4))
+    val got = TextAnalysis.perplexityContrastKn3Heldout(toksDf,
+        triIn, tcOf(_ % 3 == 0), triGen, tcOf(_ % 5 != 4))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val si = TextAnalysis.lmDocScoresKn3FromModel(toksDf, triIn, tcOf(_ % 3 == 0))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val sg = TextAnalysis.lmDocScoresKn3FromModel(toksDf, triGen, tcOf(_ % 5 != 4))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val expected = corpus.map(_._1).filter(si.contains).sorted.map { id =>
+      (id, si(id)._2, si(id)._3, sg(id)._3, r9(si(id)._3 - sg(id)._3)) }
+    assert(got == expected && got.nonEmpty)
+    // both models genuinely miss some scored trigram
+    def tris(pred: Long => Boolean) = corpus.filter(c => pred(c._1))
+      .flatMap(_._2.sliding(3).filter(_.size == 3).map(w => (w(0), w(1), w(2))))
+      .toSet
+    val all = tris(_ => true)
+    assert(all.exists(!tris(_ % 3 == 0).contains(_)))
+    assert(all.exists(!tris(_ % 5 != 4).contains(_)))
+  }
+
+  test("kn3RefreshImpact counts new vs grown trigram types") {
+    val stored = Seq(("a", "b", "c", 3L), ("b", "c", "d", 1L))
+      .toDF("w1", "w2", "w3", "n_abc")
+    val batch = Seq(("a", "b", "c", 2L), ("x", "y", "z", 1L),
+      ("b", "c", "d", 5L), ("a", "a", "a", 1L))
+      .toDF("w1", "w2", "w3", "n_abc")
+    val got = TextAnalysis.kn3RefreshImpact(stored, batch)
+      .as[(Long, Long)].head()
+    assert(got == ((2L, 2L)))
+    // an all-seen batch: zero new types — the one case a changed-keys
+    // re-score would be exact
+    val seen = TextAnalysis.kn3RefreshImpact(stored,
+        stored.withColumn("n_abc", col("n_abc") + 1))
+      .as[(Long, Long)].head()
+    assert(seen == ((0L, 2L)))
+  }
+
   test("kn2 enriched-model serving == the three-join scorer on corpus-trained counts") {
     val toks = operators.Tfidf.tokenArrays(
       sources.Tables.documents(spark, "/root/testdata/sf0.001"))
