@@ -655,13 +655,22 @@ object ExactSubstr {
       case Seq(a, b) => b == 2 * a
       case _ => true
     }, s"levels must double, got $lens")
+    // each level's marked set feeds the candidate pool TWICE per probe
+    // round (head + tail half-mark tests) across ~log₂ ℓ rounds — cache
+    // the narrow (doc_id, pos) projection once instead of re-scanning
+    // the level parquet per use
     val markedByLevel = levels.map { case (l, m) =>
-      (l, m.select("doc_id", "pos")) }.toMap
+      (l, lazyPin(m.select("doc_id", "pos"))) }.toMap
     val base = markedByLevel(lens.head)
     val cap = lens.last
     // candidates only ever live in documents owning a base mark — restrict
-    // the token-array side ONCE instead of rescanning the corpus per pass
-    val toksDup = pin(toks.select(col("doc_id"), col("tokens"))
+    // the token-array side ONCE instead of rescanning the corpus per pass.
+    // Every frame in this build is content-derived (deterministic), so the
+    // whole chain runs on lazyPin — persist + lineage cut WITHOUT the
+    // dedicated count barrier (the r11 merge diet): each round's one real
+    // action (the mids collect) materializes that round's probe + state
+    // caches as a side effect, halving the per-round job count.
+    val toksDup = lazyPin(toks.select(col("doc_id"), col("tokens"))
       .join(base.select("doc_id").distinct(), "doc_id"))
     // top-level members are exactly the cap (their true length is >= cap);
     // every other position bisects its band [l, 2l)
@@ -683,25 +692,31 @@ object ExactSubstr {
       if (bands.isEmpty)
         base.limit(0).select(col("doc_id"), col("pos"),
           lit(0L).as("lo"), lit(0L).as("hi"))
-      else pin(bands.reduce(_ unionByName _))
+      else lazyPin(bands.reduce(_ unionByName _))
     var state = bands0
-    var searching = state.where(col("hi") - col("lo") > 1)
-    // accepted probe buckets (doc_id, pos, m, wh), one pinned frame per
-    // round — kept so the final exact confirm can re-find each claim's
-    // bucket mates without a per-length corpus pass (unioned lazily at
-    // the end; each round's frame is already materialized, so the union
-    // never re-executes a probe)
+    // ONE action per round: the distinct-mids collect both drives the
+    // probe lengths and IS the termination test (no mids = every band is
+    // down to width 1) — the separate isEmpty job the first version ran
+    // per round was a second full pass over the same cached state
+    def distinctMids(st: DataFrame): Array[Long] = st
+      .where(col("hi") - col("lo") > 1)
+      .select(floor((col("lo") + col("hi")) / 2).as("m"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    var mids = distinctMids(state)
+    // accepted probe buckets (doc_id, pos, m, wh), one lazy-pinned frame
+    // per round — kept so the final exact confirm can re-find each
+    // claim's bucket mates without a per-length corpus pass (unioned
+    // lazily at the end; each round's cache was populated when the next
+    // round's mids collect computed the state that reads it, so the
+    // union never re-executes a probe)
     val hitRounds = scala.collection.mutable.ListBuffer[DataFrame]()
-    while (!searching.isEmpty) {
-      val mids = searching
-        .select(floor((col("lo") + col("hi")) / 2).as("m"))
-        .distinct().collect().map(_.getLong(0)).sorted
+    while (mids.nonEmpty) {
       val cands = probeCandidatePool(markedByLevel, lens, mids)
-      val accepted = pin(probeHashAccepts(toksDup, cands, mids, probeHashBits))
+      val accepted = lazyPin(probeHashAccepts(toksDup, cands, mids, probeHashBits))
       hitRounds += accepted
       val verified = accepted.select("doc_id", "pos", "m")
         .withColumn("dup", lit(1L))
-      state = pin(state
+      state = lazyPin(state
         .withColumn("m",
           when(col("hi") - col("lo") > 1, floor((col("lo") + col("hi")) / 2)))
         .join(verified, Seq("doc_id", "pos", "m"), "left")
@@ -710,7 +725,7 @@ object ExactSubstr {
             .otherwise(col("lo")).as("lo"),
           when(col("m").isNotNull && col("dup").isNull, col("m"))
             .otherwise(col("hi")).as("hi")))
-      searching = state.where(col("hi") - col("lo") > 1)
+      mids = distinctMids(state)
     }
     // exact-string confirm: lo stayed at the band base ⇒ the level asset
     // already verified it exactly; lo above the base ⇒ the claim rests on
@@ -731,7 +746,10 @@ object ExactSubstr {
           .join(claimBuckets.select("m", "wh").distinct(), Seq("m", "wh"))
           .select("doc_id", "pos", "m")
         val exactOk = verifyCandidatesVarLen(toksDup, mates)
-        val failed = pin(claims
+        // lazyPin: the isEmpty right below is the materializing action
+        // (the confirm's one string pass runs inside it), and the rare
+        // redo path reads the populated cache
+        val failed = lazyPin(claims
           .join(exactOk, Seq("doc_id", "pos", "m"), "left_anti")
           .select("doc_id", "pos"))
         if (failed.isEmpty) state
@@ -740,7 +758,7 @@ object ExactSubstr {
           // probes (exact at any hash width); everyone else keeps the
           // confirmed hash-search result
           val redo = exactLengthSearch(toksDup, markedByLevel, lens,
-            pin(bands0.join(failed, Seq("doc_id", "pos"))))
+            lazyPin(bands0.join(failed, Seq("doc_id", "pos"))))
           state.join(failed, Seq("doc_id", "pos"), "left_anti")
             .unionByName(redo)
         }
