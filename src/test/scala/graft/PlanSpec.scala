@@ -384,7 +384,14 @@ class PlanSpec extends SparkSpec {
         graft.operators.TextAnalysis.perplexityBucketsSampledKn(docs,
           graft.operators.Tfidf.tokenArrays(docs),
           graft.operators.TextAnalysis.bigramCountsFromTokens(
-            graft.operators.Tfidf.tokenArrays(docs))))) {
+            graft.operators.Tfidf.tokenArrays(docs))),
+        // the registered (enriched-asset-served) form must keep the same
+        // no-per-source-sort plan shape
+        graft.operators.TextAnalysis.perplexityBucketsSampledKnServed(docs,
+          graft.operators.Tfidf.tokenArrays(docs),
+          graft.operators.TextAnalysis.kn2EnrichedModel(
+            graft.operators.TextAnalysis.bigramCountsFromTokens(
+              graft.operators.Tfidf.tokenArrays(docs)))))) {
       df.collect()
       val p = plan(df)
       // the whole point of the variant: the per-source ranking Window —
