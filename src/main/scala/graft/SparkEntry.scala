@@ -481,6 +481,15 @@ object SparkEntry {
           .where(col("doc_id") % 10 =!= 9))
     }
 
+  /** Bigram counts over the same pre-append slice — the stored bigram
+    * model the count-merge replay updates. */
+  private def bigramCountsOld90Asset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "bigram_counts_old90") {
+      TextAnalysis.bigramCountsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+          .where(col("doc_id") % 10 =!= 9))
+    }
+
   /** Pre-append contrast scores — the stored snapshot-scored asset the
     * incremental replay unions with the batch's fresh scores: every old
     * document scored ONCE against the old90 snapshot models (in-domain =
@@ -750,6 +759,7 @@ object SparkEntry {
     "kn3_model" -> ((s, d) => { kn3ModelAsset(s, d); () }),
     "contrast_scores" -> ((s, d) => { contrastScoresAsset(s, d); () }),
     "trigram_counts_old90" -> ((s, d) => { trigramCountsOld90Asset(s, d); () }),
+    "bigram_counts_old90" -> ((s, d) => { bigramCountsOld90Asset(s, d); () }),
     "contrast_scores_old90" -> ((s, d) => { contrastScoresOld90Asset(s, d); () }),
     "paragraph_keepers_old90" -> ((s, d) => { paragraphKeepersOldAsset(s, d); () }),
     "paragraph_keepers_delim_old90" -> ((s, d) => { paragraphKeepersDelimOldAsset(s, d); () }),
@@ -1563,6 +1573,23 @@ object SparkEntry {
         TextAnalysis.trigramCountsFromTokens(
           operators.Scaling.fanOut(tokenArraysAsset(s, dir))
             .where(col("doc_id") % 10 === 9)))),
+    // INCREMENTAL model-count maintenance — the counting half of a
+    // snapshot rebuild: the stored n-gram model tables absorb the append
+    // batch via broadcast key probes (untouched rows pass through a
+    // map-side anti-join, only batch-sized frames shuffle); the enriched
+    // serving assets then re-aggregate from the merged counts at
+    // model-sized cost, no corpus recount. Both replays must reproduce
+    // the full recount over old ∪ new (shared full-recount oracles).
+    "trigram_counts_merge" -> ((s, dir) =>
+      TextAnalysis.mergeTrigramCounts(trigramCountsOld90Asset(s, dir),
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+          .where(col("doc_id") % 10 === 9))
+        .orderBy("w1", "w2", "w3")),
+    "bigram_counts_merge" -> ((s, dir) =>
+      TextAnalysis.mergeBigramCounts(bigramCountsOld90Asset(s, dir),
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+          .where(col("doc_id") % 10 === 9))
+        .orderBy("w1", "w2")),
     // topic-rebalancing cap over the SemDeDup cluster assignment: at most
     // `cap` representatives per semantic cluster, rank-exact
     "cluster_balanced_sample" -> ((s, dir) =>
@@ -5521,6 +5548,20 @@ object SparkEntry {
          |SELECT doc_id, n_transitions, logprob_in, logprob_gen, domain_delta
          |FROM ctr ORDER BY domain_delta DESC, doc_id ASC LIMIT 64""".stripMargin,
     "perplexity_contrast_incremental" -> pplContrastIncrementalSql,
+    // count merges reproduce the full recount over old ∪ new
+    "trigram_counts_merge" ->
+      s"""WITH $tgCte
+         |SELECT w1, w2, w3, count(*) AS n_abc FROM tg
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "bigram_counts_merge" ->
+      s"""WITH $toksArrCte,
+         |bgm AS (
+         |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(a)),
+         |                i -> a[i] || ' ' || a[i+1])) AS g
+         |        FROM toksarr WHERE len(a) >= 2) u)
+         |SELECT w1, w2, count(*) AS n_ab FROM bgm
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "contrast_refresh_impact" ->
       s"""WITH $tgCte,
          |told AS (SELECT DISTINCT w1, w2, w3 FROM tg WHERE doc_id % 10 <> 9),

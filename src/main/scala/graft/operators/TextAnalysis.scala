@@ -1006,6 +1006,42 @@ object TextAnalysis {
         round(col("logprob_in") - col("logprob_gen"), 9))
   }
 
+  /** INCREMENTAL n-gram model-count maintenance — the merge that makes a
+    * snapshot rebuild O(batch) on the COUNTING side: stored `(keys…,
+    * cnt)` model rows absorb an append batch's counts without a corpus
+    * recount. The stored side never shuffles: the batch's distinct keys
+    * broadcast (an append batch is bounded), untouched stored rows pass
+    * through a map-side anti-join, touched rows are probed map-side into
+    * a batch-sized frame and bumped by one batch-sized join; compute is
+    * O(batch) probes over the stored scan. Equal to the full recount
+    * over old ∪ new by construction (counts are additive per key) —
+    * spec-pinned, and the registered replays share the full-recount
+    * oracle. */
+  private def mergeCounts(stored: DataFrame, batch: DataFrame,
+      keys: Seq[String], cnt: String): DataFrame = {
+    val bKeys = broadcast(batch.select(keys.map(col): _*))
+    val untouched = stored.join(bKeys, keys, "left_anti")
+    val storedHit = stored.join(bKeys, keys, "left_semi")
+      .withColumnRenamed(cnt, "n_old")
+    val bumped = batch.join(storedHit, keys, "left")
+      .select(keys.map(col) :+
+        (col(cnt) + coalesce(col("n_old"), lit(0L))).as(cnt): _*)
+    untouched.unionByName(bumped)
+  }
+
+  /** [[mergeCounts]] for the trigram model table (`w1 w2 w3 n_abc`) —
+    * the count-side half of a KN3 snapshot rebuild (the enriched
+    * serving asset then re-aggregates from the merged counts:
+    * model-sized work, no corpus rescan). */
+  def mergeTrigramCounts(stored: DataFrame, batchToks: DataFrame): DataFrame =
+    mergeCounts(stored, trigramCountsFromTokens(batchToks),
+      Seq("w1", "w2", "w3"), "n_abc")
+
+  /** [[mergeCounts]] for the bigram model table (`w1 w2 n_ab`). */
+  def mergeBigramCounts(stored: DataFrame, batchToks: DataFrame): DataFrame =
+    mergeCounts(stored, bigramCountsFromTokens(batchToks),
+      Seq("w1", "w2"), "n_ab")
+
   /** Refresh-impact audit for a snapshot-scored KN3 model: given the
     * STORED trigram types and an append batch's trigram counts, one row
     * reporting how the model's global scalars would move under a rebuild —

@@ -706,6 +706,30 @@ object Streams {
     * per-source running sum. */
   def streamingTokenQuota(docs: DataFrame, budgetPerSource: Long): Dataset[QuotaDecision] = {
     require(budgetPerSource > 0, s"budgetPerSource must be positive, got $budgetPerSource")
+    streamingTokenQuotaBy(docs, _ => budgetPerSource.toDouble)
+  }
+
+  /** [[streamingTokenQuota]] with PER-SOURCE budgets — the stream twin of
+    * the composed batch quota
+    * ([[graft.operators.Curation.tokenQuotaMixComposed]]): budgets come
+    * from the temperature-mixing plan (`p · targetTokens`, a double), so
+    * ingest admission enforces the mixing plan at the stream head.
+    * Sources absent from the plan get `defaultBudget` — 0 by default,
+    * i.e. an UNPLANNED source admits nothing (refusals stay visible for
+    * audit), which is the safe ingest posture: silently admitting an
+    * unbudgeted source would skew the mix the plan promised. Decisions
+    * are row-identical to the composed batch query on doc_id-sorted
+    * groups (parity spec in `StreamingSpec`). */
+  def streamingTokenQuotaBudgets(docs: DataFrame, budgets: Map[String, Double],
+      defaultBudget: Double = 0.0): Dataset[QuotaDecision] = {
+    require(defaultBudget >= 0.0, s"defaultBudget must be >= 0, got $defaultBudget")
+    require(budgets.values.forall(b => b >= 0.0 && !b.isNaN),
+      "per-source budgets must be finite and >= 0")
+    streamingTokenQuotaBy(docs, s => budgets.getOrElse(s, defaultBudget))
+  }
+
+  private def streamingTokenQuotaBy(docs: DataFrame,
+      budgetOf: String => Double): Dataset[QuotaDecision] = {
     import docs.sparkSession.implicits._
     val rows = docs.select(col("doc_id").cast("long").as("doc_id"),
         col("source"), quotaTokenCol(docs).as("n_tokens"))
@@ -713,12 +737,13 @@ object Streams {
     rows.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (source: String, batch: Iterator[QuotaDoc], state: GroupState[Long]) => {
+          val budget = budgetOf(source)
           var used = state.getOption.getOrElse(0L)
           val out = List.newBuilder[QuotaDecision]
           batch.toSeq.sortBy(_.doc_id).foreach { d =>
             used += d.n_tokens
             out += QuotaDecision(d.doc_id, source, d.n_tokens, used,
-              if (used <= budgetPerSource) 1L else 0L)
+              if (used.toDouble <= budget) 1L else 0L)
           }
           state.update(used)
           out.result().iterator

@@ -799,6 +799,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
   }
 
+  test("streamingTokenQuotaBudgets == tokenQuotaMixComposed decisions; unplanned sources refuse") {
+    import graft.operators.Curation
+    // the BudgetMixSpec fixture: src_a 400 tokens / 4 docs, src_b 80 / 2,
+    // src_c 20 / 1 — all three sources get genuinely different budgets
+    val rows =
+      (1 to 4).map(i => (i.toLong, Seq.fill(100)("w").mkString(" "), "src_a")) ++
+      (5 to 6).map(i => (i.toLong, Seq.fill(40)("w").mkString(" "), "src_b")) :+
+      ((7L, Seq.fill(20)("w").mkString(" "), "src_c"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val budgets = Curation.temperatureMixRates(docs, 0.5, targetTokens = 250L)
+      .select("source", "p").as[(String, Double)].collect().toMap
+      .map { case (s, p) => s -> p * 250.0 }
+    val got = Streams.streamingTokenQuotaBudgets(docs, budgets).toDF()
+      .orderBy("doc_id").select("doc_id", "running_tokens", "admitted")
+      .as[(Long, Long, Long)].collect().toSeq
+    val expect = Curation.tokenQuotaMixComposed(docs, 0.5, 250L)
+      .orderBy("doc_id").select("doc_id", "running_tokens", "admitted")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    assert(got.exists(_._3 == 1L) && got.exists(_._3 == 0L))
+    // a source absent from the plan admits NOTHING under the default
+    // budget 0 — visible refusal, never a silent mix skew
+    val withAlien = docs.unionByName(
+      Seq((99L, "x y", "src_alien")).toDF("doc_id", "text", "source"))
+    val alien = Streams.streamingTokenQuotaBudgets(withAlien, budgets).toDF()
+      .where($"source" === "src_alien")
+      .select("doc_id", "n_tokens", "admitted")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(alien == Seq((99L, 2L, 0L)))
+  }
+
   test("tokenQuotaBatch prefers a precomputed n_tokens column") {
     // n_tokens deliberately DISAGREES with the text so the test proves
     // which one the operator reads

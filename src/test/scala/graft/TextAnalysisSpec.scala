@@ -913,6 +913,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.exists(!tris(_ % 5 != 4).contains(_)))
   }
 
+  test("mergeTrigramCounts / mergeBigramCounts == full recount on random splits") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 3) {
+      val corpus = (0L until 40L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val toksDf = corpus.toDF("doc_id", "tokens")
+      val old = toksDf.where(col("doc_id") % 4 =!= 3)
+      val batch = toksDf.where(col("doc_id") % 4 === 3)
+      val mt = TextAnalysis.mergeTrigramCounts(
+          TextAnalysis.trigramCountsFromTokens(old), batch)
+        .as[(String, String, String, Long)].collect().toSet
+      val ft = TextAnalysis.trigramCountsFromTokens(toksDf)
+        .as[(String, String, String, Long)].collect().toSet
+      assert(mt == ft && ft.nonEmpty, s"trial $trial trigram")
+      val mb = TextAnalysis.mergeBigramCounts(
+          TextAnalysis.bigramCountsFromTokens(old), batch)
+        .as[(String, String, Long)].collect().toSet
+      val fb = TextAnalysis.bigramCountsFromTokens(toksDf)
+        .as[(String, String, Long)].collect().toSet
+      assert(mb == fb && fb.nonEmpty, s"trial $trial bigram")
+      // an empty batch is a no-op merge
+      val noop = TextAnalysis.mergeTrigramCounts(
+          TextAnalysis.trigramCountsFromTokens(old), toksDf.limit(0))
+        .as[(String, String, String, Long)].collect().toSet
+      assert(noop == TextAnalysis.trigramCountsFromTokens(old)
+        .as[(String, String, String, Long)].collect().toSet, s"trial $trial noop")
+    }
+  }
+
   test("kn3RefreshImpact counts new vs grown trigram types") {
     val stored = Seq(("a", "b", "c", 3L), ("b", "c", "d", 1L))
       .toDF("w1", "w2", "w3", "n_abc")
