@@ -1542,6 +1542,19 @@ object SparkEntry {
       Curation.tokenBudgetSelect(delta.join(nt, "doc_id"),
         budgetTokens = 6000L)
     }),
+    // Moore–Lewis selection × domain mixing as ONE coin flip: survive
+    // with probability rate(source) × min–max-normalized contrast delta
+    // (the contrast twin of classifier_source_mix_sample — same rates,
+    // same md5 coin; the most-in-domain doc keeps its full source rate)
+    "contrast_source_mix_sample" -> ((s, dir) => {
+      val rates = ((0 to 4).map(i => s"src$i" -> 0.4) ++
+        (5 to 9).map(i => s"src$i" -> 0.2) ++
+        (10 to 19).map(i => s"src$i" -> 0.05)).toMap
+      Curation.normalizedScoreSourceSample(Tables.documents(s, dir),
+        contrastScoresAsset(s, dir)
+          .select(col("doc_id"), col("domain_delta").as("score")),
+        rates)
+    }),
     // INCREMENTAL contrast maintenance — the snapshot protocol that
     // completes the incremental family for the one remaining asset:
     // stored scores stay pinned to the model snapshot that produced them
@@ -5587,6 +5600,25 @@ object SparkEntry {
          |  FROM scq)
          |SELECT doc_id, score, n_tokens FROM cumq
          |WHERE cum_tokens <= 6000 ORDER BY doc_id""".stripMargin,
+    "contrast_source_mix_sample" ->
+      s"""$pplContrastCtes,
+         |mm AS (SELECT min(domain_delta) AS dmin, max(domain_delta) AS dmax
+         |       FROM ctr),
+         |coins AS (
+         |  SELECT ctr.doc_id, d.source, ctr.domain_delta AS score,
+         |    CASE WHEN mm.dmax > mm.dmin
+         |         THEN (ctr.domain_delta - mm.dmin) / (mm.dmax - mm.dmin)
+         |         ELSE 1.0 END AS wgt,
+         |    CAST(CAST(('0x' || substr(md5(CAST(ctr.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |      / 4294967296.0 AS u,
+         |    CASE WHEN d.source IN ('src0','src1','src2','src3','src4') THEN 0.4
+         |         WHEN d.source IN ('src5','src6','src7','src8','src9') THEN 0.2
+         |         WHEN d.source IN ('src10','src11','src12','src13','src14',
+         |                           'src15','src16','src17','src18','src19') THEN 0.05
+         |         ELSE 0.0 END AS rate
+         |  FROM ctr CROSS JOIN mm JOIN documents d ON d.doc_id = ctr.doc_id)
+         |SELECT doc_id, source, score, wgt, u FROM coins
+         |WHERE u < rate * wgt ORDER BY doc_id""".stripMargin,
     "perplexity_buckets_kn3" ->
       s"""WITH $lmKn3DocCte,
          |j AS (

@@ -1055,4 +1055,53 @@ object Curation {
       .select("doc_id", "source")
       .orderBy("doc_id")
   }
+
+  /** Score-NORMALIZED source mixing — Moore–Lewis in-domain selection ×
+    * domain mixing as ONE coin flip (the contrast-delta twin of
+    * [[QualityClassifier.scoreWeightedSourceSample]], whose classifier
+    * score already lives in [0, 1]): a document from source `s` survives
+    * with probability `rates(s) × wgt`, where `wgt` min–max-rescales an
+    * arbitrary-range document score (e.g. the perplexity-contrast
+    * `domain_delta`, a log-prob difference) onto [0, 1] — the corpus's
+    * most-in-domain document keeps its full source rate, the least keeps
+    * nothing, and everything between retains proportionally. Sources
+    * absent from `rates` keep nothing (rate 0 — the mixing family's
+    * visible-refusal contract); documents absent from `scored` (too
+    * short to score) drop with the inner join, as in the budget-select
+    * composition.
+    *
+    * Degenerate corpus (all scores equal, `max == min`): `wgt = 1.0` for
+    * every document — the sampler honestly degrades to the flat
+    * per-source rate instead of dividing by zero.
+    *
+    * Engine-exact: the coin is the house md5 uniform (exact
+    * power-of-two division); scores arrive 9-rounded from the scorer;
+    * min/max pick existing values; and `(score − min) / (max − min)`
+    * and `rate × wgt` are single correctly-rounded IEEE ops on
+    * bit-portable doubles — `u < rate·wgt` replays in the oracle with no
+    * rounding.
+    *
+    * Scale shape: the min/max is one narrow 2-column aggregate to a
+    * one-row broadcast; the docs join is a narrow doc_id-keyed shuffle
+    * (no text rides it); the coin and the filter are pure map work.
+    * Output: surviving (doc_id, source, score, wgt, u), doc_id-ordered. */
+  def normalizedScoreSourceSample(docs: DataFrame, scored: DataFrame,
+      rates: Map[String, Double]): DataFrame = {
+    val mm = scored.agg(min(col("score")).as("dmin"),
+      max(col("score")).as("dmax"))
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val rate = rates.foldLeft(lit(0.0): Column) { case (acc, (source, r)) =>
+      when(col("source") === source, lit(r)).otherwise(acc)
+    }
+    scored.join(docs.select("doc_id", "source"), "doc_id")
+      .crossJoin(broadcast(mm))
+      .withColumn("wgt", when(col("dmax") > col("dmin"),
+        (col("score") - col("dmin")) / (col("dmax") - col("dmin")))
+        .otherwise(lit(1.0)))
+      .withColumn("u", u)
+      .where(col("u") < rate * col("wgt"))
+      .select("doc_id", "source", "score", "wgt", "u")
+      .orderBy("doc_id")
+  }
 }

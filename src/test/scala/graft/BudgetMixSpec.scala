@@ -179,4 +179,66 @@ class BudgetMixSpec extends SparkSpec {
     assert(got.filter(_._2 == "src_c").forall(_._6 == 1L))
     assert(got.count(r => r._2 == "src_a" && r._6 == 0L) >= 2)
   }
+
+  test("normalizedScoreSourceSample: survive iff coin < rate × min-max weight") {
+    // arbitrary-range scores (log-prob-delta-shaped, incl. negatives);
+    // many docs per source so both admits and refusals occur
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 120).map { i =>
+      (i.toLong, "t", if (i % 3 == 0) "src_a" else if (i % 3 == 1) "src_b"
+        else "absent_src")
+    }.toDF("doc_id", "text", "source")
+    val scores = (1 to 110).map { i => // docs 111–120 unscored -> drop
+      (i.toLong, round9(-8.0 + 6.0 * rnd.nextDouble()))
+    }
+    val scored = scores.toDF("doc_id", "score")
+    val rates = Map("src_a" -> 0.9, "src_b" -> 0.5)
+    def coin(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val dmin = scores.map(_._2).min
+    val dmax = scores.map(_._2).max
+    val expected = scores.flatMap { case (id, s) =>
+      val src = if (id % 3 == 0) "src_a" else if (id % 3 == 1) "src_b"
+        else "absent_src"
+      val wgt = (s - dmin) / (dmax - dmin)
+      if (coin(id) < rates.getOrElse(src, 0.0) * wgt) Some(id) else None
+    }.toSet
+    val got = Curation.normalizedScoreSourceSample(docs, scored, rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 110)
+    // absent source keeps nothing; unscored docs drop with the join
+    val srcs = Curation.normalizedScoreSourceSample(docs, scored, rates)
+      .select("source").as[String].collect().toSet
+    assert(!srcs.contains("absent_src"))
+    assert(!got.exists(_ > 110L))
+    // weights land on [0, 1] with both endpoints hit
+    val ws = Curation.normalizedScoreSourceSample(
+      docs.where($"source" =!= "absent_src"), scored,
+      Map("src_a" -> 1.0, "src_b" -> 1.0))
+      .select("wgt").as[Double].collect()
+    assert(ws.forall(w => w >= 0.0 && w <= 1.0))
+  }
+
+  test("normalizedScoreSourceSample: equal scores degrade to the flat sampler") {
+    val docs = (1 to 60).map(i => (i.toLong, "t", "src_a"))
+      .toDF("doc_id", "text", "source")
+    val scored = (1 to 60).map(i => (i.toLong, -3.25)).toDF("doc_id", "score")
+    def coin(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val got = Curation.normalizedScoreSourceSample(docs, scored,
+      Map("src_a" -> 0.6))
+    // max == min -> wgt 1.0 everywhere -> the flat 0.6 per-source rate
+    assert(got.select("wgt").as[Double].collect().forall(_ == 1.0))
+    val expected = (1L to 60L).filter(coin(_) < 0.6).toSet
+    assert(got.select("doc_id").as[Long].collect().toSet == expected)
+  }
 }
