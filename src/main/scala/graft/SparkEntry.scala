@@ -1603,6 +1603,29 @@ object SparkEntry {
         operators.Scaling.fanOut(tokenArraysAsset(s, dir))
           .where(col("doc_id") % 10 === 9))
         .orderBy("w1", "w2")),
+    // the ENRICHMENT half of a snapshot rebuild, priced on its own: the
+    // served kn3_model re-aggregated from the MERGED counts (stored
+    // old90 + append batch) must equal the enrichment over a full corpus
+    // recount — model-sized stat aggregates over the merged table, no
+    // corpus rescan anywhere in the plan (the merge's corpus cost is the
+    // batch's own trigram count). Completes the snapshot-rebuild story:
+    // counts merge (trigram_counts_merge) -> enrichment (this) ->
+    // serving swap (withRefreshingModel).
+    "kn3_model_rebuild" -> ((s, dir) =>
+      TextAnalysis.kn3EnrichedModel(
+        TextAnalysis.mergeTrigramCounts(trigramCountsOld90Asset(s, dir),
+          operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+            .where(col("doc_id") % 10 === 9)),
+        termCountsAsset(s, dir))
+        .orderBy("w1", "w2", "w3")),
+    // the bigram twin: kn2_model re-aggregated from the merged bigram
+    // counts equals the enrichment over the full recount
+    "kn2_model_rebuild" -> ((s, dir) =>
+      TextAnalysis.kn2EnrichedModel(
+        TextAnalysis.mergeBigramCounts(bigramCountsOld90Asset(s, dir),
+          operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+            .where(col("doc_id") % 10 === 9)))
+        .orderBy("w1", "w2")),
     // topic-rebalancing cap over the SemDeDup cluster assignment: at most
     // `cap` representatives per semantic cluster, rank-exact
     "cluster_balanced_sample" -> ((s, dir) =>
@@ -5575,6 +5598,23 @@ object SparkEntry {
          |        FROM toksarr WHERE len(a) >= 2) u)
          |SELECT w1, w2, count(*) AS n_ab FROM bgm
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // enrichment over merged counts == enrichment over the full recount:
+    // one row per trigram type with every serving statistic inline
+    "kn3_model_rebuild" ->
+      s"""WITH $lmKn3DocCte,
+         |vq AS (SELECT count(DISTINCT tkn) AS v_size
+         |       FROM (SELECT unnest(a) AS tkn FROM toksarr) z)
+         |SELECT tc3.w1, tc3.w2, tc3.w3, tc3.n_abc, cx3.c12, cx3.n1p_fwd12,
+         |  ct2.cont23, md.mid_ctx, md.n1p_mid, ct1.cont3, ct1.n_ct, vq.v_size
+         |FROM tc3 JOIN cx3 USING (w1, w2) JOIN ct2 USING (w2, w3)
+         |  JOIN md USING (w2) JOIN ct1 USING (w3) CROSS JOIN vq
+         |ORDER BY w1, w2, w3""".stripMargin,
+    "kn2_model_rebuild" ->
+      s"""WITH $lmKnDocCte
+         |SELECT pc.w1, pc.w2, pc.n_ab, cc.n_ctx, cc.n1p_fwd, rc.n1p_rev,
+         |  nt.n_types
+         |FROM pc JOIN cc USING (w1) JOIN rc USING (w2) CROSS JOIN nt
+         |ORDER BY w1, w2""".stripMargin,
     "contrast_refresh_impact" ->
       s"""WITH $tgCte,
          |told AS (SELECT DISTINCT w1, w2, w3 FROM tg WHERE doc_id % 10 <> 9),

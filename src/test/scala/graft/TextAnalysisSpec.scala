@@ -944,6 +944,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("enriched models rebuilt from MERGED counts == enrichment over the full recount") {
+    val rnd = new scala.util.Random(97)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpus = (0L until 50L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val toksDf = corpus.toDF("doc_id", "tokens")
+    val old = toksDf.where(col("doc_id") % 5 =!= 4)
+    val batch = toksDf.where(col("doc_id") % 5 === 4)
+    // the vocab side (tc) is shared — full-corpus term counts both ways
+    val tc = toksDf.select(col("doc_id"), explode(col("tokens")).as("term"))
+      .groupBy("term", "doc_id").count().withColumnRenamed("count", "cnt")
+    val k3merged = TextAnalysis.kn3EnrichedModel(
+        TextAnalysis.mergeTrigramCounts(
+          TextAnalysis.trigramCountsFromTokens(old), batch), tc)
+      .collect().map(_.toSeq).toSet
+    val k3full = TextAnalysis.kn3EnrichedModel(
+        TextAnalysis.trigramCountsFromTokens(toksDf), tc)
+      .collect().map(_.toSeq).toSet
+    assert(k3merged == k3full && k3full.nonEmpty)
+    val k2merged = TextAnalysis.kn2EnrichedModel(
+        TextAnalysis.mergeBigramCounts(
+          TextAnalysis.bigramCountsFromTokens(old), batch))
+      .collect().map(_.toSeq).toSet
+    val k2full = TextAnalysis.kn2EnrichedModel(
+        TextAnalysis.bigramCountsFromTokens(toksDf))
+      .collect().map(_.toSeq).toSet
+    assert(k2merged == k2full && k2full.nonEmpty)
+  }
+
   test("kn3RefreshImpact counts new vs grown trigram types") {
     val stored = Seq(("a", "b", "c", 3L), ("b", "c", "d", 1L))
       .toDF("w1", "w2", "w3", "n_abc")
