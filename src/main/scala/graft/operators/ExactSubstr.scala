@@ -190,9 +190,13 @@ object ExactSubstr {
     val candPos = lazyPin(u.join(dupWh.select("wh"), "wh")
       .select("doc_id", "pos").distinct())
     val candDocs = broadcast(candPos.select("doc_id").distinct())
-    val toksCand = oldToks.join(candDocs, Seq("doc_id"), "left_semi")
-      .unionByName(newToks.join(candDocs, Seq("doc_id"), "left_semi"))
-      .select("doc_id", "tokens")
+    // ONE semi-join over the union frame (the r12 merge diet — this was
+    // two per-side semi-joins, i.e. two broadcast probe operators and a
+    // second exchange reuse to plan): semi-join distributes over union,
+    // so the candidate-doc filter runs once on the concatenated scan
+    val toksCand = oldToks.select("doc_id", "tokens")
+      .unionByName(newToks.select("doc_id", "tokens"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
     val verifiedCand = lazyPin(verifyCandidates(toksCand, candPos, n))
     oldVerified
       .join(verifiedCand.select("doc_id", "pos"), Seq("doc_id", "pos"), "left_anti")
