@@ -119,6 +119,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.WindowHashes(children.head, foldableInt(children(1), "n"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_prefix_hashes"),
+      new ExpressionInfo(classOf[graft.functions.PrefixHashes].getName,
+        "graft_prefix_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_prefix_hashes takes (tokens)")
+        graft.functions.PrefixHashes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_prefix_window_hash"),
+      new ExpressionInfo(classOf[graft.functions.PrefixWindowHash].getName,
+        "graft_prefix_window_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_prefix_window_hash takes (prefix_hashes, pos, m)")
+        graft.functions.PrefixWindowHash(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[graft.functions.DeflateLen].getName, "graft_deflate_len"),
       (children: Seq[Expression]) => {

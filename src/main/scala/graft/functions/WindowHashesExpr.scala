@@ -25,6 +25,61 @@ object WindowHashUtil {
     * rolling subtraction cannot systematically cancel. */
   private val B = 0x100000001b3L
 
+  /** B^i mod 2⁶⁴ for the combine's shift — bands cap probe lengths in
+    * the hundreds, so a fixed table covers every caller; anything longer
+    * falls back to the loop. */
+  private val BPOW: Array[Long] = {
+    val a = new Array[Long](1025)
+    a(0) = 1L
+    var i = 1
+    while (i < a.length) { a(i) = a(i - 1) * B; i += 1 }
+    a
+  }
+
+  private def bPow(m: Int): Long =
+    if (m < BPOW.length) BPOW(m)
+    else {
+      var r = BPOW(BPOW.length - 1)
+      var i = BPOW.length - 1
+      while (i < m) { r *= B; i += 1 }
+      r
+    }
+
+  /** Prefix polynomial hashes `P(k) = Σ_{i<k} tokenHash(i)·B^(k−1−i)
+    * (mod 2⁶⁴)` for `k = 0..len` (len+1 entries, `P(0) = 0`) — the
+    * COMBINABLE form of [[hashes]]: any window hash at any length
+    * derives in O(1) as `H(p, n) = P(p+n) − P(p)·B^n` ([[combine]]),
+    * bit-identical to the rolling kernel's value (same token hash, same
+    * polynomial, same 2⁶⁴ wrap). One pass stores this array per
+    * document and every probe length afterwards is a per-candidate
+    * combine — the match-length bisection's per-round corpus passes
+    * collapse to candidate-count work. */
+  def prefixHashes(tokens: ArrayData): ArrayData = {
+    val len = tokens.numElements()
+    val out = new Array[Long](len + 1)
+    var h = 0L
+    var i = 0
+    while (i < len) {
+      val th = if (tokens.isNullAt(i))
+        ShingleHashing.hashRange(Array.emptyByteArray, 0, 0)
+      else {
+        val b = tokens.getUTF8String(i).getBytes
+        ShingleHashing.hashRange(b, 0, b.length)
+      }
+      h = h * B + th
+      out(i + 1) = h
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** `H(pos, m)` from a [[prefixHashes]] array — `pos` is the callers'
+    * 1-based window start; wrap-around Long arithmetic IS the mod-2⁶⁴
+    * polynomial algebra (kept in the JVM: ANSI SQL would refuse the
+    * overflow a rolling hash lives on). */
+  def combine(pre: ArrayData, pos: Int, m: Int): Long =
+    pre.getLong(pos + m - 1) - pre.getLong(pos - 1) * bPow(m)
+
   def hashes(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
     val total = len - n + 1
@@ -84,4 +139,66 @@ case class WindowHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): WindowHashes =
     copy(child = newChild)
+}
+
+/** Catalyst expression wrapping [[WindowHashUtil.prefixHashes]] — the
+  * one-pass combinable-hash kernel (`graft_prefix_hashes`). */
+case class PrefixHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_prefix_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override def prettyName: String = "graft_prefix_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WindowHashUtil.prefixHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WindowHashUtil.prefixHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PrefixHashes =
+    copy(child = newChild)
+}
+
+/** `graft_prefix_window_hash(pre, pos, m)` — O(1) window hash from a
+  * stored [[PrefixHashes]] array (1-based `pos`, window length `m`);
+  * resolvable inside SQL lambda bodies (the `graft_dot` pattern), which
+  * is where the bisection's per-candidate probe runs. Values are
+  * bit-identical to `graft_window_hashes(tokens, m)[pos]`; the caller
+  * guarantees `pos + m − 1 ≤ len` (the candidate pool's tail-mark test
+  * already implies it). */
+case class PrefixWindowHash(pre: Expression, pos: Expression, m: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = pre
+  override def second: Expression = pos
+  override def third: Expression = m
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (pre.dataType, pos.dataType, m.dataType) match {
+      case (ArrayType(LongType, _), LongType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_prefix_window_hash expects (array<bigint>, bigint, bigint), got $other")
+    }
+
+  override def prettyName: String = "graft_prefix_window_hash"
+
+  override protected def nullSafeEval(a: Any, p: Any, mm: Any): Any =
+    WindowHashUtil.combine(a.asInstanceOf[ArrayData],
+      p.asInstanceOf[Long].toInt, mm.asInstanceOf[Long].toInt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, p, mm) =>
+      s"graft.functions.WindowHashUtil.combine($a, (int)$p, (int)$mm)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PrefixWindowHash =
+    copy(pre = newFirst, pos = newSecond, m = newThird)
 }

@@ -676,6 +676,16 @@ object ExactSubstr {
     // caches as a side effect, halving the per-round job count.
     val toksDup = lazyPin(toks.select(col("doc_id"), col("tokens"))
       .join(base.select("doc_id").distinct(), "doc_id"))
+    // combinable-hash diet (r12): ONE prefix-hash kernel pass per
+    // candidate-owning document, pinned for the whole build — every
+    // probe round afterwards derives its window hashes per CANDIDATE in
+    // O(1) (graft_prefix_window_hash), instead of re-running a rolling
+    // kernel pass over the duplicated docs' token arrays per round ×
+    // probe length. Values are bit-identical to the rolling kernel
+    // (same polynomial, same 2⁶⁴ wrap — spec-pinned), so collision
+    // behavior and the masked-bits forcing knob are unchanged.
+    val toksPre = lazyPin(toksDup.select(col("doc_id"),
+      expr("graft_prefix_hashes(tokens)").as("pre")))
     // top-level members are exactly the cap (their true length is >= cap);
     // every other position bisects its band [l, 2l)
     def restrict(df: DataFrame): DataFrame = restrictTo match {
@@ -716,7 +726,7 @@ object ExactSubstr {
     val hitRounds = scala.collection.mutable.ListBuffer[DataFrame]()
     while (mids.nonEmpty) {
       val cands = probeCandidatePool(markedByLevel, lens, mids)
-      val accepted = lazyPin(probeHashAccepts(toksDup, cands, mids, probeHashBits))
+      val accepted = lazyPin(probeHashAccepts(toksPre, cands, mids, probeHashBits))
       hitRounds += accepted
       val verified = accepted.select("doc_id", "pos", "m")
         .withColumn("dup", lit(1L))
@@ -791,30 +801,27 @@ object ExactSubstr {
     }.reduce(_ unionByName _)
   }
 
-  /** Hash probe: rolling window hashes at each probe length in `ms`
-    * (the round's distinct mids — at most one per band), all computed in
-    * ONE pass: per document row the ≤ |bands| hash arrays evaluate once,
-    * a `transform` over the candidate list picks each candidate's hash
-    * while the arrays are still in row scope (so the explode emits small
-    * (pos, m, wh) structs, never an array copy per candidate), and only
-    * 8-byte hashes shuffle. Masked to `bits`, bucketed by (m, wh);
-    * candidates in a bucket of ≥ 2 are accepted. No false negatives;
-    * collisions over-accept and are killed by the caller's exact
-    * confirm. */
-  private def probeHashAccepts(toksDup: DataFrame, cands: DataFrame,
+  /** Hash probe over the build's pinned PREFIX-hash arrays: each
+    * candidate's window hash at its probe length derives in O(1) via
+    * `graft_prefix_window_hash` inside a `transform` over the per-doc
+    * candidate list (the explode emits small (pos, m, wh) structs, never
+    * an array copy per candidate), so a probe round costs candidate-count
+    * combines — no rolling kernel pass over token arrays per round ×
+    * length (the r12 combinable-hash diet; values bit-identical to
+    * `graft_window_hashes`, spec-pinned). Only 8-byte hashes shuffle.
+    * Masked to `bits`, bucketed by (m, wh); candidates in a bucket of
+    * ≥ 2 are accepted. No false negatives; collisions over-accept and
+    * are killed by the caller's exact confirm. */
+  private def probeHashAccepts(toksPre: DataFrame, cands: DataFrame,
       ms: Array[Long], bits: Int): DataFrame = {
     require(ms.nonEmpty, "probeHashAccepts: no probe lengths")
     val mask = if (bits >= 64) -1L else (1L << bits) - 1
     val perDoc = cands.groupBy("doc_id")
       .agg(collect_list(struct(col("pos"), col("m"))).as("ps"))
-    val whCase = ms.map(m =>
-        s"WHEN ${m}L THEN element_at(hs_$m, CAST(pm.pos AS INT))")
-      .mkString("CASE pm.m ", " ", " END")
-    val hashed = toksDup.join(perDoc, "doc_id")
-      .select(Seq(col("doc_id"), col("ps")) ++ ms.map(m =>
-        expr(s"graft_window_hashes(tokens, $m)").as(s"hs_$m")): _*)
+    val hashed = toksPre.join(perDoc, "doc_id")
       .select(col("doc_id"), explode(
-        expr(s"transform(ps, pm -> struct(pm.pos AS pos, pm.m AS m, ($whCase) & ${mask}L AS wh))"))
+        expr(s"transform(ps, pm -> struct(pm.pos AS pos, pm.m AS m, " +
+          s"graft_prefix_window_hash(pre, pm.pos, pm.m) & ${mask}L AS wh))"))
         .as("r"))
       .select(col("doc_id"), col("r.pos").as("pos"), col("r.m").as("m"),
         col("r.wh").as("wh"))

@@ -849,4 +849,34 @@ class ExactSubstrSpec extends SparkSpec {
       Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("a")))
     assert(WindowHashUtil.hashes(withNull, 2).numElements() == 2)
   }
+
+  test("prefix-hash combine is bit-identical to the rolling kernel at every (pos, m)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.WindowHashUtil
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "δélta", "e", "", "x y")
+    for (trial <- 1 to 20) {
+      val toks = Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+      val arr = new GenericArrayData(
+        toks.map(UTF8String.fromString).toArray[Any])
+      val pre = WindowHashUtil.prefixHashes(arr)
+      assert(pre.numElements() == toks.length + 1 && pre.getLong(0) == 0L)
+      for (m <- 1 to toks.length) {
+        val rolling = WindowHashUtil.hashes(arr, m).toLongArray()
+        for (p0 <- rolling.indices) // p0 0-based; combine takes 1-based pos
+          assert(WindowHashUtil.combine(pre, p0 + 1, m) == rolling(p0),
+            s"trial $trial m=$m pos=${p0 + 1}")
+      }
+    }
+    // the SQL surface agrees with the JVM spelling (incl. inside a lambda)
+    val df = Seq((1L, Seq("a", "b", "a", "b", "c"))).toDF("doc_id", "tokens")
+      .selectExpr("doc_id", "tokens",
+        "graft_prefix_hashes(tokens) AS pre",
+        "graft_window_hashes(tokens, 2) AS h2")
+      .selectExpr("transform(sequence(1, 4), p -> " +
+        "graft_prefix_window_hash(pre, CAST(p AS BIGINT), 2L) = h2[p - 1]) AS ok")
+      .selectExpr("forall(ok, x -> x) AS all_ok")
+    assert(df.head().getBoolean(0))
+  }
 }
