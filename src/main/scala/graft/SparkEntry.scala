@@ -1653,6 +1653,39 @@ object SparkEntry {
     // conjunction — the row set a pipeline would hand to packing/sampling.
     "training_data_manifest" -> ((s, dir) =>
       manifestAsset(s, dir).orderBy("doc_id")),
+    // the DATASET CARD rollup: per source, every curation stage's doc and
+    // token mass plus the decimal-exact mean quality — the one-page
+    // summary a corpus release ships. One map-side groupBy over the
+    // stored manifest; #sources rows out, nothing corpus-sized moves.
+    "corpus_report" -> ((s, dir) =>
+      manifestAsset(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("exact_dup").as("n_exact_dup"),
+          sum("near_dup").as("n_near_dup"),
+          sum("contaminated").as("n_contaminated"),
+          sum("low_quality").as("n_low_quality"),
+          sum("kept").as("n_kept"),
+          sum(when(col("kept") === 1, col("n_tokens")).otherwise(lit(0L)))
+            .as("kept_tokens"),
+          round(sum(col("quality")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+            .cast("double") / count(lit(1)), 9).as("mean_quality"))
+        .orderBy("source")),
+    // which sources look IN-DOMAIN: per-source contrast profile off the
+    // stored scores (decimal-exact mean delta + the positive-delta mass
+    // Moore–Lewis selection would draw from)
+    "contrast_source_profile" -> ((s, dir) =>
+      contrastScoresAsset(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_scored"),
+          round(sum(col("domain_delta")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+            .cast("double") / count(lit(1)), 9).as("mean_delta"),
+          sum((col("domain_delta") > 0).cast("long")).as("n_positive"))
+        .orderBy("source")),
     // calibration analytics over the manifest: fixed-width quality
     // buckets (VALUE-bucketed, a map-side groupBy — a global ntile would
     // funnel the corpus through one partition) × per-reason drop counts.
@@ -4865,6 +4898,29 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens, quality, exact_dup, near_dup,
          |  contaminated, low_quality, kept
          |FROM manifest ORDER BY doc_id""".stripMargin,
+    "corpus_report" ->
+      s"""$manifestOracleCtes
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(exact_dup) AS BIGINT) AS n_exact_dup,
+         |  CAST(sum(near_dup) AS BIGINT) AS n_near_dup,
+         |  CAST(sum(contaminated) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(low_quality) AS BIGINT) AS n_low_quality,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(28,9))) AS DOUBLE)
+         |    / count(*), 9) AS mean_quality
+         |FROM manifest GROUP BY source ORDER BY source""".stripMargin,
+    "contrast_source_profile" ->
+      s"""$pplContrastCtes
+         |SELECT d.source, count(*) AS n_scored,
+         |  round(CAST(sum(CAST(ctr.domain_delta AS DECIMAL(28,9))) AS DOUBLE)
+         |    / count(*), 9) AS mean_delta,
+         |  CAST(sum(CASE WHEN ctr.domain_delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_positive
+         |FROM ctr JOIN documents d ON d.doc_id = ctr.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "manifest_quality_calibration" ->
       s"""$manifestOracleCtes
          |SELECT CAST(least(floor(quality * 50), 49) AS BIGINT) AS bucket,
