@@ -1578,6 +1578,36 @@ object SparkEntry {
           termCountsAsset(s, dir).where(col("doc_id") % 10 =!= 9)))
         .orderBy("doc_id")
     }),
+    // the MIXING-POLICY gate at the stream head (batch sibling of
+    // Streams.contrastMixGateWithRefresh): the append batch scored
+    // against the STORED old90 snapshot (both ladders live), weighted by
+    // the snapshot's frozen score range (clamped min–max — a doc more
+    // in-domain than anything the snapshot saw keeps its full source
+    // rate), admitted on the house coin under rate(source) × weight;
+    // decisions stay visible (refusals included — the quota family's
+    // audit contract)
+    "streams_contrast_admit_batch" -> ((s, dir) => {
+      val toksAll = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      val scoredBatch = TextAnalysis.perplexityContrastKn3Heldout(
+          toksAll.where(col("doc_id") % 10 === 9),
+          TextAnalysis.trigramCountsFromTokens(
+            toksAll.where(col("doc_id") % 10 =!= 9 && col("doc_id") % 53 === 0)),
+          termCountsAsset(s, dir)
+            .where(col("doc_id") % 10 =!= 9 && col("doc_id") % 53 === 0),
+          trigramCountsOld90Asset(s, dir),
+          termCountsAsset(s, dir).where(col("doc_id") % 10 =!= 9))
+        .select(col("doc_id"), col("domain_delta").as("score"))
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      // the policy-load step: two bounded scalars off the stored snapshot
+      // (what the stream's loadPolicy collects per version)
+      val mm = contrastScoresOld90Asset(s, dir)
+        .agg(min("domain_delta"), max("domain_delta")).head()
+      val rates = ((0 to 4).map(i => s"src$i" -> 0.4) ++
+        (5 to 9).map(i => s"src$i" -> 0.2) ++
+        (10 to 19).map(i => s"src$i" -> 0.05)).toMap
+      graft.streaming.Streams.contrastAdmitWithModel(scoredBatch,
+        mm.getDouble(0), mm.getDouble(1), rates).orderBy("doc_id")
+    }),
     // ...and the rebuild-due audit: how the stored snapshot's global
     // scalars would move under this batch — n_new_types > 0 means a
     // rebuild re-prices every stored score; narrow type-key probes only
@@ -3083,7 +3113,10 @@ object SparkEntry {
     * pre-append slice (in-domain = old90 ∩ %53, general = old90), every
     * document scored through both full backoff ladders — the snapshot
     * protocol's definition replayed over old and batch rows alike. */
-  private lazy val pplContrastIncrementalSql: String =
+  /** Everything-scored-against-the-old90-snapshot CTE chain (`ctri`) —
+    * shared by the incremental replay and the streaming-admission batch
+    * sibling: both backoff ladders live, both model sides old90-trained. */
+  private lazy val pplContrastHeldoutCtes: String =
     s"""WITH $toksCte,
        |$tgCte,
        |${kn3ModelCtesSql("i", "doc_id % 53 = 0 AND doc_id % 10 <> 9",
@@ -3099,10 +3132,43 @@ object SparkEntry {
        |  ${kn3LadderJoinsSql("i")}
        |  ${kn3LadderJoinsSql("g")}
        |  CROSS JOIN ncti CROSS JOIN vszi CROSS JOIN nctg CROSS JOIN vszg
-       |  GROUP BY s.doc_id)
+       |  GROUP BY s.doc_id)""".stripMargin
+
+  private lazy val pplContrastIncrementalSql: String =
+    s"""$pplContrastHeldoutCtes
        |SELECT doc_id, n_transitions, logprob_in, logprob_gen,
        |  round(logprob_in - logprob_gen, 9) AS domain_delta
        |FROM ctri ORDER BY doc_id""".stripMargin
+
+  /** Streaming contrast-admission batch sibling: the append batch's rows
+    * scored against the stored snapshot, weighted by the SNAPSHOT's
+    * score range (clamped min–max), admitted on the house coin under
+    * rate(source) × weight — decisions visible, refusals included. */
+  private lazy val contrastAdmitSql: String =
+    s"""$pplContrastHeldoutCtes,
+       |deltas AS (
+       |  SELECT doc_id, round(logprob_in - logprob_gen, 9) AS domain_delta
+       |  FROM ctri),
+       |mm AS (SELECT min(domain_delta) AS dmin, max(domain_delta) AS dmax
+       |       FROM deltas WHERE doc_id % 10 <> 9),
+       |coins AS (
+       |  SELECT t.doc_id, d.source, t.domain_delta AS score,
+       |    CASE WHEN mm.dmax > mm.dmin
+       |         THEN least(1.0, greatest(0.0,
+       |           (t.domain_delta - mm.dmin) / (mm.dmax - mm.dmin)))
+       |         ELSE 1.0 END AS wgt,
+       |    CAST(CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+       |      / 4294967296.0 AS u,
+       |    CASE WHEN d.source IN ('src0','src1','src2','src3','src4') THEN 0.4
+       |         WHEN d.source IN ('src5','src6','src7','src8','src9') THEN 0.2
+       |         WHEN d.source IN ('src10','src11','src12','src13','src14',
+       |                           'src15','src16','src17','src18','src19') THEN 0.05
+       |         ELSE 0.0 END AS rate
+       |  FROM deltas t CROSS JOIN mm JOIN documents d ON d.doc_id = t.doc_id
+       |  WHERE t.doc_id % 10 = 9)
+       |SELECT doc_id, source, score, wgt, u,
+       |  CAST(CASE WHEN u < rate * wgt THEN 1 ELSE 0 END AS BIGINT) AS admitted
+       |FROM coins ORDER BY doc_id""".stripMargin
 
   // near-dup cluster labels via recursive reachability over the capped
   // exact-verifier pairs — shared by the cluster and apply-dedup oracles
@@ -5640,6 +5706,7 @@ object SparkEntry {
          |SELECT doc_id, n_transitions, logprob_in, logprob_gen, domain_delta
          |FROM ctr ORDER BY domain_delta DESC, doc_id ASC LIMIT 64""".stripMargin,
     "perplexity_contrast_incremental" -> pplContrastIncrementalSql,
+    "streams_contrast_admit_batch" -> contrastAdmitSql,
     // count merges reproduce the full recount over old ∪ new
     "trigram_counts_merge" ->
       s"""WITH $tgCte

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -414,6 +414,63 @@ object Streams {
     withRefreshingModel[graft.operators.QualityClassifier.Model](docs,
       currentVersion, loadModel,
       (batch, model) => classifierScoreWithModel(batch, model),
+      checkpointDir)(sink)
+
+  /** The contrast-mixing ADMISSION policy snapshot a stream serves:
+    * `score` maps an arriving micro-batch (doc_id, source, tokens…) to
+    * snapshot-scored rows (doc_id, source, score) — typically
+    * [[graft.operators.TextAnalysis.perplexityContrastKn3Heldout]]
+    * against the STORED model snapshot, both backoff ladders live —
+    * while `dmin`/`dmax` freeze the min–max normalization at the
+    * snapshot's stored score range and `rates` is the mixing plan. The
+    * whole policy re-prices together on a snapshot rebuild (version
+    * bump), exactly like the stored contrast scores themselves. */
+  case class ContrastMixPolicy(dmin: Double, dmax: Double,
+      rates: Map[String, Double], score: DataFrame => DataFrame)
+
+  /** Stateless contrast-scored admission over snapshot-scored rows — the
+    * stream twin of [[graft.operators.Curation.normalizedScoreSourceSample]]
+    * serving a FROZEN policy: weight = the score min–max-rescaled against
+    * the SNAPSHOT's stored range (clamped to [0, 1] — an arriving
+    * document more in-domain than anything the snapshot saw keeps the
+    * full source rate; one further out keeps nothing; both single
+    * correctly-rounded IEEE ops, oracle-exact), admission = the house
+    * md5 coin under rate(source) × weight. Decisions stay VISIBLE
+    * (`admitted` flag, never a silent drop — the quota family's audit
+    * contract); sources absent from the plan admit nothing. Pure map
+    * work: no shuffle, no state store, holds on an unbounded stream. */
+  def contrastAdmitWithModel(scored: DataFrame, dmin: Double, dmax: Double,
+      rates: Map[String, Double]): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val rate = rates.foldLeft(lit(0.0): Column) { case (acc, (source, r)) =>
+      when(col("source") === source, lit(r)).otherwise(acc)
+    }
+    val wgt =
+      if (dmax > dmin)
+        least(lit(1.0), greatest(lit(0.0),
+          (col("score") - lit(dmin)) / (lit(dmax) - lit(dmin))))
+      else lit(1.0)
+    scored
+      .withColumn("wgt", wgt)
+      .withColumn("u", u)
+      .withColumn("admitted", (col("u") < rate * col("wgt")).cast("long"))
+      .select("doc_id", "source", "score", "wgt", "u", "admitted")
+  }
+
+  /** Contrast-scored admission under the refresh protocol: a batch-side
+    * snapshot rebuild (new stored scores + model tables) republishes the
+    * policy and bumps its version; rows arriving after the bump score
+    * and admit against the NEW snapshot without a stream restart —
+    * closing train-batch → serve-stream for the MIXING POLICY the way
+    * [[classifierScoreWithRefresh]] closes it for the model and
+    * [[exactSubstrGateWithRefresh]] for the indexes. */
+  def contrastMixGateWithRefresh(docs: DataFrame,
+      currentVersion: () => Long, loadPolicy: () => ContrastMixPolicy,
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    withRefreshingModel[ContrastMixPolicy](docs, currentVersion, loadPolicy,
+      (batch, p) => contrastAdmitWithModel(p.score(batch), p.dmin, p.dmax, p.rates),
       checkpointDir)(sink)
 
   /** Stream-stream interval join: right rows within

@@ -755,6 +755,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contrast-mix admission gate: snapshot-frozen weights, clamping, refresh re-prices") {
+    implicit val sqlCtx = spark.sqlContext
+    def coin(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    // synthetic snapshot scorer: the heldout KN3 scorer is pinned
+    // elsewhere; this spec pins the ADMISSION math + the policy swap
+    val scoreOf = Map(1L -> -3.0, 2L -> 0.0, 3L -> 1.0, 4L -> 9.9, 5L -> 0.5)
+    def scorer(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("score", element_at(typedLit(scoreOf), col("doc_id")))
+    val rates = Map("a" -> 0.8, "b" -> 0.3)
+    def expected(ids: Seq[(Long, String)], dmin: Double, dmax: Double,
+        ver: Long): Set[(Long, String, Double, Double, Long, Long)] =
+      ids.map { case (id, src) =>
+        val s = scoreOf(id)
+        val w = if (dmax > dmin)
+          math.min(1.0, math.max(0.0, (s - dmin) / (dmax - dmin))) else 1.0
+        val admit = if (coin(id) < rates.getOrElse(src, 0.0) * w) 1L else 0L
+        (id, src, s, w, admit, ver)
+      }.toSet
+    @volatile var version = 1L
+    @volatile var policy = Streams.ContrastMixPolicy(-2.0, 2.0, rates, scorer)
+    var loads = 0
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Double, Double, Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.contrastMixGateWithRefresh(
+      in.toDF.toDF("doc_id", "source"),
+      currentVersion = () => version,
+      loadPolicy = () => { loads += 1; policy }) { (df, _) =>
+      buf.synchronized {
+        buf ++= df.select("doc_id", "source", "score", "wgt", "admitted",
+            "index_version")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getDouble(3), r.getLong(4), r.getLong(5)))
+      }
+      ()
+    }
+    try {
+      // doc 1 clamps to wgt 0 (below the snapshot range -> never admits),
+      // doc 4 clamps to wgt 1 (above it -> full source rate), doc 5 sits
+      // on an unplanned source (rate 0 -> refuses visibly)
+      val batch1 = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "zz"))
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(buf.toSet == expected(batch1, -2.0, 2.0, 1L))
+      assert(buf.exists(_._5 == 1L) && buf.exists(_._5 == 0L))
+      assert(buf.filter(_._2 == "zz").forall(_._5 == 0L))
+      assert(loads == 1, "unchanged version must not reload the policy")
+      // snapshot rebuild: the frozen range moves, the SAME doc re-prices
+      policy = Streams.ContrastMixPolicy(-8.0, 16.0, rates, scorer)
+      version = 2L
+      val batch2 = Seq((2L, "a"), (3L, "b"))
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(buf.toSet == expected(batch1, -2.0, 2.0, 1L) ++
+        expected(batch2, -8.0, 16.0, 2L))
+      assert(loads == 2, "exactly one reload per version change")
+      // degenerate snapshot (dmax == dmin): weight 1.0 everywhere
+      policy = Streams.ContrastMixPolicy(0.5, 0.5, rates, scorer)
+      version = 3L
+      in.addData((3L, "b"))
+      q.processAllAvailable()
+      assert(buf.exists(r => r._1 == 3L && r._6 == 3L && r._4 == 1.0))
+    } finally q.stop()
+  }
+
   test("streamingTokenQuota: per-source budget carries across micro-batches, never resets") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, String)]
