@@ -1703,6 +1703,27 @@ object SparkEntry {
               .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
             .cast("double") / count(lit(1)), 9).as("mean_quality"))
         .orderBy("source")),
+    // classifier × contrast POLICY AGREEMENT matrix: where the quality
+    // model and the Moore–Lewis in-domain signal agree/disagree, with
+    // doc AND token mass per cell — the table a curation owner reads
+    // before stacking the two policies (a big disagree cell means the
+    // composed cut removes more than either predicts alone). Degenerate
+    // NULL-score docs and unscorable (<3-token) docs drop on both sides.
+    "policy_agreement_matrix" -> ((s, dir) => {
+      val clf = operators.QualityClassifier.scoreWith(
+          Tables.documents(s, dir), qualityClassifierWeightsAsset(s, dir))
+        .where(col("score").isNotNull)
+        .select(col("doc_id"), col("pred").as("kept_clf"))
+      val ctr = contrastScoresAsset(s, dir)
+        .select(col("doc_id"),
+          (col("domain_delta") > 0).cast("long").as("in_domain"))
+      val nt = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      clf.join(ctr, "doc_id").join(nt, "doc_id")
+        .groupBy("kept_clf", "in_domain")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("kept_clf", "in_domain")
+    }),
     // which sources look IN-DOMAIN: per-source contrast profile off the
     // stored scores (decimal-exact mean delta + the positive-delta mass
     // Moore–Lewis selection would draw from)
@@ -2688,6 +2709,27 @@ object SparkEntry {
          |SELECT doc_id, source, score, u FROM coins WHERE u < rate * score
          |ORDER BY doc_id""".stripMargin
 
+    // classifier × contrast POLICY AGREEMENT: the 2×2 doc + token mass
+    // where the quality model and the Moore–Lewis in-domain signal
+    // agree/disagree — the fused chain works because the two families'
+    // CTE names are disjoint (feats/zf/w· vs toks/toksarr/tg/…/ctr)
+    lazy val agreementSql: String =
+      s"""WITH $prefix,
+         |$pplContrastFrag,
+         |clfm AS (
+         |  SELECT doc_id, CAST($scoreExpr >= 0.5 AS BIGINT) AS kept_clf
+         |  FROM zf CROSS JOIN w$iters WHERE $scoreExpr IS NOT NULL),
+         |xm AS (
+         |  SELECT c.kept_clf,
+         |    CAST(CASE WHEN ctr.domain_delta > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS in_domain,
+         |    CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM clfm c JOIN ctr ON ctr.doc_id = c.doc_id
+         |       JOIN documents d ON d.doc_id = c.doc_id)
+         |SELECT kept_clf, in_domain, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM xm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
     // full PR rows (through the f1 column) shared by the curve and the
     // operating-point selection — one definition, two final clauses
     private val prRowsCtes: String = {
@@ -3080,8 +3122,12 @@ object SparkEntry {
     * unigram → uniform 1/V), spelled branch-for-branch as the Spark
     * `lmDocScoresKn3FromModel` column — the one oracle where the backoff
     * arms genuinely fire (held-out text under a subset-trained model). */
-  private lazy val pplContrastCtes: String =
-    s"""WITH $toksCte,
+  /** The contrast chain as a WITH-less fragment so other oracle families
+    * (the classifier × contrast agreement matrix) can fuse it into their
+    * own CTE chains — the CTE names (toks/toksarr/tg/…/ctr) are disjoint
+    * from the classifier chain's (feats/zf/w·). */
+  private lazy val pplContrastFrag: String =
+    s"""$toksCte,
        |$lmKn3DocCte,
        |${kn3ModelCtesSql("i", "doc_id % 53 = 0", "doc_id % 53 = 0")},
        |lmkni AS (
@@ -3097,6 +3143,8 @@ object SparkEntry {
        |    i.avg_logprob AS logprob_in, g.avg_logprob AS logprob_gen,
        |    round(i.avg_logprob - g.avg_logprob, 9) AS domain_delta
        |  FROM lmkn3 g JOIN lmkni i USING (doc_id))""".stripMargin
+
+  private lazy val pplContrastCtes: String = s"WITH $pplContrastFrag"
 
   /** The raw trigram transition stream (`tg`) standalone — for oracles
     * that need it without the full-corpus lmkn3 chain. */
@@ -3910,6 +3958,7 @@ object SparkEntry {
     "classifier_threshold_at_precision" -> ClfOracle.thresholdAtPrecisionSql,
     "classifier_weighted_sample" -> ClfOracle.sampleSql,
     "classifier_source_mix_sample" -> ClfOracle.sourceMixSql,
+    "policy_agreement_matrix" -> ClfOracle.agreementSql,
     "manifest_by_classifier" -> ClfOracle.manifestByClfSql,
     "manifest_classifier_delta" -> ClfOracle.manifestDeltaSql,
     "token_length_histogram" ->
