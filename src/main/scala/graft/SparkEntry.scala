@@ -2050,6 +2050,19 @@ object SparkEntry {
     "paragraph_dup_stats_delim" -> ((s, dir) =>
       Paragraphs.paragraphDupStatsByDelimiter(
         Tables.documents(s, dir), "\\s+table\\s+")),
+    // WITHIN-document paragraph dedup (intra-page boilerplate): each doc
+    // keeps the first occurrence of every distinct paragraph it contains
+    // and drops its own later repeats; cross-doc sharing untouched. Pure
+    // map work — zero shuffle, exact in-row string equality. Width-2
+    // blocks are the cut that genuinely fires on the fixture (181 docs
+    // lose 250 blocks at sf0.01 — a real keep/drop mix, not a vacuous
+    // pass); the delimiter-cut twin shares the one kept-logic spelling.
+    "paragraph_dedup_within_doc" -> ((s, dir) =>
+      Paragraphs.paragraphDedupStripWithinDocFixed(
+          Tables.documents(s, dir), paraTokens = 2)
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          md5(col("text_clean").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")),
     // paragraph-level DECONTAMINATION: the benchmark-leak family's third
     // granularity (doc-drop / token-span / paragraph) — strip every
     // corpus paragraph whose content appears in the benchmark split;
@@ -4959,6 +4972,21 @@ object SparkEntry {
          |      chr(10) || chr(10)), '')
          |    END) AS clean_fp
          |FROM dps d LEFT JOIN dr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "paragraph_dedup_within_doc" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id, text,
+         |    list_transform(range(0, CAST(ceil(len(regexp_split_to_array(text, '\\s+')) / 2.0) AS BIGINT)),
+         |      i -> array_to_string(list_slice(regexp_split_to_array(text, '\\s+'),
+         |             i * 2 + 1, i * 2 + 2), ' ')) AS ps
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_paras,
+         |  CAST(len(ps) - len(kept) AS BIGINT) AS n_dropped,
+         |  md5(CASE WHEN len(kept) = len(ps) THEN text
+         |      ELSE array_to_string(kept, ' ') END) AS clean_fp
+         |FROM (SELECT doc_id, text, ps,
+         |        list_filter(ps, (x, i) -> list_position(ps, x) = i) AS kept
+         |      FROM fps) z
          |ORDER BY doc_id""".stripMargin,
     "paragraph_dup_stats_delim" ->
       s"""$delimParaOracleCtes

@@ -316,6 +316,48 @@ object Paragraphs {
   def paragraphDupStatsByDelimiter(docs: DataFrame, delim: String): DataFrame =
     dupStatsFrom(parasFromArray(docs, delimParas(delim), Seq("source")))
 
+  /** WITHIN-DOCUMENT paragraph dedup — the intra-page boilerplate cut
+    * (the same nav bar / footer repeating inside ONE crawled page) that
+    * corpus-level dedup deliberately leaves alone when the content's
+    * corpus-first occurrence is the same document: each document keeps
+    * the FIRST occurrence of every distinct paragraph it contains and
+    * drops its own later repeats; cross-document sharing is untouched
+    * (that's [[paragraphDedupStripByDelimiter]]'s job — run this first,
+    * then the corpus pass, for the RefinedWeb-style two-stage cut).
+    *
+    * Scale shape: ZERO shuffle — the keeper test is per-row array work
+    * (first-occurrence index via `array_position`, exact string equality
+    * inside the row, so not even a hash collision is possible), and
+    * untouched documents keep their text verbatim via a map-side CASE.
+    * The one spelling every engine replays: keep `ps[i]` iff
+    * `array_position(ps, ps[i]) == i+1`. */
+  def paragraphDedupStripWithinDoc(docs: DataFrame, delim: String,
+      joiner: String = "\n\n"): DataFrame = {
+    require(delim.nonEmpty, "delimiter regex must be non-empty")
+    stripWithinDocBy(docs, delimParas(delim), joiner)
+  }
+
+  /** [[paragraphDedupStripWithinDoc]] over the fixed-width cut (the
+    * single-line fixture's paragraph model); rewrites re-join with single
+    * spaces like the rest of the fixed-width family. */
+  def paragraphDedupStripWithinDocFixed(docs: DataFrame,
+      paraTokens: Int): DataFrame = {
+    require(paraTokens > 0, s"paraTokens must be positive, got $paraTokens")
+    stripWithinDocBy(docs, fixedParas(paraTokens), " ")
+  }
+
+  private def stripWithinDocBy(docs: DataFrame, parr: Column,
+      joiner: String): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("text"), parr.as("ps"))
+      .withColumn("kept", expr(
+        "filter(ps, (x, i) -> array_position(ps, x) = CAST(i + 1 AS BIGINT))"))
+      .select(col("doc_id"), col("source"),
+        size(col("ps")).cast("long").as("n_paras"),
+        (size(col("ps")) - size(col("kept"))).cast("long").as("n_dropped"),
+        when(size(col("kept")) === size(col("ps")), col("text"))
+          .otherwise(array_join(col("kept"), joiner)).as("text_clean"))
+
   /** Paragraph-level DECONTAMINATION: strip every corpus paragraph whose
     * content appears anywhere in the benchmark suite — the third
     * granularity of the benchmark-leak family (doc-drop:

@@ -280,4 +280,38 @@ class ParagraphsSpec extends SparkSpec {
   private def round9(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
       .doubleValue()
+
+  test("within-doc dedup drops a doc's own repeats, leaves cross-doc sharing alone") {
+    val docs = Seq(
+      // nav-bar paragraph "home about" repeats INSIDE doc 1 -> second
+      // copy strips; the novel middle survives in place
+      (1L, "s", "home about x1 y1 home about z1 w1"),
+      // doc 2 contains the SAME boilerplate once -> untouched (cross-doc
+      // dedup is the corpus pass's job, not this one's)
+      (2L, "s", "home about p2 q2"),
+      // all-duplicate doc keeps exactly its first block (corpus-level
+      // strip would instead empty a later doc entirely)
+      (3L, "s", "aa bb aa bb aa bb"),
+      // no repeats -> text passes through VERBATIM
+      (4L, "s", "u4 v4 w4 x4")).toDF("doc_id", "source", "text")
+    val got = Paragraphs.paragraphDedupStripWithinDoc(docs, "\\s+", joiner = " ")
+    // delimiter \s+ cuts single tokens: doc 1 repeats home/about
+    val m = got.select("doc_id", "n_dropped", "text_clean")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((2L, "home about x1 y1 z1 w1")))
+    assert(m(2L) == ((0L, "home about p2 q2")))
+    assert(m(4L) == ((0L, "u4 v4 w4 x4")))
+    // fixed-width cut: 2-token blocks, doc 3 keeps one of three equal blocks
+    val fixed = Paragraphs.paragraphDedupStripWithinDocFixed(docs, paraTokens = 2)
+      .select("doc_id", "n_paras", "n_dropped", "text_clean")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(fixed(3L) == ((3L, 3L, 2L, "aa bb")))
+    assert(fixed(1L) == ((1L, 4L, 1L, "home about x1 y1 z1 w1")))
+    assert(fixed(2L)._3 == 0L && fixed(2L)._4 == "home about p2 q2")
+    // idempotent: a second pass drops nothing
+    val again = Paragraphs.paragraphDedupStripWithinDocFixed(
+      fixed.values.toSeq.map(r => (r._1, "s", r._4)).toDF("doc_id", "source", "text"),
+      paraTokens = 2)
+    assert(again.where($"n_dropped" > 0).count() == 0L)
+  }
 }
