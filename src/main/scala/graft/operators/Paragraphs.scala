@@ -316,14 +316,19 @@ object Paragraphs {
   def paragraphDupStatsByDelimiter(docs: DataFrame, delim: String): DataFrame =
     dupStatsFrom(parasFromArray(docs, delimParas(delim), Seq("source")))
 
-  /** WITHIN-DOCUMENT paragraph dedup — the intra-page boilerplate cut
-    * (the same nav bar / footer repeating inside ONE crawled page) that
-    * corpus-level dedup deliberately leaves alone when the content's
-    * corpus-first occurrence is the same document: each document keeps
-    * the FIRST occurrence of every distinct paragraph it contains and
-    * drops its own later repeats; cross-document sharing is untouched
-    * (that's [[paragraphDedupStripByDelimiter]]'s job — run this first,
-    * then the corpus pass, for the RefinedWeb-style two-stage cut).
+  /** WITHIN-DOCUMENT paragraph dedup — the CONSERVATIVE paragraph-dedup
+    * policy: each document keeps the FIRST occurrence of every distinct
+    * paragraph it contains and drops only its OWN later repeats (the
+    * same nav bar / footer repeating inside one crawled page), while
+    * cross-document sharing — legitimate quotes, citations, license
+    * headers a curation owner may want every page to keep — is left
+    * entirely alone. The corpus-wide strip
+    * ([[paragraphDedupStripByDelimiter]]) subsumes this cut (its keeper
+    * is the corpus-first `(doc_id, para_idx)`, so a doc's own later
+    * repeats strip there too); this is the policy knob BETWEEN no
+    * paragraph dedup and the corpus-wide cut, and composing it before
+    * the corpus pass yields exactly the corpus pass (spec-pinned
+    * equivalence), so the two-stage spelling is always safe.
     *
     * Scale shape: ZERO shuffle — the keeper test is per-row array work
     * (first-occurrence index via `array_position`, exact string equality

@@ -314,4 +314,34 @@ class ParagraphsSpec extends SparkSpec {
       paraTokens = 2)
     assert(again.where($"n_dropped" > 0).count() == 0L)
   }
+
+  test("within-doc is the conservative policy: within-doc ∘ corpus == corpus alone") {
+    // random corpora from a small block pool: plenty of intra-doc repeats
+    // AND cross-doc sharing. The corpus-wide strip's keeper is the
+    // corpus-first (doc_id, para_idx), so it subsumes the within-doc cut —
+    // running the conservative pass first must change NOTHING about the
+    // corpus pass's final text (the property that makes the two-stage
+    // spelling always safe, and within-doc a strict intermediate policy).
+    val rnd = new scala.util.Random(23)
+    val pool = Vector("aa bb", "cc dd", "ee ff", "gg hh", "ii jj", "kk ll")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 30L).map { id =>
+        (id, "s", Seq.fill(1 + rnd.nextInt(6))(pool(rnd.nextInt(pool.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val corpusOnly = Paragraphs.paragraphDedupStrip(docs, paraTokens = 2)
+        .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+      val staged = Paragraphs.paragraphDedupStrip(
+        Paragraphs.paragraphDedupStripWithinDocFixed(docs, paraTokens = 2)
+          .select(col("doc_id"), col("source"), col("text_clean").as("text")),
+        paraTokens = 2)
+        .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+      assert(staged == corpusOnly, s"trial $trial")
+      // and the corpus pass's output has each block content at most once
+      // globally — the within-doc pass cannot add anything to that
+      val blocks = corpusOnly.values.toSeq.filter(_.nonEmpty)
+        .flatMap(_.split(" ").grouped(2).map(_.mkString(" ")))
+      assert(blocks.distinct.size == blocks.size, s"trial $trial dupes")
+    }
+  }
 }

@@ -974,6 +974,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(k2merged == k2full && k2full.nonEmpty)
   }
 
+  test("count merges chain: repeated appends == one full recount (associativity)") {
+    // a real pipeline applies the merge once per ingest batch — the stored
+    // table after N merges must equal the recount over everything
+    val rnd = new scala.util.Random(131)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (0L until 60L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val toksDf = corpus.toDF("doc_id", "tokens")
+    val parts = (0 to 3).map(k => toksDf.where(col("doc_id") % 4 === k))
+    val chained = parts.tail.foldLeft(
+        TextAnalysis.trigramCountsFromTokens(parts.head)) { (stored, batch) =>
+      TextAnalysis.mergeTrigramCounts(stored, batch)
+    }.as[(String, String, String, Long)].collect().toSet
+    val full = TextAnalysis.trigramCountsFromTokens(toksDf)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(chained == full && full.nonEmpty)
+    val chainedB = parts.tail.foldLeft(
+        TextAnalysis.bigramCountsFromTokens(parts.head)) { (stored, batch) =>
+      TextAnalysis.mergeBigramCounts(stored, batch)
+    }.as[(String, String, Long)].collect().toSet
+    val fullB = TextAnalysis.bigramCountsFromTokens(toksDf)
+      .as[(String, String, Long)].collect().toSet
+    assert(chainedB == fullB && fullB.nonEmpty)
+  }
+
   test("kn3RefreshImpact counts new vs grown trigram types") {
     val stored = Seq(("a", "b", "c", 3L), ("b", "c", "d", 1L))
       .toDF("w1", "w2", "w3", "n_abc")
