@@ -2250,12 +2250,15 @@ object SparkEntry {
         GROUP BY doc_id ORDER BY doc_id
       """)
     }),
-    // Streaming near-dup operator executed in batch mode (identical plan;
-    // per-row graft_minhash signatures + stateful band store). Rows-only:
+    // The streaming near-dup store's decisions over a full corpus,
+    // registered on the BATCH spelling — capped-bucket election window +
+    // narrow bucket join (no whole LSH bucket buffered in one task); the
+    // stateful signature store serves the true stream only and is pinned
+    // row-identical by the StreamingSpec parity spec. Rows-only:
     // engine-specific sketch.
     "streams_near_dups_batch" -> ((s, dir) =>
-      graft.streaming.Streams.streamingNearDups(
-        Tables.documents(s, dir).select("doc_id", "text"), threshold = 0.5).toDF()
+      graft.streaming.Streams.nearDupsBatch(
+        Tables.documents(s, dir).select("doc_id", "text"), threshold = 0.5)
         // the estimate is band-independent (full-signature agreement);
         // collapse multi-band collisions deterministically
         .groupBy("doc_id", "dup_of")
@@ -2275,11 +2278,15 @@ object SparkEntry {
         .agg(min("band").as("first_band"),
           round(max("jaccard_est"), 9).as("jaccard_est"))
         .orderBy("doc_a", "doc_b")),
-    // batch run of the streaming gram store = every occurrence except the
-    // corpus-first (oracle-checked against that relational definition)
+    // the streaming gram store's decisions over a full corpus ("every
+    // occurrence except the corpus-first"), registered on the BATCH
+    // spelling — min-struct election + mark-back join (no whole gram
+    // group buffered in one task); the stateful store serves the true
+    // stream only and is pinned row-identical by the StreamingSpec
+    // parity spec. Oracle-checked against the relational definition.
     "streams_span_dedup_batch" -> ((s, dir) =>
-      graft.streaming.Streams.streamingSpanDedup(
-        Tables.documents(s, dir).select("doc_id", "text"), n = 5).toDF()
+      graft.streaming.Streams.spanDedupBatch(
+        Tables.documents(s, dir).select("doc_id", "text"), n = 5)
         .orderBy("doc_id", "pos")),
     // ingest-time per-source token quota: greedy-prefix admission (the
     // batch budget selector's semantics) with refusals kept for audit.

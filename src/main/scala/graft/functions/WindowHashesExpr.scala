@@ -39,9 +39,17 @@ object WindowHashUtil {
   private def bPow(m: Int): Long =
     if (m < BPOW.length) BPOW(m)
     else {
+      // square-and-multiply for the tail beyond the table — O(log m), so
+      // a cascade configured past the table size degrades gracefully
+      // instead of paying an O(m) loop per candidate per probe round
       var r = BPOW(BPOW.length - 1)
-      var i = BPOW.length - 1
-      while (i < m) { r *= B; i += 1 }
+      var e = m - (BPOW.length - 1)
+      var base = B
+      while (e > 0) {
+        if ((e & 1) == 1) r *= base
+        base *= base
+        e >>= 1
+      }
       r
     }
 
@@ -76,9 +84,25 @@ object WindowHashUtil {
   /** `H(pos, m)` from a [[prefixHashes]] array — `pos` is the callers'
     * 1-based window start; wrap-around Long arithmetic IS the mod-2⁶⁴
     * polynomial algebra (kept in the JVM: ANSI SQL would refuse the
-    * overflow a rolling hash lives on). */
-  def combine(pre: ArrayData, pos: Int, m: Int): Long =
-    pre.getLong(pos + m - 1) - pre.getLong(pos - 1) * bPow(m)
+    * overflow a rolling hash lives on).
+    *
+    * `graft_prefix_window_hash` is in the session catalog, so arbitrary
+    * user SQL reaches here — validate the window against the prefix
+    * array (len+1 entries for a len-token document) and fail loudly
+    * rather than read out-of-bounds UnsafeArrayData memory, which
+    * returns nondeterministic garbage. Internal bisection callers always
+    * pass in-range (the candidate pool's tail-mark test implies it), so
+    * the branch never fires on the hot path. */
+  def combine(pre: ArrayData, pos: Long, m: Long): Long = {
+    val len = pre.numElements() - 1L
+    // subtraction-only bound: `pos + m` would wrap for adversarial longs
+    // and slip past an addition-based check
+    if (pos < 1L || pos > len || m < 1L || m > len - pos + 1L)
+      throw new IllegalArgumentException(
+        s"graft_prefix_window_hash: window (pos=$pos, m=$m) out of range for a " +
+          s"$len-token document (need 1 <= pos and pos + m - 1 <= $len)")
+    pre.getLong((pos + m - 1L).toInt) - pre.getLong((pos - 1L).toInt) * bPow(m.toInt)
+  }
 
   def hashes(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
@@ -169,9 +193,10 @@ case class PrefixHashes(child: Expression) extends UnaryExpression {
   * stored [[PrefixHashes]] array (1-based `pos`, window length `m`);
   * resolvable inside SQL lambda bodies (the `graft_dot` pattern), which
   * is where the bisection's per-candidate probe runs. Values are
-  * bit-identical to `graft_window_hashes(tokens, m)[pos]`; the caller
-  * guarantees `pos + m − 1 ≤ len` (the candidate pool's tail-mark test
-  * already implies it). */
+  * bit-identical to `graft_window_hashes(tokens, m)[pos]`; an
+  * out-of-range (pos, m) raises a named error rather than reading
+  * out-of-bounds array memory (internal bisection callers are always
+  * in-range — the candidate pool's tail-mark test implies it). */
 case class PrefixWindowHash(pre: Expression, pos: Expression, m: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   override def first: Expression = pre
@@ -192,11 +217,11 @@ case class PrefixWindowHash(pre: Expression, pos: Expression, m: Expression)
 
   override protected def nullSafeEval(a: Any, p: Any, mm: Any): Any =
     WindowHashUtil.combine(a.asInstanceOf[ArrayData],
-      p.asInstanceOf[Long].toInt, mm.asInstanceOf[Long].toInt)
+      p.asInstanceOf[Long], mm.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, p, mm) =>
-      s"graft.functions.WindowHashUtil.combine($a, (int)$p, (int)$mm)")
+      s"graft.functions.WindowHashUtil.combine($a, $p, $mm)")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): PrefixWindowHash =

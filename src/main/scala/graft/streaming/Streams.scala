@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.operators.GraftPersistable
+
 /** Structured Streaming operators over the event stream. Each takes a
   * DataFrame that may be batch (`spark.read`) or streaming
   * (`spark.readStream`) with schema `(event_id, ts timestamp, user_id,
@@ -521,7 +523,18 @@ object Streams {
     * policy as the batch LSH cap), and buckets idle past `idleTimeout`
     * are evicted — state tracks recently-active buckets only. A pair
     * colliding in several bands emits once per band; dedup downstream if
-    * exact-once pairs matter. Batch twin: [[graft.operators.Dedup.minhashPairs]]. */
+    * exact-once pairs matter.
+    *
+    * THIS OPERATOR IS FOR THE TRUE STREAM ONLY, where each
+    * `flatMapGroupsWithState` group is micro-batch-bounded. Running it in
+    * BATCH mode would materialize an entire LSH bucket's occurrences in
+    * one executor task (`batch.toSeq` over a corpus-bounded group) — and
+    * a degenerate bucket of near-identical boilerplate pages is exactly
+    * what near-dup detection exists to find, so the hot bucket is the
+    * common case, not the corner. The batch shape is [[nearDupsBatch]]
+    * (capped-bucket join, identical rows — parity spec in
+    * `StreamingSpec`); the general batch pair operator is
+    * [[graft.operators.Dedup.minhashPairs]]. */
   def streamingNearDups(
       docs: DataFrame,
       k: Int = 64,
@@ -568,6 +581,57 @@ object Streams {
             hits.result().iterator
           }
         })
+  }
+
+  /** The near-dup store's BATCH spelling — the scale-safe shape for a
+    * full-corpus run of [[streamingNearDups]]'s semantics: the "stored"
+    * side of every bucket is elected by a spillable sort-based
+    * `row_number` window (first `maxBucket` docs per (band, band_hash),
+    * the store's deterministic keep-earliest policy), and each banded
+    * row joins against its bucket's stored members with smaller doc_id —
+    * never more than `maxBucket` candidates per occurrence, LINEAR in
+    * bucket size with a constant cap, where the stateful op in batch
+    * mode buffers the whole bucket's rows in one executor heap.
+    *
+    * The join/window/rejoin all move NARROW (id, band, hash) rows — the
+    * k-long signature arrays rejoin only after banding (the
+    * [[graft.operators.Dedup.minhashPairs]] shuffle diet). Rows are
+    * IDENTICAL to batch-mode [[streamingNearDups]] (parity spec in
+    * `StreamingSpec`): there every group arrives at once sorted by
+    * doc_id, so "already stored when d arrives" = "among the bucket's
+    * first `maxBucket` doc_ids and smaller than d". */
+  def nearDupsBatch(
+      docs: DataFrame,
+      k: Int = 64,
+      shingleLen: Int = 5,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    // signatures feed the banding and both est-side rejoins — persist or
+    // Catalyst recomputes the per-row MinHash scan three times
+    val sigs = docs
+      .selectExpr("doc_id",
+        s"graft_minhash(trim(regexp_replace(lower(text), '\\\\s+', ' ')), $shingleLen, $k) AS sig")
+      .scopedPersist()
+    val banded = sigs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band", "band_hash")))
+    val stored = banded
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash").orderBy("doc_id")))
+      .where(col("rn") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id").as("dup_of"))
+    stored
+      .join(banded, Seq("band", "band_hash"))
+      .where(col("dup_of") < col("doc_id"))
+      .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
+      .join(sigs.select(col("doc_id").as("dup_of"), col("sig").as("sig_dup")), "dup_of")
+      .withColumn("jaccard_est", expr("graft_sig_match(sig, sig_dup)"))
+      .where(col("jaccard_est") >= threshold)
+      .select("doc_id", "dup_of", "band", "jaccard_est")
   }
 
   /** Stream-stream SELF-join near-dup pairs — the symmetric-join
@@ -855,11 +919,17 @@ object Streams {
     * standard recall-for-state trade of streaming dedup, same policy as
     * [[streamingNearDups]]).
     *
-    * In BATCH mode each group sees all occurrences at once sorted by
-    * (doc_id, pos), so "first" is the corpus-wide minimum and the output
-    * is exactly the batch remover's removable set — the registered
-    * `streams_span_dedup_batch` query is oracle-checked against that
-    * definition. In streaming mode "first" is first-ARRIVED. */
+    * THIS OPERATOR IS FOR THE TRUE STREAM ONLY, where each
+    * `flatMapGroupsWithState` group is micro-batch-bounded. In BATCH mode
+    * the group is ALL corpus occurrences of one gram and `batch.toSeq`
+    * buffers them in one executor task — hot grams (license headers, nav
+    * boilerplate) are exactly what span dedup exists to find, so that
+    * buffer is O(hot-gram occurrences) on a single heap. The batch shape
+    * is [[spanDedupBatch]] (min-struct election + mark-back join,
+    * identical rows — parity spec in `StreamingSpec`): there "first" is
+    * the corpus-wide (doc_id, pos) minimum, which is also what batch-mode
+    * arrival order (each group at once, sorted) makes THIS operator emit.
+    * In streaming mode "first" is first-ARRIVED. */
   def streamingSpanDedup(docs: DataFrame, n: Int = 5,
       idleTimeout: String = "1 hour"): Dataset[SpanHit] = {
     import docs.sparkSession.implicits._
@@ -886,6 +956,33 @@ object Streams {
             hits.result().iterator
           }
         })
+  }
+
+  /** The gram store's BATCH spelling — the scale-safe shape for a
+    * full-corpus run of [[streamingSpanDedup]]'s semantics ("every
+    * occurrence except the corpus-first"): elect each gram's first
+    * occurrence with a map-side-combinable `min(struct(doc_id, pos))`
+    * aggregate, then mark every other occurrence back with an equi-join
+    * on the gram hash — a gram occurring d times contributes d narrow
+    * rows through the shuffle and d output rows, never a d-row buffer in
+    * one task (the [[graft.operators.Curation.duplicateSpansHashed]]
+    * shape, which is also this query's oracle definition). Shuffles key
+    * on xxhash64(gram) — ~8·n-byte gram strings never cross an exchange.
+    * Rows are IDENTICAL to batch-mode [[streamingSpanDedup]] (parity
+    * spec in `StreamingSpec`). */
+  def spanDedupBatch(docs: DataFrame, n: Int = 5): DataFrame = {
+    // windows feed both the election and the mark-back join — persist or
+    // the corpus tokenizes and windows twice
+    val wins = graft.operators.Curation.windowRows(docs, n)
+      .select(xxhash64(col("gram")).as("gh"), col("doc_id"), col("pos"))
+      .scopedPersist()
+    val firsts = wins.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"), count(lit(1)).as("occ"))
+      .where(col("occ") >= 2)
+      .select(col("gh"), col("f.doc_id").as("first_doc"), col("f.pos").as("first_pos"))
+    wins.join(firsts, "gh")
+      .where(col("doc_id") =!= col("first_doc") || col("pos") =!= col("first_pos"))
+      .select("doc_id", "pos", "first_doc", "first_pos")
   }
 
   case class GramOccTs(gh: Long, doc_id: Long, pos: Long, ts: java.sql.Timestamp)

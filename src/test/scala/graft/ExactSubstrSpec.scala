@@ -879,4 +879,45 @@ class ExactSubstrSpec extends SparkSpec {
       .selectExpr("forall(ok, x -> x) AS all_ok")
     assert(df.head().getBoolean(0))
   }
+
+  test("prefix-hash combine refuses out-of-range windows by name; long probes stay exact") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.WindowHashUtil
+    val arr = new GenericArrayData(
+      Seq("a", "b", "c", "d").map(UTF8String.fromString).toArray[Any])
+    val pre = WindowHashUtil.prefixHashes(arr)
+    // graft_prefix_window_hash is catalog-registered, so user SQL reaches
+    // combine with arbitrary (pos, m): out-of-bounds must raise a NAMED
+    // error, never read past the UnsafeArrayData buffer
+    for ((p, m) <- Seq((0L, 2L), (1L, 0L), (4L, 2L), (1L, 5L), (-1L, 1L),
+        (1L, Long.MaxValue), (Long.MaxValue, 1L),
+        (Long.MaxValue, Long.MaxValue))) { // pos + m wraps — must still refuse
+      val e = intercept[IllegalArgumentException](WindowHashUtil.combine(pre, p, m))
+      assert(e.getMessage.contains("out of range"), s"(pos=$p, m=$m): ${e.getMessage}")
+    }
+    val sqlErr = intercept[Exception] {
+      Seq(Seq("a", "b")).toDF("tokens")
+        .selectExpr("graft_prefix_window_hash(graft_prefix_hashes(tokens), 2L, 9L) AS h")
+        .collect()
+    }
+    assert(sqlErr.getMessage != null)
+    // boundary windows are legal: full doc and last single token
+    assert(WindowHashUtil.combine(pre, 1L, 4L) ==
+      WindowHashUtil.hashes(arr, 4).toLongArray()(0))
+    assert(WindowHashUtil.combine(pre, 4L, 1L) ==
+      WindowHashUtil.hashes(arr, 1).toLongArray()(3))
+    // past the 1024-entry B-power table the fallback is square-and-multiply
+    // — still bit-identical to the rolling kernel at m > 1024
+    val rnd = new scala.util.Random(47)
+    val big = new GenericArrayData(Seq.fill(1100)(
+      UTF8String.fromString(s"t${rnd.nextInt(7)}")).toArray[Any])
+    val preBig = WindowHashUtil.prefixHashes(big)
+    for (m <- Seq(1025, 1100)) {
+      val rolling = WindowHashUtil.hashes(big, m).toLongArray()
+      assert(WindowHashUtil.combine(preBig, 1L, m.toLong) == rolling(0))
+      assert(WindowHashUtil.combine(preBig, (1100 - m + 1).toLong, m.toLong) ==
+        rolling(1100 - m))
+    }
+  }
 }

@@ -458,6 +458,47 @@ class PlanSpec extends SparkSpec {
       "the per-source running sum must be a window:\n" + p.take(2000))
   }
 
+  test("batch span dedup plans an aggregate + join, never a stateful group-materialize") {
+    val df = graft.streaming.Streams.spanDedupBatch(
+      Tables.documents(spark, dir).select("doc_id", "text"), n = 5)
+    df.collect()
+    val p = plan(df)
+    // the r12 weak mark: batch mode must NOT route through
+    // flatMapGroupsWithState (batch.toSeq buffers ALL corpus occurrences
+    // of a hot gram in one task) — the first-occurrence election is a
+    // map-side-combinable min-struct aggregate plus an equi-join mark-back
+    assert(!p.contains("FlatMapGroupsWithState"),
+      "batch span dedup must not buffer whole gram groups in one task:\n" + p.take(2000))
+    assert(!p.contains("SerializeFromObject"),
+      "batch span dedup must stay in Tungsten rows (no object round-trip):\n" + p.take(2000))
+    // min(struct) plans as SortAggregate (struct is not a hash-agg buffer
+    // type) — the scale property is the MAP-SIDE PARTIAL election, which
+    // shrinks every gram to one candidate row before the exchange
+    assert(p.contains("partial_min(struct(doc_id"),
+      "the first-occurrence election must partial-aggregate map-side:\n" + p.take(2000))
+    assert(p.contains("Join"),
+      "the mark-back must be an equi-join:\n" + p.take(2000))
+  }
+
+  test("batch near-dup store plans a capped-bucket join, never a stateful group-materialize") {
+    val df = graft.streaming.Streams.nearDupsBatch(
+      Tables.documents(spark, dir).select("doc_id", "text"), threshold = 0.5)
+    df.collect()
+    val p = plan(df)
+    // the r12 weak mark: batch mode must NOT route through
+    // flatMapGroupsWithState (batch.toSeq buffers a whole LSH bucket in
+    // one task) — the stored side is a spillable row_number window cap
+    // and candidates come from a narrow bucket equi-join
+    assert(!p.contains("FlatMapGroupsWithState"),
+      "batch near-dups must not buffer whole LSH buckets in one task:\n" + p.take(2000))
+    assert(!p.contains("SerializeFromObject"),
+      "batch near-dups must stay in Tungsten rows (no object round-trip):\n" + p.take(2000))
+    assert(p.contains("Window"),
+      "the bucket cap must be a window election:\n" + p.take(2000))
+    assert(p.contains("Join"),
+      "candidates must come from the bucket equi-join:\n" + p.take(2000))
+  }
+
   test("decontaminateSemantic broadcasts the benchmark; corpus shuffles only to aggregate") {
     val df = graft.operators.Curation.decontaminateSemantic(
       Tables.embeddings(spark, dir),

@@ -518,6 +518,35 @@ class StreamingSpec extends SparkSpec {
     assert(!hits.exists(h => h._1 == 2L || h._2 == 2L))
   }
 
+  test("nearDupsBatch == streamingNearDups batch mode (capped-bucket join spelling)") {
+    // fixture engineered so the cap BITES: maxBucket = 2 with four
+    // IDENTICAL docs (identical signatures → identical buckets) means
+    // every bucket stores {1, 2} and docs 3/4 compare against those two
+    // only, never against each other — both spellings must agree on
+    // exactly that, band for band, estimate for estimate
+    val boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler),
+      (5L, "totally unrelated payload with different words throughout"),
+      (6L, boiler + " with an extra divergent tail of several words"))
+      .toDF("doc_id", "text")
+    val got = Streams.nearDupsBatch(docs, threshold = 0.5, maxBucket = 2)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val expected = Streams.streamingNearDups(docs, threshold = 0.5, maxBucket = 2)
+      .collect().map(h => (h.doc_id, h.dup_of, h.band, h.jaccard_est)).toSet
+    assert(got == expected && got.nonEmpty)
+    // the cap genuinely bit: 3 and 4 are never stored (1 and 2 fill every
+    // bucket they share), so nothing ever dups against them...
+    assert(!got.exists(_._2 >= 3L))
+    assert(got.exists(h => h._1 == 4L && h._2 == 1L))
+    assert(!got.exists(h => h._1 == 5L || h._2 == 5L))
+    // ...while the uncapped run DOES pair (4, 3) — the cap changes output
+    // identically in both spellings, not just in this one
+    val uncapped = Streams.nearDupsBatch(docs, threshold = 0.5, maxBucket = 64)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((4L, 3L)))
+  }
+
   test("stream-stream near-dup self-join pairs in-corridor docs, excludes out-of-horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
@@ -654,6 +683,22 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSeq
     assert(strip.map(_._1) == Seq(1L, 2L, 3L))
     assert(strip(1)._3 == "x y" && strip(2)._3 == "m n o")
+  }
+
+  test("spanDedupBatch == streamingSpanDedup batch mode (election + mark-back spelling)") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x b c d y b c d"),  // cross-doc dup at (2,2) AND its own repeat (2,6)
+      (3L, "m n o m n o"),      // within-doc self-repeat
+      (4L, "q r s t u"))        // no repeated grams
+      .toDF("doc_id", "text")
+    val got = Streams.spanDedupBatch(docs, n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = Streams.streamingSpanDedup(docs, n = 3)
+      .collect().map(h => (h.doc_id, h.pos, h.first_doc, h.first_pos)).toSet
+    assert(got == expected && got.nonEmpty)
+    assert(got.contains((2L, 6L, 1L, 2L)))  // repeat points at CORPUS-first
+    assert(!got.exists(_._1 == 4L))
   }
 
   test("flatMapGroupsWithState running stats (batch mode)") {
