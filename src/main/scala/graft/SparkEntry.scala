@@ -531,6 +531,83 @@ object SparkEntry {
         "\\s+table\\s+")
     }
 
+  /** Arrival split for the manifest-maintenance family: BLOCKS of 20
+    * consecutive doc_ids arrive together — `(doc_id div 20) % 10 == 9` is
+    * the append batch. The house per-id `% 10` split is source-degenerate
+    * for the per-source quality stage on the fixture (source cycles with
+    * doc_id, so the batch would hold only sources the snapshot never
+    * calibrated); block arrival keeps every source on both sides, which is
+    * also the realistic ingest shape (a crawl delivers whole shards, not
+    * id-striped rows). */
+  private def manifestArrivalBlock: org.apache.spark.sql.Column =
+    expr("(doc_id div 20) % 10")
+
+  /** The pre-append corpus slice the incremental manifest's stored indexes
+    * snapshot (everything outside the arrival batch). */
+  private def oldSliceDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).where(manifestArrivalBlock =!= 9)
+
+  /** Stored fingerprint keepers over the pre-append slice — the exact-dup
+    * store the incremental manifest probes (FIRST-ARRIVED: keeper = the
+    * earliest old arrival per content fingerprint). */
+  private def fpStoreOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "fp_store_old90") {
+      oldSliceDocs(s, dir)
+        .select(graft.functions.TextFunctions.contentFingerprint(col("text"))
+          .as("fingerprint"), col("doc_id"))
+        .groupBy("fingerprint").agg(min("doc_id").as("keeper"))
+    }
+
+  /** The near-dup snapshot index, four stored tables
+    * ([[Dedup.nearDupFlagsIncremental]]'s contract): gram document
+    * frequencies over the old slice (UNCAPPED — merged-df arithmetic
+    * needs every old count), the old-df-capped postings, per-doc kept
+    * sizes, and the stored pair-table closure. */
+  private def dedupGramDfOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "dedup_gram_df_old90") {
+      Dedup.distinctGramRows(oldSliceDocs(s, dir))
+        .groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    }
+
+  private def dedupPostingsOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "dedup_postings_old90") {
+      Dedup.distinctGramRows(oldSliceDocs(s, dir))
+        .join(dedupGramDfOldAsset(s, dir)
+          .where(col("gram_df") <= 64).select("gram"), "gram")
+        .select("doc_id", "gram")
+    }
+
+  private def dedupSizesOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "dedup_sizes_old90") {
+      dedupPostingsOldAsset(s, dir)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    }
+
+  private def dedupLabelsOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "dedup_labels_old90") {
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardExact(oldSliceDocs(s, dir)).select("doc_a", "doc_b"))
+    }
+
+  /** Stored benchmark gram set over the old slice's benchmark split — the
+    * decontamination store an append batch unions its own new benchmark
+    * grams into before scoring arriving train documents. */
+  private def benchGramsOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "bench_grams_old90") {
+      Curation.gramRowsFromTokens(
+          operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+            .where(manifestArrivalBlock =!= 9 && col("doc_id") % 53 === 0), 3)
+        .select("gram").distinct()
+    }
+
+  /** Stored per-source quality thresholds over the old slice — the
+    * sampled-cut calibration ([[TextAnalysis.qualityThresholds]]) the
+    * incremental manifest's quality stage compares against. */
+  private def qualityThresholdsOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "quality_thresholds_old90") {
+      TextAnalysis.qualityThresholds(oldSliceDocs(s, dir), dropFraction = 0.25)
+    }
+
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
     * whole span-dedup family (detect/stats/strip, exact + hashed) marks
     * back against; as an asset the corpus tokenizes + windows ONCE per
@@ -763,6 +840,13 @@ object SparkEntry {
     "contrast_scores_old90" -> ((s, d) => { contrastScoresOld90Asset(s, d); () }),
     "paragraph_keepers_old90" -> ((s, d) => { paragraphKeepersOldAsset(s, d); () }),
     "paragraph_keepers_delim_old90" -> ((s, d) => { paragraphKeepersDelimOldAsset(s, d); () }),
+    "fp_store_old90" -> ((s, d) => { fpStoreOldAsset(s, d); () }),
+    "dedup_gram_df_old90" -> ((s, d) => { dedupGramDfOldAsset(s, d); () }),
+    "dedup_postings_old90" -> ((s, d) => { dedupPostingsOldAsset(s, d); () }),
+    "dedup_sizes_old90" -> ((s, d) => { dedupSizesOldAsset(s, d); () }),
+    "dedup_labels_old90" -> ((s, d) => { dedupLabelsOldAsset(s, d); () }),
+    "bench_grams_old90" -> ((s, d) => { benchGramsOldAsset(s, d); () }),
+    "quality_thresholds_old90" -> ((s, d) => { qualityThresholdsOldAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
@@ -1683,6 +1767,49 @@ object SparkEntry {
     // conjunction — the row set a pipeline would hand to packing/sampling.
     "training_data_manifest" -> ((s, dir) =>
       manifestAsset(s, dir).orderBy("doc_id")),
+    // INCREMENTAL manifest maintenance — the last rebuild-only composite
+    // joins the incremental family: every curation stage's flag for an
+    // append batch derives from a SNAPSHOT store at O(batch) corpus cost
+    // (fingerprint keepers, the pair-table closure + gram index, the
+    // benchmark gram store, the sampled quality thresholds). First-
+    // arrived semantics throughout: stored keeperships/labels/thresholds
+    // never move; the oracle replays arrival order (old slice before the
+    // batch) including the merged gram-df cap and the frozen old closure.
+    "manifest_incremental" -> ((s, dir) => {
+      val newAll = Tables.documents(s, dir).where(manifestArrivalBlock === 9)
+      val newToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+        .where(manifestArrivalBlock === 9)
+      val exact = Dedup.exactDupFlagsIncremental(fpStoreOldAsset(s, dir), newAll)
+      val near = Dedup.nearDupFlagsIncremental(
+        dedupLabelsOldAsset(s, dir), dedupPostingsOldAsset(s, dir),
+        dedupGramDfOldAsset(s, dir), dedupSizesOldAsset(s, dir), newAll)
+      val benchStore = benchGramsOldAsset(s, dir).select("gram")
+        .unionByName(Curation.gramRowsFromTokens(
+          newToks.where(col("doc_id") % 53 === 0), 3).select("gram"))
+      val cont = Curation.decontaminateAgainstGramStore(
+          newToks.where(col("doc_id") % 53 =!= 0), benchStore)
+        .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
+      val lowq = TextAnalysis.lowQualityByStoredThresholds(
+        newAll, qualityThresholdsOldAsset(s, dir))
+      val nTok = newToks.select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+      newAll.where(col("doc_id") % 53 =!= 0)
+        .select("doc_id", "source")
+        .join(exact, "doc_id")
+        .join(lowq.select("doc_id", "quality", "low_quality"), "doc_id")
+        .join(near, "doc_id")
+        .join(cont, Seq("doc_id"), "left")
+        .join(nTok, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("quality"), col("exact_dup"), col("near_dup"),
+          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+          col("low_quality"))
+        .withColumn("kept",
+          (col("exact_dup") === 0 && col("near_dup") === 0 &&
+            col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
+        .orderBy("doc_id")
+    }),
     // the DATASET CARD rollup: per source, every curation stage's doc and
     // token mass plus the decimal-exact mean quality — the one-page
     // summary a corpus release ships. One map-side groupBy over the
@@ -3332,6 +3459,116 @@ object SparkEntry {
        |    CAST(CASE WHEN exact_dup = 0 AND near_dup = 0 AND contaminated = 0
        |      AND low_quality = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
        |  FROM base)""".stripMargin
+
+  /** CTE chain for the INCREMENTAL manifest oracle — arrival-order replay
+    * of every snapshot store: the full-corpus gram/pair chain (merged-df
+    * cap) for batch-incident pairs, an old-slice-only chain + closure for
+    * the FROZEN stored labels, first-arrived fingerprint election
+    * (old slice ranks before the batch), the merged benchmark gram set,
+    * and the old-slice value-at-rank quality thresholds with the sampled
+    * cut's boundary rule. */
+  private lazy val manifestIncOracleCtes =
+    s"""$clusterLabelsCte,
+       |gramso AS (SELECT doc_id, gram FROM grams WHERE (doc_id // 20) % 10 <> 9),
+       |okgo AS (SELECT gram FROM gramso GROUP BY 1 HAVING count(*) <= 64),
+       |kepto AS (SELECT g.doc_id, g.gram FROM gramso g JOIN okgo USING (gram)),
+       |sizeso AS (SELECT doc_id, count(*) AS n_grams FROM kepto GROUP BY 1),
+       |sharedo AS (
+       |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM kepto ga JOIN kepto gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+       |  GROUP BY 1, 2),
+       |pairso AS (
+       |  SELECT doc_a, doc_b
+       |  FROM sharedo JOIN sizeso sa ON sa.doc_id = doc_a JOIN sizeso sb ON sb.doc_id = doc_b
+       |  WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5),
+       |undo_ AS (SELECT doc_a AS a, doc_b AS b FROM pairso
+       |          UNION SELECT doc_b, doc_a FROM pairso),
+       |reacho(a, b) AS (
+       |  SELECT a, b FROM undo_
+       |  UNION
+       |  SELECT r.a, u.b FROM reacho r JOIN undo_ u ON u.a = r.b),
+       |labelso AS (
+       |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+       |  FROM reacho GROUP BY a),
+       |eni AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |    WHERE (doc_a // 20) % 10 = 9 AND (doc_b // 20) % 10 = 9
+       |  UNION SELECT p.doc_a, coalesce(l.cluster, p.doc_b) FROM pairs p
+       |    LEFT JOIN labelso l ON l.doc_id = p.doc_b
+       |    WHERE (p.doc_a // 20) % 10 = 9 AND (p.doc_b // 20) % 10 <> 9
+       |  UNION SELECT p.doc_b, coalesce(l.cluster, p.doc_a) FROM pairs p
+       |    LEFT JOIN labelso l ON l.doc_id = p.doc_a
+       |    WHERE (p.doc_b // 20) % 10 = 9 AND (p.doc_a // 20) % 10 <> 9),
+       |undn AS (SELECT a, b FROM eni UNION SELECT b, a FROM eni),
+       |reachn(a, b) AS (
+       |  SELECT a, b FROM undn
+       |  UNION
+       |  SELECT r.a, u.b FROM reachn r JOIN undn u ON u.a = r.b),
+       |ndn AS (
+       |  SELECT a AS doc_id, 1 AS near_dup FROM reachn
+       |  WHERE (a // 20) % 10 = 9 AND ((b // 20) % 10 <> 9 OR b < a) GROUP BY a),
+       |fpk AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       |  FROM documents),
+       |afp AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY f
+       |    ORDER BY ((doc_id // 20) % 10 = 9), doc_id) AS rn
+       |  FROM fpk),
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0),
+       |tr AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_overlap
+       |  FROM grams WHERE doc_id % 53 <> 0 AND (doc_id // 20) % 10 = 9 GROUP BY 1),
+       |ct AS (
+       |  SELECT doc_id,
+       |    CASE WHEN round(CAST(n_overlap AS DOUBLE) / n_grams, 9) >= 0.05 THEN 1 ELSE 0 END
+       |      AS contaminated
+       |  FROM tr),
+       |q AS (
+       |  SELECT doc_id,
+       |    round((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+       |      + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+       |      + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)) * 0.1
+       |      + least(CAST(len(regexp_extract_all(text, '$stopRegex')) AS DOUBLE)
+       |              / len(regexp_split_to_array(text, '\\s+')), 0.5) * 2.0 * 0.2, 9) AS quality
+       |  FROM documents),
+       |thrq AS (
+       |  SELECT source, t, n_old FROM (
+       |    SELECT d.source, q.quality AS t,
+       |      row_number() OVER (PARTITION BY d.source ORDER BY q.quality, d.doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY d.source) AS n_old
+       |    FROM documents d JOIN q USING (doc_id) WHERE (d.doc_id // 20) % 10 <> 9) s
+       |  WHERE rn = CAST(ceil(0.25 * n_old) AS BIGINT)),
+       |lqn AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN thrq.source IS NULL THEN 1
+       |      WHEN floor(0.25 * thrq.n_old) = 0.25 * thrq.n_old
+       |        THEN CASE WHEN q.quality <= thrq.t THEN 1 ELSE 0 END
+       |      ELSE CASE WHEN q.quality < thrq.t THEN 1 ELSE 0 END END AS low_quality
+       |  FROM documents d JOIN q USING (doc_id) LEFT JOIN thrq ON thrq.source = d.source
+       |  WHERE (d.doc_id // 20) % 10 = 9),
+       |ntok AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM toksarr),
+       |basei AS (
+       |  SELECT d.doc_id, d.source,
+       |    coalesce(nt.n_tokens, 0) AS n_tokens, q.quality,
+       |    CAST(CASE WHEN afp.rn > 1 THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+       |    CAST(coalesce(ndn.near_dup, 0) AS BIGINT) AS near_dup,
+       |    CAST(coalesce(ct.contaminated, 0) AS BIGINT) AS contaminated,
+       |    CAST(lqn.low_quality AS BIGINT) AS low_quality
+       |  FROM documents d
+       |  JOIN afp ON afp.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN lqn ON lqn.doc_id = d.doc_id
+       |  LEFT JOIN ndn ON ndn.doc_id = d.doc_id
+       |  LEFT JOIN ct ON ct.doc_id = d.doc_id
+       |  LEFT JOIN ntok nt ON nt.doc_id = d.doc_id
+       |  WHERE d.doc_id % 53 <> 0 AND (d.doc_id // 20) % 10 = 9),
+       |manifesti AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN exact_dup = 0 AND near_dup = 0 AND contaminated = 0
+       |      AND low_quality = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |  FROM basei)""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val m = baseOracleSql
@@ -5048,6 +5285,11 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens, quality, exact_dup, near_dup,
          |  contaminated, low_quality, kept
          |FROM manifest ORDER BY doc_id""".stripMargin,
+    "manifest_incremental" ->
+      s"""$manifestIncOracleCtes
+         |SELECT doc_id, source, n_tokens, quality, exact_dup, near_dup,
+         |  contaminated, low_quality, kept
+         |FROM manifesti ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
       s"""$manifestOracleCtes
          |SELECT source, count(*) AS n_docs,

@@ -99,6 +99,21 @@ object Curation {
     decontaminateGrams(gramRowsFromTokens(trainToks, n),
       gramRowsFromTokens(benchToks, n).select("gram").distinct(), flagRatio)
 
+  /** [[decontaminateFromTokens]] with the benchmark side supplied as a
+    * STORED gram set `(gram)` — the incremental-maintenance shape: a
+    * snapshot's benchmark grams persist as an index, an append batch
+    * unions in only its own new benchmark grams, and the arriving train
+    * documents score against the merged store at O(batch). Duplicate
+    * grams across store and update are deduplicated here (the overlap
+    * counter is a sum of hits — a doubled gram row would double-count). */
+  def decontaminateAgainstGramStore(
+      trainToks: DataFrame,
+      benchGramStore: DataFrame,
+      n: Int = 3,
+      flagRatio: Double = 0.05): DataFrame =
+    decontaminateGrams(gramRowsFromTokens(trainToks, n),
+      benchGramStore.select("gram").distinct(), flagRatio)
+
   private def decontaminateGrams(
       trainGrams: DataFrame,
       benchGrams: DataFrame,

@@ -496,6 +496,135 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact-duplicate FLAGS for an append batch against a stored
+    * fingerprint store — the manifest-maintenance sibling of
+    * [[incrementalNew]] (that one keeps survivors; this one keeps every
+    * batch row with its decision, the audit posture of the manifest
+    * family). Keeper convention is FIRST-ARRIVED, same as every stored
+    * index here: a batch document is a duplicate iff its content
+    * fingerprint is already stored, or an earlier batch arrival (min
+    * doc_id within the batch) owns it — a low-id newcomer never steals a
+    * stored keepership. One narrow fingerprint-keyed probe; no text
+    * crosses an exchange. `storedFps` needs a `fingerprint` column (the
+    * keeper id, if present, is not read). */
+  def exactDupFlagsIncremental(storedFps: DataFrame, newDocs: DataFrame): DataFrame = {
+    val fps = newDocs.select(col("doc_id"),
+      TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+    val batchFirst = fps.groupBy("fingerprint").agg(min("doc_id").as("first_id"))
+    fps
+      .join(batchFirst, "fingerprint")
+      .join(storedFps.select("fingerprint").withColumn("stored", lit(1L)),
+        Seq("fingerprint"), "left")
+      .select(col("doc_id"),
+        (col("stored").isNotNull || col("doc_id") =!= col("first_id"))
+          .cast("long").as("exact_dup"))
+  }
+
+  /** Near-duplicate FLAGS for an append batch under the frozen-store
+    * protocol — the manifest's near-dup stage at O(batch) instead of a
+    * full pair + closure rebuild. Stored state (all snapshot-pinned,
+    * built by the same spellings as the batch pair family):
+    *
+    *  - `storedLabels` `(doc_id, cluster)`: the snapshot's pair-table
+    *    closure ([[connectedComponents]] over [[ngramJaccardExact]] of
+    *    the old corpus). Old labels NEVER move — two old clusters bridged
+    *    by a new arrival stay separate (the first-arrived immutability
+    *    rule every stored index here follows; the bridge document itself
+    *    flags as a near-dup).
+    *  - `storedPostings` `(doc_id, gram)`: the old corpus' distinct
+    *    3-grams ([[distinctGramRows]]) kept under the snapshot's
+    *    document-frequency cap.
+    *  - `storedGramDf` `(gram, gram_df)`: document frequency of EVERY old
+    *    gram, uncapped — the batch needs old counts to know each batch
+    *    gram's merged df.
+    *  - `storedSizes` `(doc_id, n_grams)`: per old doc, its kept-gram
+    *    count under the snapshot cap.
+    *
+    * Semantics: a batch document is a near-dup iff it connects — through
+    * Jaccard-≥-`minJaccard` pairs under the MERGED df cap (old df + batch
+    * df; a batch arrival can push a boilerplate gram over the cap, which
+    * removes it from every denominator, stored docs' included) — to any
+    * stored document or to an earlier batch arrival, including chains
+    * through other batch documents. Old docs collapse to their stored
+    * component label before the closure, so connectivity through the old
+    * corpus is one hop and the component computation touches only the
+    * batch-incident subgraph.
+    *
+    * Scale shape: batch grams probe the stored df and posting tables by
+    * gram key (O(batch-incident) rows move — stored rows for grams absent
+    * from the batch never leave the scan); the closure runs on batch
+    * nodes + touched label nodes only. Nothing anywhere is
+    * O(stored corpus). */
+  def nearDupFlagsIncremental(
+      storedLabels: DataFrame,
+      storedPostings: DataFrame,
+      storedGramDf: DataFrame,
+      storedSizes: DataFrame,
+      newDocs: DataFrame,
+      minJaccard: Double = 0.5,
+      maxGramDf: Int = 64): DataFrame = {
+    val newGrams = distinctGramRows(newDocs).scopedPersist()
+    val mergedDf = newGrams.groupBy("gram").agg(count(lit(1)).as("batch_df"))
+      .join(storedGramDf, Seq("gram"), "left")
+      .select(col("gram"),
+        (col("batch_df") + coalesce(col("gram_df"), lit(0L))).as("merged_df"),
+        coalesce(col("gram_df"), lit(0L)).as("old_df"))
+      .scopedPersist()
+    val keptNew = newGrams
+      .join(mergedDf.where(col("merged_df") <= maxGramDf).select("gram"), "gram")
+      .scopedPersist()
+    // grams this batch pushed over the cap: stored docs lose them from
+    // their denominators (batch-sized set — only batch grams change df)
+    val overCap = mergedDf
+      .where(col("merged_df") > maxGramDf && col("old_df") <= maxGramDf)
+      .select("gram")
+    val sizesNew = keptNew.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val lost = storedPostings.join(overCap, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_lost"))
+    val sizesOldAdj = storedSizes.join(lost, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_grams") - coalesce(col("n_lost"), lit(0L))).as("n_grams"))
+    def jaccardOk(shared: Column, a: Column, b: Column): Column =
+      round(shared.cast("double") / (a + b - shared), 9) >= minJaccard
+    // batch-batch edges
+    val nn = keptNew.as("ga")
+      .join(keptNew.as("gb"),
+        col("ga.gram") === col("gb.gram") && col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizesNew.select(col("doc_id").as("doc_a"), col("n_grams").as("grams_a")), "doc_a")
+      .join(sizesNew.select(col("doc_id").as("doc_b"), col("n_grams").as("grams_b")), "doc_b")
+      .where(jaccardOk(col("n_shared"), col("grams_a"), col("grams_b")))
+      .select("doc_a", "doc_b")
+    // batch-stored edges, stored side collapsed to its component label
+    // (a stored doc outside every stored pair is its own singleton label)
+    val no = keptNew
+      .join(storedPostings.select(col("doc_id").as("old_id"), col("gram")), "gram")
+      .groupBy(col("doc_id"), col("old_id")).agg(count(lit(1)).as("n_shared"))
+      .join(sizesNew.select(col("doc_id"), col("n_grams").as("grams_a")), "doc_id")
+      .join(sizesOldAdj.select(col("doc_id").as("old_id"), col("n_grams").as("grams_b")), "old_id")
+      .where(jaccardOk(col("n_shared"), col("grams_a"), col("grams_b")))
+      .join(storedLabels.select(col("doc_id").as("old_id"), col("cluster")),
+        Seq("old_id"), "left")
+      .select(col("doc_id").as("doc_a"),
+        coalesce(col("cluster"), col("old_id")).as("doc_b"))
+      .distinct()
+    val labelNodes = no.select(col("doc_b").as("node")).distinct()
+    val comps = connectedComponents(nn.unionByName(no))
+      .join(labelNodes.withColumn("is_label", lit(1L)),
+        col("doc_id") === col("node"), "left")
+    val compStats = comps.groupBy("cluster").agg(
+      max(coalesce(col("is_label"), lit(0L))).as("has_stored"),
+      min(when(col("is_label").isNull, col("doc_id"))).as("min_new"))
+    val flagged = comps.where(col("is_label").isNull)
+      .join(compStats, "cluster")
+      .select(col("doc_id"),
+        (col("has_stored") === 1L || col("doc_id") =!= col("min_new"))
+          .cast("long").as("near_dup"))
+    newDocs.select("doc_id").join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("near_dup"), lit(0L)).as("near_dup"))
+  }
+
   /** Connected components over an undirected near-dup pair table →
     * (doc_id, cluster) with cluster = the minimum doc_id reachable. This is
     * what turns PAIRS into dedup decisions: keep `cluster`, drop the rest.
@@ -909,17 +1038,25 @@ object Dedup {
     * |grams|·maxGramDf regardless of corpus size. The dropped grams are
     * exactly [[graft.operators.Curation.boilerplateGrams]]' output above
     * the cap, reportable as a coverage stat. */
-  def ngramJaccardExact(docs: DataFrame, minJaccard: Double = 0.5,
-      maxGramDf: Int = 64): DataFrame = {
-    // per-doc gram dedup in the ARRAY domain: same result as
-    // explode-then-distinct without the corpus-wide string shuffle
-    val grams = docs
+  /** Distinct token 3-grams per document `(doc_id, gram)` — the pair
+    * family's gram domain, shared by [[ngramJaccardExact]] and the
+    * incremental near-dup stores ([[nearDupFlagsIncremental]]'s postings
+    * / gram-df snapshots are built from exactly this spelling, so store
+    * and probe agree gram-for-gram). Per-doc dedup in the ARRAY domain:
+    * same result as explode-then-distinct without the corpus-wide string
+    * shuffle. */
+  private[graft] def distinctGramRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokenArray.as("a"))
       .where(size(col("a")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(a) - 2), i -> " +
           "concat_ws(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2))))"))
         .as("gram"))
+
+  def ngramJaccardExact(docs: DataFrame, minJaccard: Double = 0.5,
+      maxGramDf: Int = 64): DataFrame = {
+    val grams = distinctGramRows(docs)
       // join key = 64-bit gram hash FIRST, exact gram equality second: the
       // sort-merge compares/sorts resolve on the long almost always and only
       // fall through to the string on hash-equal rows, while the retained

@@ -1395,15 +1395,63 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), col("quality"),
           lit(null).cast("double").as("q_threshold"))
         .orderBy("doc_id")
-    val thresholds = scored.groupBy("source").agg(
-      count(lit(1)).as("n_in_source"),
-      expr(s"percentile_approx(quality, $dropFraction, $accuracy)").as("q_threshold"))
+    val thresholds = thresholdsFromScored(scored, dropFraction, accuracy)
     val cut = lit(dropFraction) * col("n_in_source")
     scored.join(broadcast(thresholds), "source")
       .where(when(floor(cut) === cut, col("quality") > col("q_threshold"))
         .otherwise(col("quality") >= col("q_threshold")))
       .select("doc_id", "source", "quality", "q_threshold")
       .orderBy("doc_id")
+  }
+
+  /** The per-source quality-threshold table [[qualityRankFilterSampled]]
+    * cuts against, exposed as its own builder so a snapshot can STORE it:
+    * `(source, n_in_source, q_threshold)` with the threshold from one
+    * mergeable `percentile_approx` sketch per source (at full accuracy:
+    * the quality value at ascending rank `ceil(dropFraction·n)`). The
+    * stored form is what [[lowQualityByStoredThresholds]] scores append
+    * batches against. */
+  def qualityThresholds(docs: DataFrame, dropFraction: Double = 0.25,
+      accuracy: Int = 100000): DataFrame = {
+    require(dropFraction > 0.0 && dropFraction < 1.0,
+      s"dropFraction $dropFraction must be in (0, 1)")
+    val q = qualityScore(docs).select("doc_id", "quality")
+    thresholdsFromScored(
+      docs.select(col("doc_id"), col("source")).join(q, "doc_id"),
+      dropFraction, accuracy)
+  }
+
+  private def thresholdsFromScored(scored: DataFrame, dropFraction: Double,
+      accuracy: Int): DataFrame =
+    scored.groupBy("source").agg(
+      count(lit(1)).as("n_in_source"),
+      expr(s"percentile_approx(quality, $dropFraction, $accuracy)").as("q_threshold"))
+
+  /** Low-quality FLAGS for an append batch against a STORED threshold
+    * table ([[qualityThresholds]] built at snapshot time) — the
+    * manifest's quality stage at O(batch): the honest incremental form
+    * of the per-source rank cut, whose ranks shift on every append. The
+    * boundary rule replays [[qualityRankFilterSampled]]'s complement
+    * exactly — when `dropFraction·n_in_source` was an integer at snapshot
+    * time the dropped set is `quality <= t`, otherwise `quality < t` —
+    * so a batch scored here equals the sampled cut's verdict on the
+    * snapshot corpus' boundary. A source with NO stored threshold flags
+    * `low_quality = 1`: a visible refusal (the quota family's unplanned-
+    * source posture) rather than silently admitting an uncalibrated
+    * source. Output: (doc_id, source, quality, low_quality). */
+  def lowQualityByStoredThresholds(newDocs: DataFrame,
+      storedThresholds: DataFrame, dropFraction: Double = 0.25): DataFrame = {
+    require(dropFraction > 0.0 && dropFraction < 1.0,
+      s"dropFraction $dropFraction must be in (0, 1)")
+    val q = qualityScore(newDocs).select("doc_id", "quality")
+    val cut = lit(dropFraction) * col("n_in_source")
+    newDocs.select(col("doc_id"), col("source")).join(q, "doc_id")
+      .join(broadcast(storedThresholds), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("quality"),
+        when(col("q_threshold").isNull, lit(1L))
+          .otherwise(when(floor(cut) === cut, col("quality") <= col("q_threshold"))
+            .otherwise(col("quality") < col("q_threshold")).cast("long"))
+          .as("low_quality"))
   }
 
   /** [[perplexityBuckets]]' thresholds-broadcast form, same trade as

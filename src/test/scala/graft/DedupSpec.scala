@@ -394,4 +394,79 @@ class DedupSpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("exactDupFlagsIncremental: first-arrived keepers, stored keeperships never stolen") {
+    val stored = Seq("alpha beta gamma", "delta five six").map(Tuple1(_))
+      .toDF("text")
+      .select(graft.functions.TextFunctions.contentFingerprint(col("text"))
+        .as("fingerprint"))
+    val batch = Seq(
+      (1L, "alpha beta gamma"),   // stored content — dup even though id 1 < any hypothetical old id
+      (5L, "brand new content here"),
+      (7L, "brand new content here"), // batch-internal repeat: 5 keeps, 7 dups
+      (9L, "entirely different words")).toDF("doc_id", "text")
+    val got = Dedup.exactDupFlagsIncremental(stored, batch)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (5L, 0L), (7L, 1L), (9L, 0L)))
+  }
+
+  test("nearDupFlagsIncremental == arrival-order closure over frozen stored labels") {
+    // old corpus: A(100) ~ B(101) near-dups (one stored cluster), C(102)
+    // unique singleton (no label row — its own implicit cluster)
+    val tA = "one two three four five six seven eight nine ten"
+    val tC = "cold unrelated winter words drift slowly over frozen lakes today"
+    val old = Seq((100L, tA), (101L, tA + " eleven"), (102L, tC))
+      .toDF("doc_id", "text")
+    val storedLabels = Dedup.connectedComponents(
+      Dedup.ngramJaccardExact(old).select("doc_a", "doc_b"))
+    val storedDf = Dedup.distinctGramRows(old)
+      .groupBy("gram").agg(org.apache.spark.sql.functions.count(lit(1)).as("gram_df"))
+    val storedPostings = Dedup.distinctGramRows(old)
+      .join(storedDf.where(col("gram_df") <= 64).select("gram"), "gram")
+      .select("doc_id", "gram")
+    val storedSizes = storedPostings.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_grams"))
+    val tNew = "fresh spring garden blossoms open wide under warm morning light"
+    val batch = Seq(
+      (9L,  tA + " twelve"),      // joins the stored {A, B} cluster → dup
+      (19L, tNew),                // first arrival of a new-only pair → keeper
+      (29L, tNew + " extra"),     // second arrival of that pair → dup
+      (39L, tC + " appended"),    // joins singleton C (no label row) → dup
+      (49L, "totally distinct vocabulary nothing shared with anyone else"))
+      .toDF("doc_id", "text")
+    val got = Dedup.nearDupFlagsIncremental(
+        storedLabels, storedPostings, storedDf, storedSizes, batch)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((9L, 1L), (19L, 0L), (29L, 1L), (39L, 1L), (49L, 0L)))
+  }
+
+  test("nearDupFlagsIncremental: a batch pushing a gram over the cap shrinks stored denominators") {
+    // one shared boilerplate gram across everything; cap = 1 so the batch
+    // arrival pushes it over and it drops from every gram set — the two
+    // docs that matched ONLY through it no longer pair
+    val boiler = "common shared boiler plate"
+    val old = Seq((100L, boiler)).toDF("doc_id", "text")
+    val storedDf = Dedup.distinctGramRows(old)
+      .groupBy("gram").agg(org.apache.spark.sql.functions.count(lit(1)).as("gram_df"))
+    val storedPostings = Dedup.distinctGramRows(old)
+      .join(storedDf.where(col("gram_df") <= 1).select("gram"), "gram")
+      .select("doc_id", "gram")
+    val storedSizes = storedPostings.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_grams"))
+    val storedLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
+    val batch = Seq((9L, boiler)).toDF("doc_id", "text")
+    val got = Dedup.nearDupFlagsIncremental(
+        storedLabels, storedPostings, storedDf, storedSizes, batch,
+        maxGramDf = 1)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // identical text, but every shared gram went over the cap with the
+    // batch's arrival — no kept grams remain, so no pair, no flag
+    assert(got == Seq((9L, 0L)))
+    // with the cap wide open the SAME stored tables pair the same arrival
+    val loose = Dedup.nearDupFlagsIncremental(
+        storedLabels, storedPostings, storedDf, storedSizes, batch,
+        maxGramDf = 64)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(loose == Seq((9L, 1L)))
+  }
 }

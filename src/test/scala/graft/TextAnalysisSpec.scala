@@ -329,6 +329,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(keptTied == Set(3L, 4L))
   }
 
+  test("lowQualityByStoredThresholds replays the sampled cut's verdict; unknown sources refuse") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = sources.Tables.documents(spark, dir)
+    // manifest-family BLOCK arrival split: whole 20-id blocks (one full
+    // source cycle) arrive together, so every source has a stored threshold
+    val old = docs.where(expr("(doc_id div 20) % 10") =!= 9)
+    val batch = docs.where(expr("(doc_id div 20) % 10") === 9)
+    val thresholds = TextAnalysis.qualityThresholds(old, dropFraction = 0.25)
+    // the stored-threshold verdict on the SNAPSHOT corpus itself must be
+    // exactly the sampled cut's complement (same thresholds, same
+    // boundary rule — low_quality = NOT kept)
+    val keptSampled = TextAnalysis.qualityRankFilterSampled(old, 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val flags = TextAnalysis.lowQualityByStoredThresholds(old, thresholds)
+      .select("doc_id", "low_quality").as[(Long, Long)].collect()
+    assert(flags.nonEmpty && flags.forall { case (id, lq) =>
+      (lq == 0L) == keptSampled.contains(id) })
+    // an append batch scores at O(batch) against the stored table and
+    // both verdicts occur on the real fixture
+    val batchFlags = TextAnalysis.lowQualityByStoredThresholds(batch, thresholds)
+      .select("low_quality").as[Long].collect().toSeq
+    assert(batchFlags.contains(0L) && batchFlags.contains(1L))
+    // a source with no stored calibration refuses VISIBLY (low_quality=1),
+    // never silently admits
+    val alien = Seq((999L, "src_alien", "perfectly reasonable english text here"))
+      .toDF("doc_id", "source", "text")
+    val alienFlag = TextAnalysis.lowQualityByStoredThresholds(alien, thresholds)
+      .select("doc_id", "low_quality").as[(Long, Long)].collect().toSeq
+    assert(alienFlag == Seq((999L, 1L)))
+  }
+
   test("perplexityBucketsSampledKn buckets like the rank-exact KN cut on the fixture") {
     val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val toks = operators.Tfidf.tokenArrays(docs)
