@@ -1627,18 +1627,16 @@ object SparkEntry {
         budgetTokens = 6000L)
     }),
     // Moore–Lewis selection × domain mixing as ONE coin flip: survive
-    // with probability rate(source) × min–max-normalized contrast delta
-    // (the contrast twin of classifier_source_mix_sample — same rates,
-    // same md5 coin; the most-in-domain doc keeps its full source rate)
-    "contrast_source_mix_sample" -> ((s, dir) => {
-      val rates = ((0 to 4).map(i => s"src$i" -> 0.4) ++
-        (5 to 9).map(i => s"src$i" -> 0.2) ++
-        (10 to 19).map(i => s"src$i" -> 0.05)).toMap
-      Curation.normalizedScoreSourceSample(Tables.documents(s, dir),
+    // with probability rate(source) × min–max-normalized contrast delta.
+    // Rates are PLANNED — temperatureMixRates' per-source acceptance
+    // rates (sqrt-tempered shares against the absolute token target),
+    // the same plan token_quota_mix_composed budgets from — instead of a
+    // hand-written constant map; the #sources plan rides broadcast
+    "contrast_source_mix_sample" -> ((s, dir) =>
+      Curation.normalizedScoreSourceSamplePlanned(Tables.documents(s, dir),
         contrastScoresAsset(s, dir)
           .select(col("doc_id"), col("domain_delta").as("score")),
-        rates)
-    }),
+        Curation.temperatureMixRates(Tables.documents(s, dir), 0.5, 15000L))),
     // INCREMENTAL contrast maintenance — the snapshot protocol that
     // completes the incremental family for the one remaining asset:
     // stored scores stay pinned to the model snapshot that produced them
@@ -2120,6 +2118,14 @@ object SparkEntry {
           dedupLabelsAsset(s, dir),
           Paragraphs.paragraphDupPerDoc(Tables.documents(s, dir),
             paraTokens = 16)))),
+    // the CONSERVATIVE recipe composed end to end: within-doc strip
+    // (drop only a page's own repeats, zero shuffle) THEN soft weights
+    // re-priced on the cleaned text — cross-doc sharing survives with a
+    // down-weight instead of a strip; width-2 blocks so both stages
+    // genuinely fire on the fixture
+    "conservative_soft_weights" -> ((s, dir) =>
+      Curation.conservativeSoftWeights(Tables.documents(s, dir),
+        paraTokens = 2).orderBy("doc_id")),
     // CCNet-style paragraph dedup: every paragraph content keeps its
     // first corpus occurrence; later occurrences strip out of their docs
     // (the boilerplate remover document-level dedup can't express) —
@@ -5077,6 +5083,84 @@ object SparkEntry {
          |  FROM sw)
          |SELECT doc_id, weight, u FROM coin
          |WHERE u < weight ORDER BY doc_id""".stripMargin,
+    // the conservative recipe: the within-doc strip's CTE chain feeds the
+    // soft-weight chain — cluster labels AND the paragraph-novelty profile
+    // both recompute over the CLEANED text
+    "conservative_soft_weights" ->
+      """WITH RECURSIVE wraw AS (
+        |  SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS a
+        |  FROM documents),
+        |wps AS (
+        |  SELECT doc_id, source, text,
+        |    list_transform(range(0, CAST(ceil(len(a) / 2.0) AS BIGINT)),
+        |      i -> array_to_string(list_slice(a, i * 2 + 1, i * 2 + 2), ' ')) AS ps
+        |  FROM wraw),
+        |cleaned AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ps) - len(kept) AS BIGINT) AS n_within_dropped,
+        |    CASE WHEN len(kept) = len(ps) THEN text
+        |         ELSE array_to_string(kept, ' ') END AS text
+        |  FROM (SELECT doc_id, source, text, ps,
+        |          list_filter(ps, (x, i) -> list_position(ps, x) = i) AS kept
+        |        FROM wps) z),
+        |toksarr AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> NOT regexp_matches(t, '[0-9]')),
+        |    t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '', 'g')), t -> t <> '') AS a
+        |  FROM cleaned),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+        |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+        |  FROM toksarr WHERE len(a) >= 3
+        |), okg AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 64),
+        |kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN okg USING (gram)),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
+        |shared AS (
+        |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+        |),
+        |labels AS (
+        |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+        |  FROM reach GROUP BY a),
+        |cps AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+        |    md5(array_to_string(list_slice(ca, i * 2 + 1, i * 2 + 2), ' ')) AS fp
+        |  FROM (SELECT doc_id, ca,
+        |          unnest(range(0, CAST(ceil(len(ca) / 2.0) AS BIGINT))) AS i
+        |        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ca
+        |              FROM cleaned) c0)),
+        |pmk AS (
+        |  SELECT doc_id, para_idx, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
+        |  FROM cps),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_paras,
+        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM pmk GROUP BY 1),
+        |csize AS (SELECT cluster, count(*) AS cs FROM labels GROUP BY 1),
+        |dw AS (
+        |  SELECT c.doc_id, c.n_within_dropped,
+        |    CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size
+        |  FROM cleaned c
+        |  LEFT JOIN labels l ON l.doc_id = c.doc_id
+        |  LEFT JOIN csize USING (cluster))
+        |SELECT dw.doc_id, dw.n_within_dropped, cluster_size, n_paras, n_dup,
+        |  round((CAST(1 AS DOUBLE) / cluster_size)
+        |    * (1 - CAST(n_dup AS DOUBLE) / n_paras), 9) AS weight
+        |FROM dw JOIN pd USING (doc_id)
+        |ORDER BY dw.doc_id""".stripMargin,
     // keeper = the highest-quality cluster member (ties -> min doc_id;
     // unscored members rank below every real score via the explicit
     // null-last flag, any sign of score); the quality expression is the
@@ -6091,6 +6175,7 @@ object SparkEntry {
          |WHERE cum_tokens <= 6000 ORDER BY doc_id""".stripMargin,
     "contrast_source_mix_sample" ->
       s"""$pplContrastCtes,
+         |${tempMixCtes.stripPrefix("WITH ")},
          |mm AS (SELECT min(domain_delta) AS dmin, max(domain_delta) AS dmax
          |       FROM ctr),
          |coins AS (
@@ -6100,12 +6185,9 @@ object SparkEntry {
          |         ELSE 1.0 END AS wgt,
          |    CAST(CAST(('0x' || substr(md5(CAST(ctr.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
          |      / 4294967296.0 AS u,
-         |    CASE WHEN d.source IN ('src0','src1','src2','src3','src4') THEN 0.4
-         |         WHEN d.source IN ('src5','src6','src7','src8','src9') THEN 0.2
-         |         WHEN d.source IN ('src10','src11','src12','src13','src14',
-         |                           'src15','src16','src17','src18','src19') THEN 0.05
-         |         ELSE 0.0 END AS rate
-         |  FROM ctr CROSS JOIN mm JOIN documents d ON d.doc_id = ctr.doc_id)
+         |    mix.rate AS rate
+         |  FROM ctr CROSS JOIN mm JOIN documents d ON d.doc_id = ctr.doc_id
+         |       JOIN mix ON mix.source = d.source)
          |SELECT doc_id, source, score, wgt, u FROM coins
          |WHERE u < rate * wgt ORDER BY doc_id""".stripMargin,
     "perplexity_buckets_kn3" ->

@@ -1102,21 +1102,83 @@ object Curation {
     * Output: surviving (doc_id, source, score, wgt, u), doc_id-ordered. */
   def normalizedScoreSourceSample(docs: DataFrame, scored: DataFrame,
       rates: Map[String, Double]): DataFrame = {
-    val mm = scored.agg(min(col("score")).as("dmin"),
-      max(col("score")).as("dmax"))
-    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0)
     val rate = rates.foldLeft(lit(0.0): Column) { case (acc, (source, r)) =>
       when(col("source") === source, lit(r)).otherwise(acc)
     }
-    scored.join(docs.select("doc_id", "source"), "doc_id")
+    normalizedScoreSampleCore(
+      scored.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("rate", rate))
+  }
+
+  /** [[normalizedScoreSourceSample]] with PLANNED rates: the per-source
+    * rate table comes from [[temperatureMixRates]] (or any
+    * `(source, rate)` frame) instead of a hand-written constant map —
+    * closing the selection ↔ mixing-plan loop the same way
+    * [[tokenQuotaMixComposed]] closes the ingest-quota loop. The
+    * #sources plan rides a broadcast join; everything else is the same
+    * one-coin map pass. */
+  def normalizedScoreSourceSamplePlanned(docs: DataFrame, scored: DataFrame,
+      rates: DataFrame): DataFrame =
+    normalizedScoreSampleCore(
+      scored.join(docs.select("doc_id", "source"), "doc_id")
+        .join(broadcast(rates.select("source", "rate")), "source"))
+
+  /** The shared coin: min–max-normalize the scores, survive on
+    * `u < rate · wgt` with the house md5 uniform. Input must carry
+    * `(doc_id, source, score, rate)`. */
+  private def normalizedScoreSampleCore(scoredWithRate: DataFrame): DataFrame = {
+    val mm = scoredWithRate.agg(min(col("score")).as("dmin"),
+      max(col("score")).as("dmax"))
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    scoredWithRate
       .crossJoin(broadcast(mm))
       .withColumn("wgt", when(col("dmax") > col("dmin"),
         (col("score") - col("dmin")) / (col("dmax") - col("dmin")))
         .otherwise(lit(1.0)))
       .withColumn("u", u)
-      .where(col("u") < rate * col("wgt"))
+      .where(col("u") < col("rate") * col("wgt"))
       .select("doc_id", "source", "score", "wgt", "u")
       .orderBy("doc_id")
+  }
+
+  /** The CONSERVATIVE curation recipe end to end: within-document
+    * paragraph dedup ([[Paragraphs.paragraphDedupStripWithinDocFixed]] —
+    * each page drops only its OWN repeated blocks) composed with SOFT
+    * cross-document weights ([[Dedup.softDedupWeights]]) computed over
+    * the CLEANED corpus. Cross-document sharing — quotes, citations,
+    * license headers — is never stripped, only down-weighted so training
+    * sees each content roughly once; intra-page chrome, which carries no
+    * such ambiguity, is removed outright.
+    *
+    * This is NOT the corpus-wide strip in disguise: composing the
+    * within-doc cut BEFORE the corpus strip reproduces the corpus strip
+    * exactly (spec-pinned on the strip family), but soft weights over
+    * the cleaned text differ from soft weights over the raw text — both
+    * the paragraph-novelty share and the near-dup neighborhoods are
+    * re-priced on the text training would actually see, and documents
+    * whose only redundancy was intra-page come out at full weight.
+    *
+    * Scale shape: stage 1 is a pure map (zero shuffle); stage 2 is the
+    * capped pair stage + the fp-keyed paragraph profile on the cleaned
+    * text (at pipeline scale the cleaned corpus is a materialized
+    * dataset between the stages — the scoped persist stands in). Output
+    * one narrow row per document:
+    * `(doc_id, n_within_dropped, cluster_size, n_paras, n_dup, weight)`. */
+  def conservativeSoftWeights(docs: DataFrame,
+      paraTokens: Int = 2): DataFrame = {
+    require(paraTokens > 0, s"paraTokens must be positive, got $paraTokens")
+    val cleaned = Paragraphs
+      .paragraphDedupStripWithinDocFixed(docs, paraTokens).scopedPersist()
+    val cleanDocs = cleaned.select(col("doc_id"), col("source"),
+      col("text_clean").as("text"))
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardExact(cleanDocs).select("doc_a", "doc_b"))
+    val paraDup = Paragraphs.paragraphDupPerDoc(cleanDocs, paraTokens)
+    Dedup.softDedupWeights(cleanDocs, labels, paraDup)
+      .join(cleaned.select(col("doc_id"),
+        col("n_dropped").as("n_within_dropped")), "doc_id")
+      .select(col("doc_id"), col("n_within_dropped"), col("cluster_size"),
+        col("n_paras"), col("n_dup"), col("weight"))
   }
 }

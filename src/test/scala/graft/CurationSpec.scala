@@ -320,4 +320,32 @@ class CurationSpec extends SparkSpec {
       rows.foreach(r => assert(!r._3.isNaN && !r._4.isNaN))
     }
   }
+
+  test("conservativeSoftWeights: cross-doc repeats survive down-weighted, not stripped") {
+    val corpus = Seq(
+      // within-doc repeat "x y" -> stage 1 strips doc 1's OWN second copy
+      (1L, "s", "x y x y q1 r1"),
+      // legitimate cross-doc share: doc 2 holds the SAME "x y" once ->
+      // kept in the text, priced in the weight
+      (2L, "s", "x y s2 t2"),
+      // fully novel doc -> full weight
+      (3L, "s", "u3 v3 w3 z3")).toDF("doc_id", "source", "text")
+    val got = Curation.conservativeSoftWeights(corpus, paraTokens = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: one within-drop; after cleaning its "x y" is the corpus-first
+    // occurrence -> full novelty, weight 1
+    assert(got(1L) == ((1L, 1L, 1L, 2L, 0L, 1.0)))
+    // doc 2: NOTHING stripped (cross-doc sharing is not its own repeat),
+    // but its shared block's content first occurs in doc 1 -> half its
+    // cleaned paragraphs are corpus-repeats, weight 0.5
+    assert(got(2L) == ((2L, 0L, 1L, 2L, 1L, 0.5)))
+    assert(got(3L) == ((3L, 0L, 1L, 2L, 0L, 1.0)))
+    // ...and the composition is genuinely a DIFFERENT policy than the
+    // corpus-wide strip, which would remove doc 2's shared block outright
+    val corpusStrip = operators.Paragraphs.paragraphDedupStrip(corpus, paraTokens = 2)
+      .where(col("doc_id") === 2L).select("n_dropped", "text_clean")
+      .as[(Long, String)].collect().head
+    assert(corpusStrip == ((1L, "s2 t2")))
+  }
 }
