@@ -542,6 +542,16 @@ object SparkEntry {
   private def manifestArrivalBlock: org.apache.spark.sql.Column =
     expr("(doc_id div 20) % 10")
 
+  /** Audit-shard bound for the model-rebuild gates: the gates replay
+    * merge → enrichment over documents `doc_id < rebuildAuditMaxDoc`
+    * ONLY. Covers the whole correctness fixture (500 docs at sf0.01, so
+    * the oracle stays the unchanged full recount) while pinning the
+    * gates' cost to a constant shard at any production scale — a
+    * recount gate that grew with the corpus would be unrunnable at
+    * 100 TB. Stored-asset integrity is separately certified by the
+    * counts-merge oracles, which do hash the stored assets. */
+  private val rebuildAuditMaxDoc = 2048L
+
   /** The pre-append corpus slice the incremental manifest's stored indexes
     * snapshot (everything outside the arrival batch). */
   private def oldSliceDocs(s: SparkSession, dir: String): DataFrame =
@@ -1716,28 +1726,37 @@ object SparkEntry {
           .where(col("doc_id") % 10 === 9))
         .orderBy("w1", "w2")),
     // the ENRICHMENT half of a snapshot rebuild, priced on its own: the
-    // served kn3_model re-aggregated from the MERGED counts (stored
-    // old90 + append batch) must equal the enrichment over a full corpus
-    // recount — model-sized stat aggregates over the merged table, no
-    // corpus rescan anywhere in the plan (the merge's corpus cost is the
-    // batch's own trigram count). Completes the snapshot-rebuild story:
-    // counts merge (trigram_counts_merge) -> enrichment (this) ->
-    // serving swap (withRefreshingModel).
-    "kn3_model_rebuild" -> ((s, dir) =>
+    // served kn3_model re-aggregated from MERGED counts (old slice +
+    // append batch) must equal the enrichment over a recount. BOUNDED
+    // audit: every input restricts to the doc_id < rebuildAuditMaxDoc
+    // shard — the whole fixture today (oracle = the unchanged full
+    // recount), a constant-cost shard at production scale. Completes the
+    // snapshot-rebuild story: counts merge (trigram_counts_merge, which
+    // hashes the STORED assets against the full recount) -> enrichment
+    // (this) -> serving swap (withRefreshingModel).
+    "kn3_model_rebuild" -> ((s, dir) => {
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+        .where(col("doc_id") < rebuildAuditMaxDoc)
       TextAnalysis.kn3EnrichedModel(
-        TextAnalysis.mergeTrigramCounts(trigramCountsOld90Asset(s, dir),
-          operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-            .where(col("doc_id") % 10 === 9)),
-        termCountsAsset(s, dir))
-        .orderBy("w1", "w2", "w3")),
+        TextAnalysis.mergeTrigramCounts(
+          TextAnalysis.trigramCountsFromTokens(
+            toks.where(col("doc_id") % 10 =!= 9)),
+          toks.where(col("doc_id") % 10 === 9)),
+        termCountsAsset(s, dir).where(col("doc_id") < rebuildAuditMaxDoc))
+        .orderBy("w1", "w2", "w3")
+    }),
     // the bigram twin: kn2_model re-aggregated from the merged bigram
-    // counts equals the enrichment over the full recount
-    "kn2_model_rebuild" -> ((s, dir) =>
+    // counts equals the enrichment over the recount, same audit shard
+    "kn2_model_rebuild" -> ((s, dir) => {
+      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+        .where(col("doc_id") < rebuildAuditMaxDoc)
       TextAnalysis.kn2EnrichedModel(
-        TextAnalysis.mergeBigramCounts(bigramCountsOld90Asset(s, dir),
-          operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-            .where(col("doc_id") % 10 === 9)))
-        .orderBy("w1", "w2")),
+        TextAnalysis.mergeBigramCounts(
+          TextAnalysis.bigramCountsFromTokens(
+            toks.where(col("doc_id") % 10 =!= 9)),
+          toks.where(col("doc_id") % 10 === 9)))
+        .orderBy("w1", "w2")
+    }),
     // topic-rebalancing cap over the SemDeDup cluster assignment: at most
     // `cap` representatives per semantic cluster, rank-exact
     "cluster_balanced_sample" -> ((s, dir) =>
