@@ -684,8 +684,21 @@ object ExactSubstr {
     // probe length. Values are bit-identical to the rolling kernel
     // (same polynomial, same 2⁶⁴ wrap — spec-pinned), so collision
     // behavior and the masked-bits forcing knob are unchanged.
-    val toksPre = lazyPin(toksDup.select(col("doc_id"),
-      expr("graft_prefix_hashes(tokens)").as("pre")))
+    // Pool-pinning diet (r13): the SAME pinned frame also carries each
+    // band level's sorted per-doc mark array, so every round's closure
+    // candidate pool derives IN-ROW (an array intersection against the
+    // shifted self) instead of re-running a marked×marked equi-join per
+    // level per round — the only per-round shuffle left is the (m, wh)
+    // bucket test itself. The top level never hosts a probe (every mid
+    // lies strictly inside a band), so only lens.init arrays ride along.
+    val toksPool = lazyPin(lens.init.foldLeft(
+      toksDup.select(col("doc_id"),
+        expr("graft_prefix_hashes(tokens)").as("pre"))) { (acc, l) =>
+      acc.join(
+        markedByLevel(l).groupBy("doc_id")
+          .agg(sort_array(collect_list(col("pos"))).as(s"arr_$l")),
+        Seq("doc_id"), "left")
+    })
     // top-level members are exactly the cap (their true length is >= cap);
     // every other position bisects its band [l, 2l)
     def restrict(df: DataFrame): DataFrame = restrictTo match {
@@ -725,8 +738,8 @@ object ExactSubstr {
     // union never re-executes a probe)
     val hitRounds = scala.collection.mutable.ListBuffer[DataFrame]()
     while (mids.nonEmpty) {
-      val cands = probeCandidatePool(markedByLevel, lens, mids)
-      val accepted = lazyPin(probeHashAccepts(toksPre, cands, mids, probeHashBits))
+      val accepted = lazyPin(
+        probeHashAcceptsPinned(toksPool, lens, mids, probeHashBits))
       hitRounds += accepted
       val verified = accepted.select("doc_id", "pos", "m")
         .withColumn("dup", lit(1L))
@@ -801,28 +814,37 @@ object ExactSubstr {
     }.reduce(_ unionByName _)
   }
 
-  /** Hash probe over the build's pinned PREFIX-hash arrays: each
-    * candidate's window hash at its probe length derives in O(1) via
-    * `graft_prefix_window_hash` inside a `transform` over the per-doc
-    * candidate list (the explode emits small (pos, m, wh) structs, never
-    * an array copy per candidate), so a probe round costs candidate-count
-    * combines — no rolling kernel pass over token arrays per round ×
-    * length (the r12 combinable-hash diet; values bit-identical to
-    * `graft_window_hashes`, spec-pinned). Only 8-byte hashes shuffle.
-    * Masked to `bits`, bucketed by (m, wh); candidates in a bucket of
-    * ≥ 2 are accepted. No false negatives; collisions over-accept and
-    * are killed by the caller's exact confirm. */
-  private def probeHashAccepts(toksPre: DataFrame, cands: DataFrame,
+  /** Hash probe over the build's pinned candidate-pool frame — one row
+    * per candidate document carrying the prefix-hash array and each band
+    * level's sorted per-doc mark array. The round's CLOSURE pool derives
+    * IN-ROW: candidates for probe length `m` over band level ℓ are
+    * `array_intersect(arr_ℓ, arr_ℓ − (m − ℓ))` — exactly the
+    * {p : p ∈ marked_ℓ ∧ p+m−ℓ ∈ marked_ℓ} set the join-based pool
+    * produced, without a marked×marked equi-join shuffle per level per
+    * round (the r13 pool-pinning diet; the only per-round shuffle left
+    * is the (m, wh) bucket test itself). Window hashes derive in O(1)
+    * per candidate via `graft_prefix_window_hash` (bit-identical to the
+    * rolling kernel — the r12 combinable-hash diet), masked to `bits`,
+    * bucketed by (m, wh); buckets of ≥ 2 accept. No false negatives;
+    * collisions over-accept and die in the caller's exact confirm. */
+  private def probeHashAcceptsPinned(toksPool: DataFrame, lens: Seq[Int],
       ms: Array[Long], bits: Int): DataFrame = {
-    require(ms.nonEmpty, "probeHashAccepts: no probe lengths")
+    require(ms.nonEmpty, "probeHashAcceptsPinned: no probe lengths")
     val mask = if (bits >= 64) -1L else (1L << bits) - 1
-    val perDoc = cands.groupBy("doc_id")
-      .agg(collect_list(struct(col("pos"), col("m"))).as("ps"))
-    val hashed = toksPre.join(perDoc, "doc_id")
-      .select(col("doc_id"), explode(
-        expr(s"transform(ps, pm -> struct(pm.pos AS pos, pm.m AS m, " +
-          s"graft_prefix_window_hash(pre, pm.pos, pm.m) & ${mask}L AS wh))"))
-        .as("r"))
+    val perLevel = ms.groupBy(m => lens.filter(_ <= m).max).toSeq.sortBy(_._1)
+      .map { case (l, lms) =>
+        val mlist = lms.sorted.mkString("L, ") + "L"
+        s"""transform(array($mlist), m ->
+           |  transform(
+           |    array_intersect(coalesce(arr_$l, array()),
+           |      transform(coalesce(arr_$l, array()), p -> p - (m - ${l}L))),
+           |    p -> struct(p AS pos, m AS m,
+           |      graft_prefix_window_hash(pre, p, m) & ${mask}L AS wh)))""".stripMargin
+      }
+    val all = perLevel.map(e => s"flatten($e)")
+      .mkString("concat(", ", ", ")")
+    val hashed = toksPool
+      .select(col("doc_id"), explode(expr(all)).as("r"))
       .select(col("doc_id"), col("r.pos").as("pos"), col("r.m").as("m"),
         col("r.wh").as("wh"))
     val dupBuckets = hashed.groupBy("m", "wh").agg(count(lit(1)).as("occ"))
