@@ -618,6 +618,92 @@ object SparkEntry {
       TextAnalysis.qualityThresholds(oldSliceDocs(s, dir), dropFraction = 0.25)
     }
 
+  /** The snapshot's OWN manifest over the pre-append slice — the stored
+    * dataset-card rows an append batch's incremental rows union with.
+    * Every flag derives from the same stored indexes the incremental
+    * family probes (fingerprint keepers, the frozen pair closure, the
+    * benchmark gram store, the sampled thresholds), so stored rows and
+    * batch rows carry one consistent semantics; rows are IMMUTABLE —
+    * a later batch never rewrites them (retroactive effects of a
+    * bench/threshold refresh are refresh-audit territory). */
+  private def manifestOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "manifest_old90") {
+      val old = oldSliceDocs(s, dir)
+      val exact = old.select(col("doc_id"),
+          graft.functions.TextFunctions.contentFingerprint(col("text"))
+            .as("fingerprint"))
+        .join(fpStoreOldAsset(s, dir), "fingerprint")
+        .select(col("doc_id"),
+          (col("doc_id") =!= col("keeper")).cast("long").as("exact_dup"))
+      val near = dedupLabelsOldAsset(s, dir)
+        .where(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id"), lit(1L).as("near_dup"))
+      val oldToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+        .where(manifestArrivalBlock =!= 9)
+      val cont = Curation.decontaminateAgainstGramStore(
+          oldToks.where(col("doc_id") % 53 =!= 0), benchGramsOldAsset(s, dir))
+        .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
+      val lowq = TextAnalysis.lowQualityByStoredThresholds(
+        old, qualityThresholdsOldAsset(s, dir))
+      val nTok = oldToks.select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+      old.where(col("doc_id") % 53 =!= 0)
+        .select("doc_id", "source")
+        .join(exact, "doc_id")
+        .join(lowq.select("doc_id", "quality", "low_quality"), "doc_id")
+        .join(near, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .join(nTok, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("quality"), col("exact_dup"),
+          coalesce(col("near_dup"), lit(0L)).as("near_dup"),
+          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+          col("low_quality"))
+        .withColumn("kept",
+          (col("exact_dup") === 0 && col("near_dup") === 0 &&
+            col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
+    }
+
+  /** The append batch's manifest rows under the snapshot protocol —
+    * every curation stage's flag at O(batch) off the stored indexes
+    * (shared by the `manifest_incremental` query and the incremental
+    * dataset-card rollup). */
+  private def manifestIncrementalFrame(s: SparkSession, dir: String): DataFrame = {
+    val newAll = Tables.documents(s, dir).where(manifestArrivalBlock === 9)
+    val newToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      .where(manifestArrivalBlock === 9)
+    val exact = Dedup.exactDupFlagsIncremental(fpStoreOldAsset(s, dir), newAll)
+    val near = Dedup.nearDupFlagsIncremental(
+      dedupLabelsOldAsset(s, dir), dedupPostingsOldAsset(s, dir),
+      dedupGramDfOldAsset(s, dir), dedupSizesOldAsset(s, dir), newAll)
+    val benchStore = benchGramsOldAsset(s, dir).select("gram")
+      .unionByName(Curation.gramRowsFromTokens(
+        newToks.where(col("doc_id") % 53 === 0), 3).select("gram"))
+    val cont = Curation.decontaminateAgainstGramStore(
+        newToks.where(col("doc_id") % 53 =!= 0), benchStore)
+      .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
+    val lowq = TextAnalysis.lowQualityByStoredThresholds(
+      newAll, qualityThresholdsOldAsset(s, dir))
+    val nTok = newToks.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("n_tokens"))
+    newAll.where(col("doc_id") % 53 =!= 0)
+      .select("doc_id", "source")
+      .join(exact, "doc_id")
+      .join(lowq.select("doc_id", "quality", "low_quality"), "doc_id")
+      .join(near, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .join(nTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("quality"), col("exact_dup"), col("near_dup"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        col("low_quality"))
+      .withColumn("kept",
+        (col("exact_dup") === 0 && col("near_dup") === 0 &&
+          col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
+  }
+
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
     * whole span-dedup family (detect/stats/strip, exact + hashed) marks
     * back against; as an asset the corpus tokenizes + windows ONCE per
@@ -857,6 +943,7 @@ object SparkEntry {
     "dedup_labels_old90" -> ((s, d) => { dedupLabelsOldAsset(s, d); () }),
     "bench_grams_old90" -> ((s, d) => { benchGramsOldAsset(s, d); () }),
     "quality_thresholds_old90" -> ((s, d) => { qualityThresholdsOldAsset(s, d); () }),
+    "manifest_old90" -> ((s, d) => { manifestOldAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
@@ -1792,41 +1879,32 @@ object SparkEntry {
     // arrived semantics throughout: stored keeperships/labels/thresholds
     // never move; the oracle replays arrival order (old slice before the
     // batch) including the merged gram-df cap and the frozen old closure.
-    "manifest_incremental" -> ((s, dir) => {
-      val newAll = Tables.documents(s, dir).where(manifestArrivalBlock === 9)
-      val newToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-        .where(manifestArrivalBlock === 9)
-      val exact = Dedup.exactDupFlagsIncremental(fpStoreOldAsset(s, dir), newAll)
-      val near = Dedup.nearDupFlagsIncremental(
-        dedupLabelsOldAsset(s, dir), dedupPostingsOldAsset(s, dir),
-        dedupGramDfOldAsset(s, dir), dedupSizesOldAsset(s, dir), newAll)
-      val benchStore = benchGramsOldAsset(s, dir).select("gram")
-        .unionByName(Curation.gramRowsFromTokens(
-          newToks.where(col("doc_id") % 53 === 0), 3).select("gram"))
-      val cont = Curation.decontaminateAgainstGramStore(
-          newToks.where(col("doc_id") % 53 =!= 0), benchStore)
-        .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
-      val lowq = TextAnalysis.lowQualityByStoredThresholds(
-        newAll, qualityThresholdsOldAsset(s, dir))
-      val nTok = newToks.select(col("doc_id"),
-        size(col("tokens")).cast("long").as("n_tokens"))
-      newAll.where(col("doc_id") % 53 =!= 0)
-        .select("doc_id", "source")
-        .join(exact, "doc_id")
-        .join(lowq.select("doc_id", "quality", "low_quality"), "doc_id")
-        .join(near, "doc_id")
-        .join(cont, Seq("doc_id"), "left")
-        .join(nTok, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          col("quality"), col("exact_dup"), col("near_dup"),
-          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
-          col("low_quality"))
-        .withColumn("kept",
-          (col("exact_dup") === 0 && col("near_dup") === 0 &&
-            col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
-        .orderBy("doc_id")
-    }),
+    "manifest_incremental" -> ((s, dir) =>
+      manifestIncrementalFrame(s, dir).orderBy("doc_id")),
+    // the dataset card REFRESHED at O(batch): the stored snapshot
+    // manifest (immutable rows, scored against the stores that existed
+    // when they were written) unioned with the batch's incremental rows,
+    // rolled up per source — the corpus_report a release re-ships after
+    // an append without recomputing any old flag. Retroactive effects of
+    // a bench/threshold refresh are the refresh-audit family's job
+    // (contrast_refresh_impact pattern), not this rollup's.
+    "corpus_report_incremental" -> ((s, dir) =>
+      manifestOldAsset(s, dir)
+        .unionByName(manifestIncrementalFrame(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("exact_dup").as("n_exact_dup"),
+          sum("near_dup").as("n_near_dup"),
+          sum("contaminated").as("n_contaminated"),
+          sum("low_quality").as("n_low_quality"),
+          sum("kept").as("n_kept"),
+          sum(when(col("kept") === 1, col("n_tokens")).otherwise(lit(0L)))
+            .as("kept_tokens"),
+          round(sum(col("quality")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+            .cast("double") / count(lit(1)), 9).as("mean_quality"))
+        .orderBy("source")),
     // the DATASET CARD rollup: per source, every curation stage's doc and
     // token mass plus the decimal-exact mean quality — the one-page
     // summary a corpus release ships. One map-side groupBy over the
@@ -3593,7 +3671,46 @@ object SparkEntry {
        |  SELECT *,
        |    CAST(CASE WHEN exact_dup = 0 AND near_dup = 0 AND contaminated = 0
        |      AND low_quality = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
-       |  FROM basei)""".stripMargin
+       |  FROM basei),
+       |bencho AS (SELECT DISTINCT gram FROM gramso WHERE doc_id % 53 = 0),
+       |tro AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM bencho) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_overlap
+       |  FROM gramso WHERE doc_id % 53 <> 0 GROUP BY 1),
+       |cto AS (
+       |  SELECT doc_id,
+       |    CASE WHEN round(CAST(n_overlap AS DOUBLE) / n_grams, 9) >= 0.05 THEN 1 ELSE 0 END
+       |      AS contaminated
+       |  FROM tro),
+       |lqo AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN floor(0.25 * thrq.n_old) = 0.25 * thrq.n_old
+       |        THEN CASE WHEN q.quality <= thrq.t THEN 1 ELSE 0 END
+       |      ELSE CASE WHEN q.quality < thrq.t THEN 1 ELSE 0 END END AS low_quality
+       |  FROM documents d JOIN q USING (doc_id) JOIN thrq ON thrq.source = d.source
+       |  WHERE (d.doc_id // 20) % 10 <> 9),
+       |ndo AS (SELECT doc_id, 1 AS near_dup FROM labelso WHERE doc_id <> cluster),
+       |baseo AS (
+       |  SELECT d.doc_id, d.source,
+       |    coalesce(nt.n_tokens, 0) AS n_tokens, q.quality,
+       |    CAST(CASE WHEN afp.rn > 1 THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+       |    CAST(coalesce(ndo.near_dup, 0) AS BIGINT) AS near_dup,
+       |    CAST(coalesce(cto.contaminated, 0) AS BIGINT) AS contaminated,
+       |    CAST(lqo.low_quality AS BIGINT) AS low_quality
+       |  FROM documents d
+       |  JOIN afp ON afp.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN lqo ON lqo.doc_id = d.doc_id
+       |  LEFT JOIN ndo ON ndo.doc_id = d.doc_id
+       |  LEFT JOIN cto ON cto.doc_id = d.doc_id
+       |  LEFT JOIN ntok nt ON nt.doc_id = d.doc_id
+       |  WHERE d.doc_id % 53 <> 0 AND (d.doc_id // 20) % 10 <> 9),
+       |manifesto AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN exact_dup = 0 AND near_dup = 0 AND contaminated = 0
+       |      AND low_quality = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |  FROM baseo)""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val m = baseOracleSql
@@ -5393,6 +5510,21 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens, quality, exact_dup, near_dup,
          |  contaminated, low_quality, kept
          |FROM manifesti ORDER BY doc_id""".stripMargin,
+    "corpus_report_incremental" ->
+      s"""$manifestIncOracleCtes
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(exact_dup) AS BIGINT) AS n_exact_dup,
+         |  CAST(sum(near_dup) AS BIGINT) AS n_near_dup,
+         |  CAST(sum(contaminated) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(low_quality) AS BIGINT) AS n_low_quality,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(28,9))) AS DOUBLE)
+         |    / count(*), 9) AS mean_quality
+         |FROM (SELECT * FROM manifesto UNION ALL SELECT * FROM manifesti) u
+         |GROUP BY source ORDER BY source""".stripMargin,
     "corpus_report" ->
       s"""$manifestOracleCtes
          |SELECT source, count(*) AS n_docs,
