@@ -618,6 +618,15 @@ object SparkEntry {
       TextAnalysis.qualityThresholds(oldSliceDocs(s, dir), dropFraction = 0.25)
     }
 
+  /** The conservative recipe's weight table as a stored artifact — a
+    * pipeline materializes the composed weights once (the pair stage over
+    * the cleaned text is derivation work, not serving work); the weights
+    * query and the applied sampler both read the parquet. */
+  private def conservativeWeightsAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "conservative_weights") {
+      Curation.conservativeSoftWeights(Tables.documents(s, dir), paraTokens = 2)
+    }
+
   /** The snapshot's OWN manifest over the pre-append slice — the stored
     * dataset-card rows an append batch's incremental rows union with.
     * Every flag derives from the same stored indexes the incremental
@@ -944,6 +953,7 @@ object SparkEntry {
     "bench_grams_old90" -> ((s, d) => { benchGramsOldAsset(s, d); () }),
     "quality_thresholds_old90" -> ((s, d) => { qualityThresholdsOldAsset(s, d); () }),
     "manifest_old90" -> ((s, d) => { manifestOldAsset(s, d); () }),
+    "conservative_weights" -> ((s, d) => { conservativeWeightsAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
@@ -2221,8 +2231,13 @@ object SparkEntry {
     // down-weight instead of a strip; width-2 blocks so both stages
     // genuinely fire on the fixture
     "conservative_soft_weights" -> ((s, dir) =>
-      Curation.conservativeSoftWeights(Tables.documents(s, dir),
-        paraTokens = 2).orderBy("doc_id")),
+      conservativeWeightsAsset(s, dir).orderBy("doc_id")),
+    // ...and the recipe APPLIED: survive with p = the composed
+    // conservative weight on the house md5 coin (the soft policy's
+    // sampler over the stored cleaned-text weights)
+    "conservative_soft_sample" -> ((s, dir) =>
+      Dedup.softDedupSample(
+        conservativeWeightsAsset(s, dir).select("doc_id", "weight"))),
     // CCNet-style paragraph dedup: every paragraph content keeps its
     // first corpus occurrence; later occurrences strip out of their docs
     // (the boilerplate remover document-level dedup can't express) —
@@ -3102,6 +3117,81 @@ object SparkEntry {
     s"""$budgetScoredCtes
        |SELECT doc_id, score, n_tokens FROM cum
        |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain for the CONSERVATIVE-recipe oracles: the within-doc
+    * strip (width-2 blocks) feeds the cluster-label closure AND the
+    * paragraph-novelty profile, both over the CLEANED text; ends at
+    * `dw` (per-doc cluster size) + `pd` (per-doc novelty counts). */
+  private lazy val conservativeRecipeCtes =
+    """WITH RECURSIVE wraw AS (
+      |  SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS a
+      |  FROM documents),
+      |wps AS (
+      |  SELECT doc_id, source, text,
+      |    list_transform(range(0, CAST(ceil(len(a) / 2.0) AS BIGINT)),
+      |      i -> array_to_string(list_slice(a, i * 2 + 1, i * 2 + 2), ' ')) AS ps
+      |  FROM wraw),
+      |cleaned AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(ps) - len(kept) AS BIGINT) AS n_within_dropped,
+      |    CASE WHEN len(kept) = len(ps) THEN text
+      |         ELSE array_to_string(kept, ' ') END AS text
+      |  FROM (SELECT doc_id, source, text, ps,
+      |          list_filter(ps, (x, i) -> list_position(ps, x) = i) AS kept
+      |        FROM wps) z),
+      |toksarr AS (
+      |  SELECT doc_id, list_filter(list_transform(
+      |    list_filter(regexp_split_to_array(text, '\s+'), t -> NOT regexp_matches(t, '[0-9]')),
+      |    t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '', 'g')), t -> t <> '') AS a
+      |  FROM cleaned),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+      |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+      |  FROM toksarr WHERE len(a) >= 3
+      |), okg AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 64),
+      |kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN okg USING (gram)),
+      |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
+      |shared AS (
+      |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
+      |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5),
+      |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |        UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+      |),
+      |labels AS (
+      |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+      |  FROM reach GROUP BY a),
+      |cps AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+      |    md5(array_to_string(list_slice(ca, i * 2 + 1, i * 2 + 2), ' ')) AS fp
+      |  FROM (SELECT doc_id, ca,
+      |          unnest(range(0, CAST(ceil(len(ca) / 2.0) AS BIGINT))) AS i
+      |        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ca
+      |              FROM cleaned) c0)),
+      |pmk AS (
+      |  SELECT doc_id, para_idx, fp,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
+      |  FROM cps),
+      |pd AS (
+      |  SELECT doc_id, count(*) AS n_paras,
+      |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM pmk GROUP BY 1),
+      |csize AS (SELECT cluster, count(*) AS cs FROM labels GROUP BY 1),
+      |dw AS (
+      |  SELECT c.doc_id, c.n_within_dropped,
+      |    CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size
+      |  FROM cleaned c
+      |  LEFT JOIN labels l ON l.doc_id = c.doc_id
+      |  LEFT JOIN csize USING (cluster))""".stripMargin
 
   /** Shared temperature-mixing oracle prefix: per-source token mass,
     * share, sqrt-tempered probability (alpha = 0.5 — IEEE sqrt, engine
@@ -5223,80 +5313,28 @@ object SparkEntry {
     // soft-weight chain — cluster labels AND the paragraph-novelty profile
     // both recompute over the CLEANED text
     "conservative_soft_weights" ->
-      """WITH RECURSIVE wraw AS (
-        |  SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS a
-        |  FROM documents),
-        |wps AS (
-        |  SELECT doc_id, source, text,
-        |    list_transform(range(0, CAST(ceil(len(a) / 2.0) AS BIGINT)),
-        |      i -> array_to_string(list_slice(a, i * 2 + 1, i * 2 + 2), ' ')) AS ps
-        |  FROM wraw),
-        |cleaned AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(ps) - len(kept) AS BIGINT) AS n_within_dropped,
-        |    CASE WHEN len(kept) = len(ps) THEN text
-        |         ELSE array_to_string(kept, ' ') END AS text
-        |  FROM (SELECT doc_id, source, text, ps,
-        |          list_filter(ps, (x, i) -> list_position(ps, x) = i) AS kept
-        |        FROM wps) z),
-        |toksarr AS (
-        |  SELECT doc_id, list_filter(list_transform(
-        |    list_filter(regexp_split_to_array(text, '\s+'), t -> NOT regexp_matches(t, '[0-9]')),
-        |    t -> regexp_replace(lower(t), '^[^a-z]+|[^a-z]+$', '', 'g')), t -> t <> '') AS a
-        |  FROM cleaned),
-        |grams AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
-        |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
-        |  FROM toksarr WHERE len(a) >= 3
-        |), okg AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 64),
-        |kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN okg USING (gram)),
-        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
-        |shared AS (
-        |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
-        |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 9) >= 0.5),
-        |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |        UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
-        |),
-        |labels AS (
-        |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
-        |  FROM reach GROUP BY a),
-        |cps AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
-        |    md5(array_to_string(list_slice(ca, i * 2 + 1, i * 2 + 2), ' ')) AS fp
-        |  FROM (SELECT doc_id, ca,
-        |          unnest(range(0, CAST(ceil(len(ca) / 2.0) AS BIGINT))) AS i
-        |        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ca
-        |              FROM cleaned) c0)),
-        |pmk AS (
-        |  SELECT doc_id, para_idx, fp,
-        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
-        |  FROM cps),
-        |pd AS (
-        |  SELECT doc_id, count(*) AS n_paras,
-        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-        |  FROM pmk GROUP BY 1),
-        |csize AS (SELECT cluster, count(*) AS cs FROM labels GROUP BY 1),
-        |dw AS (
-        |  SELECT c.doc_id, c.n_within_dropped,
-        |    CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size
-        |  FROM cleaned c
-        |  LEFT JOIN labels l ON l.doc_id = c.doc_id
-        |  LEFT JOIN csize USING (cluster))
-        |SELECT dw.doc_id, dw.n_within_dropped, cluster_size, n_paras, n_dup,
-        |  round((CAST(1 AS DOUBLE) / cluster_size)
-        |    * (1 - CAST(n_dup AS DOUBLE) / n_paras), 9) AS weight
-        |FROM dw JOIN pd USING (doc_id)
-        |ORDER BY dw.doc_id""".stripMargin,
+      s"""$conservativeRecipeCtes
+         |SELECT dw.doc_id, dw.n_within_dropped, cluster_size, n_paras, n_dup,
+         |  round((CAST(1 AS DOUBLE) / cluster_size)
+         |    * (1 - CAST(n_dup AS DOUBLE) / n_paras), 9) AS weight
+         |FROM dw JOIN pd USING (doc_id)
+         |ORDER BY dw.doc_id""".stripMargin,
+    // ...and the recipe APPLIED: md5-coin survival with p = the composed
+    // conservative weight (expected cluster mass 1 over the cleaned text)
+    "conservative_soft_sample" ->
+      s"""$conservativeRecipeCtes,
+         |sw AS (
+         |  SELECT dw.doc_id,
+         |    round((CAST(1 AS DOUBLE) / cluster_size)
+         |      * (1 - CAST(n_dup AS DOUBLE) / n_paras), 9) AS weight
+         |  FROM dw JOIN pd USING (doc_id)),
+         |coin AS (
+         |  SELECT doc_id, weight,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |      / 4294967296.0 AS u
+         |  FROM sw)
+         |SELECT doc_id, weight, u FROM coin
+         |WHERE u < weight ORDER BY doc_id""".stripMargin,
     // keeper = the highest-quality cluster member (ties -> min doc_id;
     // unscored members rank below every real score via the explicit
     // null-last flag, any sign of score); the quality expression is the
