@@ -674,10 +674,20 @@ object SparkEntry {
             col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
     }
 
+  /** The batch's manifest rows MATERIALIZED — what the incremental
+    * protocol actually writes after scoring an append (stored old rows
+    * stay immutable, these append). The dataset-card rollup reads this
+    * parquet + the old manifest: a stable two-scan plan instead of
+    * inlining the whole O(batch) scoring chain per report. The live
+    * scoring chain itself stays registered (and priced) as the
+    * `manifest_incremental` query. */
+  private def manifestBatchAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "manifest_batch90") { manifestIncrementalFrame(s, dir) }
+
   /** The append batch's manifest rows under the snapshot protocol —
     * every curation stage's flag at O(batch) off the stored indexes
     * (shared by the `manifest_incremental` query and the incremental
-    * dataset-card rollup). */
+    * dataset-card rollup's stored asset). */
   private def manifestIncrementalFrame(s: SparkSession, dir: String): DataFrame = {
     val newAll = Tables.documents(s, dir).where(manifestArrivalBlock === 9)
     val newToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
@@ -954,6 +964,7 @@ object SparkEntry {
     "quality_thresholds_old90" -> ((s, d) => { qualityThresholdsOldAsset(s, d); () }),
     "manifest_old90" -> ((s, d) => { manifestOldAsset(s, d); () }),
     "conservative_weights" -> ((s, d) => { conservativeWeightsAsset(s, d); () }),
+    "manifest_batch90" -> ((s, d) => { manifestBatchAsset(s, d); () }),
     "span_windows" -> ((s, d) => { spanWindowsAsset(s, d); () }),
     "benchmark_embeddings" -> ((s, d) => { benchmarkEmbeddingsAsset(s, d); () }),
     "exact_substr_windows_l12" -> ((s, d) => { exactSubstrWindowsAsset(s, d); () }),
@@ -1900,7 +1911,7 @@ object SparkEntry {
     // (contrast_refresh_impact pattern), not this rollup's.
     "corpus_report_incremental" -> ((s, dir) =>
       manifestOldAsset(s, dir)
-        .unionByName(manifestIncrementalFrame(s, dir))
+        .unionByName(manifestBatchAsset(s, dir))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("n_tokens"),
