@@ -229,32 +229,50 @@ object Bench {
         spark.sparkContext.setJobGroup(group, s"$name $pass")
         val gc0 = driverGcMs()
         val t0 = System.nanoTime()
+        var fpPause = 0L
         var tEnd = 0L
         val err =
           try {
             val df = fn(spark, sfDir)
+            // fingerprint the INITIAL physical plan (pre-AQE), COLD pass,
+            // BEFORE the first action: a post-execution toString renders
+            // every cached subtree's inner AdaptiveSparkPlan in its
+            // EXECUTED state — runtime shuffle-size decisions (borderline
+            // build-side flips, coalesced reads) that flap run-to-run on
+            // small fixtures (r13: manifest_incremental's nn-join flipped
+            // BuildLeft/BuildRight inside a persisted frame). Pre-action,
+            // inter-query hygiene has cleared the cache, so inner plans
+            // print their deterministic static form. A regression
+            // artifact must be deterministic given the same code and
+            // data; a lost broadcast / new Exchange / join-strategy
+            // change shows in the static plan. The toString +
+            // canonicalization cost (~0.1-1 s on big plans) is excluded
+            // from the measured window (r9: leaving it inside inflated
+            // the whole registry ~13%).
+            if (pass == "cold") {
+              val fp0 = System.nanoTime()
+              planFps(name) = canonicalPlan(df.queryExecution.sparkPlan.toString)
+              // Flap forensics: dump the CANONICAL plan text per query
+              // when asked, so a fingerprint diff between two runs is
+              // diffable line-by-line instead of hash-vs-hash.
+              sys.env.get("SPARK_GRAFT_PLAN_DUMP_DIR").foreach { d =>
+                java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(d, s"$name.txt"),
+                  planFps(name).getBytes("UTF-8"))
+              }
+              fpPause = System.nanoTime() - fp0
+            }
             df.queryExecution.toRdd.count()
-            // the measured region ends HERE: the fingerprint below runs
-            // plan toString + canonicalization on the driver (~0.1-1 s on
-            // big plans at the 1 KiB metadata setting) — harness
-            // bookkeeping, not query cost (r9: leaving it inside the
-            // window inflated the whole registry ~13%)
             tEnd = System.nanoTime()
-            // fingerprint the INITIAL physical plan (pre-AQE): the
-            // AQE-final plan embeds runtime shuffle-size decisions
-            // (local/coalesced reads, borderline broadcast flips) that
-            // flap run-to-run on small fixtures — a regression artifact
-            // must be deterministic given the same code and data, and a
-            // lost broadcast / new Exchange / join-strategy change shows
-            // in the static plan. Warm pass's fingerprint wins.
-            planFps(name) = canonicalPlan(df.queryExecution.sparkPlan.toString)
             None
           }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           }
-        val dt = ((if (tEnd != 0L) tEnd else System.nanoTime()) - t0) / 1e9
+        val dt =
+          ((if (tEnd != 0L) tEnd else System.nanoTime()) - t0 - fpPause) / 1e9
         passMetrics(group) = (driverGcMs() - gc0, 0L)
         spark.sparkContext.clearJobGroup()
         (dt, err)
