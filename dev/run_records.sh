@@ -18,6 +18,22 @@ ROUND="${ROUND:?set ROUND, e.g. ROUND=r12}"
 cd /root/repo
 status() { echo "$(date +%H:%M:%S) $1" >> "/tmp/${ROUND}_status"; }
 
+# Contention gate (r13 verdict: the headline carried box noise three
+# rounds running — run1/run2 spread hit 45% on identical code). A leg
+# REFUSES to start above MAXLOAD 1-min load; override with MAXLOAD=99
+# only if you accept an annotated-noisy cycle. Bench itself records
+# load_start/load_end in every bench JSON.
+MAXLOAD="${MAXLOAD:-4.0}"
+loadgate() {
+  local l; l=$(cut -d' ' -f1 /proc/loadavg)
+  status "$1: load $l (max $MAXLOAD)"
+  if awk -v l="$l" -v m="$MAXLOAD" 'BEGIN{exit !(l+0 > m+0)}'; then
+    status "$1: REFUSED — load $l > MAXLOAD $MAXLOAD (wait for a quiet box or set MAXLOAD)"
+    exit 2
+  fi
+}
+
+loadgate "verify"
 status "verify: start"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/${ROUND}_out" > "/tmp/${ROUND}_verify.log" 2>&1
 if [ $? -ne 0 ] && ! grep -q "\[verify\].*ok" "/tmp/${ROUND}_verify.log"; then status "verify: sbt FAILED"; exit 1; fi
@@ -25,12 +41,14 @@ python3 dev/check.py /root/testdata/sf0.01 "/tmp/${ROUND}_out" > "/tmp/${ROUND}_
 if grep -q "^FAIL\|^ERR" "/tmp/${ROUND}_check.log"; then status "check: FAILURES (see /tmp/${ROUND}_check.log)"; exit 1; fi
 status "verify+check: PASS"
 
+loadgate "bench run1"
 status "bench run1: start"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > "/tmp/${ROUND}_bench1.log" 2>&1
 if [ $? -ne 0 ]; then status "bench run1: sbt FAILED (see /tmp/${ROUND}_bench1.log)"; exit 1; fi
 cp target/plans.json "/tmp/${ROUND}_plans_run1.json" || { status "bench run1: no plans.json"; exit 1; }
 status "bench run1: done"
 
+loadgate "bench run2"
 status "bench run2: start"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > "/tmp/${ROUND}_bench2.log" 2>&1
 if [ $? -ne 0 ]; then status "bench run2: sbt FAILED (see /tmp/${ROUND}_bench2.log)"; exit 1; fi
@@ -39,6 +57,7 @@ status "bench run2: done"
 
 status "sf1 fixture: start"
 python3 dev/make_sf1.py > "/tmp/${ROUND}_sf1gen.log" 2>&1 || { status "make_sf1 FAILED"; exit 1; }
+loadgate "sf1 bench"
 status "sf1 bench: start"
 SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt -batch "runMain graft.Bench" > "/tmp/${ROUND}_bench_sf1.log" 2>&1
 if [ $? -ne 0 ]; then status "sf1 bench: sbt FAILED (see /tmp/${ROUND}_bench_sf1.log)"; exit 1; fi

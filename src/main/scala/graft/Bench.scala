@@ -115,8 +115,19 @@ object Bench {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** 1-minute system load average — recorded at leg start and end so a
+    * bench record carries its own contention evidence (three rounds of
+    * verdicts had to hand-decompose box noise from code deltas). -1 when
+    * unreadable (non-Linux). */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg1m()
     val spark = GraftSession.create()
 
     // Per-pass executor metrics, attributed via job groups: onJobStart maps
@@ -250,8 +261,13 @@ object Bench {
             // from the measured window (r9: leaving it inside inflated
             // the whole registry ~13%).
             if (pass == "cold") {
+              // Force analysis/optimization/physical planning INSIDE the
+              // measured window (r14, ADVICE): planning is work a real
+              // consumer pays on a cold query; only the toString +
+              // canonicalization + dump below is measurement overhead.
+              val sparkPlan = df.queryExecution.sparkPlan
               val fp0 = System.nanoTime()
-              planFps(name) = canonicalPlan(df.queryExecution.sparkPlan.toString)
+              planFps(name) = canonicalPlan(sparkPlan.toString)
               // Flap forensics: dump the CANONICAL plan text per query
               // when asked, so a fingerprint diff between two runs is
               // diffable line-by-line instead of hash-vs-hash.
@@ -372,6 +388,7 @@ object Bench {
       s""""assets":$assetsObj,"assets_total":$assetsTotal,""" +
       s""""queries":${timesObj(ok, _._2)},""" +
       s""""queries_warm":${timesObj(ok, _._3)},""" +
+      s""""load_start":$loadStart,"load_end":${loadAvg1m()},""" +
       s""""metrics":${metricsObj(ok)},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)

@@ -490,6 +490,26 @@ object SparkEntry {
           .where(col("doc_id") % 10 =!= 9))
     }
 
+  /** Trigram counts over the rebuild-audit shard's pre-append slice
+    * (doc_id < [[rebuildAuditMaxDoc]], doc_id % 10 ≠ 9) — stored so the
+    * enrichment-pricing gates read a model-sized parquet instead of
+    * recounting the shard's tokens on every run (r13: that recount was
+    * the registry's #3 quiet-box cost despite the constant-shard bound). */
+  private def trigramCountsAuditOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "trigram_counts_audit_old") {
+      TextAnalysis.trigramCountsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+          .where(col("doc_id") < rebuildAuditMaxDoc && col("doc_id") % 10 =!= 9))
+    }
+
+  /** Bigram twin of [[trigramCountsAuditOldAsset]]. */
+  private def bigramCountsAuditOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "bigram_counts_audit_old") {
+      TextAnalysis.bigramCountsFromTokens(
+        operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+          .where(col("doc_id") < rebuildAuditMaxDoc && col("doc_id") % 10 =!= 9))
+    }
+
   /** Pre-append contrast scores — the stored snapshot-scored asset the
     * incremental replay unions with the batch's fresh scores: every old
     * document scored ONCE against the old90 snapshot models (in-domain =
@@ -689,21 +709,31 @@ object SparkEntry {
     * (shared by the `manifest_incremental` query and the incremental
     * dataset-card rollup's stored asset). */
   private def manifestIncrementalFrame(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraftPersistable
     val newAll = Tables.documents(s, dir).where(manifestArrivalBlock === 9)
     val newToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
       .where(manifestArrivalBlock === 9)
+    // every stage output is lineage-cut (lazyPinned) before the final
+    // assembly join: the composite otherwise renders each stage's full
+    // tree inline — r13's ~679-exchange plan text, pure driver-side
+    // planning drag and the AQE-render fingerprint-flap source. All
+    // stage frames are content-derived (deterministic).
     val exact = Dedup.exactDupFlagsIncremental(fpStoreOldAsset(s, dir), newAll)
+      .lazyPinned()
     val near = Dedup.nearDupFlagsIncremental(
       dedupLabelsOldAsset(s, dir), dedupPostingsOldAsset(s, dir),
       dedupGramDfOldAsset(s, dir), dedupSizesOldAsset(s, dir), newAll)
+      .lazyPinned()
     val benchStore = benchGramsOldAsset(s, dir).select("gram")
       .unionByName(Curation.gramRowsFromTokens(
         newToks.where(col("doc_id") % 53 === 0), 3).select("gram"))
     val cont = Curation.decontaminateAgainstGramStore(
         newToks.where(col("doc_id") % 53 =!= 0), benchStore)
       .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
+      .lazyPinned()
     val lowq = TextAnalysis.lowQualityByStoredThresholds(
       newAll, qualityThresholdsOldAsset(s, dir))
+      .lazyPinned()
     val nTok = newToks.select(col("doc_id"),
       size(col("tokens")).cast("long").as("n_tokens"))
     newAll.where(col("doc_id") % 53 =!= 0)
@@ -721,6 +751,79 @@ object SparkEntry {
       .withColumn("kept",
         (col("exact_dup") === 0 && col("near_dup") === 0 &&
           col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
+  }
+
+  /** Refresh-impact audit for the manifest family's snapshot stores —
+    * the `contrast_refresh_impact` pattern applied to the manifest: one
+    * row per store naming, after an append batch, how many entries an
+    * append-merge would ADD (`n_new_entries`), how many STORED entries
+    * the batch made inconsistent with a full rebuild (`n_invalidated`),
+    * and whether the store is rebuild-due. Everything is an O(batch)
+    * keyed probe of the same stored assets the incremental manifest
+    * reads — the audit prices staleness without paying the rescan it
+    * recommends. Per-store rules:
+    *
+    *  - `exact_fps`: new content fingerprints. Never rebuild-due — the
+    *    store is append-only and old keeperships are immutable by rule.
+    *  - `near_dup_index`: new grams, plus stored DOCS whose kept-gram
+    *    set shrank (a batch arrival pushed a gram over the df cap, so
+    *    their stored postings/sizes are stale). Rebuild-due iff any
+    *    stored doc is invalidated.
+    *  - `benchmark_grams`: new benchmark grams. Rebuild-due iff any —
+    *    stored contaminated flags were computed without them (the
+    *    retroactive window `corpus_report_incremental` documents).
+    *  - `quality_thresholds`: batch sources with NO stored calibration
+    *    (the quality stage refuses them). Rebuild-due iff any. */
+  private def manifestRefreshImpactFrame(s: SparkSession, dir: String): DataFrame = {
+    val newAll = Tables.documents(s, dir).where(manifestArrivalBlock === 9)
+    val newToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+      .where(manifestArrivalBlock === 9)
+    def audit(stage: String, nNew: DataFrame, nInval: DataFrame,
+        dueFromNew: Boolean, dueFromInval: Boolean): DataFrame = {
+      val joined = nNew.withColumn("k", lit(1))
+        .join(nInval.withColumn("k", lit(1)), "k")
+      joined.select(lit(stage).as("stage"),
+        col("n_new_entries"), col("n_invalidated"),
+        ((col("n_new_entries") > 0 && lit(dueFromNew)) ||
+          (col("n_invalidated") > 0 && lit(dueFromInval))).cast("long")
+          .as("rebuild_due"))
+    }
+    val zero = (alias: String) =>
+      newAll.limit(0).agg(count(lit(1)).as(alias))
+    val batchFps = newAll
+      .select(graft.functions.TextFunctions.contentFingerprint(col("text"))
+        .as("fingerprint")).distinct()
+    val exactNew = batchFps
+      .join(fpStoreOldAsset(s, dir).select("fingerprint"),
+        Seq("fingerprint"), "left_anti")
+      .agg(count(lit(1)).as("n_new_entries"))
+    val batchDfMerged = Dedup.distinctGramRows(newAll)
+      .groupBy("gram").agg(count(lit(1)).as("batch_df"))
+      .join(dedupGramDfOldAsset(s, dir), Seq("gram"), "left")
+    val nearNew = batchDfMerged.where(col("gram_df").isNull)
+      .agg(count(lit(1)).as("n_new_entries"))
+    val overCap = batchDfMerged
+      .where(col("gram_df") <= 64 && col("gram_df") + col("batch_df") > 64)
+      .select("gram")
+    val nearInval = dedupPostingsOldAsset(s, dir).join(overCap, "gram")
+      .agg(countDistinct("doc_id").as("n_invalidated"))
+    val benchNew = Curation.gramRowsFromTokens(
+        newToks.where(col("doc_id") % 53 === 0), 3)
+      .select("gram").distinct()
+      .join(benchGramsOldAsset(s, dir).select("gram"), Seq("gram"), "left_anti")
+      .agg(count(lit(1)).as("n_new_entries"))
+    val qualNew = newAll.select("source").distinct()
+      .join(qualityThresholdsOldAsset(s, dir).select("source"),
+        Seq("source"), "left_anti")
+      .agg(count(lit(1)).as("n_new_entries"))
+    audit("exact_fps", exactNew, zero("n_invalidated"),
+        dueFromNew = false, dueFromInval = false)
+      .unionByName(audit("near_dup_index", nearNew, nearInval,
+        dueFromNew = false, dueFromInval = true))
+      .unionByName(audit("benchmark_grams", benchNew, zero("n_invalidated"),
+        dueFromNew = true, dueFromInval = false))
+      .unionByName(audit("quality_thresholds", qualNew, zero("n_invalidated"),
+        dueFromNew = true, dueFromInval = false))
   }
 
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
@@ -952,6 +1055,8 @@ object SparkEntry {
     "contrast_scores" -> ((s, d) => { contrastScoresAsset(s, d); () }),
     "trigram_counts_old90" -> ((s, d) => { trigramCountsOld90Asset(s, d); () }),
     "bigram_counts_old90" -> ((s, d) => { bigramCountsOld90Asset(s, d); () }),
+    "trigram_counts_audit_old" -> ((s, d) => { trigramCountsAuditOldAsset(s, d); () }),
+    "bigram_counts_audit_old" -> ((s, d) => { bigramCountsAuditOldAsset(s, d); () }),
     "contrast_scores_old90" -> ((s, d) => { contrastScoresOld90Asset(s, d); () }),
     "paragraph_keepers_old90" -> ((s, d) => { paragraphKeepersOldAsset(s, d); () }),
     "paragraph_keepers_delim_old90" -> ((s, d) => { paragraphKeepersDelimOldAsset(s, d); () }),
@@ -1842,27 +1947,27 @@ object SparkEntry {
     // snapshot-rebuild story: counts merge (trigram_counts_merge, which
     // hashes the STORED assets against the full recount) -> enrichment
     // (this) -> serving swap (withRefreshingModel).
+    // Old side reads the STORED audit-shard counts asset (r14): the gate's
+    // constant is a model-sized parquet scan + batch count + enrichment,
+    // not a shard token recount every run. The stored counts' integrity is
+    // separately certified by this very oracle (DuckDB recounts the shard).
     "kn3_model_rebuild" -> ((s, dir) => {
-      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-        .where(col("doc_id") < rebuildAuditMaxDoc)
+      val batchToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+        .where(col("doc_id") < rebuildAuditMaxDoc && col("doc_id") % 10 === 9)
       TextAnalysis.kn3EnrichedModel(
         TextAnalysis.mergeTrigramCounts(
-          TextAnalysis.trigramCountsFromTokens(
-            toks.where(col("doc_id") % 10 =!= 9)),
-          toks.where(col("doc_id") % 10 === 9)),
+          trigramCountsAuditOldAsset(s, dir), batchToks),
         termCountsAsset(s, dir).where(col("doc_id") < rebuildAuditMaxDoc))
         .orderBy("w1", "w2", "w3")
     }),
     // the bigram twin: kn2_model re-aggregated from the merged bigram
     // counts equals the enrichment over the recount, same audit shard
     "kn2_model_rebuild" -> ((s, dir) => {
-      val toks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-        .where(col("doc_id") < rebuildAuditMaxDoc)
+      val batchToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+        .where(col("doc_id") < rebuildAuditMaxDoc && col("doc_id") % 10 === 9)
       TextAnalysis.kn2EnrichedModel(
         TextAnalysis.mergeBigramCounts(
-          TextAnalysis.bigramCountsFromTokens(
-            toks.where(col("doc_id") % 10 =!= 9)),
-          toks.where(col("doc_id") % 10 === 9)))
+          bigramCountsAuditOldAsset(s, dir), batchToks))
         .orderBy("w1", "w2")
     }),
     // topic-rebalancing cap over the SemDeDup cluster assignment: at most
@@ -1902,6 +2007,11 @@ object SparkEntry {
     // batch) including the merged gram-df cap and the frozen old closure.
     "manifest_incremental" -> ((s, dir) =>
       manifestIncrementalFrame(s, dir).orderBy("doc_id")),
+    // the manifest stores' staleness signal (r13 verdict gap #2): per
+    // snapshot store, what an append would add and what it invalidated —
+    // the release owner's rebuild-due gate, priced at O(batch)
+    "manifest_refresh_impact" -> ((s, dir) =>
+      manifestRefreshImpactFrame(s, dir).orderBy("stage")),
     // the dataset card REFRESHED at O(batch): the stored snapshot
     // manifest (immutable rows, scored against the stores that existed
     // when they were written) unioned with the batch's incremental rows,
@@ -3357,12 +3467,11 @@ object SparkEntry {
     * the continuation/type counts; `p_KN` is spelled in the SAME fixed
     * operation order as the Spark column so the double is bit-identical
     * before the 9-rounded `ln`. */
-  private val lmKnDocCte =
-    s"""$toksArrCte,
-       |bg AS (
+  private def lmKnDocCteSrc(src: String) =
+    s"""bg AS (
        |  SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
-       |        FROM toksarr WHERE len(a) >= 2) u
+       |        FROM $src WHERE len(a) >= 2) u
        |), pc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
        |cc AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_ctx,
        |              count(*) AS n1p_fwd FROM pc GROUP BY 1),
@@ -3380,6 +3489,8 @@ object SparkEntry {
        |  GROUP BY doc_id
        |)""".stripMargin
 
+  private val lmKnDocCte = s"$toksArrCte,\n${lmKnDocCteSrc("toksarr")}"
+
   /** Trigram interpolated Kneser–Ney scoring CTE — every statistic a type
     * count over the trigram table (continuation counts below the top
     * order); the nested `p₃(p₂(p₁))` double is spelled in the SAME fixed
@@ -3387,14 +3498,13 @@ object SparkEntry {
     * the 9-rounded `ln`. The training corpus has every transition
     * observed, so only the full-formula branch is exercised (the Spark
     * side's backoff CASE arms never fire here). */
-  private val lmKn3DocCte =
-    s"""$toksArrCte,
-       |tg AS (
+  private def lmKn3DocCteSrc(src: String) =
+    s"""tg AS (
        |  SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
        |         split_part(g, ' ', 3) AS w3
        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(a) - 1),
        |                i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
-       |        FROM toksarr WHERE len(a) >= 3) u
+       |        FROM $src WHERE len(a) >= 3) u
        |), tc3 AS (SELECT w1, w2, w3, count(*) AS n_abc FROM tg GROUP BY 1, 2, 3),
        |cx3 AS (SELECT w1, w2, CAST(sum(n_abc) AS BIGINT) AS c12,
        |               count(*) AS n1p_fwd12 FROM tc3 GROUP BY 1, 2),
@@ -3419,6 +3529,8 @@ object SparkEntry {
        |       JOIN ct2 USING (w2, w3) JOIN md USING (w2) JOIN ct1 USING (w3)
        |  GROUP BY doc_id
        |)""".stripMargin
+
+  private val lmKn3DocCte = s"$toksArrCte,\n${lmKn3DocCteSrc("toksarr")}"
 
   /** The interpolated-KN3 backoff CASE ladder over `x`-suffixed model
     * table aliases (`tc3x cx3x ct2x mdx ct1x nctx vszx`) — ONE generator
@@ -5574,6 +5686,50 @@ object SparkEntry {
          |    / count(*), 9) AS mean_quality
          |FROM (SELECT * FROM manifesto UNION ALL SELECT * FROM manifesti) u
          |GROUP BY source ORDER BY source""".stripMargin,
+    "manifest_refresh_impact" ->
+      s"""WITH $toksArrCte,
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+         |                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+         |  FROM toksarr WHERE len(a) >= 3),
+         |gramso AS (SELECT doc_id, gram FROM grams WHERE (doc_id // 20) % 10 <> 9),
+         |gramsb AS (SELECT doc_id, gram FROM grams WHERE (doc_id // 20) % 10 = 9),
+         |dfo AS (SELECT gram, count(*) AS old_df FROM gramso GROUP BY 1),
+         |dfb AS (SELECT gram, count(*) AS batch_df FROM gramsb GROUP BY 1),
+         |nearnew AS (SELECT count(*) AS n FROM dfb LEFT JOIN dfo USING (gram)
+         |            WHERE dfo.gram IS NULL),
+         |overcap AS (SELECT dfb.gram FROM dfb JOIN dfo USING (gram)
+         |            WHERE dfo.old_df <= 64 AND dfo.old_df + dfb.batch_df > 64),
+         |nearinv AS (SELECT count(DISTINCT g.doc_id) AS n
+         |            FROM gramso g JOIN overcap o ON o.gram = g.gram),
+         |fpo AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |        FROM documents WHERE (doc_id // 20) % 10 <> 9),
+         |fpb AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |        FROM documents WHERE (doc_id // 20) % 10 = 9),
+         |fpnew AS (SELECT count(*) AS n FROM fpb LEFT JOIN fpo USING (f)
+         |          WHERE fpo.f IS NULL),
+         |bencho AS (SELECT DISTINCT gram FROM gramso WHERE doc_id % 53 = 0),
+         |benchb AS (SELECT DISTINCT gram FROM gramsb WHERE doc_id % 53 = 0),
+         |benchnew AS (SELECT count(*) AS n FROM benchb LEFT JOIN bencho USING (gram)
+         |             WHERE bencho.gram IS NULL),
+         |srco AS (SELECT DISTINCT source FROM documents WHERE (doc_id // 20) % 10 <> 9),
+         |srcb AS (SELECT DISTINCT source FROM documents WHERE (doc_id // 20) % 10 = 9),
+         |srcnew AS (SELECT count(*) AS n FROM srcb LEFT JOIN srco USING (source)
+         |           WHERE srco.source IS NULL)
+         |SELECT * FROM (
+         |  SELECT 'exact_fps' AS stage, (SELECT n FROM fpnew) AS n_new_entries,
+         |    CAST(0 AS BIGINT) AS n_invalidated, CAST(0 AS BIGINT) AS rebuild_due
+         |  UNION ALL
+         |  SELECT 'near_dup_index', (SELECT n FROM nearnew), (SELECT n FROM nearinv),
+         |    CAST(CASE WHEN (SELECT n FROM nearinv) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'benchmark_grams', (SELECT n FROM benchnew), CAST(0 AS BIGINT),
+         |    CAST(CASE WHEN (SELECT n FROM benchnew) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'quality_thresholds', (SELECT n FROM srcnew), CAST(0 AS BIGINT),
+         |    CAST(CASE WHEN (SELECT n FROM srcnew) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |) ORDER BY stage""".stripMargin,
     "corpus_report" ->
       s"""$manifestOracleCtes
          |SELECT source, count(*) AS n_docs,
@@ -6333,17 +6489,24 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // enrichment over merged counts == enrichment over the full recount:
     // one row per trigram type with every serving statistic inline
+    // audit-shard bound pinned IN the oracle (not implied by fixture
+    // size): both sides restrict to doc_id < rebuildAuditMaxDoc, so the
+    // gate stays meaningful on fixtures larger than the shard
     "kn3_model_rebuild" ->
-      s"""WITH $lmKn3DocCte,
+      s"""WITH $toksArrCte,
+         |toksaud AS (SELECT * FROM toksarr WHERE doc_id < $rebuildAuditMaxDoc),
+         |${lmKn3DocCteSrc("toksaud")},
          |vq AS (SELECT count(DISTINCT tkn) AS v_size
-         |       FROM (SELECT unnest(a) AS tkn FROM toksarr) z)
+         |       FROM (SELECT unnest(a) AS tkn FROM toksaud) z)
          |SELECT tc3.w1, tc3.w2, tc3.w3, tc3.n_abc, cx3.c12, cx3.n1p_fwd12,
          |  ct2.cont23, md.mid_ctx, md.n1p_mid, ct1.cont3, ct1.n_ct, vq.v_size
          |FROM tc3 JOIN cx3 USING (w1, w2) JOIN ct2 USING (w2, w3)
          |  JOIN md USING (w2) JOIN ct1 USING (w3) CROSS JOIN vq
          |ORDER BY w1, w2, w3""".stripMargin,
     "kn2_model_rebuild" ->
-      s"""WITH $lmKnDocCte
+      s"""WITH $toksArrCte,
+         |toksaud AS (SELECT * FROM toksarr WHERE doc_id < $rebuildAuditMaxDoc),
+         |${lmKnDocCteSrc("toksaud")}
          |SELECT pc.w1, pc.w2, pc.n_ab, cc.n_ctx, cc.n1p_fwd, rc.n1p_rev,
          |  nt.n_types
          |FROM pc JOIN cc USING (w1) JOIN rc USING (w2) CROSS JOIN nt

@@ -513,7 +513,7 @@ object Dedup {
     val batchFirst = fps.groupBy("fingerprint").agg(min("doc_id").as("first_id"))
     fps
       .join(batchFirst, "fingerprint")
-      .join(storedFps.select("fingerprint").withColumn("stored", lit(1L)),
+      .join(storedFps.select("fingerprint").distinct().withColumn("stored", lit(1L)),
         Seq("fingerprint"), "left")
       .select(col("doc_id"),
         (col("stored").isNotNull || col("doc_id") =!= col("first_id"))
@@ -563,16 +563,23 @@ object Dedup {
       newDocs: DataFrame,
       minJaccard: Double = 0.5,
       maxGramDf: Int = 64): DataFrame = {
-    val newGrams = distinctGramRows(newDocs).scopedPersist()
+    // lazyPinned (the cascade-merge diet, r14): each stage below is
+    // referenced several times by the pair joins and the closure; without
+    // the lineage cut the composite's rendered plan embeds every stage's
+    // full tree once per reference (~679 exchanges at r13 — driver-side
+    // planning drag and the source of an AQE-render fingerprint flap).
+    // All frames are content-derived (deterministic), the lazy-pin
+    // precondition.
+    val newGrams = distinctGramRows(newDocs).lazyPinned()
     val mergedDf = newGrams.groupBy("gram").agg(count(lit(1)).as("batch_df"))
       .join(storedGramDf, Seq("gram"), "left")
       .select(col("gram"),
         (col("batch_df") + coalesce(col("gram_df"), lit(0L))).as("merged_df"),
         coalesce(col("gram_df"), lit(0L)).as("old_df"))
-      .scopedPersist()
+      .lazyPinned()
     val keptNew = newGrams
       .join(mergedDf.where(col("merged_df") <= maxGramDf).select("gram"), "gram")
-      .scopedPersist()
+      .lazyPinned()
     // grams this batch pushed over the cap: stored docs lose them from
     // their denominators (batch-sized set — only batch grams change df)
     val overCap = mergedDf
@@ -596,6 +603,7 @@ object Dedup {
       .join(sizesNew.select(col("doc_id").as("doc_b"), col("n_grams").as("grams_b")), "doc_b")
       .where(jaccardOk(col("n_shared"), col("grams_a"), col("grams_b")))
       .select("doc_a", "doc_b")
+      .lazyPinned()
     // batch-stored edges, stored side collapsed to its component label
     // (a stored doc outside every stored pair is its own singleton label)
     val no = keptNew
@@ -609,6 +617,7 @@ object Dedup {
       .select(col("doc_id").as("doc_a"),
         coalesce(col("cluster"), col("old_id")).as("doc_b"))
       .distinct()
+      .lazyPinned()
     val labelNodes = no.select(col("doc_b").as("node")).distinct()
     val comps = connectedComponents(nn.unionByName(no))
       .join(labelNodes.withColumn("is_label", lit(1L)),

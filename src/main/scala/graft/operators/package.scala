@@ -10,5 +10,20 @@ package object operators {
   private[graft] implicit class GraftPersistable(private val df: DataFrame)
       extends AnyVal {
     def scopedPersist(): DataFrame = CacheScope.persist(df)
+
+    /** Persist + LINEAGE-CUT without a synchronous materialize (the
+      * cascade-merge diet pattern): `p.rdd` compiles the physical plan but
+      * runs NO job, so the wrapped frame renders as a tiny `LogicalRDD` in
+      * every downstream plan — a multi-stage composite otherwise embeds
+      * each stage's full tree once per reference, and the rendered text
+      * alone becomes driver-side planning drag (r13: the incremental
+      * manifest rendered ~679 exchanges). The cache is populated by
+      * whichever downstream job touches it first. DETERMINISTIC frames
+      * only: concurrent first readers may compute a partition twice, so a
+      * nondeterministic id would fork. */
+    def lazyPinned(): DataFrame = {
+      val p = CacheScope.persist(df)
+      df.sparkSession.createDataFrame(p.rdd, p.schema)
+    }
   }
 }

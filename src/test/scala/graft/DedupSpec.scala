@@ -469,4 +469,24 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(loose == Seq((9L, 1L)))
   }
+
+  test("manifest_refresh_impact: exact store never due, due flags follow their counts") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("manifest_refresh_impact")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) ==
+      Seq("benchmark_grams", "exact_fps", "near_dup_index", "quality_thresholds"))
+    val byStage = rows.map(r => r._1 -> r).toMap
+    // append-only store: old keeperships immutable by rule → never due
+    assert(byStage("exact_fps")._3 == 0L && byStage("exact_fps")._4 == 0L)
+    // new-entry-driven stages flag due iff the batch would add entries
+    for (st <- Seq("benchmark_grams", "quality_thresholds"))
+      assert(byStage(st)._4 == (if (byStage(st)._2 > 0) 1L else 0L), st)
+    // near-dup index flags due iff stored docs' kept-gram sets shrank
+    assert(byStage("near_dup_index")._4 ==
+      (if (byStage("near_dup_index")._3 > 0) 1L else 0L))
+    // BLOCK arrival split keeps every source on both sides → every batch
+    // source has a stored calibration on this fixture
+    assert(byStage("quality_thresholds")._2 == 0L)
+  }
 }
