@@ -708,50 +708,22 @@ object SparkEntry {
     * every curation stage's flag at O(batch) off the stored indexes
     * (shared by the `manifest_incremental` query and the incremental
     * dataset-card rollup's stored asset). */
-  private def manifestIncrementalFrame(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.GraftPersistable
-    val newAll = Tables.documents(s, dir).where(manifestArrivalBlock === 9)
-    val newToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
-      .where(manifestArrivalBlock === 9)
-    // every stage output is lineage-cut (lazyPinned) before the final
-    // assembly join: the composite otherwise renders each stage's full
-    // tree inline — r13's ~679-exchange plan text, pure driver-side
-    // planning drag and the AQE-render fingerprint-flap source. All
-    // stage frames are content-derived (deterministic).
-    val exact = Dedup.exactDupFlagsIncremental(fpStoreOldAsset(s, dir), newAll)
-      .lazyPinned()
-    val near = Dedup.nearDupFlagsIncremental(
+  /** The snapshot store bundle the incremental manifest family serves
+    * from — one value so the batch composition, the at-ingest batch twin,
+    * and a production stream's `loadStores` all read the SAME tables. */
+  private def manifestStores(s: SparkSession, dir: String): graft.streaming.Streams.ManifestStores =
+    graft.streaming.Streams.ManifestStores(
+      fpStoreOldAsset(s, dir),
       dedupLabelsOldAsset(s, dir), dedupPostingsOldAsset(s, dir),
-      dedupGramDfOldAsset(s, dir), dedupSizesOldAsset(s, dir), newAll)
-      .lazyPinned()
-    val benchStore = benchGramsOldAsset(s, dir).select("gram")
-      .unionByName(Curation.gramRowsFromTokens(
-        newToks.where(col("doc_id") % 53 === 0), 3).select("gram"))
-    val cont = Curation.decontaminateAgainstGramStore(
-        newToks.where(col("doc_id") % 53 =!= 0), benchStore)
-      .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
-      .lazyPinned()
-    val lowq = TextAnalysis.lowQualityByStoredThresholds(
-      newAll, qualityThresholdsOldAsset(s, dir))
-      .lazyPinned()
-    val nTok = newToks.select(col("doc_id"),
-      size(col("tokens")).cast("long").as("n_tokens"))
-    newAll.where(col("doc_id") % 53 =!= 0)
-      .select("doc_id", "source")
-      .join(exact, "doc_id")
-      .join(lowq.select("doc_id", "quality", "low_quality"), "doc_id")
-      .join(near, "doc_id")
-      .join(cont, Seq("doc_id"), "left")
-      .join(nTok, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        col("quality"), col("exact_dup"), col("near_dup"),
-        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
-        col("low_quality"))
-      .withColumn("kept",
-        (col("exact_dup") === 0 && col("near_dup") === 0 &&
-          col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
-  }
+      dedupGramDfOldAsset(s, dir), dedupSizesOldAsset(s, dir),
+      benchGramsOldAsset(s, dir), qualityThresholdsOldAsset(s, dir))
+
+  private def manifestIncrementalFrame(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.manifestAdmission(
+      Tables.documents(s, dir).where(manifestArrivalBlock === 9),
+      operators.Scaling.fanOut(tokenArraysAsset(s, dir))
+        .where(manifestArrivalBlock === 9),
+      manifestStores(s, dir))
 
   /** Refresh-impact audit for the manifest family's snapshot stores —
     * the `contrast_refresh_impact` pattern applied to the manifest: one
@@ -2012,6 +1984,14 @@ object SparkEntry {
     // the release owner's rebuild-due gate, priced at O(batch)
     "manifest_refresh_impact" -> ((s, dir) =>
       manifestRefreshImpactFrame(s, dir).orderBy("stage")),
+    // the streaming admission gate's batch twin in its TRUE ingest shape:
+    // arriving rows tokenize live (no token-array asset exists for rows
+    // that just arrived) and score against the same frozen stores — must
+    // reproduce manifest_incremental exactly (shared oracle verbatim)
+    "streams_manifest_admission_batch" -> ((s, dir) =>
+      graft.streaming.Streams.manifestAdmission(
+        Tables.documents(s, dir).where(manifestArrivalBlock === 9),
+        manifestStores(s, dir)).orderBy("doc_id")),
     // the dataset card REFRESHED at O(batch): the stored snapshot
     // manifest (immutable rows, scored against the stores that existed
     // when they were written) unioned with the batch's incremental rows,
@@ -3939,6 +3919,9 @@ object SparkEntry {
       // the cascade merge must reproduce the full rebuild's l24 level
       ("exact_substr_cascade_merge" -> m("exact_substr_level_marks")) +
       ("streams_term_counts_batch" -> m("term_counts")) +
+      // the at-ingest admission twin tokenizes live but must reproduce
+      // the asset-fed incremental manifest row-for-row
+      ("streams_manifest_admission_batch" -> m("manifest_incremental")) +
       // Bloom prefilter has no false negatives → identical final output
       ("decontaminate_bloom" -> m("decontaminate_overlap")) +
       // the external benchmark TABLE is materialized from the same capped

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.GraftPersistable
+import graft.operators.{Curation, Dedup, GraftPersistable, TextAnalysis, Tfidf}
 
 /** Structured Streaming operators over the event stream. Each takes a
   * DataFrame that may be batch (`spark.read`) or streaming
@@ -349,8 +349,13 @@ object Streams {
         val v = currentVersion()
         if (v != held.get()._1) held.set((v, loadModel()))
         val (ver, model) = held.get()
-        sink(score(batch.toDF(), model).withColumn("index_version", lit(ver)),
-          batchId)
+        // operator-internal persists (e.g. the manifest gate's lazy-pinned
+        // stage frames) release when the sink returns — a long-running
+        // stream must not accumulate one cache set per micro-batch
+        graft.operators.CacheScope {
+          sink(score(batch.toDF(), model).withColumn("index_version", lit(ver)),
+            batchId)
+        }
         ()
       }
       .outputMode(OutputMode.Append)
@@ -473,6 +478,105 @@ object Streams {
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     withRefreshingModel[ContrastMixPolicy](docs, currentVersion, loadPolicy,
       (batch, p) => contrastAdmitWithModel(p.score(batch), p.dmin, p.dmax, p.rates),
+      checkpointDir)(sink)
+
+  /** The frozen snapshot stores the at-ingest manifest admission scores
+    * against — the same tables the batch incremental manifest probes
+    * (fingerprint keepers, the pair-table closure + capped postings +
+    * uncapped gram df + kept sizes, the benchmark gram store, the
+    * sampled per-source quality thresholds). Grouped so the refresh
+    * protocol can swap ALL of a snapshot's stores atomically on one
+    * version bump — a half-updated store set would mix two snapshots'
+    * semantics inside one admission decision. */
+  case class ManifestStores(
+      fpStore: DataFrame,
+      nearLabels: DataFrame,
+      nearPostings: DataFrame,
+      nearGramDf: DataFrame,
+      nearSizes: DataFrame,
+      benchGrams: DataFrame,
+      qualityThresholds: DataFrame)
+
+  /** Composed at-ingest manifest ADMISSION for an arriving batch under
+    * the snapshot protocol — the streaming sibling of the batch
+    * `manifest_incremental` composition, and the SAME code path (the
+    * batch registration delegates here, so the DuckDB arrival-order
+    * oracle certifies this exact spelling): every curation stage's flag
+    * at O(batch) off the frozen stores, assembled into one row per
+    * document with the `kept` conjunction.
+    *
+    * Arrival unit = the scoring call (one micro-batch under
+    * [[manifestGateWithRefresh]]): batch-internal repeats elect a
+    * first-arrived keeper within the call; a repeat ACROSS micro-batches
+    * passes the exact stage until the store is rebuilt and version-bumped
+    * (the refresh protocol's append loop). Cross-batch exactness inside
+    * one snapshot window is [[streamingDedup]]'s stateful job — this gate
+    * stays stateless so its state is the stores, not the stream.
+    *
+    * Every stage output is lineage-cut (lazyPinned) before the assembly
+    * join — the composite otherwise renders each stage's full tree inline
+    * (the r13 ~679-exchange plan). Benchmark-split arrivals (`isBenchmark`)
+    * update the decon store for the batch's own scoring and are not
+    * themselves admitted rows, mirroring the batch family. */
+  def manifestAdmission(newDocs: DataFrame, newToks: DataFrame,
+      stores: ManifestStores,
+      isBenchmark: Column = col("doc_id") % 53 === 0): DataFrame = {
+    val exact = Dedup.exactDupFlagsIncremental(stores.fpStore, newDocs)
+      .lazyPinned()
+    val near = Dedup.nearDupFlagsIncremental(
+      stores.nearLabels, stores.nearPostings, stores.nearGramDf,
+      stores.nearSizes, newDocs)
+      .lazyPinned()
+    val benchStore = stores.benchGrams.select("gram")
+      .unionByName(Curation.gramRowsFromTokens(
+        newToks.where(isBenchmark), 3).select("gram"))
+    val cont = Curation.decontaminateAgainstGramStore(
+        newToks.where(!isBenchmark), benchStore)
+      .select(col("doc_id"), col("contaminated").cast("long").as("contaminated"))
+      .lazyPinned()
+    val lowq = TextAnalysis.lowQualityByStoredThresholds(
+      newDocs, stores.qualityThresholds)
+      .lazyPinned()
+    val nTok = newToks.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("n_tokens"))
+    newDocs.where(!isBenchmark)
+      .select("doc_id", "source")
+      .join(exact, "doc_id")
+      .join(lowq.select("doc_id", "quality", "low_quality"), "doc_id")
+      .join(near, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .join(nTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("quality"), col("exact_dup"), col("near_dup"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        col("low_quality"))
+      .withColumn("kept",
+        (col("exact_dup") === 0 && col("near_dup") === 0 &&
+          col("contaminated") === 0 && col("low_quality") === 0).cast("long"))
+  }
+
+  /** [[manifestAdmission]] tokenizing the arriving batch itself — the
+    * at-ingest shape, where no token-array asset exists for rows that
+    * just arrived. */
+  def manifestAdmission(newDocs: DataFrame, stores: ManifestStores): DataFrame =
+    manifestAdmission(newDocs, Tfidf.tokenArrays(newDocs), stores)
+
+  /** The composed manifest admission under the refresh protocol — the
+    * at-ingest twin of the batch `manifest_incremental`: each micro-batch
+    * scores every curation stage against the CURRENT snapshot stores;
+    * an append that rebuilds the stores batch-side republishes them and
+    * bumps the version, and rows arriving after the bump are admitted
+    * against the new snapshot without a stream restart. Stateless across
+    * micro-batches (state lives in the stores), stateful dedup remains
+    * [[streamingDedup]]'s job — the house split between snapshot-serving
+    * gates and stream state. */
+  def manifestGateWithRefresh(docs: DataFrame,
+      currentVersion: () => Long, loadStores: () => ManifestStores,
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    withRefreshingModel[ManifestStores](docs, currentVersion, loadStores,
+      (batch, stores) => manifestAdmission(batch, stores),
       checkpointDir)(sink)
 
   /** Stream-stream interval join: right rows within

@@ -960,4 +960,99 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Long)].collect().toSeq
     assert(stream == got)
   }
+
+  test("manifest admission gate: streaming == batch composition; store rebuild reaches the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Curation, Dedup, Tfidf}
+    val tA = "one two three four five six seven eight nine ten"
+    val tC = "cold unrelated winter words drift slowly over frozen lakes today"
+    // old corpus spans both sources so every batch source is calibrated
+    def oldDocs(extra: Seq[(Long, String, String)]) =
+      (Seq((100L, "srcA", tA), (101L, "srcA", tA + " eleven"),
+        (102L, "srcB", tC),
+        (103L, "srcB", "plain ordinary boring prose about nothing in particular today")) ++ extra)
+        .toDF("doc_id", "source", "text")
+    def storesFor(old: org.apache.spark.sql.DataFrame,
+        benchTexts: Seq[String]): Streams.ManifestStores = {
+      val fp = old.select(
+          graft.functions.TextFunctions.contentFingerprint(col("text"))
+            .as("fingerprint"), col("doc_id"))
+        .groupBy("fingerprint").agg(min("doc_id").as("keeper"))
+      val gdf = Dedup.distinctGramRows(old)
+        .groupBy("gram").agg(count(lit(1)).as("gram_df"))
+      val postings = Dedup.distinctGramRows(old)
+        .join(gdf.where(col("gram_df") <= 64).select("gram"), "gram")
+        .select("doc_id", "gram")
+      val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val labels = Dedup.connectedComponents(
+        Dedup.ngramJaccardExact(old).select("doc_a", "doc_b"))
+      val bench = Curation.gramRowsFromTokens(
+        Tfidf.tokenArrays(benchTexts.zipWithIndex
+          .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")), 3)
+        .select("gram").distinct()
+      // explicit permissive calibration (threshold 0 at an integer cut →
+      // nothing flags): the sampled-cut semantics have their own specs
+      // (TextAnalysisSpec); this test pins the COMPOSITION
+      val thr = Seq(("srcA", 4L, 0.0), ("srcB", 4L, 0.0))
+        .toDF("source", "n_in_source", "q_threshold")
+      Streams.ManifestStores(fp, labels, postings, gdf, sizes, bench, thr)
+    }
+    val benchText = "held out benchmark question about ancient rivers and their deltas"
+    val stores1 = storesFor(oldDocs(Nil), Seq(benchText))
+    // batch: 201 stored-exact dup, 202 near-dup of the stored cluster,
+    // 203 contaminated (quotes the benchmark), 205 clean, 206 clean
+    // repeat of 205 (within-call first-arrival election)
+    val batchRows = Seq(
+      (201L, "srcA", tA),
+      (202L, "srcA", tA + " twelve"),
+      (203L, "srcB", benchText + " verbatim"),
+      (205L, "srcB", "fresh spring garden blossoms open wide under warm morning light"),
+      (206L, "srcB", "fresh spring garden blossoms open wide under warm morning light"))
+    type RowT = (Long, String, Long, Double, Long, Long, Long, Long, Long, Long)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[RowT] =
+      df.select("doc_id", "source", "n_tokens", "quality", "exact_dup",
+          "near_dup", "contaminated", "low_quality", "kept", "index_version")
+        .as[(Long, String, Long, Double, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+    @volatile var version = 1L
+    @volatile var stores = stores1
+    var loads = 0
+    val buf = scala.collection.mutable.ArrayBuffer[RowT]()
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.manifestGateWithRefresh(
+      in.toDF.toDF("doc_id", "source", "text"),
+      currentVersion = () => version,
+      loadStores = () => { loads += 1; stores }) { (df, _) =>
+      buf.synchronized { buf ++= rowsOf(df) }
+      ()
+    }
+    try {
+      in.addData(batchRows: _*)
+      q.processAllAvailable()
+      val expected1 = rowsOf(
+        Streams.manifestAdmission(batchRows.toDF("doc_id", "source", "text"),
+          stores1).withColumn("index_version", lit(1L)))
+      assert(buf.toSet == expected1)
+      // the composition actually fired per stage under snapshot 1
+      val flags = buf.map(r => r._1 -> (r._5, r._6, r._7, r._9)).toMap
+      assert(flags(201L)._1 == 1L, "stored-exact dup")
+      assert(flags(202L)._2 == 1L, "near-dup of the stored cluster")
+      assert(flags(203L)._3 == 1L, "benchmark contamination")
+      assert(flags(205L) == ((0L, 0L, 0L, 1L)), "clean first arrival kept")
+      assert(flags(206L)._1 == 1L, "within-call repeat elects 205 keeper")
+      assert(loads == 1, "unchanged version must not reload the stores")
+      // batch-tier append rebuild: 205's content is now stored; bump
+      stores = storesFor(oldDocs(Seq((104L, "srcB",
+        "fresh spring garden blossoms open wide under warm morning light"))),
+        Seq(benchText))
+      version = 2L
+      in.addData((301L, "srcB",
+        "fresh spring garden blossoms open wide under warm morning light"))
+      q.processAllAvailable()
+      val after = buf.toSet -- expected1
+      assert(after.map(r => (r._1, r._5, r._10)) == Set((301L, 1L, 2L)),
+        s"row after the rebuild must flag against the NEW store: $after")
+      assert(loads == 2, "exactly one reload per version change")
+    } finally q.stop()
+  }
 }
