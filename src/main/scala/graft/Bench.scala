@@ -193,6 +193,12 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9)
     }
 
+    // Re-sample load AFTER sbt/JVM warmup + asset builds, right before the
+    // first measured query (r14 verdict "what's wrong" #1): `load_start`
+    // above can read the leg's OWN compile/warmup wake — this sample is
+    // the honest contention figure for the measured window's start.
+    val loadMeasureStart = loadAvg1m()
+
     // Each query runs twice: cold (fresh cache — includes plan compile,
     // codegen, and any per-query persists) and warm (immediately after,
     // caches intact — the steady-state cost a repeated production query
@@ -388,7 +394,12 @@ object Bench {
       s""""assets":$assetsObj,"assets_total":$assetsTotal,""" +
       s""""queries":${timesObj(ok, _._2)},""" +
       s""""queries_warm":${timesObj(ok, _._3)},""" +
-      s""""load_start":$loadStart,"load_end":${loadAvg1m()},""" +
+      s""""load_start":$loadStart,"load_measure_start":$loadMeasureStart,""" +
+      s""""load_end":${loadAvg1m()},""" +
+      // cold timings include Catalyst analysis/optimization/physical
+      // planning since r14 (ADVICE) — machine-visible so cross-round
+      // trackers can annotate the r13->r14 cold-time discontinuity
+      s""""planning_in_window":true,""" +
       s""""metrics":${metricsObj(ok)},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)

@@ -510,6 +510,26 @@ object SparkEntry {
           .where(col("doc_id") < rebuildAuditMaxDoc && col("doc_id") % 10 =!= 9))
     }
 
+  /** ENRICHED KN3 model over the audit shard's pre-append slice — the
+    * stored serving artifact the kn3 rebuild gate delta-merges (r15):
+    * with it the gate is a model scan + batch-incident arithmetic
+    * ([[graft.operators.TextAnalysis.kn3EnrichedMerge]]) instead of a
+    * full enrichment re-aggregation per run. Built from the stored audit
+    * counts + the old-slice term vocabulary, so the merged output's
+    * scalars line up with the full-shard enrichment the oracle replays. */
+  private def kn3ModelAuditOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "kn3_model_audit_old") {
+      TextAnalysis.kn3EnrichedModel(trigramCountsAuditOldAsset(s, dir),
+        termCountsAsset(s, dir)
+          .where(col("doc_id") < rebuildAuditMaxDoc && col("doc_id") % 10 =!= 9))
+    }
+
+  /** Bigram twin of [[kn3ModelAuditOldAsset]]. */
+  private def kn2ModelAuditOldAsset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "kn2_model_audit_old") {
+      TextAnalysis.kn2EnrichedModel(bigramCountsAuditOldAsset(s, dir))
+    }
+
   /** Pre-append contrast scores — the stored snapshot-scored asset the
     * incremental replay unions with the batch's fresh scores: every old
     * document scored ONCE against the old90 snapshot models (in-domain =
@@ -746,22 +766,38 @@ object SparkEntry {
     *    retroactive window `corpus_report_incremental` documents).
     *  - `quality_thresholds`: batch sources with NO stored calibration
     *    (the quality stage refuses them). Rebuild-due iff any. */
+  /** One audit row of the refresh-impact family — the shared assembly
+    * every store-family audit uses: two single-row count aggregates
+    * (what an append-merge would ADD, what it made stale) keyed-joined
+    * on a constant and composed into the family's uniform
+    * `(stage, n_new_entries, n_invalidated, rebuild_due)` shape. The
+    * due flags encode each store's maintenance rule: an append-only
+    * store is never rebuild-due; a store whose incremental path cannot
+    * reach rebuild-equivalence flags on the relevant count. */
+  private def refreshAuditRow(stage: String, nNew: DataFrame,
+      nInval: DataFrame, dueFromNew: Boolean,
+      dueFromInval: Boolean): DataFrame =
+    nNew.withColumn("k", lit(1))
+      .join(nInval.withColumn("k", lit(1)), "k")
+      .select(lit(stage).as("stage"),
+        col("n_new_entries"), col("n_invalidated"),
+        ((col("n_new_entries") > 0 && lit(dueFromNew)) ||
+          (col("n_invalidated") > 0 && lit(dueFromInval))).cast("long")
+          .as("rebuild_due"))
+
+  /** A constant-zero single-row count (`agg` over an empty range) — the
+    * "this store has no entries of that kind" side of an audit row. */
+  private def zeroCount(s: SparkSession, alias: String): DataFrame =
+    s.range(0).agg(count(lit(1)).as(alias))
+
   private def manifestRefreshImpactFrame(s: SparkSession, dir: String): DataFrame = {
     val newAll = Tables.documents(s, dir).where(manifestArrivalBlock === 9)
     val newToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
       .where(manifestArrivalBlock === 9)
     def audit(stage: String, nNew: DataFrame, nInval: DataFrame,
-        dueFromNew: Boolean, dueFromInval: Boolean): DataFrame = {
-      val joined = nNew.withColumn("k", lit(1))
-        .join(nInval.withColumn("k", lit(1)), "k")
-      joined.select(lit(stage).as("stage"),
-        col("n_new_entries"), col("n_invalidated"),
-        ((col("n_new_entries") > 0 && lit(dueFromNew)) ||
-          (col("n_invalidated") > 0 && lit(dueFromInval))).cast("long")
-          .as("rebuild_due"))
-    }
-    val zero = (alias: String) =>
-      newAll.limit(0).agg(count(lit(1)).as(alias))
+        dueFromNew: Boolean, dueFromInval: Boolean): DataFrame =
+      refreshAuditRow(stage, nNew, nInval, dueFromNew, dueFromInval)
+    val zero = (alias: String) => zeroCount(s, alias)
     val batchFps = newAll
       .select(graft.functions.TextFunctions.contentFingerprint(col("text"))
         .as("fingerprint")).distinct()
@@ -796,6 +832,200 @@ object SparkEntry {
         dueFromNew = true, dueFromInval = false))
       .unionByName(audit("quality_thresholds", qualNew, zero("n_invalidated"),
         dueFromNew = true, dueFromInval = false))
+  }
+
+  /** Refresh-impact audit for the PARAGRAPH keeper stores (both cuts) —
+    * the release owner's staleness signal after an append batch
+    * (doc_id % 10 == 9, the family's own arrival split). Per store:
+    *
+    *  - `n_new_entries`: batch paragraph contents never stored — rows an
+    *    append-merge ([[graft.operators.Paragraphs.paragraphDedupIncremental]])
+    *    would ADD to the keeper set.
+    *  - `n_invalidated`: stored keepers a FULL REBUILD would re-elect —
+    *    the batch contains an occurrence with a smaller
+    *    `(doc_id, para_idx)` key, so corpus-min election disagrees with
+    *    the store's first-arrived keeper. Reported as drift, NOT as
+    *    rebuild-due: first-arrived keeperships are immutable by rule
+    *    (re-electing would retroactively strip already-served text —
+    *    the store's scaladoc spells the argument), so `rebuild_due` is
+    *    constantly 0 and the count prices exactly how far the serving
+    *    store has drifted from a from-scratch build.
+    *
+    * O(batch) shape: the batch cuts + fingerprints its own paragraphs
+    * (narrow md5 rows), then probes the stored keeper set with two
+    * fp-keyed joins; stored text never moves. */
+  private def paragraphRefreshImpactFrame(s: SparkSession, dir: String): DataFrame = {
+    val batchDocs = Tables.documents(s, dir).where(col("doc_id") % 10 === 9)
+    def stage(name: String, store: DataFrame, batchParas: DataFrame): DataFrame = {
+      val nNew = batchParas.select("fp").distinct()
+        .join(store.select("fp"), Seq("fp"), "left_anti")
+        .agg(count(lit(1)).as("n_new_entries"))
+      val batchMin = batchParas.groupBy("fp")
+        .agg(min(struct(col("doc_id").as("d"), col("para_idx").as("p"))).as("bmin"))
+      val nInval = store.join(batchMin, "fp")
+        .where(col("bmin") <
+          struct(col("doc_id").as("d"), col("para_idx").as("p")))
+        .agg(count(lit(1)).as("n_invalidated"))
+      refreshAuditRow(name, nNew, nInval,
+        dueFromNew = false, dueFromInval = false)
+    }
+    stage("keepers_delim", paragraphKeepersDelimOldAsset(s, dir),
+        Paragraphs.paragraphsByDelimiter(batchDocs, "\\s+table\\s+"))
+      .unionByName(stage("keepers_fixed", paragraphKeepersOldAsset(s, dir),
+        Paragraphs.paragraphs(batchDocs, 16)))
+  }
+
+  /** Refresh-impact audit for the EXACT-SUBSTRING index stores — the
+    * verified base index (L=12) and the stored L=24 cascade level. Both
+    * merges are REBUILD-EXACT (the incremental merge reproduces the full
+    * rebuild's rows — oracle- and spec-pinned), so `rebuild_due` is
+    * constantly 0 and the audit prices the REWRITE an append implies:
+    *
+    *  - `n_new_entries`: rows the merged index has that the stored one
+    *    lacks — batch-document windows plus old windows the batch
+    *    FLIPPED from unique to duplicated.
+    *  - `n_invalidated`: stored rows whose `(occ, canon)` payload the
+    *    merge rewrites — the gram gained a batch occurrence, growing its
+    *    occurrence count and possibly moving its corpus-first canon.
+    *
+    * Serving shape: both sides are stored narrow index assets (the
+    * full-corpus index IS the merged truth — its equality with the live
+    * merge is what `exact_substr_incremental_merge`'s oracle pins), so
+    * the audit is two scans + keyed diffs of duplicated-fraction-sized
+    * tables — no tokenizing, no content verify. A deployment with an
+    * index too large to diff wholesale would restrict both sides to
+    * hash-candidate positions first (batch window hashes probed into the
+    * stored hash asset, the merge's own candidate rule) — the counts are
+    * identical, the diff then moves only batch-incident rows. */
+  private def exactSubstrRefreshImpactFrame(s: SparkSession, dir: String): DataFrame = {
+    def stage(name: String, full: DataFrame, stored: DataFrame): DataFrame = {
+      val nNew = full
+        .join(stored.select("doc_id", "pos"), Seq("doc_id", "pos"), "left_anti")
+        .agg(count(lit(1)).as("n_new_entries"))
+      val nInval = stored.select(col("doc_id"), col("pos"),
+          col("occ").as("o_occ"), col("canon").as("o_canon"))
+        .join(full.select(col("doc_id"), col("pos"),
+          col("occ").as("m_occ"), col("canon").as("m_canon")),
+          Seq("doc_id", "pos"))
+        .where(col("m_occ") =!= col("o_occ") ||
+          col("m_canon") =!= col("o_canon"))
+        .agg(count(lit(1)).as("n_invalidated"))
+      refreshAuditRow(name, nNew, nInval,
+        dueFromNew = false, dueFromInval = false)
+    }
+    stage("base_index", exactSubstrWindowsAsset(s, dir),
+        exactSubstrOldWindowsAsset(s, dir))
+      .unionByName(stage("cascade_l24", exactSubstrLevelAsset(s, dir, 24),
+        exactSubstrOldL24Asset(s, dir)))
+  }
+
+  /** BM25 score table over the pre-append corpus slice (doc_id % 10 ≠ 9)
+    * — "the served retrieval index before the batch arrived": the stored
+    * snapshot the BM25 refresh-impact audit probes, built by the same
+    * spelling as the live index so row payloads are comparable. */
+  private def bm25ScoresOld90Asset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "bm25_scores_old90") {
+      val tcOld = termCountsAsset(s, dir).where(col("doc_id") % 10 =!= 9)
+      Tfidf.bm25FromCounts(tcOld,
+        Tables.documents(s, dir).where(col("doc_id") % 10 =!= 9).count())
+    }
+
+  /** Refresh-impact audit for the BM25 SERVED POSTINGS — what an append
+    * batch does to a retrieval index that serves precomputed scores.
+    * Two stores, two very different staleness rules:
+    *
+    *  - `served_postings`: `n_new_entries` = the batch's posting rows
+    *    (every batch (term, doc) pair is a new index row);
+    *    `n_invalidated` = STORED postings whose term's document
+    *    frequency grew — their `df`/`idf_bm25`/`score` payloads are
+    *    stale, so the serving tier owes those rows a rewrite before the
+    *    next snapshot swap (rebuild-due iff any).
+    *  - `collection_stats`: `n_new_entries` = batch documents (new
+    *    `doc_total` entries); `n_invalidated` = the one stored global
+    *    (N, avgdl) row, stale the moment ANY document arrives — the
+    *    reason every BM25 deployment snapshots collection stats and
+    *    swaps them with the index version rather than patching scores
+    *    in place (rebuild-due iff the batch is non-empty).
+    *
+    * O(batch) shape: batch postings come keyed off the stored
+    * term-counts asset (a doc_id predicate on the scan); the stored
+    * side is touched only by one term-keyed semi-join. */
+  private def bm25RefreshImpactFrame(s: SparkSession, dir: String): DataFrame = {
+    val isBatch = col("doc_id") % 10 === 9
+    val batchPostings = termCountsAsset(s, dir).where(isBatch)
+    val postNew = batchPostings.agg(count(lit(1)).as("n_new_entries"))
+    val postInval = bm25ScoresOld90Asset(s, dir)
+      .join(batchPostings.select("term").distinct(), Seq("term"), "left_semi")
+      .agg(count(lit(1)).as("n_invalidated"))
+    val batchDocs = Tables.documents(s, dir).where(isBatch)
+    val statsNew = batchDocs.agg(count(lit(1)).as("n_new_entries"))
+    val statsInval = batchDocs
+      .agg((count(lit(1)) > 0).cast("long").as("n_invalidated"))
+    refreshAuditRow("collection_stats", statsNew, statsInval,
+        dueFromNew = true, dueFromInval = false)
+      .unionByName(refreshAuditRow("served_postings", postNew, postInval,
+        dueFromNew = false, dueFromInval = true))
+  }
+
+  /** IVF coarse centroids over the pre-append embedding slice
+    * (vec_id % 10 ≠ 9) — "the trained quantizer before the batch
+    * arrived": same hyperparameters and deterministic training as the
+    * live `ivf_lloyd_cents` asset, so the audit probes a store the
+    * serving index could actually have shipped. */
+  private def ivfCentsOld90Asset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "ivf_cents_old90") {
+      Similarity.trainCentroidsFromEmbeddings(
+        Tables.embeddings(s, dir).where(col("vec_id") % 10 =!= 9),
+        nCentroids = 16, lloydIters = 1)
+    }
+
+  /** Per-cell vector counts of the stored old-slice IVF index
+    * `(list_id, n_vecs)` — the snapshot's inverted-list sizes, stored at
+    * build time so the imbalance audit reads 16 rows instead of
+    * re-assigning the old corpus. */
+  private def ivfCellSizesOld90Asset(s: SparkSession, dir: String): DataFrame =
+    corpusAsset(s, dir, "ivf_cell_sizes_old90") {
+      Similarity.listAssignments(
+          Tables.embeddings(s, dir).where(col("vec_id") % 10 =!= 9),
+          ivfCentsOld90Asset(s, dir))
+        .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+    }
+
+  /** Refresh-impact audit for the ANN (IVF) index stores — does an
+    * append batch leave the frozen coarse quantizer serviceable?
+    *
+    *  - `centroids`: `n_new_entries` = 0 (the frozen-store protocol adds
+    *    no centroid on append); `n_invalidated` = stored cells the batch
+    *    pushes past 2× the snapshot's MEAN list size — the classic IVF
+    *    staleness signal (an overfull list degrades every probe that
+    *    touches it, and a drifting arrival distribution shows up here
+    *    first). Rebuild-due iff any cell overflows: retrain the coarse
+    *    quantizer, re-encode nothing else.
+    *  - `cell_assignments`: `n_new_entries` = batch vectors (each owes
+    *    the index one assignment row); append-only, never
+    *    rebuild-due.
+    *
+    * O(batch × C) shape: the batch assigns against 16 broadcast stored
+    * centroids (one map-side pass); stored state read = 16 centroid rows
+    * + 16 size rows. The old corpus is never rescanned. */
+  private def annRefreshImpactFrame(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.embeddings(s, dir).where(col("vec_id") % 10 === 9)
+    val sizes = ivfCellSizesOld90Asset(s, dir)
+    val batchCells = Similarity.listAssignments(batch, ivfCentsOld90Asset(s, dir))
+      .groupBy("list_id").agg(count(lit(1)).as("n_batch"))
+    val cap = sizes.agg(ceil(avg("n_vecs") * 2).cast("long").as("cap"))
+    val centsInval = sizes
+      .join(batchCells, Seq("list_id"), "full_outer")
+      .na.fill(0L, Seq("n_vecs", "n_batch"))
+      .withColumn("k", lit(1))
+      .join(cap.withColumn("k", lit(1)), "k")
+      .where(col("n_vecs") + col("n_batch") > col("cap"))
+      .agg(count(lit(1)).as("n_invalidated"))
+    val assignNew = batch.agg(count(lit(1)).as("n_new_entries"))
+    refreshAuditRow("cell_assignments", assignNew,
+        zeroCount(s, "n_invalidated"), dueFromNew = false, dueFromInval = false)
+      .unionByName(refreshAuditRow("centroids", zeroCount(s, "n_new_entries"),
+        centsInval, dueFromNew = false, dueFromInval = true))
   }
 
   /** Span-window table `(doc_id, pos, gram)` at n=5 — the intermediate the
@@ -1018,6 +1248,11 @@ object SparkEntry {
     "quality_classifier_weights" -> ((s, d) => { qualityClassifierWeightsAsset(s, d); () }),
     "bm25_scores" -> ((s, d) => { bm25Asset(s, d); () }),
     "bm25_served_postings" -> ((s, d) => { bm25ServedPostings(s, d); () }),
+    "bm25_scores_old90" -> ((s, d) => { bm25ScoresOld90Asset(s, d); () }),
+    "kn3_model_audit_old" -> ((s, d) => { kn3ModelAuditOldAsset(s, d); () }),
+    "kn2_model_audit_old" -> ((s, d) => { kn2ModelAuditOldAsset(s, d); () }),
+    "ivf_cents_old90" -> ((s, d) => { ivfCentsOld90Asset(s, d); () }),
+    "ivf_cell_sizes_old90" -> ((s, d) => { ivfCellSizesOld90Asset(s, d); () }),
     "knn_exact" -> ((s, d) => { knnExactAsset(s, d); () }),
     "ivf_lloyd_cents" -> ((s, d) => { lloydCentroidsAsset(s, d); () }),
     "bigram_counts" -> ((s, d) => { bigramCountsAsset(s, d); () }),
@@ -1923,23 +2158,28 @@ object SparkEntry {
     // constant is a model-sized parquet scan + batch count + enrichment,
     // not a shard token recount every run. The stored counts' integrity is
     // separately certified by this very oracle (DuckDB recounts the shard).
+    // r15 gate diet: the gate DELTA-MERGES the stored enriched audit
+    // model (kn3_model_audit_old) — one model scan + batch-incident
+    // arithmetic — instead of re-running the enrichment aggregation over
+    // merged counts every run. Equality with the full re-aggregation is
+    // spec-pinned (TextAnalysisSpec) and the oracle is UNCHANGED (DuckDB
+    // still enriches the full-shard recount from scratch).
     "kn3_model_rebuild" -> ((s, dir) => {
       val batchToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
         .where(col("doc_id") < rebuildAuditMaxDoc && col("doc_id") % 10 === 9)
-      TextAnalysis.kn3EnrichedModel(
-        TextAnalysis.mergeTrigramCounts(
-          trigramCountsAuditOldAsset(s, dir), batchToks),
-        termCountsAsset(s, dir).where(col("doc_id") < rebuildAuditMaxDoc))
+      val auditTc = termCountsAsset(s, dir)
+        .where(col("doc_id") < rebuildAuditMaxDoc)
+      TextAnalysis.kn3EnrichedMerge(kn3ModelAuditOldAsset(s, dir), batchToks,
+        auditTc.where(col("doc_id") % 10 =!= 9),
+        auditTc.where(col("doc_id") % 10 === 9))
         .orderBy("w1", "w2", "w3")
     }),
-    // the bigram twin: kn2_model re-aggregated from the merged bigram
-    // counts equals the enrichment over the recount, same audit shard
+    // the bigram twin: the merged kn2_model equals the enrichment over
+    // the recount, same audit shard, same delta-merge serving shape
     "kn2_model_rebuild" -> ((s, dir) => {
       val batchToks = operators.Scaling.fanOut(tokenArraysAsset(s, dir))
         .where(col("doc_id") < rebuildAuditMaxDoc && col("doc_id") % 10 === 9)
-      TextAnalysis.kn2EnrichedModel(
-        TextAnalysis.mergeBigramCounts(
-          bigramCountsAuditOldAsset(s, dir), batchToks))
+      TextAnalysis.kn2EnrichedMerge(kn2ModelAuditOldAsset(s, dir), batchToks)
         .orderBy("w1", "w2")
     }),
     // topic-rebalancing cap over the SemDeDup cluster assignment: at most
@@ -1984,6 +2224,19 @@ object SparkEntry {
     // the release owner's rebuild-due gate, priced at O(batch)
     "manifest_refresh_impact" -> ((s, dir) =>
       manifestRefreshImpactFrame(s, dir).orderBy("stage")),
+    // refresh-impact audits for the remaining store families (r15 — the
+    // release-owner staleness story the manifest + contrast audits
+    // started): each one row per stored index, n_new/n_invalidated/
+    // rebuild-due at O(batch) keyed probes of the same stored assets the
+    // incremental maintenance paths serve from
+    "paragraph_refresh_impact" -> ((s, dir) =>
+      paragraphRefreshImpactFrame(s, dir).orderBy("stage")),
+    "exact_substr_refresh_impact" -> ((s, dir) =>
+      exactSubstrRefreshImpactFrame(s, dir).orderBy("stage")),
+    "bm25_refresh_impact" -> ((s, dir) =>
+      bm25RefreshImpactFrame(s, dir).orderBy("stage")),
+    "ann_refresh_impact" -> ((s, dir) =>
+      annRefreshImpactFrame(s, dir).orderBy("stage")),
     // the streaming admission gate's batch twin in its TRUE ingest shape:
     // arriving rows tokenize live (no token-array asset exists for rows
     // that just arrived) and score against the same frozen stores — must
@@ -5713,6 +5966,212 @@ object SparkEntry {
          |  SELECT 'quality_thresholds', (SELECT n FROM srcnew), CAST(0 AS BIGINT),
          |    CAST(CASE WHEN (SELECT n FROM srcnew) > 0 THEN 1 ELSE 0 END AS BIGINT)
          |) ORDER BY stage""".stripMargin,
+    "paragraph_refresh_impact" ->
+      """WITH rawtoks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS a FROM documents),
+        |paras AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+        |    md5(array_to_string(list_slice(a, CAST(i * 16 + 1 AS BIGINT),
+        |      CAST(least(i * 16 + 16, len(a)) AS BIGINT)), ' ')) AS fp
+        |  FROM (SELECT doc_id, a,
+        |          unnest(range(0, CAST(ceil(len(a) / 16.0) AS BIGINT))) AS i
+        |        FROM rawtoks)),
+        |dps AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+table\s+'), p -> p <> '') AS ps
+        |  FROM documents),
+        |dparas AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS para_idx, md5(ps[i]) AS fp
+        |  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM dps)),
+        |ko AS (SELECT fp, doc_id, para_idx FROM (
+        |    SELECT fp, doc_id, para_idx,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
+        |    FROM paras WHERE doc_id % 10 <> 9) t WHERE rn = 1),
+        |kb AS (SELECT fp, doc_id, para_idx FROM (
+        |    SELECT fp, doc_id, para_idx,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
+        |    FROM paras WHERE doc_id % 10 = 9) t WHERE rn = 1),
+        |fnew AS (SELECT count(*) AS n FROM kb LEFT JOIN ko USING (fp)
+        |         WHERE ko.doc_id IS NULL),
+        |finv AS (SELECT count(*) AS n FROM ko JOIN kb USING (fp)
+        |         WHERE (kb.doc_id, kb.para_idx) < (ko.doc_id, ko.para_idx)),
+        |kdo AS (SELECT fp, doc_id, para_idx FROM (
+        |    SELECT fp, doc_id, para_idx,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
+        |    FROM dparas WHERE doc_id % 10 <> 9) t WHERE rn = 1),
+        |kdb AS (SELECT fp, doc_id, para_idx FROM (
+        |    SELECT fp, doc_id, para_idx,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) AS rn
+        |    FROM dparas WHERE doc_id % 10 = 9) t WHERE rn = 1),
+        |dnew AS (SELECT count(*) AS n FROM kdb LEFT JOIN kdo USING (fp)
+        |         WHERE kdo.doc_id IS NULL),
+        |dinv AS (SELECT count(*) AS n FROM kdo JOIN kdb USING (fp)
+        |         WHERE (kdb.doc_id, kdb.para_idx) < (kdo.doc_id, kdo.para_idx))
+        |SELECT * FROM (
+        |  SELECT 'keepers_delim' AS stage, (SELECT n FROM dnew) AS n_new_entries,
+        |    (SELECT n FROM dinv) AS n_invalidated, CAST(0 AS BIGINT) AS rebuild_due
+        |  UNION ALL
+        |  SELECT 'keepers_fixed', (SELECT n FROM fnew), (SELECT n FROM finv),
+        |    CAST(0 AS BIGINT)
+        |) ORDER BY stage""".stripMargin,
+    "exact_substr_refresh_impact" ->
+      s"""WITH $toksArrCte,
+         |w12 AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(a[pos:pos+11], ' ') AS gram
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a) - 10)) AS pos
+         |        FROM toksarr WHERE len(a) >= 12) u),
+         |m12 AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_doc,
+         |    first_value(pos) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_pos
+         |  FROM w12),
+         |a12 AS (SELECT * FROM m12 WHERE occ >= 2),
+         |om12 AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_doc,
+         |    first_value(pos) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_pos
+         |  FROM w12 WHERE doc_id % 10 <> 9),
+         |o12 AS (SELECT * FROM om12 WHERE occ >= 2),
+         |n12 AS (SELECT count(*) AS n FROM a12 LEFT JOIN o12 USING (doc_id, pos)
+         |        WHERE o12.occ IS NULL),
+         |i12 AS (SELECT count(*) AS n FROM o12 JOIN a12 USING (doc_id, pos)
+         |        WHERE a12.occ <> o12.occ OR a12.canon_doc <> o12.canon_doc
+         |           OR a12.canon_pos <> o12.canon_pos),
+         |w24 AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(a[pos:pos+23], ' ') AS gram
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a) - 22)) AS pos
+         |        FROM toksarr WHERE len(a) >= 24) u),
+         |m24 AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_doc,
+         |    first_value(pos) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_pos
+         |  FROM w24),
+         |a24 AS (SELECT * FROM m24 WHERE occ >= 2),
+         |om24 AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) AS occ,
+         |    first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_doc,
+         |    first_value(pos) OVER (PARTITION BY gram ORDER BY doc_id, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canon_pos
+         |  FROM w24 WHERE doc_id % 10 <> 9),
+         |o24 AS (SELECT * FROM om24 WHERE occ >= 2),
+         |n24 AS (SELECT count(*) AS n FROM a24 LEFT JOIN o24 USING (doc_id, pos)
+         |        WHERE o24.occ IS NULL),
+         |i24 AS (SELECT count(*) AS n FROM o24 JOIN a24 USING (doc_id, pos)
+         |        WHERE a24.occ <> o24.occ OR a24.canon_doc <> o24.canon_doc
+         |           OR a24.canon_pos <> o24.canon_pos)
+         |SELECT * FROM (
+         |  SELECT 'base_index' AS stage, (SELECT n FROM n12) AS n_new_entries,
+         |    (SELECT n FROM i12) AS n_invalidated, CAST(0 AS BIGINT) AS rebuild_due
+         |  UNION ALL
+         |  SELECT 'cascade_l24', (SELECT n FROM n24), (SELECT n FROM i24),
+         |    CAST(0 AS BIGINT)
+         |) ORDER BY stage""".stripMargin,
+    "bm25_refresh_impact" ->
+      s"""WITH $toksArrCte,
+         |tc AS (SELECT doc_id, t AS term, count(*) AS cnt
+         |       FROM (SELECT doc_id, unnest(a) AS t FROM toksarr) u
+         |       GROUP BY 1, 2),
+         |pnew AS (SELECT count(*) AS n FROM tc WHERE doc_id % 10 = 9),
+         |bterms AS (SELECT DISTINCT term FROM tc WHERE doc_id % 10 = 9),
+         |pinv AS (SELECT count(*) AS n FROM tc JOIN bterms USING (term)
+         |         WHERE tc.doc_id % 10 <> 9),
+         |bdocs AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 9)
+         |SELECT * FROM (
+         |  SELECT 'collection_stats' AS stage,
+         |    (SELECT n FROM bdocs) AS n_new_entries,
+         |    CAST(CASE WHEN (SELECT n FROM bdocs) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS n_invalidated,
+         |    CAST(CASE WHEN (SELECT n FROM bdocs) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS rebuild_due
+         |  UNION ALL
+         |  SELECT 'served_postings', (SELECT n FROM pnew), (SELECT n FROM pinv),
+         |    CAST(CASE WHEN (SELECT n FROM pinv) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |) ORDER BY stage""".stripMargin,
+    "ann_refresh_impact" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)),
+        |norms AS (
+        |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+        |  FROM ex GROUP BY 1),
+        |exo AS (SELECT * FROM ex WHERE vec_id % 10 <> 9),
+        |cents AS (
+        |  SELECT vec_id AS c_id FROM embeddings WHERE vec_id % 10 <> 9
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cx0 AS (
+        |  SELECT c.c_id, e.i, e.x, n.nrm AS cnorm
+        |  FROM cents c JOIN exo e ON e.vec_id = c.c_id JOIN norms n ON n.vec_id = c.c_id),
+        |sims0 AS (
+        |  SELECT a.vec_id, c.c_id,
+        |    round(CAST(sum(CAST(a.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / (an.nrm * any_value(c.cnorm)), 6) AS c_sim
+        |  FROM exo a JOIN cx0 c ON a.i = c.i JOIN norms an ON an.vec_id = a.vec_id
+        |  GROUP BY a.vec_id, c.c_id, an.nrm),
+        |assign0 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+        |    FROM sims0) t WHERE rn = 1),
+        |means AS (
+        |  SELECT a0.c_id, e.i,
+        |    round(CAST(sum(CAST(e.x AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9) AS m
+        |  FROM assign0 a0 JOIN exo e ON e.vec_id = a0.vec_id
+        |  GROUP BY a0.c_id, e.i),
+        |cnorms AS (
+        |  SELECT c_id, sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,20))) AS DOUBLE)) AS cnorm
+        |  FROM means GROUP BY c_id),
+        |cx AS (SELECT means.c_id, i, m AS x, cnorm FROM means JOIN cnorms USING (c_id)),
+        |simso AS (
+        |  SELECT a.vec_id, c.c_id,
+        |    round(CAST(sum(CAST(a.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / (an.nrm * any_value(c.cnorm)), 6) AS c_sim
+        |  FROM exo a JOIN cx c ON a.i = c.i JOIN norms an ON an.vec_id = a.vec_id
+        |  GROUP BY a.vec_id, c.c_id, an.nrm),
+        |assignedo AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+        |    FROM simso) t WHERE rn = 1),
+        |sizes AS (SELECT c_id, count(*) AS n_vecs FROM assignedo GROUP BY 1),
+        |cap AS (SELECT CAST(ceil(avg(n_vecs) * 2) AS BIGINT) AS cap FROM sizes),
+        |exb AS (SELECT * FROM ex WHERE vec_id % 10 = 9),
+        |simsb AS (
+        |  SELECT a.vec_id, c.c_id,
+        |    round(CAST(sum(CAST(a.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / (an.nrm * any_value(c.cnorm)), 6) AS c_sim
+        |  FROM exb a JOIN cx c ON a.i = c.i JOIN norms an ON an.vec_id = a.vec_id
+        |  GROUP BY a.vec_id, c.c_id, an.nrm),
+        |assignedb AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id ASC) AS rn
+        |    FROM simsb) t WHERE rn = 1),
+        |bsizes AS (SELECT c_id, count(*) AS n_b FROM assignedb GROUP BY 1),
+        |ninv AS (SELECT count(*) AS n FROM (
+        |    SELECT coalesce(s.n_vecs, 0) + coalesce(b.n_b, 0) AS tot
+        |    FROM sizes s FULL JOIN bsizes b ON b.c_id = s.c_id) m
+        |  WHERE tot > (SELECT cap FROM cap)),
+        |nbatch AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 10 = 9)
+        |SELECT * FROM (
+        |  SELECT 'cell_assignments' AS stage, (SELECT n FROM nbatch) AS n_new_entries,
+        |    CAST(0 AS BIGINT) AS n_invalidated, CAST(0 AS BIGINT) AS rebuild_due
+        |  UNION ALL
+        |  SELECT 'centroids', CAST(0 AS BIGINT), (SELECT n FROM ninv),
+        |    CAST(CASE WHEN (SELECT n FROM ninv) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |) ORDER BY stage""".stripMargin,
     "corpus_report" ->
       s"""$manifestOracleCtes
          |SELECT source, count(*) AS n_docs,

@@ -554,7 +554,16 @@ object Dedup {
     * gram key (O(batch-incident) rows move — stored rows for grams absent
     * from the batch never leave the scan); the closure runs on batch
     * nodes + touched label nodes only. Nothing anywhere is
-    * O(stored corpus). */
+    * O(stored corpus).
+    *
+    * DETERMINISM PRECONDITION (public contract): every input frame must
+    * be deterministic — content-derived, no sampling, no uuid/rand
+    * stamping, no non-reproducible source. The stages are lineage-cut
+    * via `lazyPinned` (persist without a synchronous materialize), so
+    * concurrent first readers may compute a partition twice; a
+    * nondeterministic input could silently fork into inconsistent stage
+    * views. Stored-asset parquet and raw-table projections (every house
+    * caller) satisfy this by construction. */
   def nearDupFlagsIncremental(
       storedLabels: DataFrame,
       storedPostings: DataFrame,
@@ -668,12 +677,9 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1).toPlainString)
     }
 
-    var edges = init
-    var persisted = init
-    var fp = fingerprint(edges)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
+    // one large-star ∘ small-star contraction round, LAZY (no persist, no
+    // action) — the fusion below chains two of these into one job
+    def contractionRound(edges: DataFrame): DataFrame = {
       // large-star: per node u, every neighbor v > u links to
       // m(u) = min(neighbors ∪ {u}); output edges all point larger→smaller
       val sym = edges.select("u", "v")
@@ -686,21 +692,41 @@ object Dedup {
       // small-star: per node u (now only smaller neighbors), everything in
       // the neighborhood (u included) re-links to the minimum
       val minsS = large.groupBy("u").agg(min("v").as("m"))
-      val small = large.join(minsS, "u")
+      large.join(minsS, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
-        .persist(lvl)
-      val nfp = fingerprint(small) // materializes the round's edge set
+    }
+
+    var edges = init
+    var persisted = init
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // FUSED double round (r15, NEXT item 3): two contraction rounds
+      // compile into ONE lazy plan, so each loop pass pays ONE persist +
+      // ONE convergence action for two rounds of progress — halving the
+      // per-closure job count (driver scheduling + fingerprint actions
+      // were half the quiet cost on batch-sized subgraphs; shuffle volume
+      // is unchanged). Star edge sets are fixpoints of the round
+      // function, so double-application converges to the same stars and
+      // the fingerprint test is unaffected (the confirming pass re-runs
+      // two rounds of already-tiny stable work).
+      val stepped =
+        if (iter + 1 < maxIter) contractionRound(contractionRound(edges))
+        else contractionRound(edges)
+      val small = stepped.persist(lvl)
+      val nfp = fingerprint(small) // materializes the fused rounds' edge set
       if (persisted ne init) persisted.unpersist()
       persisted = small
-      // cut the lineage: each round's plan otherwise embeds the previous
-      // round's plan several times over — exponential plan growth that
+      // cut the lineage: each pass's plan otherwise embeds the previous
+      // pass's plan several times over — exponential plan growth that
       // stalls the optimizer long before the data is the bottleneck
       edges = small.sparkSession.createDataFrame(small.rdd, small.schema)
       converged = nfp == fp
       fp = nfp
-      iter += 1
+      iter += (if (iter + 1 < maxIter) 2 else 1)
     }
     if (!converged)
       System.err.println(s"[graft] connectedComponents: iteration cap $maxIter hit " +

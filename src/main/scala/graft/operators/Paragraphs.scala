@@ -188,6 +188,17 @@ object Paragraphs {
     (merged, stripByDropped(newDocs, parr, joiner, dropped))
   }
 
+  /** Paragraph rows `(doc_id, para_idx, n_paras, fp)` over a DELIMITER
+    * cut — the occurrence table [[paragraphKeepersByDelimiter]] elects
+    * keepers from, public so audit consumers (the refresh-impact family)
+    * can probe a stored keeper set with a batch's occurrences without
+    * re-deriving the cut. Same spelling as the keeper builder: content
+    * keys can only match when cut + hash agree. */
+  def paragraphsByDelimiter(docs: DataFrame, delim: String): DataFrame = {
+    require(delim.nonEmpty, "delimiter regex must be non-empty")
+    parasFromArray(docs, delimParas(delim), Nil)
+  }
+
   /** The delimiter-cut keeper store — [[paragraphKeepers]]' sibling for
     * [[paragraphDedupIncrementalByDelimiter]]. */
   def paragraphKeepersByDelimiter(docs: DataFrame, delim: String): DataFrame = {

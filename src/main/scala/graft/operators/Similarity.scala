@@ -468,6 +468,17 @@ object Similarity {
     trainCentroids(prepared(embeddings, "embedding")
       .select("vec_id", "v", "norm"), nCentroids, lloydIters)
 
+  /** Coarse-cell assignments `(list_id, vec_id)` over a raw embeddings
+    * table — the public probe the ANN refresh-impact audit uses: assign a
+    * batch of arriving vectors against a FROZEN stored centroid set
+    * (O(batch × C) map-side work, centroids broadcast) without touching
+    * the encoded index. Same rounding/tie rule as [[assignToLists]], so
+    * audit counts and index builds can never disagree on a cell. */
+  def listAssignments(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    assignToLists(prepared(embeddings, "embedding")
+      .select("vec_id", "v", "norm"), cents)
+      .select("list_id", "vec_id")
+
   /** Inverted lists: every vector → nearest centroid. argmax via map-side
     * max_by partial aggregation — no corpus×C shuffle, no per-key sort
     * (the row_number window this replaced shuffled corpus×C rows). */

@@ -1042,6 +1042,173 @@ object TextAnalysis {
     mergeCounts(stored, bigramCountsFromTokens(batchToks),
       Seq("w1", "w2"), "n_ab")
 
+  /** INCREMENTAL maintenance of the ENRICHED bigram-KN model — absorb an
+    * append batch into a stored [[kn2EnrichedModel]] asset WITHOUT
+    * re-running the enrichment aggregation (the r15 gate diet: the old
+    * path merged counts and re-aggregated the whole model; this one is a
+    * single map-side pass over the stored enriched scan).
+    *
+    * Why a delta suffices: every enriched row CARRIES its own group
+    * statistics (`n_ctx`/`n1p_fwd` for its w1, `n1p_rev` for its w2,
+    * `n_types` as a constant column), and each statistic moves by a
+    * batch-computable amount — `n_ctx` by the batch's count mass in that
+    * context, `n1p_fwd`/`n1p_rev`/`n_types` by NEW-TYPE counts only. So
+    * stored rows update by broadcast-probed arithmetic on their own
+    * columns; brand-new type rows harvest their groups' stored stats
+    * through batch-incident semi-joins (absent group → 0). Equal to
+    * [[kn2EnrichedModel]] over [[mergeBigramCounts]] by construction —
+    * spec-pinned, and the registered gate shares the full-recount
+    * oracle.
+    *
+    * Scale shape: ONE scan of the stored model with broadcast delta
+    * probes (no model-sized groupBy, no model-sized join), plus
+    * new-type-sized aggregates. O(model scan + batch). */
+  def kn2EnrichedMerge(stored: DataFrame, batchToks: DataFrame): DataFrame = {
+    val delta = bigramCountsFromTokens(batchToks)
+      .withColumnRenamed("n_ab", "d_ab").lazyPinned()
+    val newTypes = delta
+      .join(stored.select("w1", "w2"), Seq("w1", "w2"), "left_anti")
+      .lazyPinned()
+    val perW1 = delta.groupBy("w1").agg(sum("d_ab").as("d_ctx"))
+      .join(newTypes.groupBy("w1").agg(count(lit(1)).as("d_fwd")),
+        Seq("w1"), "left")
+      .na.fill(0L, Seq("d_fwd"))
+    val perW2 = newTypes.groupBy("w2").agg(count(lit(1)).as("d_rev"))
+    val typesMerged = stored.agg(coalesce(max("n_types"), lit(0L)).as("s_t"))
+      .crossJoin(newTypes.agg(count(lit(1)).as("d_t")))
+      .select((col("s_t") + col("d_t")).as("n_types"))
+    val mergedStored = stored.drop("n_types")
+      .join(broadcast(delta), Seq("w1", "w2"), "left")
+      .join(broadcast(perW1), Seq("w1"), "left")
+      .join(broadcast(perW2), Seq("w2"), "left")
+      .select(col("w1"), col("w2"),
+        (col("n_ab") + coalesce(col("d_ab"), lit(0L))).as("n_ab"),
+        (col("n_ctx") + coalesce(col("d_ctx"), lit(0L))).as("n_ctx"),
+        (col("n1p_fwd") + coalesce(col("d_fwd"), lit(0L))).as("n1p_fwd"),
+        (col("n1p_rev") + coalesce(col("d_rev"), lit(0L))).as("n1p_rev"))
+    val w1Stats = stored
+      .join(broadcast(newTypes.select("w1").distinct()), Seq("w1"), "left_semi")
+      .groupBy("w1").agg(max("n_ctx").as("s_ctx"), max("n1p_fwd").as("s_fwd"))
+    val w2Stats = stored
+      .join(broadcast(newTypes.select("w2").distinct()), Seq("w2"), "left_semi")
+      .groupBy("w2").agg(max("n1p_rev").as("s_rev"))
+    val newRows = newTypes
+      .join(w1Stats, Seq("w1"), "left")
+      .join(w2Stats, Seq("w2"), "left")
+      .join(broadcast(perW1), Seq("w1"), "left")
+      .join(broadcast(perW2), Seq("w2"), "left")
+      .select(col("w1"), col("w2"),
+        col("d_ab").as("n_ab"),
+        (coalesce(col("s_ctx"), lit(0L)) + col("d_ctx")).as("n_ctx"),
+        (coalesce(col("s_fwd"), lit(0L)) + col("d_fwd")).as("n1p_fwd"),
+        (coalesce(col("s_rev"), lit(0L)) + col("d_rev")).as("n1p_rev"))
+    mergedStored.unionByName(newRows).crossJoin(broadcast(typesMerged))
+  }
+
+  /** [[kn2EnrichedMerge]]'s trigram twin — incremental maintenance of a
+    * stored [[kn3EnrichedModel]] asset. Same argument, five statistic
+    * families instead of two:
+    *
+    *  - `c12`/`n1p_fwd12` (w1,w2): + batch count mass / + new types in
+    *    the context;
+    *  - `cont23` (w2,w3): distinct-w1 count — each NEW TYPE adds exactly
+    *    one;
+    *  - `mid_ctx`/`n1p_mid` (w2): + new types with that w2 / + NEW
+    *    (w2,w3) PAIRS with that w2;
+    *  - `cont3` (w3): + new pairs with that w3;
+    *  - `n_ct` (global): + total new pairs; `v_size` (global): + batch
+    *    terms absent from the stored vocabulary (`storedTerms` /
+    *    `batchTerms` supply the two term sets).
+    *
+    * Grown types (batch occurrences of stored trigrams) move only count
+    * mass (`n_abc`, `c12`); every type-count statistic moves on new
+    * types alone — the same decomposition [[kn3RefreshImpact]] prices.
+    * Equal to [[kn3EnrichedModel]] over [[mergeTrigramCounts]]
+    * (spec-pinned; the registered gate shares the full-recount oracle). */
+  def kn3EnrichedMerge(stored: DataFrame, batchToks: DataFrame,
+      storedTerms: DataFrame, batchTerms: DataFrame): DataFrame = {
+    val delta = trigramCountsFromTokens(batchToks)
+      .withColumnRenamed("n_abc", "d_abc").lazyPinned()
+    val newTypes = delta
+      .join(stored.select("w1", "w2", "w3"), Seq("w1", "w2", "w3"), "left_anti")
+      .lazyPinned()
+    val newPairs = newTypes.select("w2", "w3").distinct()
+      .join(stored.select("w2", "w3").distinct(), Seq("w2", "w3"), "left_anti")
+      .lazyPinned()
+    val perCtx = delta.groupBy("w1", "w2").agg(sum("d_abc").as("d_c12"))
+      .join(newTypes.groupBy("w1", "w2").agg(count(lit(1)).as("d_fwd12")),
+        Seq("w1", "w2"), "left")
+      .na.fill(0L, Seq("d_fwd12"))
+    val perCont2 = newTypes.groupBy("w2", "w3")
+      .agg(count(lit(1)).as("d_cont23"))
+    val perMid = newTypes.groupBy("w2").agg(count(lit(1)).as("d_mid"))
+      .join(newPairs.groupBy("w2").agg(count(lit(1)).as("d_n1pmid")),
+        Seq("w2"), "left")
+      .na.fill(0L, Seq("d_n1pmid"))
+    val perCont1 = newPairs.groupBy("w3").agg(count(lit(1)).as("d_cont3"))
+    val newTermCount = batchTerms.select("term").distinct()
+      .join(storedTerms.select("term").distinct(), Seq("term"), "left_anti")
+      .agg(count(lit(1)).as("d_v"))
+    val scalarsMerged = stored
+      .agg(coalesce(max("n_ct"), lit(0L)).as("s_ct"),
+        coalesce(max("v_size"), lit(0L)).as("s_v"))
+      .crossJoin(newPairs.agg(count(lit(1)).as("d_ct")))
+      .crossJoin(newTermCount)
+      .select((col("s_ct") + col("d_ct")).as("n_ct"),
+        (col("s_v") + col("d_v")).as("v_size"))
+    val mergedStored = stored.drop("n_ct", "v_size")
+      .join(broadcast(delta), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(perCtx), Seq("w1", "w2"), "left")
+      .join(broadcast(perCont2), Seq("w2", "w3"), "left")
+      .join(broadcast(perMid), Seq("w2"), "left")
+      .join(broadcast(perCont1), Seq("w3"), "left")
+      .select(col("w1"), col("w2"), col("w3"),
+        (col("n_abc") + coalesce(col("d_abc"), lit(0L))).as("n_abc"),
+        (col("c12") + coalesce(col("d_c12"), lit(0L))).as("c12"),
+        (col("n1p_fwd12") + coalesce(col("d_fwd12"), lit(0L))).as("n1p_fwd12"),
+        (col("cont23") + coalesce(col("d_cont23"), lit(0L))).as("cont23"),
+        (col("mid_ctx") + coalesce(col("d_mid"), lit(0L))).as("mid_ctx"),
+        (col("n1p_mid") + coalesce(col("d_n1pmid"), lit(0L))).as("n1p_mid"),
+        (col("cont3") + coalesce(col("d_cont3"), lit(0L))).as("cont3"))
+    val ctxStats = stored
+      .join(broadcast(newTypes.select("w1", "w2").distinct()),
+        Seq("w1", "w2"), "left_semi")
+      .groupBy("w1", "w2")
+      .agg(max("c12").as("s_c12"), max("n1p_fwd12").as("s_fwd12"))
+    val cont2Stats = stored
+      .join(broadcast(newTypes.select("w2", "w3").distinct()),
+        Seq("w2", "w3"), "left_semi")
+      .groupBy("w2", "w3").agg(max("cont23").as("s_cont23"))
+    val midStats = stored
+      .join(broadcast(newTypes.select("w2").distinct()), Seq("w2"), "left_semi")
+      .groupBy("w2").agg(max("mid_ctx").as("s_mid"), max("n1p_mid").as("s_n1pmid"))
+    val cont1Stats = stored
+      .join(broadcast(newTypes.select("w3").distinct()), Seq("w3"), "left_semi")
+      .groupBy("w3").agg(max("cont3").as("s_cont3"))
+    val newRows = newTypes
+      .join(ctxStats, Seq("w1", "w2"), "left")
+      .join(cont2Stats, Seq("w2", "w3"), "left")
+      .join(midStats, Seq("w2"), "left")
+      .join(cont1Stats, Seq("w3"), "left")
+      .join(broadcast(perCtx), Seq("w1", "w2"), "left")
+      .join(broadcast(perCont2), Seq("w2", "w3"), "left")
+      .join(broadcast(perMid), Seq("w2"), "left")
+      .join(broadcast(perCont1), Seq("w3"), "left")
+      .select(col("w1"), col("w2"), col("w3"),
+        col("d_abc").as("n_abc"),
+        (coalesce(col("s_c12"), lit(0L)) + col("d_c12")).as("c12"),
+        (coalesce(col("s_fwd12"), lit(0L)) + col("d_fwd12")).as("n1p_fwd12"),
+        (coalesce(col("s_cont23"), lit(0L)) + coalesce(col("d_cont23"), lit(0L)))
+          .as("cont23"),
+        (coalesce(col("s_mid"), lit(0L)) + coalesce(col("d_mid"), lit(0L)))
+          .as("mid_ctx"),
+        (coalesce(col("s_n1pmid"), lit(0L)) + coalesce(col("d_n1pmid"), lit(0L)))
+          .as("n1p_mid"),
+        (coalesce(col("s_cont3"), lit(0L)) + coalesce(col("d_cont3"), lit(0L)))
+          .as("cont3"))
+    mergedStored.unionByName(newRows).crossJoin(broadcast(scalarsMerged))
+  }
+
   /** Refresh-impact audit for a snapshot-scored KN3 model: given the
     * STORED trigram types and an append batch's trigram counts, one row
     * reporting how the model's global scalars would move under a rebuild —

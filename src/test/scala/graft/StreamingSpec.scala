@@ -198,13 +198,13 @@ class StreamingSpec extends SparkSpec {
       gramB + " tail", "head " + gramB))
     @volatile var version = 1L
     @volatile var stored = bloom1
-    var loads = 0
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     val in = MemoryStream[(Long, String)]
     val q = Streams.exactSubstrGateWithRefresh(
       in.toDF.toDF("doc_id", "text"),
       currentVersion = () => version,
-      loadModel = () => { loads += 1; stored },
+      loadModel = () => { loads.incrementAndGet(); stored },
       n = 12) { (df, _) =>
       buf.synchronized {
         buf ++= df.select("doc_id", "flagged", "index_version")
@@ -216,8 +216,8 @@ class StreamingSpec extends SparkSpec {
       in.addData((10L, "x " + gramA + " y"), (11L, "x " + gramB + " y"))
       q.processAllAvailable()
       // snapshot 1 serves: A flagged, B invisible to the old index
-      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L)))
-      assert(loads == 1, "unchanged version must not reload the model")
+      assert(buf.synchronized(buf.toSet) == Set((10L, 1L, 1L), (11L, 0L, 1L)))
+      assert(loads.get == 1, "unchanged version must not reload the model")
       // batch-tier rebuild lands: new snapshot + version bump
       stored = bloom2
       version = 2L
@@ -225,13 +225,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // rows after the rebuild see the NEW index (B now flagged); the
       // already-emitted rows keep their old-snapshot verdicts and stamp
-      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L),
+      assert(buf.synchronized(buf.toSet) == Set((10L, 1L, 1L), (11L, 0L, 1L),
         (20L, 1L, 2L), (21L, 1L, 2L)))
-      assert(loads == 2, "exactly one reload per version change")
+      assert(loads.get == 2, "exactly one reload per version change")
       // an unchanged version on a later batch still doesn't reload
       in.addData((30L, "nothing duplicated in this entirely fresh sentence appears anywhere"))
       q.processAllAvailable()
-      assert(loads == 2)
+      assert(loads.get == 2)
       assert(buf.exists(r => r._1 == 30L && r._2 == 0L && r._3 == 2L))
     } finally q.stop()
   }
@@ -267,12 +267,12 @@ class StreamingSpec extends SparkSpec {
       in.addData((10L, benchA), (11L, benchB))
       q.processAllAvailable()
       // suite v1: only benchA leaks
-      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L)))
+      assert(buf.synchronized(buf.toSet) == Set((10L, 1L, 1L), (11L, 0L, 1L)))
       // benchmark re-release lands batch-side
       stored = bloom2; version = 2L
       in.addData((20L, benchA), (21L, benchB))
       q.processAllAvailable()
-      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L),
+      assert(buf.synchronized(buf.toSet) == Set((10L, 1L, 1L), (11L, 0L, 1L),
         (20L, 1L, 2L), (21L, 1L, 2L)))
     } finally q.stop()
   }
@@ -290,13 +290,13 @@ class StreamingSpec extends SparkSpec {
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
     @volatile var version = 1L
     @volatile var stored = constModel(-2.0)
-    var loads = 0
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
     val in = MemoryStream[(Long, String)]
     val q = Streams.classifierScoreWithRefresh(
       in.toDF.toDF("doc_id", "text"),
       currentVersion = () => version,
-      loadModel = () => { loads += 1; stored }) { (df, _) =>
+      loadModel = () => { loads.incrementAndGet(); stored }) { (df, _) =>
       buf.synchronized {
         buf ++= df.select("doc_id", "score", "index_version")
           .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
@@ -306,15 +306,15 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData((1L, "alpha beta gamma delta epsilon"))
       q.processAllAvailable()
-      assert(buf.toSet == Set((1L, sigmoid9(-2.0), 1L)))
-      assert(loads == 1, "unchanged version must not reload the model")
+      assert(buf.synchronized(buf.toSet) == Set((1L, sigmoid9(-2.0), 1L)))
+      assert(loads.get == 1, "unchanged version must not reload the model")
       // batch-tier retrain lands: new weights + version bump
       stored = constModel(2.0); version = 2L
       in.addData((2L, "alpha beta gamma delta epsilon"))
       q.processAllAvailable()
       // the same text scores differently under the new model, stamped v2
-      assert(buf.toSet == Set((1L, sigmoid9(-2.0), 1L), (2L, sigmoid9(2.0), 2L)))
-      assert(loads == 2, "exactly one reload per version change")
+      assert(buf.synchronized(buf.toSet) == Set((1L, sigmoid9(-2.0), 1L), (2L, sigmoid9(2.0), 2L)))
+      assert(loads.get == 2, "exactly one reload per version change")
     } finally q.stop()
   }
 
@@ -771,13 +771,13 @@ class StreamingSpec extends SparkSpec {
     val bloom2 = bloomFor(Seq(paraA, paraB))
     @volatile var version = 1L
     @volatile var stored = bloom1
-    var loads = 0
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     val in = MemoryStream[(Long, String)]
     val q = Streams.paragraphGateWithRefresh(
       in.toDF.toDF("doc_id", "text"),
       currentVersion = () => version,
-      loadModel = () => { loads += 1; stored },
+      loadModel = () => { loads.incrementAndGet(); stored },
       paraTokens = 4, flagRatio = 0.5) { (df, _) =>
       buf.synchronized {
         buf ++= df.select("doc_id", "flagged", "index_version")
@@ -788,15 +788,15 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData((10L, paraA), (11L, paraB))
       q.processAllAvailable()
-      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L)))
-      assert(loads == 1, "unchanged version must not reload the model")
+      assert(buf.synchronized(buf.toSet) == Set((10L, 1L, 1L), (11L, 0L, 1L)))
+      assert(loads.get == 1, "unchanged version must not reload the model")
       stored = bloom2
       version = 2L
       in.addData((20L, paraA), (21L, paraB))
       q.processAllAvailable()
-      assert(buf.toSet == Set((10L, 1L, 1L), (11L, 0L, 1L),
+      assert(buf.synchronized(buf.toSet) == Set((10L, 1L, 1L), (11L, 0L, 1L),
         (20L, 1L, 2L), (21L, 1L, 2L)))
-      assert(loads == 2, "exactly one reload per version change")
+      assert(loads.get == 2, "exactly one reload per version change")
     } finally q.stop()
   }
 
@@ -825,13 +825,13 @@ class StreamingSpec extends SparkSpec {
       }.toSet
     @volatile var version = 1L
     @volatile var policy = Streams.ContrastMixPolicy(-2.0, 2.0, rates, scorer)
-    var loads = 0
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
     val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Double, Double, Long, Long)]()
     val in = MemoryStream[(Long, String)]
     val q = Streams.contrastMixGateWithRefresh(
       in.toDF.toDF("doc_id", "source"),
       currentVersion = () => version,
-      loadPolicy = () => { loads += 1; policy }) { (df, _) =>
+      loadPolicy = () => { loads.incrementAndGet(); policy }) { (df, _) =>
       buf.synchronized {
         buf ++= df.select("doc_id", "source", "score", "wgt", "admitted",
             "index_version")
@@ -847,19 +847,19 @@ class StreamingSpec extends SparkSpec {
       val batch1 = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "zz"))
       in.addData(batch1: _*)
       q.processAllAvailable()
-      assert(buf.toSet == expected(batch1, -2.0, 2.0, 1L))
+      assert(buf.synchronized(buf.toSet) == expected(batch1, -2.0, 2.0, 1L))
       assert(buf.exists(_._5 == 1L) && buf.exists(_._5 == 0L))
       assert(buf.filter(_._2 == "zz").forall(_._5 == 0L))
-      assert(loads == 1, "unchanged version must not reload the policy")
+      assert(loads.get == 1, "unchanged version must not reload the policy")
       // snapshot rebuild: the frozen range moves, the SAME doc re-prices
       policy = Streams.ContrastMixPolicy(-8.0, 16.0, rates, scorer)
       version = 2L
       val batch2 = Seq((2L, "a"), (3L, "b"))
       in.addData(batch2: _*)
       q.processAllAvailable()
-      assert(buf.toSet == expected(batch1, -2.0, 2.0, 1L) ++
+      assert(buf.synchronized(buf.toSet) == expected(batch1, -2.0, 2.0, 1L) ++
         expected(batch2, -8.0, 16.0, 2L))
-      assert(loads == 2, "exactly one reload per version change")
+      assert(loads.get == 2, "exactly one reload per version change")
       // degenerate snapshot (dmax == dmin): weight 1.0 everywhere
       policy = Streams.ContrastMixPolicy(0.5, 0.5, rates, scorer)
       version = 3L
@@ -961,43 +961,49 @@ class StreamingSpec extends SparkSpec {
     assert(stream == got)
   }
 
+  // ---- shared manifest-gate fixture (the admission spec + the
+  // checkpoint-restart spec build the same stores) ----
+  private val tA = "one two three four five six seven eight nine ten"
+  private val tC = "cold unrelated winter words drift slowly over frozen lakes today"
+  private val benchText = "held out benchmark question about ancient rivers and their deltas"
+  // old corpus spans both sources so every batch source is calibrated
+  private def oldDocs(extra: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    (Seq((100L, "srcA", tA), (101L, "srcA", tA + " eleven"),
+      (102L, "srcB", tC),
+      (103L, "srcB", "plain ordinary boring prose about nothing in particular today")) ++ extra)
+      .toDF("doc_id", "source", "text")
+  }
+  private def storesFor(old: org.apache.spark.sql.DataFrame,
+      benchTexts: Seq[String]): Streams.ManifestStores = {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup, Tfidf}
+    val fp = old.select(
+        graft.functions.TextFunctions.contentFingerprint(col("text"))
+          .as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint").agg(min("doc_id").as("keeper"))
+    val gdf = Dedup.distinctGramRows(old)
+      .groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val postings = Dedup.distinctGramRows(old)
+      .join(gdf.where(col("gram_df") <= 64).select("gram"), "gram")
+      .select("doc_id", "gram")
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardExact(old).select("doc_a", "doc_b"))
+    val bench = Curation.gramRowsFromTokens(
+      Tfidf.tokenArrays(benchTexts.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")), 3)
+      .select("gram").distinct()
+    // explicit permissive calibration (threshold 0 at an integer cut →
+    // nothing flags): the sampled-cut semantics have their own specs
+    // (TextAnalysisSpec); these tests pin the COMPOSITION
+    val thr = Seq(("srcA", 4L, 0.0), ("srcB", 4L, 0.0))
+      .toDF("source", "n_in_source", "q_threshold")
+    Streams.ManifestStores(fp, labels, postings, gdf, sizes, bench, thr)
+  }
+
   test("manifest admission gate: streaming == batch composition; store rebuild reaches the stream") {
     implicit val sqlCtx = spark.sqlContext
-    import graft.operators.{Curation, Dedup, Tfidf}
-    val tA = "one two three four five six seven eight nine ten"
-    val tC = "cold unrelated winter words drift slowly over frozen lakes today"
-    // old corpus spans both sources so every batch source is calibrated
-    def oldDocs(extra: Seq[(Long, String, String)]) =
-      (Seq((100L, "srcA", tA), (101L, "srcA", tA + " eleven"),
-        (102L, "srcB", tC),
-        (103L, "srcB", "plain ordinary boring prose about nothing in particular today")) ++ extra)
-        .toDF("doc_id", "source", "text")
-    def storesFor(old: org.apache.spark.sql.DataFrame,
-        benchTexts: Seq[String]): Streams.ManifestStores = {
-      val fp = old.select(
-          graft.functions.TextFunctions.contentFingerprint(col("text"))
-            .as("fingerprint"), col("doc_id"))
-        .groupBy("fingerprint").agg(min("doc_id").as("keeper"))
-      val gdf = Dedup.distinctGramRows(old)
-        .groupBy("gram").agg(count(lit(1)).as("gram_df"))
-      val postings = Dedup.distinctGramRows(old)
-        .join(gdf.where(col("gram_df") <= 64).select("gram"), "gram")
-        .select("doc_id", "gram")
-      val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val labels = Dedup.connectedComponents(
-        Dedup.ngramJaccardExact(old).select("doc_a", "doc_b"))
-      val bench = Curation.gramRowsFromTokens(
-        Tfidf.tokenArrays(benchTexts.zipWithIndex
-          .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")), 3)
-        .select("gram").distinct()
-      // explicit permissive calibration (threshold 0 at an integer cut →
-      // nothing flags): the sampled-cut semantics have their own specs
-      // (TextAnalysisSpec); this test pins the COMPOSITION
-      val thr = Seq(("srcA", 4L, 0.0), ("srcB", 4L, 0.0))
-        .toDF("source", "n_in_source", "q_threshold")
-      Streams.ManifestStores(fp, labels, postings, gdf, sizes, bench, thr)
-    }
-    val benchText = "held out benchmark question about ancient rivers and their deltas"
     val stores1 = storesFor(oldDocs(Nil), Seq(benchText))
     // batch: 201 stored-exact dup, 202 near-dup of the stored cluster,
     // 203 contaminated (quotes the benchmark), 205 clean, 206 clean
@@ -1016,13 +1022,13 @@ class StreamingSpec extends SparkSpec {
         .collect().toSet
     @volatile var version = 1L
     @volatile var stores = stores1
-    var loads = 0
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
     val buf = scala.collection.mutable.ArrayBuffer[RowT]()
     val in = MemoryStream[(Long, String, String)]
     val q = Streams.manifestGateWithRefresh(
       in.toDF.toDF("doc_id", "source", "text"),
       currentVersion = () => version,
-      loadStores = () => { loads += 1; stores }) { (df, _) =>
+      loadStores = () => { loads.incrementAndGet(); stores }) { (df, _) =>
       buf.synchronized { buf ++= rowsOf(df) }
       ()
     }
@@ -1032,7 +1038,7 @@ class StreamingSpec extends SparkSpec {
       val expected1 = rowsOf(
         Streams.manifestAdmission(batchRows.toDF("doc_id", "source", "text"),
           stores1).withColumn("index_version", lit(1L)))
-      assert(buf.toSet == expected1)
+      assert(buf.synchronized(buf.toSet) == expected1)
       // the composition actually fired per stage under snapshot 1
       val flags = buf.map(r => r._1 -> (r._5, r._6, r._7, r._9)).toMap
       assert(flags(201L)._1 == 1L, "stored-exact dup")
@@ -1040,7 +1046,7 @@ class StreamingSpec extends SparkSpec {
       assert(flags(203L)._3 == 1L, "benchmark contamination")
       assert(flags(205L) == ((0L, 0L, 0L, 1L)), "clean first arrival kept")
       assert(flags(206L)._1 == 1L, "within-call repeat elects 205 keeper")
-      assert(loads == 1, "unchanged version must not reload the stores")
+      assert(loads.get == 1, "unchanged version must not reload the stores")
       // batch-tier append rebuild: 205's content is now stored; bump
       stores = storesFor(oldDocs(Seq((104L, "srcB",
         "fresh spring garden blossoms open wide under warm morning light"))),
@@ -1049,10 +1055,115 @@ class StreamingSpec extends SparkSpec {
       in.addData((301L, "srcB",
         "fresh spring garden blossoms open wide under warm morning light"))
       q.processAllAvailable()
-      val after = buf.toSet -- expected1
+      val after = buf.synchronized(buf.toSet) -- expected1
       assert(after.map(r => (r._1, r._5, r._10)) == Set((301L, 1L, 2L)),
         s"row after the rebuild must flag against the NEW store: $after")
-      assert(loads == 2, "exactly one reload per version change")
+      assert(loads.get == 2, "exactly one reload per version change")
     } finally q.stop()
+  }
+
+  test("manifest gate checkpoint restart: stores reload, offsets resume, versions stay monotone") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_manifest")
+      .toFile.getAbsolutePath
+    val stores1 = storesFor(oldDocs(Nil), Seq(benchText))
+    @volatile var version = 1L
+    @volatile var stores = stores1
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    type RowT = (Long, Long, Long, Long)
+    val buf = scala.collection.mutable.ArrayBuffer[RowT]()
+    val in = MemoryStream[(Long, String, String)]
+    def startQuery() = Streams.manifestGateWithRefresh(
+      in.toDF.toDF("doc_id", "source", "text"),
+      currentVersion = () => version,
+      loadStores = () => { loads.incrementAndGet(); stores },
+      checkpointDir = Some(ckpt)) { (df, _) =>
+      buf.synchronized {
+        buf ++= df.select("doc_id", "exact_dup", "kept", "index_version")
+          .as[(Long, Long, Long, Long)].collect()
+      }
+      ()
+    }
+    val freshText = "fresh spring garden blossoms open wide under warm morning light"
+    val q1 = startQuery()
+    try {
+      in.addData((201L, "srcA", tA), (205L, "srcB", freshText))
+      q1.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) ==
+        Set((201L, 1L, 0L, 1L), (205L, 0L, 1L, 1L)))
+      assert(loads.get == 1)
+    } finally q1.stop()
+    // WHILE THE STREAM IS DOWN: a batch-tier append rebuild stores 205's
+    // content and bumps the snapshot version; new data also arrives
+    stores = storesFor(oldDocs(Seq((104L, "srcB", freshText))), Seq(benchText))
+    version = 2L
+    in.addData((301L, "srcB", freshText))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val all = buf.synchronized(buf.toSet)
+      // restart RELOADED the stores (construction always loads — stamped
+      // by the load count AND by 301 flagging against the NEW store)
+      assert(loads.get == 2, "restart must reload the stores once")
+      assert(all.contains((301L, 1L, 0L, 2L)),
+        s"post-restart row must score against the rebuilt store: $all")
+      // committed offsets resumed — the pre-restart rows were NOT
+      // reprocessed (each doc_id appears exactly once)
+      val counts = buf.synchronized(buf.toList).groupBy(_._1).map { case (k, v) => k -> v.size }
+      assert(counts == Map(201L -> 1, 205L -> 1, 301L -> 1),
+        s"checkpoint resume must not replay processed rows: $counts")
+      // stamped versions are monotone across the checkpoint gap
+      val preMax = all.filter(r => r._1 == 201L || r._1 == 205L).map(_._4).max
+      val postMin = all.filter(_._1 == 301L).map(_._4).min
+      assert(preMax <= postMin, s"version regressed across restart: $all")
+    } finally q2.stop()
+  }
+
+  test("contrast gate checkpoint restart: policy reloads, versions stay monotone") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_contrast")
+      .toFile.getAbsolutePath
+    // synthetic snapshot scorer (the heldout KN3 scorer is pinned
+    // elsewhere): constant scores, rates chosen so srcA always admits
+    // under policy 1 (w=1, rate 1.0) and never under policy 2 (rate 0.0)
+    def scorer(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("score", lit(5.0))
+    val policy1 = Streams.ContrastMixPolicy(0.0, 1.0, Map("srcA" -> 1.0), scorer)
+    val policy2 = Streams.ContrastMixPolicy(0.0, 1.0, Map("srcA" -> 0.0), scorer)
+    @volatile var version = 1L
+    @volatile var policy = policy1
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    type RowT = (Long, Long, Long)
+    val buf = scala.collection.mutable.ArrayBuffer[RowT]()
+    val in = MemoryStream[(Long, String)]
+    def startQuery() = Streams.contrastMixGateWithRefresh(
+      in.toDF.toDF("doc_id", "source"),
+      currentVersion = () => version,
+      loadPolicy = () => { loads.incrementAndGet(); policy },
+      checkpointDir = Some(ckpt)) { (df, _) =>
+      buf.synchronized {
+        buf ++= df.select("doc_id", "admitted", "index_version")
+          .as[(Long, Long, Long)].collect()
+      }
+      ()
+    }
+    val q1 = startQuery()
+    try {
+      in.addData((1L, "srcA"))
+      q1.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) == Set((1L, 1L, 1L)))
+      assert(loads.get == 1)
+    } finally q1.stop()
+    policy = policy2
+    version = 2L
+    in.addData((2L, "srcA"))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(loads.get == 2, "restart must reload the policy once")
+      val all = buf.synchronized(buf.toSet)
+      assert(all == Set((1L, 1L, 1L), (2L, 0L, 2L)),
+        s"post-restart row must admit under the NEW policy, versions monotone: $all")
+    } finally q2.stop()
   }
 }

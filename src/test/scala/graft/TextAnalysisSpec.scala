@@ -1005,6 +1005,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(k2merged == k2full && k2full.nonEmpty)
   }
 
+  test("enriched DELTA merges == enrichment over the full recount (r15 gate diet)") {
+    val rnd = new scala.util.Random(211)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 3) {
+      val corpus = (0L until 50L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))))
+      }
+      // the batch also carries a NEVER-STORED word so every delta branch
+      // fires: new w1/w2/w3, new (w2,w3) pair, new vocab term
+      val toksDf = corpus.toDF("doc_id", "tokens")
+        .unionByName(Seq((999L, Seq("zz", "a", "zz", "b", "zz")))
+          .toDF("doc_id", "tokens"))
+      val old = toksDf.where(col("doc_id") % 5 =!= 4)
+      val batch = toksDf.where(col("doc_id") % 5 === 4)
+      def tcOf(t: org.apache.spark.sql.DataFrame) =
+        t.select(col("doc_id"), explode(col("tokens")).as("term"))
+          .groupBy("term", "doc_id").count().withColumnRenamed("count", "cnt")
+      val k3delta = TextAnalysis.kn3EnrichedMerge(
+          TextAnalysis.kn3EnrichedModel(
+            TextAnalysis.trigramCountsFromTokens(old), tcOf(old)),
+          batch, tcOf(old), tcOf(batch))
+        .collect().map(r => r.getValuesMap[Any](r.schema.fieldNames)).toSet
+      val k3full = TextAnalysis.kn3EnrichedModel(
+          TextAnalysis.trigramCountsFromTokens(toksDf), tcOf(toksDf))
+        .collect().map(r => r.getValuesMap[Any](r.schema.fieldNames)).toSet
+      assert(k3delta == k3full && k3full.nonEmpty, s"trial $trial kn3")
+      val k2delta = TextAnalysis.kn2EnrichedMerge(
+          TextAnalysis.kn2EnrichedModel(
+            TextAnalysis.bigramCountsFromTokens(old)), batch)
+        .collect().map(r => r.getValuesMap[Any](r.schema.fieldNames)).toSet
+      val k2full = TextAnalysis.kn2EnrichedModel(
+          TextAnalysis.bigramCountsFromTokens(toksDf))
+        .collect().map(r => r.getValuesMap[Any](r.schema.fieldNames)).toSet
+      assert(k2delta == k2full && k2full.nonEmpty, s"trial $trial kn2")
+    }
+    // empty batch is a no-op (scalars included)
+    val corpus = (0L until 20L).map(i => (i, Seq("a", "b", "c", "a", "b")))
+    val toksDf = corpus.toDF("doc_id", "tokens")
+    val tc = toksDf.select(col("doc_id"), explode(col("tokens")).as("term"))
+      .groupBy("term", "doc_id").count().withColumnRenamed("count", "cnt")
+    val base = TextAnalysis.kn3EnrichedModel(
+      TextAnalysis.trigramCountsFromTokens(toksDf), tc)
+    val noop = TextAnalysis.kn3EnrichedMerge(base, toksDf.limit(0), tc, tc.limit(0))
+      .collect().map(r => r.getValuesMap[Any](r.schema.fieldNames)).toSet
+    assert(noop == base.collect().map(r => r.getValuesMap[Any](r.schema.fieldNames)).toSet)
+  }
+
   test("count merges chain: repeated appends == one full recount (associativity)") {
     // a real pipeline applies the merge once per ingest batch — the stored
     // table after N merges must equal the recount over everything
