@@ -678,7 +678,13 @@ object Dedup {
     }
 
     // one large-star ∘ small-star contraction round, LAZY (no persist, no
-    // action) — the fusion below chains two of these into one job
+    // action); the loop persists each round's output before reusing it.
+    // NOT fused two-at-a-time: a fused double round references the inner
+    // round's un-persisted output 3× (symmetrization union + both star
+    // joins), so the inner round's shuffles RE-EXECUTE per reference —
+    // measured at sf0.1 as dedup_labels 20.8→5.9 s and dedup_labels_old90
+    // 42.1→16.5 s when un-fused (isolated legs, quiet box). One persist +
+    // one fingerprint action per round is the cheaper shape.
     def contractionRound(edges: DataFrame): DataFrame = {
       // large-star: per node u, every neighbor v > u links to
       // m(u) = min(neighbors ∪ {u}); output edges all point larger→smaller
@@ -704,29 +710,17 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // FUSED double round (r15, NEXT item 3): two contraction rounds
-      // compile into ONE lazy plan, so each loop pass pays ONE persist +
-      // ONE convergence action for two rounds of progress — halving the
-      // per-closure job count (driver scheduling + fingerprint actions
-      // were half the quiet cost on batch-sized subgraphs; shuffle volume
-      // is unchanged). Star edge sets are fixpoints of the round
-      // function, so double-application converges to the same stars and
-      // the fingerprint test is unaffected (the confirming pass re-runs
-      // two rounds of already-tiny stable work).
-      val stepped =
-        if (iter + 1 < maxIter) contractionRound(contractionRound(edges))
-        else contractionRound(edges)
-      val small = stepped.persist(lvl)
-      val nfp = fingerprint(small) // materializes the fused rounds' edge set
+      val small = contractionRound(edges).persist(lvl)
+      val nfp = fingerprint(small) // materializes the round's edge set
       if (persisted ne init) persisted.unpersist()
       persisted = small
-      // cut the lineage: each pass's plan otherwise embeds the previous
-      // pass's plan several times over — exponential plan growth that
+      // cut the lineage: each round's plan otherwise embeds the previous
+      // round's plan several times over — exponential plan growth that
       // stalls the optimizer long before the data is the bottleneck
       edges = small.sparkSession.createDataFrame(small.rdd, small.schema)
       converged = nfp == fp
       fp = nfp
-      iter += (if (iter + 1 < maxIter) 2 else 1)
+      iter += 1
     }
     if (!converged)
       System.err.println(s"[graft] connectedComponents: iteration cap $maxIter hit " +
