@@ -308,6 +308,19 @@ object SparkEntry {
       .join(nt, "doc_id")
   }
 
+  /** [[sources.Tables.documents]] with scan parallelism floored at the
+    * session default ([[operators.Scaling.fanOut]]): the fixture's
+    * single-row-group parquet scans as ONE task, which serializes per-row
+    * text work (regex tokenize, paragraph cuts, gram explode) that is
+    * embarrassingly parallel — measured wall ≈ summed executor time on
+    * every raw-document map query (e.g. paragraph_dedup_within_doc 4.2 s
+    * wall / 4.0 s executor over 4 tasks at sf0.1). At scale the scan
+    * splits ≥ cores and fanOut is a no-op (no shuffle, no plan change);
+    * locally it is one narrow shuffle of the compact pre-expansion rows.
+    * Used by the registrations whose dominant cost is that map work. */
+  private def documentsFan(s: SparkSession, dir: String): DataFrame =
+    operators.Scaling.fanOut(Tables.documents(s, dir))
+
   private def exactPairsAsset(s: SparkSession, dir: String): DataFrame =
     corpusAsset(s, dir, "ngram_pairs") {
       Dedup.ngramJaccardExact(Tables.documents(s, dir), minJaccard = 0.2)
@@ -347,8 +360,12 @@ object SparkEntry {
     * gradients; [[operators.QualityClassifier.layoutDeterminismGate]]). */
   private def qualityClassifierWeightsAsset(s: SparkSession, dir: String): DataFrame =
     corpusAsset(s, dir, "quality_classifier_weights") {
+      // fanOut: the surface-stat scan (the build's dominant cost) is
+      // regex-heavy per-row map work over the single-row-group fixture
+      // scan; weights are layout-invariant by the decimal-routed design
+      // (pinned by layout_determinism_gate)
       val model = operators.QualityClassifier.fit(
-        operators.QualityClassifier.featureFrame(Tables.documents(s, dir)))
+        operators.QualityClassifier.featureFrame(documentsFan(s, dir)))
       operators.QualityClassifier.weightsDf(s, model)
     }
 
@@ -635,8 +652,14 @@ object SparkEntry {
 
   private def dedupLabelsOldAsset(s: SparkSession, dir: String): DataFrame =
     corpusAsset(s, dir, "dedup_labels_old90") {
+      // pair stage over the STORED kept postings + sizes (built from the
+      // same distinctGramRows spelling under the same df cap), not a
+      // second tokenize + gram-df aggregation over the old slice —
+      // row-identical by the shared-gram-domain contract
+      // ([[Dedup.ngramJaccardFromPostings]]); sf0.1 build 16.5 → ~9 s
       Dedup.connectedComponents(
-        Dedup.ngramJaccardExact(oldSliceDocs(s, dir)).select("doc_a", "doc_b"))
+        Dedup.ngramJaccardFromPostings(dedupPostingsOldAsset(s, dir),
+          dedupSizesOldAsset(s, dir)).select("doc_a", "doc_b"))
     }
 
   /** Stored benchmark gram set over the old slice's benchmark split — the
@@ -664,7 +687,10 @@ object SparkEntry {
     * query and the applied sampler both read the parquet. */
   private def conservativeWeightsAsset(s: SparkSession, dir: String): DataFrame =
     corpusAsset(s, dir, "conservative_weights") {
-      Curation.conservativeSoftWeights(Tables.documents(s, dir), paraTokens = 2)
+      // fanOut: stage 1 (within-doc strip) is per-row text work over the
+      // single-row-group scan; the cleaned frame inherits the parallelism
+      // into the pair stage's tokenize. Layout-invariant results.
+      Curation.conservativeSoftWeights(documentsFan(s, dir), paraTokens = 2)
     }
 
   /** The snapshot's OWN manifest over the pre-append slice — the stored
@@ -1366,7 +1392,9 @@ object SparkEntry {
     // same computation through the pure-SQL surface (temp view + the
     // extension-registered graft_normalize native expression)
     "tfidf_sql_top100" -> ((s, dir) => {
-      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      // view over the parallelism-floored frame: the SQL text is the
+      // declared surface; the tokenize fan-out is an input property
+      documentsFan(s, dir).createOrReplaceTempView("documents_v")
       s.sql("""
         WITH toks AS (
           SELECT doc_id, graft_normalize(raw) AS term
@@ -1843,13 +1871,13 @@ object SparkEntry {
     "quality_rank_filter" -> ((s, dir) =>
       TextAnalysis.qualityRankFilter(Tables.documents(s, dir), dropFraction = 0.25)),
     "rolling_fingerprints" -> ((s, dir) =>
-      TextAnalysis.rollingFingerprints(Tables.documents(s, dir))),
+      TextAnalysis.rollingFingerprints(documentsFan(s, dir))),
     "multimodal_resize" -> ((s, _) =>
       graft.multimodal.Multimodal.resizeImages(
         graft.multimodal.Multimodal.syntheticAssets(s, 200)).toDF()
         .orderBy("asset_id")),
     "dataset_split" -> ((s, dir) => TextAnalysis.datasetSplit(Tables.documents(s, dir))),
-    "pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(Tables.documents(s, dir))),
+    "pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(documentsFan(s, dir))),
     "documents_stable_sample" -> ((s, dir) =>
       TextAnalysis.stableSample(Tables.documents(s, dir), "doc_id", 0.1)
         .select("doc_id", "lang", "source")
@@ -1877,7 +1905,7 @@ object SparkEntry {
     // benchmark grams broadcast, the span family's shared re-assembly
     // rebuilds the survivors in the token domain
     "decontaminate_strip_spans" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = documentsFan(s, dir)
       Curation.decontaminateStripSpans(
         docs.where(col("doc_id") % 53 =!= 0),
         docs.where(col("doc_id") % 53 === 0), 3)
@@ -1886,7 +1914,7 @@ object SparkEntry {
     // exposure in one pass — the governance read on WHICH sources leak
     // and whether span-strip or doc-drop is the right remediation
     "decontamination_report" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = documentsFan(s, dir)
       Curation.contaminationReport(
         docs.where(col("doc_id") % 53 =!= 0),
         docs.where(col("doc_id") % 53 === 0), 3, 0.05)
@@ -2534,7 +2562,7 @@ object SparkEntry {
     // dataset-acquisition audit: one-row containment of the incoming
     // split's 3-gram set in the already-ingested split
     "corpus_containment" -> ((s, dir) =>
-      Dedup.corpusContainment(Tables.documents(s, dir), col("doc_id") % 2 === 0)),
+      Dedup.corpusContainment(documentsFan(s, dir), col("doc_id") % 2 === 0)),
     // sketch staging of the same number (mergeable per-split HLLs +
     // inclusion-exclusion), THROWs on drift from exact — engine-internal
     // estimates → rows-only driver check
@@ -2542,7 +2570,7 @@ object SparkEntry {
       Dedup.corpusContainmentHllGate(Tables.documents(s, dir),
         col("doc_id") % 2 === 0)),
     // what the boilerplate-gram cap removed from the verifier's view
-    "gram_cap_coverage" -> ((s, dir) => Dedup.gramCapCoverage(Tables.documents(s, dir))),
+    "gram_cap_coverage" -> ((s, dir) => Dedup.gramCapCoverage(documentsFan(s, dir))),
     // idempotent ingestion: which incoming docs are content-NEW vs the
     // already-ingested half of the corpus
     "dedup_incremental" -> ((s, dir) => {
@@ -2597,7 +2625,7 @@ object SparkEntry {
     // (the boilerplate remover document-level dedup can't express) —
     // output fingerprints the cleaned text instead of shipping it
     "paragraph_dedup_strip" -> ((s, dir) =>
-      Paragraphs.paragraphDedupStrip(Tables.documents(s, dir), paraTokens = 16)
+      Paragraphs.paragraphDedupStrip(documentsFan(s, dir), paraTokens = 16)
         .select(col("doc_id"), col("n_paras"), col("n_dropped"),
           md5(col("text_clean").cast("binary")).as("clean_fp"))
         .orderBy("doc_id")),
@@ -2608,7 +2636,7 @@ object SparkEntry {
     "paragraph_dedup_incremental" -> ((s, dir) =>
       Paragraphs.paragraphDedupIncremental(
         paragraphKeepersOldAsset(s, dir),
-        Tables.documents(s, dir).where(col("doc_id") % 10 === 9),
+        documentsFan(s, dir).where(col("doc_id") % 10 === 9),
         paraTokens = 16)._2
         .select(col("doc_id"), col("n_paras"), col("n_dropped"),
           md5(col("text_clean").cast("binary")).as("clean_fp"))
@@ -2658,7 +2686,7 @@ object SparkEntry {
     // pass); the delimiter-cut twin shares the one kept-logic spelling.
     "paragraph_dedup_within_doc" -> ((s, dir) =>
       Paragraphs.paragraphDedupStripWithinDocFixed(
-          Tables.documents(s, dir), paraTokens = 2)
+          documentsFan(s, dir), paraTokens = 2)
         .select(col("doc_id"), col("n_paras"), col("n_dropped"),
           md5(col("text_clean").cast("binary")).as("clean_fp"))
         .orderBy("doc_id")),
@@ -2667,7 +2695,7 @@ object SparkEntry {
     // corpus paragraph whose content appears in the benchmark split;
     // benchmark fingerprints broadcast, only contaminated docs rewrite
     "paragraph_decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = documentsFan(s, dir)
       Paragraphs.paragraphDecontaminate(
           docs.where(col("doc_id") % 53 =!= 0),
           docs.where(col("doc_id") % 53 === 0), paraTokens = 16)
@@ -2709,7 +2737,7 @@ object SparkEntry {
       Curation.tokenQuotaMixComposed(Tables.documents(s, dir), 0.5, 15000L)),
     // overlapping token-window chunking (context-length splitting)
     "chunk_documents" -> ((s, dir) =>
-      TextAnalysis.chunkDocuments(Tables.documents(s, dir), 64, 16)),
+      TextAnalysis.chunkDocuments(documentsFan(s, dir), 64, 16)),
     // domain mixing: per-source stable-sample fractions in one pass
     "documents_weighted_sample" -> ((s, dir) => {
       val weights = ((0 to 4).map(i => s"src$i" -> 0.4) ++
@@ -2885,7 +2913,7 @@ object SparkEntry {
     // parity spec. Oracle-checked against the relational definition.
     "streams_span_dedup_batch" -> ((s, dir) =>
       graft.streaming.Streams.spanDedupBatch(
-        Tables.documents(s, dir).select("doc_id", "text"), n = 5)
+        documentsFan(s, dir).select("doc_id", "text"), n = 5)
         .orderBy("doc_id", "pos")),
     // ingest-time per-source token quota: greedy-prefix admission (the
     // batch budget selector's semantics) with refusals kept for audit.
@@ -2928,7 +2956,7 @@ object SparkEntry {
     // document scored statelessly with the SHARED cut+hash spelling;
     // refresh protocol MemoryStream-spec'd beside the other gates
     "streams_paragraph_gate_batch" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val docs = documentsFan(s, dir).select("doc_id", "text")
       graft.streaming.Streams.streamingParagraphFlag(
         docs, docs.where(col("doc_id") % 2 === 0),
         paraTokens = 16, flagRatio = 0.5)

@@ -1119,4 +1119,38 @@ object Dedup {
       .select("doc_a", "doc_b", "n_shared", "grams_a", "grams_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The pair-stage TAIL of [[ngramJaccardExact]] over a STORED kept-gram
+    * postings table `(doc_id, gram)` (already df-capped — the
+    * [[nearDupFlagsIncremental]] store contract) and its per-doc kept
+    * sizes `(doc_id, n_grams)`: shared-gram self-join → Jaccard ≥
+    * `minJaccard`, row-identical to `ngramJaccardExact(docs, minJaccard,
+    * cap)` whenever the postings were built from `distinctGramRows(docs)`
+    * under the same df cap (same gram domain, same kept set, same sizes).
+    * Exists so a snapshot's label closure reuses the postings/sizes
+    * parquet the incremental store already persists instead of
+    * re-tokenizing the slice and re-aggregating gram dfs (sf0.1:
+    * dedup_labels_old90 build 16.5 → ~9 s). Output is UNORDERED (the
+    * closure consumer is order-free); order explicitly if serving. */
+  def ngramJaccardFromPostings(postings: DataFrame, sizes: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    // hash-first join key, same reasoning as ngramJaccardExact; persist the
+    // narrow rows once for the self-join's two sides
+    val kept = postings.select(col("doc_id"), col("gram"))
+      .withColumn("gh", xxhash64(col("gram")))
+      .scopedPersist()
+    val shared = kept.as("ga")
+      .join(kept.as("gb"),
+        col("ga.gh") === col("gb.gh") && col("ga.gram") === col("gb.gram"))
+      .where(col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("grams_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("grams_b")), "doc_b")
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("grams_a") + col("grams_b") - col("n_shared")), 9))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_shared", "grams_a", "grams_b", "jaccard")
+  }
 }

@@ -494,8 +494,25 @@ object QualityClassifier {
       val gateIters = 12
       val fa = featureFrame(sample.repartition(3))
       val fb = featureFrame(sample.repartition(11, col("doc_id")))
-      val ma = fit(fa, iters = gateIters)
-      val mb = fit(fb, iters = gateIters - mutationIters)
+      // the two layouts' fits are INDEPENDENT driver-paced loops (each
+      // iteration is one tiny synchronized aggregate, so each fit's cost
+      // is ~gateIters × job latency, not data) — overlap them on two
+      // driver threads so the gate pays max(fitA, fitB) instead of the
+      // sum; Spark schedules concurrent jobs FIFO and the tiny tasks
+      // backfill. A FRESH pool per call: threads created here inherit
+      // this call's job group / local properties, so bench attribution
+      // stays correct (a shared global pool would carry stale ones).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val (ma, mb) =
+        try {
+          val futA = scala.concurrent.Future(fit(fa, iters = gateIters))
+          val futB = scala.concurrent.Future(
+            fit(fb, iters = gateIters - mutationIters))
+          (scala.concurrent.Await.result(futA, scala.concurrent.duration.Duration.Inf),
+            scala.concurrent.Await.result(futB, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
       val wa = round9(ma.intercept) +: ma.weights.map(round9)
       val wb = round9(mb.intercept) +: mb.weights.map(round9)
       val wMatch = java.util.Arrays.equals(wa, wb) &&

@@ -558,9 +558,18 @@ object Streams {
 
   /** [[manifestAdmission]] tokenizing the arriving batch itself — the
     * at-ingest shape, where no token-array asset exists for rows that
-    * just arrived. */
-  def manifestAdmission(newDocs: DataFrame, stores: ManifestStores): DataFrame =
-    manifestAdmission(newDocs, Tfidf.tokenArrays(newDocs), stores)
+    * just arrived. The live tokenize is PINNED once: the 3-arg form
+    * reads `newToks` three times (benchmark gram union, the decon
+    * probe, the n_tokens column), and an un-pinned tokenize would
+    * re-run the regex pass per reference (measured 3× the batch's
+    * tokenize cost at sf0.1). fanOut floors the batch's scan
+    * parallelism first — an arriving batch is a small frame, exactly
+    * the shape that bins into one split. The pin releases with the
+    * micro-batch's [[graft.operators.CacheScope]] on the stream path. */
+  def manifestAdmission(newDocs: DataFrame, stores: ManifestStores): DataFrame = {
+    val docs = graft.operators.Scaling.fanOut(newDocs)
+    manifestAdmission(docs, Tfidf.tokenArrays(docs).lazyPinned(), stores)
+  }
 
   /** The composed manifest admission under the refresh protocol — the
     * at-ingest twin of the batch `manifest_incremental`: each micro-batch

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.operators.Dedup
 
@@ -80,6 +80,36 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b", "n_shared", "jaccard")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 2L, 1L, math.rint(1.0 / 3.0 * 1e9) / 1e9)))
+  }
+
+  test("ngramJaccardFromPostings equals ngramJaccardExact on stored kept postings") {
+    // mixed fixture: a boilerplate gram over the cap, a df=2 shared pair,
+    // doc-local grams, and a doc that loses every gram to the cap
+    val docs = Seq(
+      (1L, "z z z a b c d"),
+      (2L, "z z z a b c e"),
+      (3L, "z z z p q r s"),
+      (4L, "z z z"),
+    ).toDF("doc_id", "text")
+    val cap = 3
+    for (minJ <- Seq(0.0, 0.5)) {
+      val direct = Dedup.ngramJaccardExact(docs, minJaccard = minJ, maxGramDf = cap)
+        .select("doc_a", "doc_b", "n_shared", "grams_a", "grams_b", "jaccard")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      // stored-postings spelling: distinctGramRows + df cap, like the
+      // dedup_postings_old90 / dedup_sizes_old90 asset builders
+      val gramRows = Dedup.distinctGramRows(docs)
+      val okGrams = gramRows.groupBy("gram")
+        .agg(count(lit(1)).as("gram_df"))
+        .where(col("gram_df") <= cap).select("gram")
+      val postings = gramRows.join(okGrams, "gram").select("doc_id", "gram")
+      val sizes = postings.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+      val fromStore = Dedup.ngramJaccardFromPostings(postings, sizes, minJ)
+        .select("doc_a", "doc_b", "n_shared", "grams_a", "grams_b", "jaccard")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(fromStore == direct, s"minJaccard=$minJ")
+    }
   }
 
   test("incrementalNew keeps only content not already ingested, idempotently") {
