@@ -3129,7 +3129,15 @@ object SparkEntry {
     }),
     // --- TPC-H-ish pricing summary (agg + decimal-exact sums) ---
     "q1_pricing_summary" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      // fanOut: a full-table decimal rollup over the single-row-group
+      // fixture scan runs its whole partial-agg phase in ONE task;
+      // flooring parallelism is a measured win here (2.5 -> 1.2 s cold at
+      // sf0.1) and a no-op at scale. Join-heavy TPC-H queries keep the
+      // bare scan — the same floor measured NEUTRAL-TO-WORSE there (the
+      // added exchange outweighs the serial decode). Keyed on a column
+      // the rollup already reads (high-cardinality price), so the scan's
+      // pruned ReadSchema is unchanged (PlanSpec pins it).
+      operators.Scaling.fanOut(Tables.lineitem(s, dir), "l_extendedprice")
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
